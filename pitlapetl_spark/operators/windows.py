@@ -1,0 +1,202 @@
+"""Window / ranking operators — SURVEY.md §2.7.
+
+The reference never computes ranks (positions arrive pre-computed from
+its sources, racedag.py:55-59); the target engine recomputes standings
+natively. Every query here is a single window exchange: rows shuffle
+once on the partition key, sort within partitions, and all frames are
+evaluated in one pass — the pattern that replaces the reference's
+"re-fetch the standings" with a computation that scales.
+
+Window sums use the same exact-decimal trick as aggregates.py so frame
+accumulation order can't flip the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "window_standings_rank",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS points,
+           CAST(rank()       OVER (ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC) AS INT) AS position,
+           CAST(dense_rank() OVER (ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,2))) DESC) AS INT) AS dense_position
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def window_standings_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standings recomputation (driver-standings analog,
+    driverstandings.py:24-25 consumed pre-computed ranks): aggregate
+    points per entity, then rank over the global ordering. The rank
+    window is a single partition — fine here because it runs over the
+    already-aggregated (25-row) result, never the raw fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    points = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("points_dec"))
+    )
+    w = Window.orderBy(F.col("points_dec").desc())
+    return points.select(
+        "c_nationkey",
+        F.col("points_dec").cast("double").alias("points"),
+        F.rank().over(w).cast("int").alias("position"),
+        F.dense_rank().over(w).cast("int").alias("dense_position"),
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT user_id, event_id,
+               CAST(value AS DOUBLE) AS value,
+               CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id) AS INT) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group ("fastest N laps per driver", SURVEY.md §2.8):
+    row_number over (group, order) then filter rn<=k. Catalyst rewrites
+    the rn<=k filter into a per-partition top-k sort (WindowGroupLimit)
+    so no group ever fully sorts. Ties broken on event_id for
+    determinism."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_lead_gap",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(value AS DOUBLE) AS value,
+           CAST(value - lag(value)  OVER w AS DOUBLE) AS delta_prev,
+           CAST(lead(value) OVER w AS DOUBLE)         AS next_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead for gap-to-previous (gap-to-leader analog, SURVEY.md
+    §2.7). Two-decimal doubles subtract exactly enough to hash stably
+    (same two operands on both engines -> same IEEE result)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_rolling_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_sum3,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_frame
+    FROM events
+    """,
+)
+def window_rolling_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-row frame per key ordered by time (rolling lap-time
+    average analog, SURVEY.md §2.7 frame specs)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("rolling_sum3"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+               AS seq
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative running total per key (unbounded-preceding frame)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") != "error"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).cast("int").alias("seq"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS events_last_hour
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: events in the trailing
+    hour per user — value-based frames, not row-count frames."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_last_hour"),
+    )

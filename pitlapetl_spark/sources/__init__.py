@@ -92,6 +92,22 @@ LINEITEM = T.StructType(
     ]
 )
 
+# events.ts is parquet TIMESTAMP(nanoseconds) which Spark's reader does
+# not map to TimestampType; it is read as raw nanos (LongType, with the
+# nanosAsLong legacy flag) and normalized to a microsecond timestamp in
+# load_table — exact integer division, matching DuckDB's ns->us
+# truncation so oracle comparisons agree.
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -146,6 +162,14 @@ STATIC_DIMS = ("region", "nation")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
