@@ -1,0 +1,72 @@
+"""Property tests for sink semantics — SURVEY.md §5 item 4:
+upsert idempotency (K1 twice ≡ once), truncate-reload ≡ overwrite
+(K3), merge keeps unmatched rows."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pitlapetl_spark.sinks import merge_upsert, overwrite, read_or_none, upsert_partitioned
+from pitlapetl_spark.sources import load_table
+
+
+def _snapshot(spark, path):
+    return sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_upsert_idempotent(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    upsert_partitioned(agg, path, ["event_type"])
+    once = _snapshot(spark, path)
+    upsert_partitioned(agg, path, ["event_type"])
+    twice = _snapshot(spark, path)
+    assert once == twice
+
+
+def test_upsert_touches_only_its_partitions(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    upsert_partitioned(agg, path, ["event_type"])
+    before = {t for (t,) in spark.read.parquet(path).select("event_type").distinct().collect()}
+    # upsert only 'click' with a sentinel value
+    clicks = agg.filter(F.col("event_type") == "click").withColumn(
+        "n", F.lit(-1).cast("long")
+    )
+    upsert_partitioned(clicks, path, ["event_type"])
+    after = spark.read.parquet(path)
+    assert {t for (t,) in after.select("event_type").distinct().collect()} == before
+    assert after.filter((F.col("event_type") == "click") & (F.col("n") != -1)).count() == 0
+    assert after.filter((F.col("event_type") != "click") & (F.col("n") == -1)).count() == 0
+
+
+def test_overwrite_full_refresh(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    overwrite(events.filter(F.col("event_type") == "view"), path)
+    overwrite(events.filter(F.col("event_type") == "error"), path)
+    kinds = {t for (t,) in spark.read.parquet(path).select("event_type").distinct().collect()}
+    assert kinds == {"error"}
+
+
+def test_merge_upsert_row_level(spark, sf_dir):
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    merged = {r.k: (r.name, r.v) for r in merge_upsert(existing, updates, ["k"]).collect()}
+    assert merged == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_read_or_none_missing(spark):
+    assert read_or_none(spark, "/tmp/definitely_missing_pitlap") is None
