@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line the driver records as BENCH_r{N}.json:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute) and materialized with
+the ``noop`` sink, which forces full computation of every row without
+paying serialization-to-driver or disk-write cost — the honest measure
+of engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pitlapetl_spark import registry  # noqa: E402
+from pitlapetl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one representative per heavy operator family —
+# scan+filter+agg, wide hash agg, shuffle join, window, nested-doc
+# assembly, as-of join, top-k, plus the LLM-pipeline operators
+# (dedup / similarity / text). Names missing from the registry
+# (not yet built in an early round) are skipped.
+HEADLINE = (
+    "flagship_top_value_per_user",
+    "agg_pricing_summary",
+    "job_practice_laps",
+    "join_broadcast_lookup",
+    "join_left_outer",
+    "window_standings_rank",
+    "window_rolling_frame",
+    "json_doc_assembly",
+    "asof_join_last_order",
+    "topk_global",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+)
+
+
+def _materialize(df) -> int:
+    """Force full execution without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark(
+        app_name="pitlapetl_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM / codegen warm-up so the first timed query isn't charged for it
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries = registry.all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
