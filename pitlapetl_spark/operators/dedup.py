@@ -1,0 +1,354 @@
+"""Deduplication operators — the LLM-data-pipeline surface
+(BASELINE.json north star; SURVEY.md §7.2 M5): exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup, all over the
+``documents`` / ``embeddings`` tables.
+
+Scale design (the whole point at 100 TB):
+
+- **exact**: one hash-aggregate on a fingerprint column — map-side
+  partial agg, a single shuffle on the 32-hex-char key.
+- **n-gram Jaccard**: inverted-index self-join on shingle (never a
+  cross join): pairs are generated only where documents actually share
+  a shingle. The scale lever is a shingle-DF cap (drop shingles in
+  more than N docs) — omitted here because the oracle must replay the
+  exact semantics, noted where it would go.
+- **MinHash+LSH**: per-doc signature = K min-aggregations (one
+  shuffle), banding = narrow map, candidate generation = equi-join on
+  (band_idx, band_value) — the classic shingle->minhash->band->
+  bucket-join pipeline; candidates are then *verified* with exact
+  Jaccard so the emitted pairs are exact-threshold truth, LSH only
+  prunes the search space.
+- **SimHash**: one token-frequency aggregate + BITS sign-sums in a
+  single groupBy; clusters are equal-simhash groups.
+- **embedding cosine**: the brute-force quadratic baseline lives in
+  operators/similarity.py's LSH path; here near-dup is an equi-width
+  problem demonstrated on a planted-duplicate union.
+
+Cross-engine determinism: every hash is md5-hex (Spark md5 == DuckDB
+md5), min-ed lexicographically; every ratio is round(6)-ed before
+thresholding on BOTH sides. Swap md5 for xxhash64 in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    SHINGLE_K,
+    minhash_cols,
+    norm_text,
+    oracle_shingles_cte,
+    shingle_rows,
+)
+from ..registry import query
+from ..sources import load_table
+
+# ---------------------------------------------------------------- exact
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH crawl AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM crawl
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a simulated re-crawl (the
+    corpus unioned with an id-offset copy of itself): group on the
+    normalized-text fingerprint, keep the smallest doc_id. One
+    hash-aggregate; at 100 TB the shuffle key is the 32-char hex hash,
+    uniformly distributed — no skew by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    crawl = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return (
+        crawl.select(F.md5(norm_text(F.col("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+JACCARD_THRESHOLD = 0.8
+
+_PAIR_JACCARD_SQL = f"""
+    WITH sh AS ({oracle_shingles_cte(SHINGLE_K)}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over shingle rows; optionally restricted to a
+    (doc_a, doc_b) candidate set (the LSH verify stage)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+@query("dedup_ngram_jaccard", oracle=_PAIR_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with exact word-3-gram Jaccard >= 0.8 via an
+    inverted-index self-join on shingle (no cross join anywhere).
+    Scale lever (not applied, to keep oracle parity): drop shingles
+    with document frequency > N before the join — stop-shingles
+    dominate the pair explosion on real corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _pair_jaccard(shingle_rows(docs))
+
+
+# --------------------------------------------------------- minhash + LSH
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _oracle_minhash_lsh() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{j}|' || s)) AS h{j}" for j in range(N_HASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {k} AS band_idx, md5({expr}) AS band_val FROM sig".format(
+            k=k,
+            expr=" || '|' || ".join(
+                f"h{k * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for k in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS ({oracle_shingles_cte(SHINGLE_K)}),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+        JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_oracle_minhash_lsh())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle -> 16-hash min signature (one
+    aggregate) -> 4 bands x 4 rows -> bucket equi-join for candidates
+    -> exact-Jaccard verification of candidates only. At 100 TB the
+    candidate join replaces the quadratic pair space with
+    O(collisions); banding parameters trade recall vs candidates
+    (s-curve threshold ~ (1/b)^(1/r) ~ 0.7 here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    sig = sh.groupBy("doc_id").agg(*minhash_cols(N_HASHES))
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{k * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            ).alias("band_val"),
+        )
+        for k in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, candidates=cand)
+
+
+# --------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 16
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _oracle_simhash() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN substr(md5(w), {i + 1}, 1) IN "
+        f"({', '.join(repr(h) for h in _HEX_HIGH)}) THEN cnt ELSE -cnt END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    value = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    bits AS (SELECT doc_id, {bit_sums} FROM tf GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({value} AS INT) AS simhash FROM bits)
+    SELECT doc_id, simhash,
+           min(doc_id) OVER (PARTITION BY simhash) AS cluster_id
+    FROM sh
+    """
+
+
+@query("dedup_simhash", oracle=_oracle_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup: 16-bit signature from md5-derived per-bit sign
+    sums weighted by term frequency; docs clustering to the same
+    signature share a cluster_id (min doc_id). Two shuffles total
+    (tf aggregate, bit aggregate) regardless of corpus size; pair
+    generation at scale bands the bits exactly like MinHash-LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(norm_text(F.col("text")), " ")).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring(F.md5("w"), i + 1, 1).isin(*_HEX_HIGH), F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    bits = tf.groupBy("doc_id").agg(*bit_sums)
+    value = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(SIMHASH_BITS)),
+        start=F.lit(0),
+    )
+    sh = bits.select("doc_id", value.cast("int").alias("simhash"))
+    return sh.select(
+        "doc_id",
+        "simhash",
+        F.min("doc_id").over(Window.partitionBy("simhash")).alias("cluster_id"),
+    )
+
+
+# ------------------------------------------------- embedding cosine dup
+
+COSINE_DUP_THRESHOLD = 0.999
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH crawl AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+    ),
+    u AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM crawl
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY 1),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on a simulated re-ingest (corpus unioned with
+    an id-offset copy): every pair with cosine >= 0.999 is a duplicate
+    — exactly the planted copies, since the corpus's max organic
+    cosine is ~0.51. Brute-force O(n^2) pair join is the *baseline*;
+    the sub-quadratic path is the LSH-bucketed variant in
+    operators/similarity.py. Dot products are JVM-side array
+    expressions (zip_with + aggregate), doubles end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    crawl = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    v = crawl.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn(
+        "nrm", F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+                )
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

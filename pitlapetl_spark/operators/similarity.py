@@ -1,0 +1,285 @@
+"""Similarity search over the ``embeddings`` table (array<float>
+column) — BASELINE.json north star: brute-force cosine top-k as the
+exact baseline, a deterministic sign-LSH bucketed variant as the
+scale path.
+
+Scale design:
+
+- **brute force** is a broadcast join of the (tiny) query set against
+  the full corpus — linear scans are embarrassingly parallel and the
+  per-row cosine is a JVM array expression (zip_with + aggregate)
+  inside whole-stage codegen. Correct at any corpus size, O(Q x N).
+- **sign-LSH** hashes every vector to a b-bit bucket with
+  deterministic pseudo-random +-1 hyperplanes derived from md5 (so
+  the DuckDB oracle replays the exact same planes); search touches
+  only the query's bucket — O(Q x N / 2^b) expected. Recall is
+  traded via b and multi-probe; at production scale the same plan
+  works with learned IVF centroids in place of the hash.
+
+Determinism contract: cosines are computed in double and round(6)-ed
+before ranking; ranking ties break on vec_id — total order, identical
+in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+N_QUERIES = 10  # vectors with vec_id < N_QUERIES are the query set
+TOP_K = 5
+LSH_PLANES = 8
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+_HEX_IN = ", ".join(repr(h) for h in _HEX_HIGH)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings cast to double with precomputed L2 norm (narrow)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("nrm", F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+
+
+_COS = (
+    "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+)
+
+_ORACLE_VECS = """
+    u AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY 1)
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH {_ORACLE_VECS},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(q.x * c.x) AS dot
+        FROM u q JOIN u c ON q.i = c.i
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors against the full
+    corpus, JVM-side dot products, per-query row_number window."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES)
+    scored = (
+        F.broadcast(queries)
+        .alias("q")
+        .join(vecs.alias("c"), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(
+                F.expr(_COS) / (F.col("q.nrm") * F.col("c.nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _bucket_expr_spark() -> str:
+    """b-bit sign-LSH bucket from md5-derived +-1 hyperplanes.
+    Plane p, dim d sign = +1 iff the first hex char of md5('p_d') has
+    its high bit set. Pure array expression, 0-based dims."""
+    bits = []
+    for p in range(LSH_PLANES):
+        proj = (
+            f"aggregate(sequence(0, size(v) - 1), 0D, (acc, d) -> acc + "
+            f"(CASE WHEN substring(md5(concat('{p}_', d)), 1, 1) IN ({_HEX_IN}) "
+            f"THEN v[d] ELSE -v[d] END))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _bucket_expr_duck() -> str:
+    bits = []
+    for p in range(LSH_PLANES):
+        proj = (
+            f"list_sum(list_transform(range(1, len(v) + 1), d -> "
+            f"(CASE WHEN substr(md5('{p}_' || (d - 1)), 1, 1) IN ({_HEX_IN}) "
+            f"THEN v[d] ELSE -v[d] END)))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    bucketed AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               CAST({_bucket_expr_duck()} AS INT) AS bucket
+        FROM vecs
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.bucket AS bucket,
+               round(list_sum(list_transform(range(1, len(q.v) + 1),
+                     i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cosine
+        FROM bucketed q JOIN bucketed c
+          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH bucketing: vectors hash to an
+    8-bit bucket (narrow map), search runs only inside the query's
+    bucket (equi-join on bucket -> hash join, never a cross join).
+    The bucket column is exactly what you'd persist + partition by
+    for repeated ANN serving at 100 TB."""
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "bucket", F.expr(_bucket_expr_spark()).cast("int")
+    )
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES)
+    scored = (
+        F.broadcast(queries)
+        .alias("q")
+        .join(
+            vecs.alias("c"),
+            (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("q.bucket").alias("bucket"),
+            F.round(F.expr(_COS) / (F.col("q.nrm") * F.col("c.nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@query(
+    "sim_label_centroid_knn",
+    oracle=f"""
+    WITH {_ORACLE_VECS},
+    cent AS (
+        SELECT e.label, u.i, avg(u.x) AS cx
+        FROM u JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    cnorm AS (SELECT label, sqrt(sum(cx * cx)) AS cnrm FROM cent GROUP BY 1),
+    dots AS (
+        SELECT u.vec_id, cent.label, sum(u.x * cent.cx) AS dot
+        FROM u JOIN cent ON u.i = cent.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT vec_id, label AS centroid_label,
+               round(dot / (n.nrm * c.cnrm), 6) AS cosine
+        FROM dots JOIN norms n USING (vec_id) JOIN cnorm c USING (label)
+    )
+    SELECT vec_id, centroid_label, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, centroid_label) AS rnk
+        FROM scored
+    )
+    WHERE rnk = 1
+    """,
+)
+def sim_label_centroid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroids (the 'coarse quantizer'
+    — avg of member vectors, position-wise), then assign every vector
+    to its nearest centroid by cosine. Centroid table is tiny ->
+    broadcast; assignment is one narrow pass over the corpus. This is
+    the assignment step of IVF-flat ANN restated as DataFrame ops."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("nrm", F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    dim = F.posexplode(F.col("v"))
+    comp = vecs.select("vec_id", "label", dim.alias("i", "x"))
+    cent = comp.groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    cent_vec = (
+        cent.groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").alias("cv")
+        )
+        .withColumn(
+            "cnrm", F.sqrt(F.expr("aggregate(cv, 0D, (acc, x) -> acc + x * x)"))
+        )
+    )
+    scored = (
+        vecs.alias("q")
+        .join(F.broadcast(cent_vec).alias("c"))
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.label").alias("centroid_label"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(q.v, c.cv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+                )
+                / (F.col("q.nrm") * F.col("c.cnrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_label")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )

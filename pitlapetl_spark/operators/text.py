@@ -1,0 +1,233 @@
+"""Text-analysis operators over ``documents`` — the LLM-data-pipeline
+surface (BASELINE.json north star; SURVEY.md §7.2 M5): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built from JVM-side array/higher-order expressions
+(``split`` / ``transform`` / ``filter`` / ``aggregate``) — zero Python
+UDFs, zero shuffles except where an aggregation is semantically
+required. On 100 TB these run as a single narrow map stage fused into
+whole-stage codegen, reading only (doc_id, text) thanks to column
+pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, norm_text, shingles, stopword_count, tokens
+from ..registry import query
+from ..sources import load_table
+
+# BPE-ish word/number/symbol tokenizer (lowercase alpha runs, digit
+# runs, single non-alnum symbols) — the "token counting" regex path
+_WORD_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_ORACLE_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_ORACLE_TOKS = f"string_split({_ORACLE_NORM}, ' ')"
+
+
+def _sql_in(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_ORACLE_NORM} AS norm, {_ORACLE_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(norm, '{_WORD_RE}')) AS INT) AS n_word_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks), 6) AS mean_token_len
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    distinct count + mean token length. Narrow map stage, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        norm_text(F.col("text")).alias("norm"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.expr(f"size(regexp_extract_all(norm, '{_WORD_RE}', 0))")
+        .cast("int")
+        .alias("n_word_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
+        F.round(
+            F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))")
+            / F.size("toks"),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_ORACLE_NORM} AS norm, {_ORACLE_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> x IN ({_sql_in(STOPWORDS["en"])}))) AS n_stop,
+               length(norm) AS n_chars,
+               length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+               len(list_distinct(toks)) AS n_distinct
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           round(n_punct * 1.0 / n_chars, 6) AS punct_ratio,
+           round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio,
+           round(0.25 * least(n_tokens / 100.0, 1.0)
+               + 0.25 * least(n_stop * 5.0 / n_tokens, 1.0)
+               + 0.25 * (1.0 - n_punct * 1.0 / n_chars)
+               + 0.25 * (n_distinct * 1.0 / n_tokens), 6) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, stopword ratio, punctuation
+    density, token diversity -> composite score in [0,1]. The exact
+    filter a pre-training pipeline runs before expensive stages."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        norm_text(F.col("text")).alias("norm"),
+        tokens(F.col("text")).alias("toks"),
+    )
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        stopword_count(F.col("toks"), STOPWORDS["en"]).alias("n_stop"),
+        F.length("norm").alias("n_chars"),
+        (
+            F.length("norm")
+            - F.length(F.regexp_replace("norm", "[^a-z0-9 ]", ""))
+        ).alias("n_punct"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(F.col("n_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(
+            0.25 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.25 * F.least(F.col("n_stop") * 5.0 / F.col("n_tokens"), F.lit(1.0))
+            + 0.25 * (1.0 - F.col("n_punct") / F.col("n_chars"))
+            + 0.25 * (F.col("n_distinct") / F.col("n_tokens")),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_LANGS = ("en", "de", "es", "fr")
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, len(toks) AS n,
+               {", ".join(
+                   f"len(list_filter(toks, x -> x IN ({_sql_in(STOPWORDS[lang])}))) AS s_{lang}"
+                   for lang in _LANGS
+               )}
+        FROM t
+    )
+    SELECT doc_id,
+           {", ".join(f"round(s_{lang} * 1.0 / n, 6) AS score_{lang}" for lang in _LANGS)},
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic: score each language by
+    its stopword-profile hit ratio, argmax with a fixed priority order.
+    (The synthetic corpus is English-like word soup for every ``lang``
+    label, so the heuristic's ground truth is its own deterministic
+    arithmetic — replicated exactly by the oracle. Real profiles slot
+    into STOPWORDS without changing the plan shape.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    s = t.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        *[
+            stopword_count(F.col("toks"), STOPWORDS[lang]).alias(f"s_{lang}")
+            for lang in _LANGS
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return s.select(
+        "doc_id",
+        *[
+            F.round(F.col(f"s_{lang}") / F.col("n"), 6).alias(f"score_{lang}")
+            for lang in _LANGS
+        ],
+        pred.alias("lang_pred"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_ORACLE_NORM} AS norm,
+               {_ORACLE_TOKS} AS toks
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, norm,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END AS shingles
+        FROM t
+    )
+    SELECT doc_id,
+           md5(norm) AS fp_exact,
+           list_aggregate(list_transform(shingles, s -> md5('0|' || s)), 'min') AS fp_min_shingle
+    FROM sh
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (exact
+    fingerprint) + lexicographic-min shingle hash (rolling-hash-style
+    content fingerprint, stable under small shifts). Pure array
+    expressions — array_min(transform(...)) never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        norm_text(F.col("text")).alias("norm"),
+        tokens(F.col("text")).alias("_toks"),
+    ).select("doc_id", "norm", shingles("_toks").alias("sh"))
+    return t.select(
+        "doc_id",
+        F.md5("norm").alias("fp_exact"),
+        F.expr("array_min(transform(sh, s -> md5(concat('0|', s))))").alias(
+            "fp_min_shingle"
+        ),
+    )

@@ -1,0 +1,63 @@
+"""Semantic invariants for the LLM-data-pipeline operators (dedup /
+similarity / text) that the value-hash oracle can't express:
+approximation quality and bounded-range contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pitlapetl_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.select("doc_a", "doc_b").collect()}
+
+
+def test_minhash_lsh_recall_equals_exact(spark):
+    """On this corpus the LSH candidate set must retain every true
+    near-dup pair: verified output == exact inverted-index output."""
+    exact = _pairs(Q["dedup_ngram_jaccard"](spark, SF_SMOKE))
+    lsh = _pairs(Q["dedup_minhash_lsh"](spark, SF_SMOKE))
+    assert lsh == exact
+    assert exact, "corpus should contain planted near-dup pairs"
+
+
+def test_exact_dedup_collapses_recrawl(spark):
+    """Union-with-copy crawl: every fingerprint group has exactly the
+    original + its copy, keeper is the original id."""
+    out = Q["dedup_exact"](spark, SF_SMOKE)
+    bad = out.filter(
+        (F.col("n_copies") != 2) | (F.col("keeper_doc_id") >= 1000000)
+    ).count()
+    assert bad == 0
+
+
+def test_bruteforce_dominates_lsh(spark):
+    """Exact top-1 cosine >= LSH top-1 cosine for every query the LSH
+    path answers (approximation never beats the exact scan)."""
+    bf = {
+        r.query_id: r.cosine
+        for r in Q["sim_topk_bruteforce"](spark, SF_SMOKE).filter("rank = 1").collect()
+    }
+    lsh = {
+        r.query_id: r.cosine
+        for r in Q["sim_topk_lsh"](spark, SF_SMOKE).filter("rank = 1").collect()
+    }
+    assert lsh, "LSH should answer at least one query"
+    for q, c in lsh.items():
+        assert bf[q] >= c - 1e-9
+
+
+def test_quality_score_bounded(spark):
+    out = Q["text_quality_score"](spark, SF_SMOKE)
+    assert out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
+
+
+def test_lang_pred_in_domain(spark):
+    out = Q["text_lang_id"](spark, SF_SMOKE)
+    doms = {r.lang_pred for r in out.select("lang_pred").distinct().collect()}
+    assert doms <= {"en", "de", "es", "fr"}
