@@ -1,0 +1,145 @@
+"""Time-window aggregations over ``events`` — batch form of the
+streaming operators (SURVEY.md §2.12), oracle-checked.
+
+``F.window`` / ``F.session_window`` are the same expressions a
+Structured Streaming plan uses; running them over the static events
+table pins down their semantics against DuckDB, and
+streaming/runtime.py reuses the identical aggregation bodies
+incrementally. Window starts are epoch-aligned (Spark's contract), so
+the oracles compute bucket starts with integer epoch arithmetic
+rather than DuckDB's Monday-anchored time_bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+DAY_S = 86400
+SESSION_GAP = "4 hours"
+SESSION_GAP_SQL = "INTERVAL 4 HOUR"
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {DAY_S}) * {DAY_S} AS BIGINT)) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / {DAY_S}) * {DAY_S} + {DAY_S} AS BIGINT)) AS TIMESTAMP) AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event_type: the canonical streaming
+    aggregate (readStream + withWatermark + this exact groupBy). One
+    shuffle on (window, event_type); map-side partial agg makes the
+    shuffle payload one row per (day, type) per task regardless of
+    event volume."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_avg",
+    oracle=f"""
+    WITH slid AS (
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {DAY_S}) * {DAY_S} - k * {DAY_S} AS BIGINT)) AS TIMESTAMP) AS window_start,
+               value
+        FROM events, unnest([0, 1]) AS t(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 2 DAY AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM slid
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-day length, 1-day slide): every event lands
+    in exactly 2 windows. Spark expands the window list per row
+    map-side (no self-join); the oracle mirrors that expansion with an
+    explicit unnest of slide offsets."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= {SESSION_GAP_SQL}
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + {SESSION_GAP_SQL} AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (4-hour inactivity gap) per user — Spark's
+    ``session_window`` merges events map-side then combines across
+    partitions; the oracle restates it as gaps-and-islands. Session
+    end is last-event + gap (Spark's contract)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,114 @@
+"""Structured Streaming runtime (SURVEY.md §2.12, §7.2 M4).
+
+The reference achieves freshness by re-running a DAG and leaning on
+upsert idempotency (K1) or truncate-reload (K3). Here the same
+pipelines run *incrementally*: file-stream source over the events
+table -> watermarked windowed aggregation (the exact groupBy bodies
+proven against DuckDB in batch_windows.py) -> ``foreachBatch`` keyed
+upsert reproducing K1 semantics per micro-batch.
+
+Scale design: the file source lists + processes new files per trigger
+(maxFilesPerTrigger bounds batch size); watermarks bound state (late
+rows beyond the watermark are dropped instead of growing state
+forever); the foreachBatch upsert rewrites only the partitions a
+micro-batch touches — the same dynamic-partition-overwrite contract
+as the batch sink (sinks/__init__.py), so batch and streaming loads
+are interchangeable and idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sinks import upsert_partitioned
+from ..sources import EVENTS_RAW
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over events parquet (same nanosecond-ts
+    normalization as the batch reader, sources/__init__.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Watermarked tumbling-window counts — identical aggregation body
+    to the oracle-checked batch query (batch_windows.py
+    stream_tumbling_counts); the watermark bounds state and defines
+    the late-data drop policy."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Stateful streaming dedup on event_id:
+    ``dropDuplicatesWithinWatermark`` keeps dedup state only within
+    the watermark horizon — bounded memory at any stream length
+    (exactly the at-least-once -> effectively-once repair for a
+    replayed source)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> StreamingQuery:
+    """Run a streaming plan to a memory sink with the availableNow
+    trigger (process everything currently available, then stop) —
+    the batch-parity harness used by the tests."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_upsert_sink(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint: str,
+) -> StreamingQuery:
+    """K1 keyed upsert as a streaming sink: every micro-batch merges
+    into the target via dynamic partition overwrite (sinks K1) —
+    idempotent on replay, which together with the checkpoint gives
+    end-to-end exactly-once table state."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_partitioned(batch_df, path, key_cols)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -57,6 +57,15 @@ def test_quality_score_bounded(spark):
     assert out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
 
 
+def test_decode_media_is_stubbed():
+    import pytest as _pytest
+
+    from pitlapetl_spark.operators.multimodal import decode_media
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\x00", "image")
+
+
 def test_lang_pred_in_domain(spark):
     out = Q["text_lang_id"](spark, SF_SMOKE)
     doms = {r.lang_pred for r in out.select("lang_pred").distinct().collect()}
