@@ -40,6 +40,18 @@ def tokens(c: Column) -> Column:
     return F.split(norm_text(c), " ")
 
 
+def shingles_sql(tok_col: str, k: int = SHINGLE_K) -> str:
+    """Spark-SQL expression string for the distinct word k-gram
+    shingle array of a token-array column — composable inside larger
+    expressions (e.g. the no-shuffle minhash signature)."""
+    parts = ", ".join(f"{tok_col}[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN size({tok_col}) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size({tok_col}) - {k}), "
+        f"i -> concat_ws(' ', {parts}))) ELSE array() END"
+    )
+
+
 def shingles(tok_col: str, k: int = SHINGLE_K) -> Column:
     """Distinct word k-gram shingles from a token-array column.
 
@@ -47,12 +59,7 @@ def shingles(tok_col: str, k: int = SHINGLE_K) -> Column:
     explode/shuffle; guarded so short documents yield an empty array
     (``sequence`` would count *down* for negative spans otherwise).
     """
-    parts = ", ".join(f"{tok_col}[i + {j}]" for j in range(k))
-    return F.expr(
-        f"CASE WHEN size({tok_col}) >= {k} THEN "
-        f"array_distinct(transform(sequence(0, size({tok_col}) - {k}), "
-        f"i -> concat_ws(' ', {parts}))) ELSE array() END"
-    )
+    return F.expr(shingles_sql(tok_col, k))
 
 
 def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
