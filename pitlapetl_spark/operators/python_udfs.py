@@ -1,0 +1,120 @@
+"""The Python-UDF surface done right — SURVEY.md §2.13.
+
+The reference's per-row Python functions (format_laptime etc.) became
+native expressions (operators/relational.py X1/X2); what remains for
+Python is genuinely-vectorized work: Arrow-batched ``pandas_udf`` for
+numeric array math and grouped-map ``applyInPandas`` where a whole
+group must be seen at once. Row-at-a-time ``F.udf`` appears nowhere
+in this engine — at 100 TB the 10-100x Arrow batch advantage
+(pyspark_guide.md "UDFs") is the difference between a job and an
+outage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import query
+from ..sources import load_table
+
+
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def unit_normalize(v: pd.Series) -> pd.Series:
+    """Vectorized L2 normalization of an embedding column — the
+    canonical pre-ANN transform. Arrow hands the whole batch to numpy;
+    no per-row Python."""
+    import numpy as np
+
+    def norm(a):
+        arr = np.asarray(a, dtype="float64")
+        n = np.sqrt((arr * arr).sum())
+        return (arr / n).tolist() if n > 0 else arr.tolist()
+
+    return v.map(norm)
+
+
+@query(
+    "pandas_udf_normalize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, d, sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm
+        FROM v
+    )
+    SELECT vec_id,
+           round(d[1] / nrm, 6) AS n0,
+           round(d[2] / nrm, 6) AS n1,
+           round(sqrt(list_sum(list_transform(d, x -> (x / nrm) * (x / nrm)))), 6) AS unit_len
+    FROM n
+    """,
+)
+def pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf: normalize every embedding to unit length;
+    emit the first two normalized components and the (= 1.0) norm as
+    the checkable contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select("vec_id", unit_normalize("embedding").alias("nv"))
+    return normed.select(
+        "vec_id",
+        F.round(F.element_at("nv", 1), 6).alias("n0"),
+        F.round(F.element_at("nv", 2), 6).alias("n1"),
+        F.round(
+            F.sqrt(F.expr("aggregate(nv, 0D, (acc, x) -> acc + x * x)")), 6
+        ).alias("unit_len"),
+    )
+
+
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("zscore", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map body: per-group standardization needs the whole
+    group's mean/std — the applyInPandas shape (per-group model
+    scoring, anomaly detection, calibration)."""
+    m = pdf["value"].mean()
+    s = pdf["value"].std(ddof=0)
+    z = (pdf["value"] - m) / s if s > 0 else pdf["value"] * 0.0
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "zscore": z.round(6),
+        }
+    )
+
+
+@query(
+    "apply_in_pandas_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_pop(value) OVER (PARTITION BY event_type), 6) AS zscore
+    FROM events
+    """,
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score events within each
+    event_type. One shuffle on the group key, then each group streams
+    through Python as a single Arrow batch. Skew note: a dominant
+    group lands on one task — at 100 TB either salt the key and
+    two-pass the moments, or compute moments JVM-side (as the oracle
+    does) and keep Python for the model call only."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return events.groupBy("event_type").applyInPandas(
+        _zscore_group, _ZSCORE_SCHEMA
+    )

@@ -43,6 +43,7 @@ _MODULES = (
     "pitlapetl_spark.operators.multimodal",
     "pitlapetl_spark.operators.sinks_query",
     "pitlapetl_spark.operators.rest_query",
+    "pitlapetl_spark.operators.python_udfs",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
 )

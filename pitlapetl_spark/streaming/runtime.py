@@ -74,6 +74,46 @@ def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     )
 
 
+STATEFUL_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+STATEFUL_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+
+
+def stateful_user_totals(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, total) that survives across micro-batches
+    in the state store. This is the escape hatch for aggregations the
+    built-in windowed operators can't express (counters with custom
+    merge/expiry logic); the watermark bounds state lifetime."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            STATEFUL_OUT_SCHEMA,
+            STATEFUL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

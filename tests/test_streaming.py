@@ -57,6 +57,28 @@ def test_dedup_stream_preserves_distinct_ids(spark, events_stream):
     assert got.count() == src.select("event_id").distinct().count()
 
 
+def test_stateful_user_totals_matches_batch(spark, events_stream):
+    q = runtime.run_to_memory(
+        runtime.stateful_user_totals(events_stream),
+        "t_stateful",
+        output_mode="update",
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per batch; the LAST row per
+    # user is the final state — with availableNow there is one batch
+    got = spark.table("t_stateful")
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
 def test_foreachbatch_upsert_idempotent(spark, events_stream, events_dir):
     tmp = tempfile.mkdtemp(prefix="pitlap_stream_")
     try:
