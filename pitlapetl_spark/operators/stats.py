@@ -1,0 +1,196 @@
+"""Statistical aggregates, grouping sets, and date/array scalar
+breadth — the "free from Spark" surface SURVEY.md §2.6/§2.10 says the
+target engine must expose (the reference computes none of these, but a
+user switching engines expects them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..registry import query
+from ..sources import load_table, register_views
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``). Exact percentile sorts within the
+    group — at 100 TB prefer ``percentile_approx`` (t-digest sketch,
+    mergeable map-side; see agg_approx_sketches) unless exactness is
+    contractual."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+    )
+
+
+@query(
+    "agg_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_discount), 6) AS discount_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev per group — single-pass
+    moment aggregates with map-side partials (no sort, no second
+    scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_stddev"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS sum_qty,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL surface (the engine's dual API:
+    every DataFrame operator is also runnable as SQL over the
+    registered temp views — both compile to the same Catalyst plan).
+    ``grouping()`` markers disambiguate NULL-as-group from
+    NULL-as-rollup."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "scalar_date_math",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow_sun0,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_2024,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus_2_months
+    FROM orders
+    """,
+)
+def scalar_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar breadth: extract fields, truncate, month-end,
+    day diff, month arithmetic — all JVM intrinsics (X2's family,
+    SURVEY §2.10). dow is Sunday=0 to match DuckDB's EXTRACT(dow)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sun0"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_2024"),
+        F.add_months(F.col("o_orderdate").cast("date"), 2).cast("timestamp").alias("plus_2_months"),
+    )
+
+
+@query(
+    "scalar_array_ops",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
+           CAST(coalesce(list_position(toks, 'spark'), 0) AS INT) AS spark_pos,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+           list_aggregate(list_distinct(toks), 'min') AS min_token
+    FROM t
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over the token array: size, membership,
+    slicing, positional search, distinct, ordered min — all
+    higher-order JVM expressions, zero explode (SURVEY §2.10 target
+    surface: ``array_*`` / ``transform`` lambdas)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.concat_ws(" ", F.slice("toks", 1, 3)).alias("first3"),
+        F.array_position("toks", "spark").cast("int").alias("spark_pos"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
+        F.array_min(F.array_distinct("toks")).alias("min_token"),
+    )
+
+
+@query(
+    "agg_salted_group_max",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_salted_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defense pattern: two-stage salted aggregation. Stage 1
+    groups on (key, salt) — a hot key's rows spread over 8 reducers;
+    stage 2 merges the 8 partials per key. Result is identical to the
+    plain groupBy (the oracle) — the plan differs, the answer must
+    not. Max/count re-aggregate losslessly (max of maxes, sum of
+    counts); means would carry (sum, count) pairs. AQE's skew-join
+    handling covers joins; aggregation skew still needs this manual
+    salt at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn("_salt", (F.col("event_id") % 8).cast("int"))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("value").alias("_mx"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("_n").alias("n_events"),
+        F.max("_mx").alias("max_value"),
+    )

@@ -44,6 +44,7 @@ _MODULES = (
     "pitlapetl_spark.operators.sinks_query",
     "pitlapetl_spark.operators.rest_query",
     "pitlapetl_spark.operators.python_udfs",
+    "pitlapetl_spark.operators.stats",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
 )
