@@ -54,3 +54,32 @@ def test_agg_has_mapside_partial(spark):
     plan = _plan(Q["agg_pricing_summary"](spark, SF_SMOKE))
     # partial_ aggregates before the exchange = map-side combine
     assert "partial_" in plan
+
+
+def test_partitioned_write_prunes_on_read(spark):
+    """Partition-directory layout + filter -> PartitionFilters prune
+    whole directories; the data filter never reaches row groups of
+    other partitions. This is the scan-side contract the K1 upsert
+    layout (partitionBy key) is designed around."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_prune_")
+    try:
+        from pitlapetl_spark.sources import load_table
+
+        load_table(spark, SF_SMOKE, "events").write.partitionBy(
+            "event_type"
+        ).mode("overwrite").parquet(f"{tmp}/t")
+        df = (
+            spark.read.parquet(f"{tmp}/t")
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "value")
+        )
+        plan = _plan(df)
+        seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "event_type" in seg, plan
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
