@@ -1,0 +1,167 @@
+"""Inventory-completing operators: remaining join types, ranking
+windows, regex scalars, ordered set-collection, subquery forms, and
+the mergeable rollup hierarchy (coarse aggregates computed FROM finer
+aggregates — the continuous-aggregate / hypertable-rollup pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table, register_views
+
+DAY_S = 86400
+HOUR_S = 3600
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join — customers with no orders survive with NULL
+    order columns (the join-type inventory's remaining member;
+    SURVEY §2.5 gap list)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "right_outer"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+
+
+@query(
+    "window_ntile_distribution",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) per event_type — total order (value, event_id) makes
+    ties deterministic across engines and executors."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "scalar_regex_suite",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^[a-z]+') AS type_head,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+           regexp_matches(p_brand, '[13579]$') AS brand_odd,
+           CAST(levenshtein(p_brand, 'brand#00') AS INT) AS brand_dist
+    FROM part
+    """,
+)
+def scalar_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar breadth (X-family extension): extract, global
+    replace, match test, edit distance — all JVM intrinsics."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^[a-z]+", 0).alias("type_head"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.col("p_brand").rlike("[13579]$").alias("brand_odd"),
+        F.levenshtein("p_brand", F.lit("brand#00")).cast("int").alias("brand_dist"),
+    )
+
+
+@query(
+    "agg_collect_set_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',') AS segments,
+           CAST(count(DISTINCT c_mktsegment) AS INT) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with the deterministic-order convention
+    (sort_array before any serialization — set iteration order never
+    leaks; string-joined so the value is engine-portable)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.count_distinct("c_mktsegment").cast("int").alias("n_segments"),
+    )
+
+
+_EXISTS_SQL = """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'P')
+"""
+
+
+@query("subquery_exists_semi", oracle=_EXISTS_SQL)
+def subquery_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface —
+    Catalyst rewrites them to left-semi / left-anti joins (same
+    physical plan as the DataFrame forms in operators/joins.py)."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+@query(
+    "rollup_hierarchy_day_from_hour",
+    oracle=f"""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {DAY_S}) * {DAY_S} AS BIGINT)) AS TIMESTAMP) AS day_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_hierarchy_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup pattern: the day-level aggregate is computed
+    FROM the hour-level aggregate, not from raw events — counts sum,
+    sums sum (mergeable aggregates). At 100 TB the hour rollup is the
+    materialized continuous aggregate; day/week/month roll up from it
+    at 1/3600th the input size. Oracle = direct day aggregation from
+    raw events, proving the re-aggregation is lossless."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.window("hour_start", "1 day").alias("w"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"), "event_type", "n_events", "sum_value"
+        )
+    )

@@ -45,6 +45,7 @@ _MODULES = (
     "pitlapetl_spark.operators.rest_query",
     "pitlapetl_spark.operators.python_udfs",
     "pitlapetl_spark.operators.stats",
+    "pitlapetl_spark.operators.breadth",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
 )
