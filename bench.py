@@ -43,8 +43,12 @@ HEADLINE = (
     "asof_join_last_order",
     "topk_global",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_topk_bruteforce",
     "text_quality_score",
+    "stream_session_windows",
+    "rollup_hierarchy_day_from_hour",
+    "apply_in_pandas_zscore",
 )
 
 
