@@ -1,0 +1,76 @@
+"""Property-based tests (SURVEY.md §5 item 4) — hypothesis drives the
+row-level MERGE and the lap-time formatter against simple Python
+models. Examples are kept small: each case builds real DataFrames."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pitlapetl_spark.functions import format_laptime
+from pitlapetl_spark.sinks import merge_upsert
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from pitlapetl_spark.session import get_spark
+
+        _spark = get_spark(app_name="pitlapetl_props")
+    return _spark
+
+
+rows = st.dictionaries(st.integers(0, 20), st.integers(-100, 100), max_size=12)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(existing=rows, updates=rows)
+def test_merge_upsert_equals_dict_union(existing, updates):
+    """MERGE model: result == {**existing, **updates} as a row set
+    (updated keys replaced, new keys inserted, others kept)."""
+    spark = _get_spark()
+    schema = "k INT, v INT"
+    edf = spark.createDataFrame(list(existing.items()) or [], schema=schema)
+    udf_ = spark.createDataFrame(list(updates.items()) or [], schema=schema)
+    merged = merge_upsert(edf, udf_, ["k"])
+    got = {(r.k, r.v) for r in merged.collect()}
+    want = set({**existing, **updates}.items())
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    secs=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=0, max_value=7200, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_format_laptime_matches_python_model(secs):
+    """X1 formatter: MM:SS.mmm from total seconds, NULL-safe, using
+    total-seconds semantics (the reference's `.seconds` variant is
+    wrong past 1h — SURVEY §7.3a; the model here is the correct one)."""
+    spark = _get_spark()
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(secs)], "i INT, s DOUBLE")
+    got = {
+        r.i: r.fmt
+        for r in df.select("i", format_laptime(F.col("s")).alias("fmt")).collect()
+    }
+
+    def model(s):
+        if s is None:
+            return None
+        ms = round(s * 1000)
+        total_s, ms = divmod(ms, 1000)
+        m, sec = divmod(total_s, 60)
+        return f"{int(m):02d}:{int(sec):02d}.{int(ms):03d}"
+
+    for i, s in enumerate(secs):
+        assert got[i] == model(s), (s, got[i], model(s))
