@@ -57,6 +57,31 @@ def merge_upsert(
     return kept.unionByName(updates)
 
 
+def compact(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-files compaction: rewrite a parquet table into
+    ``target_files`` files (staged via a temp suffix, then swapped by
+    an atomic-enough overwrite). At 100 TB streaming upserts and
+    per-partition writes accumulate small files that poison scan
+    parallelism and NameNode/listing cost; periodic compaction with
+    ``repartition`` (full shuffle, even sizes) is the standard cure —
+    use ``coalesce`` instead when skew is acceptable to avoid the
+    shuffle. Returns the file count after compaction."""
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(f"{path}__compact")
+    compacted = spark.read.parquet(f"{path}__compact")
+    compacted.write.mode("overwrite").parquet(path)
+    # best-effort cleanup of the staging copy
+    try:
+        import shutil
+
+        shutil.rmtree(f"{path}__compact", ignore_errors=True)
+    except Exception:
+        pass
+    import glob
+
+    return len(glob.glob(f"{path}/part-*"))
+
+
 def read_or_none(spark: SparkSession, path: str, schema=None) -> DataFrame | None:
     try:
         reader = spark.read
