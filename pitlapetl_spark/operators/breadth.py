@@ -125,6 +125,58 @@ def subquery_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_hash_systematic",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+    """,
+)
+def sample_hash_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 systematic sample by content hash — the
+    scale-correct sampling primitive: reproducible across engines,
+    runs, and partitionings (unlike RNG-based ``TABLESAMPLE``), and
+    consistent per key so joins of two sampled tables still align.
+    Narrow filter, pushes nothing but costs one md5 per row."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0"
+    ).select("event_id", "user_id", "value")
+
+
+@query(
+    "sample_stratified_topn",
+    oracle="""
+    SELECT event_type, event_id, value
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events
+    )
+    WHERE rn <= 50
+    """,
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly 50 rows per
+    event_type, chosen by hash order (uniform within stratum,
+    reproducible everywhere). The per-stratum row_number is the same
+    top-k machinery as window_topk_per_group — one shuffle on the
+    stratum key."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        events.select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@query(
     "rollup_hierarchy_day_from_hour",
     oracle=f"""
     SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / {DAY_S}) * {DAY_S} AS BIGINT)) AS TIMESTAMP) AS day_start,
