@@ -193,6 +193,57 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top_term",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_ORACLE_TOKS}) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w AS top_term, tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency per doc x inverse document frequency
+    across the corpus; emit each doc's highest-scoring term. Two
+    aggregates + a broadcast-able DF table — the classic two-pass
+    text-statistics shape (the DF side is vocabulary-sized, tiny
+    relative to the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        "w",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "tfidf")
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     WITH t AS (
