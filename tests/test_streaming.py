@@ -57,6 +57,33 @@ def test_dedup_stream_preserves_distinct_ids(spark, events_stream):
     assert got.count() == src.select("event_id").distinct().count()
 
 
+def test_session_window_stream_matches_batch(spark, events_stream):
+    """Session windows run incrementally (watermark-gated merge of
+    open sessions) must produce the same sessions as the
+    oracle-checked batch query."""
+    agg = (
+        events_stream.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = runtime.run_to_memory(agg, "t_sessions", output_mode="complete")
+    q.awaitTermination(120)
+    got = spark.table("t_sessions")
+    want = registry.QUERIES["stream_session_windows"](spark, SF_SMOKE)
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
 def test_stateful_user_totals_matches_batch(spark, events_stream):
     q = runtime.run_to_memory(
         runtime.stateful_user_totals(events_stream),
