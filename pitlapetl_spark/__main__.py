@@ -1,0 +1,62 @@
+"""CLI: every registered query is an individually runnable job
+(SURVEY.md §7.1 — "each former DAG becomes a job function,
+composable and individually runnable").
+
+    python -m pitlapetl_spark list
+    python -m pitlapetl_spark run <query> [--sf-dir DIR] [--limit N]
+                                  [--out PATH] [--explain]
+
+``--out`` writes parquet (the sink path); otherwise rows print to
+stdout (limited — this is the inspection path, not a data path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import registry
+from .session import DEFAULT_SF_DIR, get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="pitlapetl_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    run = sub.add_parser("run", help="run one query")
+    run.add_argument("query")
+    run.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    run.add_argument("--limit", type=int, default=20)
+    run.add_argument("--out", default=None, help="write result parquet here")
+    run.add_argument("--explain", action="store_true", help="print the physical plan")
+
+    args = parser.parse_args(argv)
+    registry.load_all()
+
+    if args.cmd == "list":
+        oracles = registry.all_oracles()
+        for name in sorted(registry.all_queries()):
+            marker = "oracle" if name in oracles else "rows-only"
+            print(f"{name}  [{marker}]")
+        return 0
+
+    queries = registry.all_queries()
+    if args.query not in queries:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"pitlapetl_{args.query}")
+    df = queries[args.query](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=40)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
