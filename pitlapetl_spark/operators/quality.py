@@ -1,0 +1,130 @@
+"""Data-quality operators: table profiling and constraint checks —
+the validation surface an ETL engine runs before/after every load
+(extends SURVEY §2.14 from per-row tolerance to table-level
+contracts).
+
+Scale notes: the profile is ONE pass over the table (all per-column
+aggregates in a single hash-aggregate); constraint checks are
+anti-joins and keyed counts — each a single shuffle, all executable
+in one job over a 100-TB table. `n_distinct` is exact here for oracle
+parity; at scale switch to approx_count_distinct (documented trade).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "dq_profile_lineitem",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               round(min({c}), 6) AS min_value,
+               round(max({c}), 6) AS max_value,
+               round(CAST(sum(CAST({c} AS DECIMAL(20,8))) AS DOUBLE) / count({c}), 6) AS avg_value
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (count / nulls / distinct / min / max / avg) for
+    the numeric measure columns — one aggregate pass produces every
+    statistic; the per-column rows are assembled by a narrow unpivot
+    of that single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+            # avg via exact decimal sum: order-independent across
+            # partitionings/engines (double accumulation is not)
+            F.round(
+                F.sum(F.col(c).cast("decimal(20,8)")).cast("double") / F.count(c), 6
+            ).alias(f"{c}__avg"),
+        ]
+    one = li.agg(*aggs)
+    per_col = [
+        one.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__n_null").alias("n_null"),
+            F.col(f"{c}__n_distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+            F.col(f"{c}__avg").alias("avg_value"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return reduce(DataFrame.unionByName, per_col)
+
+
+@query(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           CAST((SELECT count(*) FROM (
+                SELECT l_orderkey, l_linenumber FROM lineitem
+                GROUP BY 1, 2 HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity IS NULL OR l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'events_value_not_null',
+           CAST((SELECT count(*) FROM events WHERE value IS NULL) AS BIGINT)
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suite: referential integrity (anti-join), key
+    uniqueness (grouped count > 1), range and not-null checks — each
+    check one line of output (check_name, n_violations), all runnable
+    as a single job gate before a load commits."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    fk = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).count()
+    pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+    rng = li.filter(
+        F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)
+    ).count()
+    nn = events.filter(F.col("value").isNull()).count()
+    return spark.createDataFrame(
+        [
+            ("orders_custkey_fk", fk),
+            ("lineitem_pk_unique", pk),
+            ("lineitem_quantity_positive", rng),
+            ("events_value_not_null", nn),
+        ],
+        "check_name STRING, n_violations BIGINT",
+    )

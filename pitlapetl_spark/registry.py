@@ -47,6 +47,7 @@ _MODULES = (
     "pitlapetl_spark.operators.stats",
     "pitlapetl_spark.operators.breadth",
     "pitlapetl_spark.operators.graph_cluster",
+    "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
 )
