@@ -24,14 +24,17 @@ def format_laptime(seconds: Column) -> Column:
     (qualifyingdag.py:49-51, wrong for >1h) is deliberately NOT
     reproduced (SURVEY.md §7.3 hard-part a).
     """
-    millis = F.round((seconds - F.floor(seconds)) * 1000).cast("long")
+    # decompose from TOTAL milliseconds so the rounded millisecond
+    # carries into seconds (0.9999s -> 00:01.000, not 00:00.1000 —
+    # edge found by the hypothesis property test)
+    ms_total = F.round(seconds * 1000).cast("long")
     return F.when(
         seconds.isNotNull(),
         F.format_string(
             "%02d:%02d.%03d",
-            F.floor(seconds / 60).cast("long"),
-            F.floor(seconds % 60).cast("long"),
-            millis,
+            F.floor(ms_total / 60000).cast("long"),
+            F.floor((ms_total % 60000) / 1000).cast("long"),
+            ms_total % 1000,
         ),
     )
 

@@ -75,14 +75,17 @@ def job_race_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id AS driverId,
            printf('%02d:%02d.%03d',
-                  CAST(floor(q1 / 60) AS BIGINT), CAST(floor(q1 % 60) AS BIGINT),
-                  CAST(round((q1 - floor(q1)) * 1000) AS BIGINT)) AS q1,
+                  CAST(round(q1 * 1000) AS BIGINT) // 60000,
+                  (CAST(round(q1 * 1000) AS BIGINT) % 60000) // 1000,
+                  CAST(round(q1 * 1000) AS BIGINT) % 1000) AS q1,
            CASE WHEN q2 IS NOT NULL THEN printf('%02d:%02d.%03d',
-                  CAST(floor(q2 / 60) AS BIGINT), CAST(floor(q2 % 60) AS BIGINT),
-                  CAST(round((q2 - floor(q2)) * 1000) AS BIGINT)) END AS q2,
+                  CAST(round(q2 * 1000) AS BIGINT) // 60000,
+                  (CAST(round(q2 * 1000) AS BIGINT) % 60000) // 1000,
+                  CAST(round(q2 * 1000) AS BIGINT) % 1000) END AS q2,
            CASE WHEN q3 IS NOT NULL THEN printf('%02d:%02d.%03d',
-                  CAST(floor(q3 / 60) AS BIGINT), CAST(floor(q3 % 60) AS BIGINT),
-                  CAST(round((q3 - floor(q3)) * 1000) AS BIGINT)) END AS q3
+                  CAST(round(q3 * 1000) AS BIGINT) // 60000,
+                  (CAST(round(q3 * 1000) AS BIGINT) % 60000) // 1000,
+                  CAST(round(q3 * 1000) AS BIGINT) % 1000) END AS q3
     FROM (
         SELECT user_id,
                min(value)                                          AS q1,
@@ -123,9 +126,9 @@ def job_qualifying_results(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lapNumber := e.event_id,
                 compound  := e.event_type,
                 lapTimeStr := printf('%02d:%02d.%03d',
-                    CAST(floor(e.value / 60) AS BIGINT),
-                    CAST(floor(e.value % 60) AS BIGINT),
-                    CAST(round((e.value - floor(e.value)) * 1000) AS BIGINT)))
+                    CAST(round(e.value * 1000) AS BIGINT) // 60000,
+                    (CAST(round(e.value * 1000) AS BIGINT) % 60000) // 1000,
+                    CAST(round(e.value * 1000) AS BIGINT) % 1000))
             ORDER BY e.event_id))::VARCHAR AS laps
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     WHERE e.value < 300 AND e.event_type <> 'error'

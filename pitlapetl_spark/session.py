@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # push MIN/MAX/COUNT to parquet footer statistics: whole-table
+        # aggregates answer from metadata without scanning row groups
+        # (exact — footer stats, not estimates)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
