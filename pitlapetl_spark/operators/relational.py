@@ -249,9 +249,9 @@ def project_literal_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            printf('%02d:%02d.%03d',
-                  CAST(floor(value / 60) AS BIGINT),
-                  CAST(floor(value % 60) AS BIGINT),
-                  CAST(round((value - floor(value)) * 1000) AS BIGINT)) AS lap_time
+                  CAST(round(value * 1000) AS BIGINT) // 60000,
+                  (CAST(round(value * 1000) AS BIGINT) % 60000) // 1000,
+                  CAST(round(value * 1000) AS BIGINT) % 1000) AS lap_time
     FROM events
     WHERE value IS NOT NULL
     """,
