@@ -125,6 +125,39 @@ def subquery_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS raw_value,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM events
+    """,
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): null-out error readings, then carry the
+    last valid observation forward per user — ``last(ignorenulls)``
+    over an unbounded-preceding frame, the time-series gap-filling
+    primitive (same machinery the as-of join builds on). One shuffle
+    on user_id; frame state is O(1)."""
+    events = load_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        raw.alias("raw_value"),
+        F.last(raw, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@query(
     "sample_hash_systematic",
     oracle="""
     SELECT event_id, user_id, value

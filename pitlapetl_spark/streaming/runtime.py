@@ -74,6 +74,42 @@ def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     )
 
 
+def stream_stream_click_purchase_join(
+    events: DataFrame, max_gap: str = "6 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-stream inner join: every purchase matched to the same
+    user's clicks in the preceding ``max_gap``. Both sides carry
+    watermarks and the join condition bounds event time on BOTH
+    streams — that bound is what lets Spark expire join state
+    (otherwise each side would buffer forever). The canonical
+    funnel/attribution join, incremental."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "amount")
+
+
 STATEFUL_OUT_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
 STATEFUL_STATE_SCHEMA = "n BIGINT, total DOUBLE"
 

@@ -106,6 +106,43 @@ def test_stateful_user_totals_matches_batch(spark, events_stream):
     assert _rows(got, *cols) == _rows(want, *cols)
 
 
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    """Stream-stream purchase<-click attribution join equals the same
+    join run in batch over the full table."""
+    q = runtime.run_to_memory(
+        runtime.stream_stream_click_purchase_join(events_stream),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_ssjoin")
+    batch_events = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    # batch equivalent: same join body over the static frame
+    clicks = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 6 hours")),
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "amount")
+    cols = ["purchase_id", "click_id", "p_user", "purchase_ts", "click_ts", "amount"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+    assert got.count() > 0
+
+
 def test_foreachbatch_upsert_idempotent(spark, events_stream, events_dir):
     tmp = tempfile.mkdtemp(prefix="pitlap_stream_")
     try:
