@@ -95,6 +95,36 @@ def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+           CAST(json_extract_string(props, '$.' || list_sort(json_keys(props))[1]) AS DOUBLE) AS first_key_value
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def json_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType function breadth over schema-on-read props
+    (map_keys / sorted key list / element_at by computed key) — the
+    open-ended-key counterpart of struct navigation (SURVEY §1.2 map
+    note)."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.filter(F.col("props").isNotNull()).withColumn(
+        "m", F.from_json("props", T.MapType(T.StringType(), T.DoubleType()))
+    )
+    return parsed.select(
+        "event_id",
+        F.size(F.map_keys("m")).cast("int").alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.element_at(
+            F.col("m"), F.element_at(F.sort_array(F.map_keys("m")), 1)
+        ).alias("first_key_value"),
+    )
+
+
+@query(
     "json_doc_assembly",
     oracle="""
     SELECT concat(CAST(o_custkey AS VARCHAR), '_doc') AS key,

@@ -244,6 +244,68 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, w, pos FROM (
+            SELECT doc_id, unnest({_ORACLE_TOKS}) AS w,
+                   generate_subscripts({_ORACLE_TOKS}, 1) AS pos
+            FROM documents
+        )
+    ),
+    bigrams AS (
+        SELECT a.doc_id, a.w AS w1, b.w AS w2
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    freq AS (SELECT w1, w2, count(*) AS c FROM bigrams GROUP BY 1, 2),
+    uni AS (SELECT w1, count(*) AS cu FROM bigrams GROUP BY 1),
+    scored AS (
+        SELECT bg.doc_id,
+               ln(f.c * 1.0 / u.cu) AS logp
+        FROM bigrams bg
+        JOIN freq f USING (w1, w2)
+        JOIN uni u USING (w1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logp), 4) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model score: P(w2|w1) estimated from the
+    corpus itself, each document scored by its mean bigram log
+    probability — the classic fluency/quality signal (low = unusual
+    token sequences). Two corpus-statistics aggregates (bigram and
+    unigram-context counts, both broadcastable vocabulary-sized
+    tables) + one scoring join; same two-pass shape as TF-IDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    from pyspark.sql import Window
+
+    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w").over(w_next))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
+    )
+    freq = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = (
+        bigrams.join(F.broadcast(freq), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .select("doc_id", F.log(F.col("c") / F.col("cu")).alias("logp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     WITH t AS (
