@@ -143,6 +143,59 @@ def test_stream_stream_join_matches_batch(spark, events_stream):
     assert got.count() > 0
 
 
+def test_watermark_drops_late_rows(spark):
+    """The late-data policy, exercised: after the watermark advances
+    past a window, a late row for that window is DROPPED, not
+    aggregated. Two micro-batches (maxFilesPerTrigger=1): batch 1
+    moves the watermark to day9; batch 2 carries a day-5 straggler
+    (dropped) and a day-11 row (aggregated)."""
+    import os
+    import time as _time
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_late_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+        batch1 = spark.createDataFrame(
+            [("2024-01-10 01:00:00",), ("2024-01-10 05:00:00",)], ["s"]
+        ).select(F.col("s").cast("timestamp").alias("ts"), F.lit(1.0).alias("v"))
+        batch2 = spark.createDataFrame(
+            [("2024-01-05 00:00:00",), ("2024-01-11 02:00:00",)], ["s"]
+        ).select(F.col("s").cast("timestamp").alias("ts"), F.lit(1.0).alias("v"))
+        batch1.coalesce(1).write.parquet(f"{src}/f1")
+        batch2.coalesce(1).write.parquet(f"{src}/f2")
+        # file source orders by modification time: make f2 strictly newer
+        now = _time.time()
+        for d, off in (("f1", -100), ("f2", 100)):
+            for root, _, files in os.walk(f"{src}/{d}"):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (now + off, now + off))
+
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, v DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = runtime.run_to_memory(agg, "t_late", output_mode="update")
+        q.awaitTermination(120)
+        starts = {
+            str(r.window_start) for r in spark.table("t_late").collect()
+        }
+        assert any("2024-01-10" in s for s in starts), starts
+        assert any("2024-01-11" in s for s in starts), starts
+        # the day-5 straggler arrived after the watermark passed: dropped
+        assert not any("2024-01-05" in s for s in starts), starts
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_foreachbatch_upsert_idempotent(spark, events_stream, events_dir):
     tmp = tempfile.mkdtemp(prefix="pitlap_stream_")
     try:
