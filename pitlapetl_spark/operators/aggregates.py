@@ -106,13 +106,20 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantiles. No oracle (approximation is engine-specific -> driver
     records a rows-only check); at 100 TB these replace exact distincts
     whenever a ±2% answer is acceptable, because they aggregate without
-    an expand and with constant memory."""
+    an expand and with constant memory.
+
+    Every output column is SCALAR (one percentile_approx call per
+    quantile, not an array column) so the driver's pandas canonicalizer
+    can hash the frame — an array<double> column made r1's row ERR with
+    "unhashable type: 'list'". The three sketches share one aggregation
+    pass; Spark builds a single QuantileSummaries state per group and
+    queries it three times, so the scalar form costs nothing extra."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
     )
 
 

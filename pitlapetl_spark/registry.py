@@ -54,6 +54,86 @@ _MODULES = (
 
 _loaded = False
 
+# Driver-gate priority: the external correctness driver verifies queries
+# in the order ``all_queries()`` yields them and has a bounded budget
+# (round 1 stopped at exactly 50 entries). Names listed here are yielded
+# FIRST, in this order; everything else follows in registration order.
+# Round-2 policy (VERDICT.md "Next round" item 1): the 44 queries with
+# no CORRECTNESS_r01 row, then the entries whose implementation changed
+# this round, then the flagship. Append new queries here when added.
+_PRIORITY: tuple[str, ...] = (
+    # the 7 reference pipelines (plans/jobs.py)
+    "job_race_results",
+    "job_qualifying_results",
+    "job_practice_laps",
+    "job_schedule",
+    "job_driver_standings",
+    "job_constructor_standings",
+    # streaming batch-parity windows
+    "stream_tumbling_counts",
+    "stream_sliding_avg",
+    "stream_session_windows",
+    # text analysis
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_tfidf_top_term",
+    "text_bigram_lm_score",
+    "text_fingerprint",
+    # similarity search
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_label_centroid_knn",
+    # python UDF surface
+    "pandas_udf_normalize",
+    "apply_in_pandas_zscore",
+    # REST source + error tolerance
+    "rest_driver_standings",
+    "json_corrupt_quarantine",
+    # sinks
+    "sink_upsert_roundtrip",
+    # multimodal
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_metadata_stats",
+    # graph clustering
+    "dedup_cluster_components",
+    # stats breadth
+    "agg_percentiles",
+    "agg_stats_corr",
+    "agg_grouping_sets",
+    "scalar_date_math",
+    "scalar_array_ops",
+    "agg_salted_group_max",
+    # operator breadth
+    "join_right_outer",
+    "window_ntile_distribution",
+    "scalar_regex_suite",
+    "agg_collect_set_ordered",
+    "subquery_exists_semi",
+    "window_forward_fill",
+    "sample_hash_systematic",
+    "sample_stratified_topn",
+    "rollup_hierarchy_day_from_hour",
+    # data quality
+    "dq_profile_lineitem",
+    "dq_constraint_checks",
+    # red in r1 (array column), fixed this round
+    "agg_approx_sketches",
+    # implementations changed / added this round — need fresh rows
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    # flagship stays inside the verified window
+    "flagship_top_value_per_user",
+)
+
+
+def _priority_ordered(d: dict[str, object]) -> dict:
+    """Reorder a registry dict: ``_PRIORITY`` names first, then the
+    rest in registration order."""
+    head = {n: d[n] for n in _PRIORITY if n in d}
+    return head | {n: v for n, v in d.items() if n not in head}
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query (and optionally its DuckDB oracle SQL)."""
@@ -77,17 +157,21 @@ def load_all() -> None:
     for mod in _MODULES:
         try:
             import_module(mod)
-        except ModuleNotFoundError:
-            # module not built yet (incremental rounds) — skip
-            pass
+        except ModuleNotFoundError as e:
+            # only skip when the OPERATOR MODULE itself doesn't exist yet
+            # (incremental rounds); a missing import *inside* an existing
+            # module is a real breakage and must fail loudly, or the
+            # whole module's query set silently falls out of the registry
+            if e.name != mod:
+                raise
     _loaded = True
 
 
 def all_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    return _priority_ordered(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     load_all()
-    return dict(ORACLES)
+    return _priority_ordered(ORACLES)

@@ -23,6 +23,23 @@ def test_all_operator_modules_import():
         import_module(mod)  # raises on any breakage — no silent skip
 
 
+def test_priority_names_exist_and_lead_the_ordering():
+    """Every _PRIORITY name must be a real registered query (a typo
+    would silently waste a driver-verification slot), and the first
+    len(_PRIORITY) entries of all_queries() must be exactly the
+    priority list, in order — that's what puts the r1-unverified
+    surface inside the driver's ~50-query budget."""
+    queries = registry.all_queries()
+    missing = set(registry._PRIORITY) - set(queries)
+    assert not missing, f"_PRIORITY names not registered: {sorted(missing)}"
+    head = list(queries)[: len(registry._PRIORITY)]
+    assert head == list(registry._PRIORITY)
+    # oracles follow the same ordering for the names they cover
+    oracle_head = list(registry.all_oracles())[:10]
+    want = [n for n in registry._PRIORITY if n in registry.all_oracles()][:10]
+    assert oracle_head == want
+
+
 def test_registry_size_and_oracle_coverage():
     queries = registry.all_queries()
     oracles = registry.all_oracles()
