@@ -13,16 +13,30 @@ Spark-first restatement over parquet:
   partitions) and atomic per partition via the staged commit protocol.
   At 100 TB this is the only sane upsert: touched partitions rewrite,
   untouched ones are never read.
-- K3 -> ``mode("overwrite")``: same full-refresh semantics but staged
-  (the old data survives a mid-write failure), deliberately improving
-  on the reference's failure mode while preserving its contract
-  (SURVEY.md §2.2 K3 note).
+- K3 -> ``overwrite()``: same full-refresh semantics but STAGED — the
+  new table is written to a side directory and swapped into place by
+  renames, so the old data survives a mid-write failure (the window
+  where neither rename has happened is recoverable from the ``__old``
+  directory), deliberately improving on the reference's
+  delete-then-insert failure mode (SURVEY.md §2.2 K3 note).
 - ``merge_upsert`` -> row-level MERGE emulation (anti-join + union)
-  for keys that don't align with a partition boundary; this is also
-  the ``foreachBatch`` body for streaming upserts (§2.12).
+  for keys that don't align with a partition boundary; the staged
+  ``merge_upsert_write`` form is the ``foreachBatch`` body for
+  streaming upserts (§2.12).
+
+At 100 TB the honest answer for row-level MERGE is an OSS table format
+(Delta/Iceberg): real MERGE INTO, snapshot isolation, concurrent-writer
+safety. Neither is installable in this container (no pip), so the
+staged-rename emulation below is the deliberate fallback; its contract
+(old data survives failure, readers see old-or-new, never half) is the
+same one a table-format commit provides, minus multi-writer safety.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,9 +50,30 @@ def upsert_partitioned(df: DataFrame, path: str, key_cols: list[str]) -> None:
     df.write.mode("overwrite").partitionBy(*key_cols).parquet(path)
 
 
+def staged_swap(df: DataFrame, path: str) -> None:
+    """Write ``df`` to a staging directory, then swap it into place
+    with two renames. A plain ``mode("overwrite")`` deletes the old
+    table BEFORE the new write commits — a mid-write failure leaves the
+    table empty (the exact K3 failure mode of the reference,
+    driverstandings.py:82-85). Here a failure before the swap leaves
+    the old table untouched; a failure between the two renames leaves
+    the data recoverable in ``<path>__old``. Local/HDFS rename is a
+    cheap metadata move; object stores and true multi-writer atomicity
+    want a table format instead (module docstring)."""
+    stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+    old = f"{path}__old"
+    df.write.mode("errorifexists").parquet(stage)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def overwrite(df: DataFrame, path: str) -> None:
-    """K3 truncate-and-reload as a staged atomic overwrite."""
-    df.write.mode("overwrite").parquet(path)
+    """K3 truncate-and-reload as a staged swap (old data survives a
+    mid-write failure)."""
+    staged_swap(df, path)
 
 
 def merge_upsert(
@@ -48,13 +83,23 @@ def merge_upsert(
     ``updates`` are replaced; new keys are inserted. Returns the merged
     DataFrame (caller writes it). Implemented as left-anti join +
     union — the standard MERGE emulation without a Delta/Iceberg table
-    format (pyspark_guide.md "CDC / SCD2")."""
+    format (module docstring)."""
     if existing is None:
         return updates
     kept = existing.join(
         updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )
     return kept.unionByName(updates)
+
+
+def merge_upsert_write(updates: DataFrame, path: str, key_cols: list[str]) -> None:
+    """MERGE ``updates`` into the table at ``path`` and persist the
+    result via ``staged_swap`` (the merged plan lazily reads ``path``,
+    so the write must go to a staging dir — overwriting in place would
+    read the table being deleted)."""
+    spark = updates.sparkSession
+    existing = read_or_none(spark, path, schema=updates.schema)
+    staged_swap(merge_upsert(existing, updates, key_cols), path)
 
 
 def compact(spark: SparkSession, path: str, target_files: int) -> int:
@@ -67,16 +112,7 @@ def compact(spark: SparkSession, path: str, target_files: int) -> int:
     use ``coalesce`` instead when skew is acceptable to avoid the
     shuffle. Returns the file count after compaction."""
     df = spark.read.parquet(path)
-    df.repartition(target_files).write.mode("overwrite").parquet(f"{path}__compact")
-    compacted = spark.read.parquet(f"{path}__compact")
-    compacted.write.mode("overwrite").parquet(path)
-    # best-effort cleanup of the staging copy
-    try:
-        import shutil
-
-        shutil.rmtree(f"{path}__compact", ignore_errors=True)
-    except Exception:
-        pass
+    staged_swap(df.repartition(target_files), path)
     import glob
 
     return len(glob.glob(f"{path}/part-*"))

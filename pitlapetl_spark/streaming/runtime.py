@@ -8,12 +8,16 @@ proven against DuckDB in batch_windows.py) -> ``foreachBatch`` keyed
 upsert reproducing K1 semantics per micro-batch.
 
 Scale design: the file source lists + processes new files per trigger
-(maxFilesPerTrigger bounds batch size); watermarks bound state (late
-rows beyond the watermark are dropped instead of growing state
-forever); the foreachBatch upsert rewrites only the partitions a
-micro-batch touches — the same dynamic-partition-overwrite contract
-as the batch sink (sinks/__init__.py), so batch and streaming loads
-are interchangeable and idempotent.
+(maxFilesPerTrigger bounds batch size); watermarks bound state — rows
+arriving in a LATER micro-batch for a window older than the committed
+watermark are filtered at batch start, so state never grows forever.
+(Spark's drop is best-effort *within* a batch: the watermark used by
+batch N is the one committed by batch N-1, so a straggler landing in
+the same batch that advances the watermark may still aggregate —
+tests/test_streaming.py pins both sides of this contract.) The
+foreachBatch upsert MERGEs each micro-batch into the target table
+(sinks.merge_upsert_write), so batch and streaming loads are
+interchangeable and replay-idempotent.
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..sinks import upsert_partitioned
+from ..sinks import merge_upsert_write
 from ..sources import EVENTS_RAW
 
 
@@ -171,15 +175,26 @@ def run_upsert_sink(
     key_cols: list[str],
     checkpoint: str,
 ) -> StreamingQuery:
-    """K1 keyed upsert as a streaming sink: every micro-batch merges
-    into the target via dynamic partition overwrite (sinks K1) —
-    idempotent on replay, which together with the checkpoint gives
-    end-to-end exactly-once table state."""
+    """K1 keyed upsert as a streaming sink: every micro-batch MERGEs
+    into the target table (anti-join existing on ``key_cols`` + union,
+    staged-swap write) — idempotent on replay, which together with the
+    checkpoint gives end-to-end exactly-once table state.
+
+    MERGE, not dynamic partition overwrite: in ``update`` output mode a
+    micro-batch carries only the (window, key) rows that CHANGED, so
+    rewriting whole ``key_cols`` partitions would delete every earlier
+    window of the same key that happened not to change in this batch —
+    silent data loss under any multi-batch stream. Partition overwrite
+    is only safe when ``key_cols`` covers the full aggregation key
+    (every emitted row owns its partition); MERGE is safe for any key
+    subset, so it is the default here. ``key_cols`` must be the full
+    output grain (e.g. ``["window_start", "event_type"]``) for
+    replaced rows to line up one-to-one."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        upsert_partitioned(batch_df, path, key_cols)
+        merge_upsert_write(batch_df, path, key_cols)
 
     return (
         df.writeStream.foreachBatch(write_batch)

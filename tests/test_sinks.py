@@ -70,3 +70,47 @@ def test_merge_upsert_row_level(spark, sf_dir):
 
 def test_read_or_none_missing(spark):
     assert read_or_none(spark, "/tmp/definitely_missing_pitlap") is None
+
+
+def test_staged_swap_survives_midwrite_failure(spark):
+    """K3 contract the r1 docstring promised but the code didn't keep:
+    a failure DURING the replacement write must leave the old table
+    fully readable (plain mode('overwrite') deletes the old data
+    before the new write commits). The failing write here blows up
+    executor-side mid-job via a poisoned UDF."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from pitlapetl_spark.sinks import staged_swap
+
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    good = spark.range(0, 100).withColumnRenamed("id", "k")
+    staged_swap(good, path)
+    before = _snapshot(spark, path)
+
+    @F.udf(T.LongType())
+    def boom(x):
+        raise RuntimeError("simulated mid-write failure")
+
+    bad = spark.range(0, 100).select(boom(F.col("id")).alias("k"))
+    with _pytest.raises(Exception):
+        staged_swap(bad, path)
+    assert _snapshot(spark, path) == before
+
+
+def test_merge_upsert_write_roundtrip(spark):
+    """merge_upsert_write persists update+insert+unchanged correctly
+    even though the merged plan reads the table being replaced."""
+    from pitlapetl_spark.sinks import merge_upsert_write
+
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    ).write.parquet(path)
+    merge_upsert_write(
+        spark.createDataFrame([(2, 99.0), (4, 40.0)], "k int, v double"),
+        path,
+        ["k"],
+    )
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}

@@ -144,54 +144,58 @@ def test_stream_stream_join_matches_batch(spark, events_stream):
 
 
 def test_watermark_drops_late_rows(spark):
-    """The late-data policy, exercised: after the watermark advances
-    past a window, a late row for that window is DROPPED, not
-    aggregated. Two micro-batches (maxFilesPerTrigger=1): batch 1
-    moves the watermark to day9; batch 2 carries a day-5 straggler
-    (dropped) and a day-11 row (aggregated)."""
+    """The late-data policy, exercised deterministically: Spark applies
+    the watermark COMMITTED BY THE PREVIOUS BATCH when filtering a new
+    batch, so the drop is only guaranteed across runs/batches — two
+    sequential availableNow runs share one checkpoint. Run 1 (day-10
+    rows) commits watermark 2024-01-09 05:00; run 2 carries a day-5
+    straggler (window end < watermark -> filtered at batch start) and
+    a day-11 row (aggregated). Within a single batch the drop is
+    best-effort and NOT asserted — that was r1's red test."""
     import os
-    import time as _time
 
     tmp = tempfile.mkdtemp(prefix="pitlap_late_")
     try:
         src = f"{tmp}/src"
         os.makedirs(src)
-        t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
-        batch1 = spark.createDataFrame(
-            [("2024-01-10 01:00:00",), ("2024-01-10 05:00:00",)], ["s"]
-        ).select(F.col("s").cast("timestamp").alias("ts"), F.lit(1.0).alias("v"))
-        batch2 = spark.createDataFrame(
-            [("2024-01-05 00:00:00",), ("2024-01-11 02:00:00",)], ["s"]
-        ).select(F.col("s").cast("timestamp").alias("ts"), F.lit(1.0).alias("v"))
-        batch1.coalesce(1).write.parquet(f"{src}/f1")
-        batch2.coalesce(1).write.parquet(f"{src}/f2")
-        # file source orders by modification time: make f2 strictly newer
-        now = _time.time()
-        for d, off in (("f1", -100), ("f2", 100)):
-            for root, _, files in os.walk(f"{src}/{d}"):
-                for fn in files:
-                    os.utime(os.path.join(root, fn), (now + off, now + off))
 
-        stream = (
-            spark.readStream.schema("ts TIMESTAMP, v DOUBLE")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{src}/*")
-        )
-        agg = (
-            stream.withWatermark("ts", "1 day")
-            .groupBy(F.window("ts", "1 day").alias("w"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.col("w.start").alias("window_start"), "n")
-        )
-        q = runtime.run_to_memory(agg, "t_late", output_mode="update")
-        q.awaitTermination(120)
-        starts = {
-            str(r.window_start) for r in spark.table("t_late").collect()
-        }
-        assert any("2024-01-10" in s for s in starts), starts
-        assert any("2024-01-11" in s for s in starts), starts
-        # the day-5 straggler arrived after the watermark passed: dropped
-        assert not any("2024-01-05" in s for s in starts), starts
+        def write_file(rows: list[str]) -> None:
+            spark.createDataFrame([(s,) for s in rows], ["s"]).select(
+                F.col("s").cast("timestamp").alias("ts"),
+                F.lit(1.0).alias("v"),
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def run_once() -> set[str]:
+            emitted: list = []
+            stream = spark.readStream.schema("ts TIMESTAMP, v DOUBLE").parquet(src)
+            agg = (
+                stream.withWatermark("ts", "1 day")
+                .groupBy(F.window("ts", "1 day").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("window_start"), "n")
+            )
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda df, _bid: emitted.extend(df.collect())
+                )
+                .outputMode("update")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {str(r.window_start) for r in emitted}
+
+        write_file(["2024-01-10 01:00:00", "2024-01-10 05:00:00"])
+        starts1 = run_once()
+        assert any("2024-01-10" in s for s in starts1), starts1
+
+        write_file(["2024-01-05 00:00:00", "2024-01-11 02:00:00"])
+        starts2 = run_once()
+        assert any("2024-01-11" in s for s in starts2), starts2
+        # the day-5 straggler arrived after the committed watermark
+        # (2024-01-09 05:00) passed its window: dropped, never emitted
+        assert not any("2024-01-05" in s for s in starts2), starts2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -210,7 +214,7 @@ def test_foreachbatch_upsert_idempotent(spark, events_stream, events_dir):
             )
         )
         q = runtime.run_upsert_sink(
-            agg, f"{tmp}/table", ["event_type"], f"{tmp}/ckpt"
+            agg, f"{tmp}/table", ["window_start", "event_type"], f"{tmp}/ckpt"
         )
         q.awaitTermination(120)
         final = spark.read.parquet(f"{tmp}/table")
@@ -237,11 +241,82 @@ def test_foreachbatch_upsert_idempotent(spark, events_stream, events_dir):
             .agg(F.count(F.lit(1)).alias("n_events"))
             .select(F.col("w.start").alias("window_start"), "event_type", "n_events"),
             f"{tmp}/table",
-            ["event_type"],
+            ["window_start", "event_type"],
             f"{tmp}/ckpt",
         )
         q2.awaitTermination(120)
         final2 = spark.read.parquet(f"{tmp}/table")
         assert _rows(final2, *cols) == _rows(final, *cols)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_upsert_sink_no_data_loss_across_batches(spark):
+    """Regression for the r1 sink bug: in update output mode a later
+    micro-batch carries ONLY changed (window, event_type) rows; the old
+    partition-overwrite sink then deleted every earlier window of that
+    event_type. The MERGE sink must keep untouched windows intact
+    across two sequential availableNow runs."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_upsert_mb_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+
+        def write_events(rows):
+            spark.createDataFrame(
+                rows, "ts STRING, event_type STRING, value DOUBLE"
+            ).select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "ts TIMESTAMP, event_type STRING, value DOUBLE"
+            ).parquet(src)
+            agg = (
+                stream.withWatermark("ts", "30 days")
+                .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    "event_type",
+                    "n_events",
+                )
+            )
+            q = runtime.run_upsert_sink(
+                agg,
+                f"{tmp}/table",
+                ["window_start", "event_type"],
+                f"{tmp}/ckpt",
+            )
+            q.awaitTermination(120)
+
+        write_events(
+            [
+                ("2024-01-01 01:00:00", "click", 1.0),
+                ("2024-01-02 01:00:00", "click", 1.0),
+                ("2024-01-01 02:00:00", "view", 1.0),
+            ]
+        )
+        run_once()
+        # batch 2 touches ONLY a new window of 'click'
+        write_events([("2024-01-03 01:00:00", "click", 1.0)])
+        run_once()
+
+        final = spark.read.parquet(f"{tmp}/table")
+        got = {
+            (str(r.window_start)[:10], r.event_type): r.n_events
+            for r in final.collect()
+        }
+        assert got == {
+            ("2024-01-01", "click"): 1,
+            ("2024-01-02", "click"): 1,  # r1 sink silently deleted these
+            ("2024-01-01", "view"): 1,
+            ("2024-01-03", "click"): 1,
+        }, got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
