@@ -141,11 +141,74 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with exact word-3-gram Jaccard >= 0.8 via an
     inverted-index self-join on shingle (no cross join anywhere).
-    Scale lever (not applied, to keep oracle parity): drop shingles
-    with document frequency > N before the join — stop-shingles
-    dominate the pair explosion on real corpora."""
+    This is the EXACT variant; the production path at corpus scale is
+    ``dedup_ngram_jaccard_capped`` below, which drops stop-shingles
+    before the join."""
     docs = load_table(spark, sf_dir, "documents")
     return _pair_jaccard(shingle_rows(docs))
+
+
+# ------------------------------------------- capped-shingle jaccard
+# Stop-shingles are the scale killer of the inverted-index join: a
+# shingle shared by d documents contributes d*(d-1)/2 candidate pairs,
+# so one boilerplate phrase in 1% of a 10B-doc corpus alone explodes
+# the pair space. The capped variant drops shingles with document
+# frequency > DF_CAP *before* the join — and, crucially, computes doc
+# sizes on the SAME capped shingle set, so the emitted value is the
+# exact Jaccard of the capped sets (a deterministic, replayable
+# semantics, not an ad-hoc approximation).
+
+DF_CAP = 5
+
+_PAIR_JACCARD_CAPPED_SQL = f"""
+    WITH sh_all AS ({oracle_shingles_cte(SHINGLE_K)}),
+    rare AS (
+        SELECT s FROM sh_all GROUP BY s
+        HAVING count(DISTINCT doc_id) <= {DF_CAP}
+    ),
+    sh AS (SELECT doc_id, s FROM sh_all WHERE s IN (SELECT s FROM rare)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+def capped_shingle_rows(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
+    """Shingle rows with stop-shingles (document frequency > df_cap)
+    removed. One extra aggregation on the shingle key (map-side
+    partial count-distinct is fine here: doc_id repeats per shingle
+    only across partitions) and a self-semi-join on shingle — both
+    shuffle on the same key the downstream inverted-index join uses,
+    so AQE coalesces them into the same exchange layout."""
+    sh = shingle_rows(docs)
+    rare = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("s")
+    )
+    return sh.join(rare, "s", "left_semi")
+
+
+@query("dedup_ngram_jaccard_capped", oracle=_PAIR_JACCARD_CAPPED_SQL)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by Jaccard >= 0.8 over DF-capped shingle sets —
+    the production-scale variant of ``dedup_ngram_jaccard``: dropping
+    shingles that appear in more than DF_CAP documents bounds every
+    shingle's pair contribution at DF_CAP^2 regardless of corpus size
+    (tests/test_plan_hygiene.py asserts the cap shrinks the candidate
+    pair space on real data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _pair_jaccard(capped_shingle_rows(docs))
 
 
 # --------------------------------------------------------- minhash + LSH
@@ -306,55 +369,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 COSINE_DUP_THRESHOLD = 0.999
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH crawl AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000, embedding FROM embeddings
-    ),
-    u AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM crawl
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY 1),
-    dots AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
-        FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY 1, 2
-    )
-    SELECT vec_a, vec_b,
-           round(dot / (na.nrm * nb.nrm), 6) AS cosine
-    FROM dots
-    JOIN norms na ON na.vec_id = vec_a
-    JOIN norms nb ON nb.vec_id = vec_b
-    WHERE round(dot / (na.nrm * nb.nrm), 6) >= {COSINE_DUP_THRESHOLD}
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup on a simulated re-ingest (corpus unioned with
-    an id-offset copy): every pair with cosine >= 0.999 is a duplicate
-    — exactly the planted copies, since the corpus's max organic
-    cosine is ~0.51. Brute-force O(n^2) pair join is the *baseline*;
-    the sub-quadratic path is the LSH-bucketed variant in
-    operators/similarity.py. Dot products are JVM-side array
-    expressions (zip_with + aggregate), doubles end-to-end."""
+def _crawl_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated re-ingest: the embeddings corpus unioned with an
+    id-offset copy of itself, as double vectors with L2 norms."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     crawl = emb.unionByName(
         emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     )
-    v = crawl.select(
+    return crawl.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     ).withColumn(
         "nrm", F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)"))
     )
-    a = v.alias("a")
-    b = v.alias("b")
+
+
+def _cosine_pairs_in(bucketed: DataFrame) -> DataFrame:
+    """Exact-cosine pairs restricted to equal-``bucket`` rows: the
+    self-join is an EQUI-join on the bucket key (hash join, never a
+    BroadcastNestedLoopJoin), so the pair space is sum over buckets of
+    n_b^2 instead of n^2."""
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -368,3 +410,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+def _oracle_embedding_cosine() -> str:
+    # deferred import only to build the oracle string — the bucketing
+    # planes are shared with the similarity operators so dedup and ANN
+    # serving can reuse one persisted bucket column
+    from .similarity import _bucket_expr_duck
+
+    return f"""
+    WITH crawl AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings
+    ),
+    vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM crawl
+    ),
+    b AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               CAST({_bucket_expr_duck()} AS INT) AS bucket
+        FROM vecs
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+               round(list_sum(list_transform(range(1, len(a.v) + 1),
+                     i -> a.v[i] * b2.v[i])) / (a.nrm * b2.nrm), 6) AS cosine
+        FROM b a JOIN b b2
+          ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs
+    WHERE cosine >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_oracle_embedding_cosine())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on a simulated re-ingest (corpus unioned with
+    an id-offset copy): every pair with cosine >= 0.999 is a duplicate
+    — exactly the planted copies, since the corpus's max organic
+    cosine is ~0.51.
+
+    DEFAULT PATH IS SUB-QUADRATIC (r1's registered brute-force
+    all-pairs theta join was the one dedup entry that would not
+    survive 100 TB): vectors hash to a sign-LSH bucket with the same
+    deterministic md5 hyperplanes as the ANN operators
+    (operators/similarity.py), candidates come from an equi-join on
+    the bucket, and exact cosine is verified inside buckets only. At
+    cosine >= 0.999 the vectors are near-identical, so per-plane
+    disagreement probability is ~angle/pi ~= 0.8%; exact copies hash
+    identically, so recall on true duplicates is exact-by-construction
+    here and tunable via planes/multi-probe in general. Brute force
+    remains as the small-sf oracle cross-check
+    (tests/test_llm_ops.py). Dot products are JVM-side array
+    expressions (zip_with + aggregate), doubles end-to-end."""
+    from .similarity import _bucket_expr_spark
+
+    bucketed = _crawl_vectors(spark, sf_dir).withColumn(
+        "bucket", F.expr(_bucket_expr_spark()).cast("int")
+    )
+    return _cosine_pairs_in(bucketed)
+
+
+def dedup_embedding_cosine_bruteforce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """O(n^2) all-pairs baseline (NOT registered — it exists as the
+    recall cross-check for the bucketed default in
+    tests/test_llm_ops.py; at scale this plan is a
+    BroadcastNestedLoopJoin and must never be the production path)."""
+    v = _crawl_vectors(spark, sf_dir).withColumn("bucket", F.lit(0))
+    return _cosine_pairs_in(v).drop("bucket")

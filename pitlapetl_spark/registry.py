@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_approx_sketches",
     # implementations changed / added this round — need fresh rows
     "dedup_embedding_cosine",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     # flagship stays inside the verified window
     "flagship_top_value_per_user",

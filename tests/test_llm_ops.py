@@ -70,3 +70,19 @@ def test_lang_pred_in_domain(spark):
     out = Q["text_lang_id"](spark, SF_SMOKE)
     doms = {r.lang_pred for r in out.select("lang_pred").distinct().collect()}
     assert doms <= {"en", "de", "es", "fr"}
+
+
+def test_embedding_dedup_lsh_matches_bruteforce(spark):
+    """The registered LSH-bucketed embedding dedup must find exactly
+    the pair set the O(n^2) brute-force baseline finds on this corpus
+    (exact copies hash to identical buckets, so recall on true dups is
+    exact-by-construction)."""
+    from pitlapetl_spark.operators.dedup import dedup_embedding_cosine_bruteforce
+
+    vp = lambda df: {  # noqa: E731
+        (r.vec_a, r.vec_b) for r in df.select("vec_a", "vec_b").collect()
+    }
+    lsh = vp(Q["dedup_embedding_cosine"](spark, SF_SMOKE))
+    bf = vp(dedup_embedding_cosine_bruteforce(spark, SF_SMOKE))
+    assert lsh == bf
+    assert bf, "corpus should contain planted duplicate vectors"
