@@ -5,9 +5,9 @@ native expressions (operators/relational.py X1/X2); what remains for
 Python is genuinely-vectorized work: Arrow-batched ``pandas_udf`` for
 numeric array math and grouped-map ``applyInPandas`` where a whole
 group must be seen at once. Row-at-a-time ``F.udf`` appears nowhere
-in this engine — at 100 TB the 10-100x Arrow batch advantage
-(pyspark_guide.md "UDFs") is the difference between a job and an
-outage.
+in this engine — at 100 TB the well-documented 10-100x Arrow batch
+advantage over row-at-a-time Python is the difference between a job
+and an outage.
 """
 
 from __future__ import annotations

@@ -69,9 +69,14 @@ def sink_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # run the upsert AGAIN — idempotency: final state must not change
         upsert_partitioned(updates, path, ["event_type"])
         final = spark.read.parquet(path)
-        # materialize before the temp dir is removed
         result = final.select("user_id", "n_events", "max_value", "event_type")
-        rows = result.collect()
-        return spark.createDataFrame(rows, result.schema)
+        # materialize executor-side before the temp dir is removed:
+        # localCheckpoint truncates lineage into block storage, so the
+        # returned frame never re-reads the deleted path — and no row
+        # ever crosses to the driver (SCALE.md ground rule 2 holds with
+        # zero exceptions in registered queries). On a shared cluster
+        # you'd write to a durable staging table instead; the temp-dir
+        # lifetime problem is an artifact of the self-contained query.
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)

@@ -222,7 +222,16 @@ def job_driver_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     API's pre-computed standings (J3), recompute them: points = sum of
     order totals per customer, wins = finished orders, position = rank
     (SURVEY.md §2.7 — the engine computes what the reference merely
-    copies)."""
+    copies).
+
+    The output is CUSTOMER-grain (millions of rows at scale), so the
+    global position comes from the two-stage distributed rank
+    (operators/distributed_rank.py), never an unpartitioned window —
+    r1's ``Window.orderBy`` here collapsed the whole grain into one
+    task. The (points DESC, c_custkey) ordering is total, so
+    rank == row_number, matching the oracle's rank() exactly."""
+    from ..operators.distributed_rank import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     standings = (
@@ -233,9 +242,11 @@ def job_driver_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("wins"),
         )
     )
-    w = Window.orderBy(F.col("points").desc(), "c_custkey")
-    return standings.select(
-        F.rank().over(w).cast("int").alias("position"),
+    ranked = global_row_number(
+        standings, [F.col("points").desc(), F.col("c_custkey")], "position"
+    )
+    return ranked.select(
+        "position",
         F.col("c_custkey").alias("driverId"),
         F.col("c_name").alias("driverName"),
         "points",
@@ -264,7 +275,13 @@ def job_driver_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def job_constructor_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """constructorstandings.py:43-73 restated: team-level (nation)
     standings — aggregate the drivers' points through the dim
-    hierarchy (broadcast joins) and rank."""
+    hierarchy (broadcast joins) and rank.
+
+    Cardinality contract: the unpartitioned rank window here runs over
+    the POST-aggregation nation grain (25 rows, bounded by the nation
+    dimension at any data scale) — never the fact table. A grain that
+    grows with the data must use distributed_rank.global_row_number
+    instead (see job_driver_standings)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")

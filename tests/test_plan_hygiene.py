@@ -83,3 +83,76 @@ def test_partitioned_write_prunes_on_read(spark):
         assert "event_type" in seg, plan
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_embedding_dedup_has_no_nested_loop_join(spark):
+    """The registered embedding-dedup entry must be the LSH-bucketed
+    sub-quadratic plan: candidates from an equi-join on the bucket key
+    (hash join), never an all-pairs BroadcastNestedLoopJoin (r1's
+    registered brute-force plan — the one dedup entry that would not
+    survive 100 TB)."""
+    plan = _plan(Q["dedup_embedding_cosine"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_capped_jaccard_shrinks_candidate_pairs(spark):
+    """The DF cap must measurably shrink the inverted-index pair space
+    (its whole point at scale): candidate pairs generated from capped
+    shingles < candidate pairs from all shingles, while the capped
+    query still finds the planted near-dup pairs."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.functions.text import shingle_rows
+    from pitlapetl_spark.operators.dedup import capped_shingle_rows
+    from pitlapetl_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    def n_candidate_pairs(sh):
+        per_shingle = sh.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        return (
+            per_shingle.select(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("p")
+            ).collect()[0]["p"]
+        )
+
+    full = n_candidate_pairs(shingle_rows(docs))
+    capped = n_candidate_pairs(capped_shingle_rows(docs))
+    assert capped < full, (capped, full)
+    assert Q["dedup_ngram_jaccard_capped"](spark, SF_SMOKE).count() > 0
+
+
+def test_driver_standings_rank_is_distributed(spark):
+    """The customer-grain standings rank must be the two-stage
+    range-partitioned form: the heavy sort shows RangePartitioning,
+    and the only single-partition window input is the tiny per-
+    partition offsets relation — the full grain never collapses into
+    one task (r1 used an unpartitioned Window over all customers)."""
+    from pyspark.sql import functions as F
+
+    plan = _plan(Q["job_driver_standings"](spark, SF_SMOKE))
+    assert "rangepartitioning" in plan.lower(), plan
+
+    # and the helper ranks exactly like the naive global window
+    from pyspark.sql import Window
+
+    from pitlapetl_spark.operators.distributed_rank import global_row_number
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 37 % 997).alias("k"), F.col("id").alias("tib")
+    )
+    got = {
+        (r.k, r.tib): r.position
+        for r in global_row_number(
+            df, [F.col("k").desc(), F.col("tib")], num_partitions=7
+        ).collect()
+    }
+    want = {
+        (r.k, r.tib): r.position
+        for r in df.withColumn(
+            "position",
+            F.row_number().over(Window.orderBy(F.col("k").desc(), "tib")),
+        ).collect()
+    }
+    assert got == want
