@@ -86,3 +86,31 @@ def test_embedding_dedup_lsh_matches_bruteforce(spark):
     bf = vp(dedup_embedding_cosine_bruteforce(spark, SF_SMOKE))
     assert lsh == bf
     assert bf, "corpus should contain planted duplicate vectors"
+
+
+def test_pii_scrub_removes_all_planted_pii(spark):
+    """Every planted email/phone is counted and redacted: docs with
+    doc_id % 7 == 0 carry exactly one of each, everything else zero,
+    and no document matches the PII patterns after scrubbing."""
+    out = Q["text_pii_scrub"](spark, SF_SMOKE).collect()
+    for r in out:
+        want = 1 if r.doc_id % 7 == 0 else 0
+        assert (r.n_emails, r.n_phones) == (want, want), r
+        assert r.is_clean, r
+
+
+def test_filter_gates_are_bounded_and_nontrivial(spark):
+    """Repetition ratios live in [0,1]; the composed pretrain gate
+    must both keep and drop documents on this corpus (a gate that
+    keeps everything or nothing is a threshold bug)."""
+    rep = Q["text_repetition_ratios"](spark, SF_SMOKE)
+    bad = rep.filter(
+        (F.col("top_bigram_frac") < 0)
+        | (F.col("top_bigram_frac") > 1)
+        | (F.col("dup_trigram_frac") < 0)
+        | (F.col("dup_trigram_frac") > 1)
+    ).count()
+    assert bad == 0
+    gate = Q["pipeline_pretrain_filter"](spark, SF_SMOKE)
+    kept = gate.filter("keep").count()
+    assert 0 < kept < gate.count()
