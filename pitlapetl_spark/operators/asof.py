@@ -37,6 +37,7 @@ def asof_join(
     right_time: str,
     payload: list[str],
     tiebreak: str,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row attach ``payload`` of
     the most recent right row with ``right_time <= left_time`` on the
@@ -44,9 +45,20 @@ def asof_join(
 
     ``tiebreak`` (a right payload column) makes the pick deterministic
     when several right rows share the max right_time.
-    """
+
+    ``tolerance`` (an SQL interval string like ``"30 days"``) bounds
+    how stale a match may be: a carried-forward right row older than
+    ``left_time - tolerance`` is nulled out, exactly pandas
+    ``merge_asof(tolerance=...)`` semantics. The bound is applied to
+    the already-selected winner — same single shuffle, one extra
+    narrow conditional."""
     left_cols = left.columns
-    payload_struct = F.struct(*payload).alias("__payload")
+    payload_fields = [F.col(c) for c in payload]
+    if tolerance is not None:
+        # carry the match's own event time so staleness is checkable
+        # after the window picks the winner
+        payload_fields.append(F.col(right_time).alias("__rt"))
+    payload_struct = F.struct(*payload_fields).alias("__payload")
     right_tagged = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_time).alias("__t"),
@@ -82,11 +94,18 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        unioned.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
-        .filter(F.col("__is_right") == 0)
-        .select(*left_cols, F.col("__m.*"))
-    )
+    matched = unioned.withColumn(
+        "__m", F.last("__payload", ignorenulls=True).over(w)
+    ).filter(F.col("__is_right") == 0)
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}"),
+                F.col("__m"),
+            ),
+        )
+    return matched.select(*left_cols, *[F.col(f"__m.{c}") for c in payload])
 
 
 @query(
@@ -128,3 +147,62 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["last_order_key", "last_order_price"],
         tiebreak="last_order_key",
     ).select("event_id", "user_id", "last_order_key", "last_order_price")
+
+
+ASOF_TOLERANCE = "6 hours"
+
+
+@query(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT p.event_id, c.event_id AS click_id, c.value AS click_value,
+               row_number() OVER (PARTITION BY p.event_id
+                    ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM p JOIN c ON c.user_id = p.user_id
+                     AND c.ts <= p.ts
+                     AND c.ts >= p.ts - INTERVAL 6 HOUR
+    )
+    SELECT p.event_id, p.user_id,
+           m.click_id AS last_click_id,
+           CAST(m.click_value AS DOUBLE) AS last_click_value
+    FROM p
+    LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded backward as-of (attribution lookup): for each
+    purchase, the same user's most recent click at-or-before it — but
+    only if within the last 6 hours; staler matches become NULL
+    (pandas merge_asof tolerance semantics; on this corpus both
+    outcomes occur). Same one-shuffle union+window plan as the
+    unbounded as-of; the staleness check is a narrow conditional on
+    the already-picked winner — the batch twin of the watermarked
+    stream-stream attribution join (streaming/runtime.py)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("last_click_id"),
+        F.col("value").alias("last_click_value"),
+    )
+    return asof_join(
+        left=purchases,
+        right=clicks,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["last_click_id", "last_click_value"],
+        tiebreak="last_click_id",
+        tolerance=ASOF_TOLERANCE,
+    ).select("event_id", "user_id", "last_click_id", "last_click_value")

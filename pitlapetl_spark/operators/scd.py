@@ -1,0 +1,94 @@
+"""Slowly-changing-dimension (SCD type 2) history building — the CDC
+surface a warehouse load needs next to the MERGE sink (sinks
+``merge_upsert``): turn an event stream into a versioned interval
+table (one row per value REGIME, with valid_from / valid_to / current
+flag).
+
+Shape: entirely window functions on one key — two shuffles total
+(daily-last pick, then change detection + interval close), no joins,
+no Python. At 100 TB this is the canonical "change capture from
+snapshots" plan: partition by the entity key, order by time, compare
+against lag, close intervals with lead. Skew follows the entity key's
+history length, which is bounded by the calendar — uniform enough
+that no salting is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, day, value FROM (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   value,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    changes AS (
+        SELECT user_id, day, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY day) AS prev_value
+        FROM daily
+    ),
+    versions AS (
+        SELECT user_id, day AS valid_from, value
+        FROM changes
+        WHERE prev_value IS NULL OR value <> prev_value
+    )
+    SELECT user_id,
+           CAST(valid_from AS TIMESTAMP) AS valid_from,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                AS TIMESTAMP) AS valid_to,
+           CAST(value AS DOUBLE) AS value,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+               IS NULL AS is_current
+    FROM versions
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from the events table: each user's end-of-day
+    value becomes a version row only when it CHANGES vs the previous
+    day; versions carry [valid_from, valid_to) intervals and the open
+    interval is flagged current. Reference parity: the reference keeps
+    only latest state via upsert (racedag.py:68-73) — this operator is
+    the history-preserving upgrade a warehouse expects."""
+    events = load_table(spark, sf_dir, "events")
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        events.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            "value",
+            "ts",
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("day")
+    versions = (
+        daily.withColumn("prev_value", F.lag("value").over(w_hist))
+        .filter(F.col("prev_value").isNull() | (F.col("value") != F.col("prev_value")))
+        .select("user_id", F.col("day").alias("valid_from"), "value")
+    )
+    w_close = Window.partitionBy("user_id").orderBy("valid_from")
+    return versions.select(
+        "user_id",
+        "valid_from",
+        F.lead("valid_from").over(w_close).alias("valid_to"),
+        "value",
+        F.lead("valid_from").over(w_close).isNull().alias("is_current"),
+    )

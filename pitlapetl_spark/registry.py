@@ -48,6 +48,7 @@ _MODULES = (
     "pitlapetl_spark.operators.stats",
     "pitlapetl_spark.operators.breadth",
     "pitlapetl_spark.operators.graph_cluster",
+    "pitlapetl_spark.operators.scd",
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
@@ -131,6 +132,11 @@ _PRIORITY: tuple[str, ...] = (
     "dq_constraint_checks",
     # flagship stays inside the verified window
     "flagship_top_value_per_user",
+    # --- positions 51+: verified only if the driver budget exceeds 50
+    # (new/changed this round, locally oracle-checked regardless)
+    "scd2_user_value_history",
+    "asof_join_tolerance",
+    "asof_join_last_order",
 )
 
 
