@@ -41,10 +41,18 @@ def global_row_number(
     ``rank()`` too, when the ordering is unique."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols)
+    # Materialize the range-partitioned relation ONCE (executor block
+    # storage, lineage truncated): the offsets branch below would
+    # otherwise re-execute the whole upstream pipeline — column pruning
+    # specializes the two subtrees (offsets only needs _pid), so they
+    # stop being canonically equal and ReuseExchange does not fire
+    # (observed: the full join+aggregate ran twice). The checkpoint is
+    # O(ranked grain), not O(input facts). On a cluster with executor
+    # churn, swap localCheckpoint for persist(MEMORY_AND_DISK) or a
+    # reliable checkpoint dir — same plan shape.
+    parted = df.repartitionByRange(n, *order_cols).localCheckpoint(eager=True)
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
-    # one row per partition; Catalyst reuses the range exchange for
-    # both branches (identical subtrees), so the data shuffles once
+    # one row per partition
     counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(

@@ -124,15 +124,20 @@ def test_capped_jaccard_shrinks_candidate_pairs(spark):
 
 
 def test_driver_standings_rank_is_distributed(spark):
-    """The customer-grain standings rank must be the two-stage
-    range-partitioned form: the heavy sort shows RangePartitioning,
-    and the only single-partition window input is the tiny per-
-    partition offsets relation — the full grain never collapses into
-    one task (r1 used an unpartitioned Window over all customers)."""
+    """The customer-grain standings rank must be the two-stage form:
+    the ranked relation is materialized once (checkpoint scan, no
+    FileScan re-execution of the upstream join+aggregate), the big
+    window partitions by the range-partition id — never the whole
+    grain in one task (r1 used an unpartitioned Window over all
+    customers) — and the only SinglePartition exchange is the tiny
+    per-partition offsets relation."""
     from pyspark.sql import functions as F
 
     plan = _plan(Q["job_driver_standings"](spark, SF_SMOKE))
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "ExistingRDD" in plan, plan  # materialized once
+    assert "FileScan" not in plan, plan  # upstream never re-executes
+    assert "windowspecdefinition(_pid" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
 
     # and the helper ranks exactly like the naive global window
     from pyspark.sql import Window
