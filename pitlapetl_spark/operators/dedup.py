@@ -102,10 +102,18 @@ _PAIR_JACCARD_SQL = f"""
 """
 
 
-def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+def _pair_jaccard(
+    sh: DataFrame,
+    candidates: DataFrame | None = None,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard over shingle rows; optionally restricted to a
-    (doc_a, doc_b) candidate set (the LSH verify stage)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    (doc_a, doc_b) candidate set (the LSH verify stage). ``sizes``
+    lets a caller that already aggregated per-doc shingle counts (the
+    minhash signature groupBy shuffles on the same doc_id key) pass
+    them in instead of paying a second full scan+shuffle of ``sh``."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
         # restrict the shingle set to docs appearing in ANY candidate
         # pair BEFORE the self-join — the verify stage then touches
@@ -115,7 +123,15 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
             .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        # ... and materialize the restriction once: the self-join
+        # below consumes it twice, and the two sides stop being
+        # canonically-equal subtrees after alias/prune, so without
+        # this each side re-runs the full corpus scan + shingle
+        # explode + semi-join (observed: 2 FileScans, 0
+        # ReusedExchange). O(candidate docs x shingles) rows only.
+        sh = sh.join(
+            F.broadcast(cand_docs), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -273,7 +289,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlines the shingle-array construction into every one of the 16
     # hash expressions, recomputing it 16x per row.)
     sh = shingle_rows(docs)
-    sig = sh.groupBy("doc_id").agg(*minhash_cols(N_HASHES))
+    # ONE aggregation produces both the 16-hash signature and the
+    # per-doc shingle count the verify stage needs (same doc_id
+    # shuffle key), and the result — one narrow row per document — is
+    # materialized once: bands and sizes are pruned differently, so
+    # without the checkpoint Catalyst stops recognizing the subtrees
+    # as equal and re-runs the full shingle scan+shuffle per consumer
+    # (measured: 4 full shingle computations in the r1 plan, 2 now).
+    # O(docs) rows in executor block storage; at cluster scale swap
+    # localCheckpoint for persist(MEMORY_AND_DISK) — same plan shape.
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(*minhash_cols(N_HASHES), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sig.select("doc_id", "n")
     band_structs = [
         F.struct(
             F.lit(k).alias("band_idx"),
@@ -300,7 +330,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, candidates=cand)
+    return _pair_jaccard(sh, candidates=cand, sizes=sizes)
 
 
 # --------------------------------------------------------------- simhash
