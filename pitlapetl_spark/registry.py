@@ -134,8 +134,10 @@ _PRIORITY: tuple[str, ...] = (
     "flagship_top_value_per_user",
     # --- positions 51+: verified only if the driver budget exceeds 50
     # (new/changed this round, locally oracle-checked regardless)
+    "sim_topk_lsh_multiprobe",
     "scd2_user_value_history",
     "asof_join_tolerance",
+    "dedup_minhash_lsh",
     "asof_join_last_order",
 )
 
