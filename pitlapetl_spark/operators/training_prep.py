@@ -1,0 +1,190 @@
+"""Training-data preparation operators beyond filtering/dedup: eval
+contamination checking, sequence packing, and train/holdout splitting
+(the BASELINE.json north-star "operations a large-scale training-data
+pipeline would need", same family as operators/text_filters.py).
+
+Scale design:
+
+- **contamination**: the eval set is tiny by definition (benchmarks
+  are thousands of docs, the corpus is billions), so its distinct
+  shingle set broadcasts; the corpus side is ONE pass — shingle
+  explode, broadcast left join, per-doc aggregate. No shuffle touches
+  the eval side; the corpus shuffle key is doc_id (uniform).
+- **packing**: GPT-style concat-and-chunk — documents are laid out in
+  a deterministic stream order and chunked into fixed token budgets.
+  A single global stream would be one unpartitioned window (the r1
+  standings-rank mistake), so the stream is SHARDED by content hash:
+  each shard packs independently with a window partitioned on the
+  shard key. 100-TB shape: thousands of shards, each a bounded
+  cumsum; bin boundaries never require cross-shard coordination.
+- **splitting**: split membership is a pure function of the content
+  hash (no RNG, no state), so it is reproducible across engines and
+  re-runs, stable under repartitioning, and consistent per key across
+  tables — the only split discipline that survives a distributed
+  pipeline (same rationale as ``sample_hash_systematic``).
+
+Cross-engine determinism: md5 hex (Spark == DuckDB), ratios round(6)-ed
+before thresholding on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import oracle_shingles_cte, shingle_rows, tokens
+from ..registry import query
+from ..sources import load_table
+
+EVAL_MAX_DOC_ID = 50  # doc_id < 50 stands in for the eval benchmark set
+CONTAM_THRESHOLD = 0.5
+PACK_BUDGET = 512  # tokens per packed training sequence
+N_SHARDS = 16  # packing shards (one hex char of md5)
+
+
+@query(
+    "contamination_eval_overlap",
+    oracle=f"""
+    WITH sh AS ({oracle_shingles_cte()}),
+    eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < {EVAL_MAX_DOC_ID}),
+    scored AS (
+        SELECT sh.doc_id,
+               count(*) AS n_shingles,
+               sum(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        FROM sh LEFT JOIN eval_sh e ON sh.s = e.s
+        WHERE sh.doc_id >= {EVAL_MAX_DOC_ID}
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           round(n_overlap * 1.0 / n_shingles, 6) AS overlap_ratio,
+           round(n_overlap * 1.0 / n_shingles, 6) >= {CONTAM_THRESHOLD}
+               AS contaminated
+    FROM scored
+    """,
+)
+def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training doc, the
+    fraction of its word-3-gram shingles that appear anywhere in the
+    eval set (doc_id < EVAL_MAX_DOC_ID stands in for the benchmark).
+    Docs at/over CONTAM_THRESHOLD overlap are flagged for removal —
+    the standard n-gram decontamination gate run before pretraining.
+    Eval shingles broadcast (eval sets are tiny vs the corpus); the
+    corpus pays one shingle pass + one doc_id aggregate."""
+    sh = shingle_rows(load_table(spark, sf_dir, "documents"))
+    eval_sh = (
+        sh.filter(F.col("doc_id") < EVAL_MAX_DOC_ID).select("s").distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= EVAL_MAX_DOC_ID)
+    joined = corpus.join(
+        F.broadcast(eval_sh.withColumn("_hit", F.lit(1))), "s", "left"
+    )
+    scored = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+    )
+    ratio = F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        ratio.alias("overlap_ratio"),
+        (ratio >= CONTAM_THRESHOLD).alias("contaminated"),
+    )
+
+
+@query(
+    "pack_token_budget",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                   AS n_tokens,
+               strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard
+        FROM documents
+    ),
+    seq AS (
+        SELECT doc_id, shard, n_tokens,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_offset
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(shard AS INT) AS shard,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(floor(start_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id
+    FROM seq
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are streamed in
+    deterministic (shard, doc_id) order and chunked into
+    PACK_BUDGET-token training sequences — each doc gets its shard,
+    token count, byte-stream start offset, and the pack (sequence) id
+    its first token lands in. Sharding by one md5 hex char keeps every
+    cumsum window partitioned (N_SHARDS-way parallel, no global
+    window); at 100 TB you raise the shard count and each shard still
+    packs independently."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS INT)"
+        ).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = toks.withColumn(
+        "start_offset",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return seq.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "start_offset",
+        F.floor(F.col("start_offset") / PACK_BUDGET).alias("pack_id"),
+    )
+
+
+@query(
+    "split_train_holdout",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS c
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN c < 'c' THEN 'train'
+                WHEN c < 'e' THEN 'validation'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test assignment by content hash:
+    first md5 hex char of the doc key buckets 12/2/2 of 16 (75% /
+    12.5% / 12.5%). A pure function of the key — reproducible across
+    engines and runs, repartition-proof, and consistent for the same
+    key in any table (so features and labels never straddle the
+    split). Narrow map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(c < "c", "train")
+        .when(c < "e", "validation")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -41,6 +41,7 @@ _MODULES = (
     "pitlapetl_spark.operators.similarity",
     "pitlapetl_spark.operators.text",
     "pitlapetl_spark.operators.text_filters",
+    "pitlapetl_spark.operators.training_prep",
     "pitlapetl_spark.operators.multimodal",
     "pitlapetl_spark.operators.sinks_query",
     "pitlapetl_spark.operators.rest_query",
@@ -135,6 +136,9 @@ _PRIORITY: tuple[str, ...] = (
     # --- positions 51+: verified only if the driver budget exceeds 50
     # (new/changed this round, locally oracle-checked regardless)
     "sim_topk_lsh_multiprobe",
+    "contamination_eval_overlap",
+    "pack_token_budget",
+    "split_train_holdout",
     "scd2_user_value_history",
     "asof_join_tolerance",
     "dedup_minhash_lsh",

@@ -123,6 +123,25 @@ def test_capped_jaccard_shrinks_candidate_pairs(spark):
     assert Q["dedup_ngram_jaccard_capped"](spark, SF_SMOKE).count() > 0
 
 
+def test_contamination_broadcasts_eval_shingles(spark):
+    """The decontamination gate must broadcast the (tiny) eval shingle
+    set — the corpus side is one pass; a SortMergeJoin here would
+    shuffle the full corpus shingle relation on the shingle key for no
+    reason."""
+    plan = _plan(Q["contamination_eval_overlap"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_packing_window_is_sharded(spark):
+    """Sequence packing must never collapse the corpus into one task:
+    the cumsum window partitions by the shard key (no unpartitioned
+    window -> no Exchange SinglePartition over the corpus)."""
+    plan = _plan(Q["pack_token_budget"](spark, SF_SMOKE))
+    assert "windowspecdefinition(shard" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_driver_standings_rank_is_distributed(spark):
     """The customer-grain standings rank must be the two-stage form:
     the ranked relation is materialized once (checkpoint scan, no
