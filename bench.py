@@ -49,6 +49,9 @@ HEADLINE = (
     "stream_session_windows",
     "rollup_hierarchy_day_from_hour",
     "apply_in_pandas_zscore",
+    # round 2: training-prep surface
+    "contamination_eval_overlap",
+    "pack_token_budget",
 )
 
 
