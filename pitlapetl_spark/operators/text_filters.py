@@ -334,3 +334,30 @@ def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lang") == "en")
         ).alias("keep"),
     )
+
+
+def pretrain_filter_observed(spark: SparkSession, sf_dir: str):
+    """The composed gate with ONE-PASS pipeline metrics via
+    ``df.observe``: gate counters (docs in, duplicates, language
+    rejects, docs kept) accumulate inside the same job that produces
+    the filtered output — no second scan, no ``count()`` per gate, no
+    driver-side loop. At 100 TB a nightly filter that re-counts each
+    gate separately reads the corpus five times; this reads it once.
+
+    Returns ``(kept_df, observation)``; read
+    ``observation.get`` AFTER an action on ``kept_df``. Not a
+    registered query (Observation metrics are job-side state, not a
+    result relation) — covered by tests/test_llm_ops.py instead.
+    """
+    from pyspark.sql import Observation
+
+    gate = pipeline_pretrain_filter(spark, sf_dir)
+    obs = Observation("pretrain_gate")
+    observed = gate.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        F.sum((~F.col("lang_ok")).cast("long")).alias("n_lang_fail"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+    return observed.filter(F.col("keep")), obs

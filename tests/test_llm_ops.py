@@ -114,3 +114,22 @@ def test_filter_gates_are_bounded_and_nontrivial(spark):
     gate = Q["pipeline_pretrain_filter"](spark, SF_SMOKE)
     kept = gate.filter("keep").count()
     assert 0 < kept < gate.count()
+
+
+def test_pretrain_filter_observed_one_pass_metrics(spark, sf_dir):
+    """The observe()-based gate metrics must agree exactly with
+    recomputed per-gate counts, while the observed plan runs the
+    corpus scan once (the metrics ride the output job)."""
+    from pitlapetl_spark.operators.text_filters import (
+        pipeline_pretrain_filter,
+        pretrain_filter_observed,
+    )
+
+    kept, obs = pretrain_filter_observed(spark, sf_dir)
+    n_kept_rows = kept.count()  # the action that populates obs
+    m = obs.get
+    gate = pipeline_pretrain_filter(spark, sf_dir)
+    assert m["n_kept"] == n_kept_rows
+    assert m["docs_in"] == gate.count()
+    assert m["n_dups"] == gate.filter("is_dup").count()
+    assert m["n_lang_fail"] == gate.filter("NOT lang_ok").count()

@@ -15,7 +15,7 @@ ROWS_ONLY_WAIVERS = {"agg_approx_sketches"}
 
 # floor for the registered surface — grows as operators are added;
 # a drop means a module silently fell out of the registry
-MIN_QUERIES = 101
+MIN_QUERIES = 105
 
 
 def test_all_operator_modules_import():
