@@ -7,6 +7,13 @@ Each query is timed end-to-end (plan + execute) and materialized with
 the ``noop`` sink, which forces full computation of every row without
 paying serialization-to-driver or disk-write cost — the honest measure
 of engine throughput.
+
+Each query is run twice and the MIN is reported (declared as
+``"timing": "min_of_2"`` in the JSON): single cold runs conflate
+whole-stage-codegen compilation and host load spikes with engine
+throughput (observed: the same commit's heaviest query swinging
+7.9s -> 13.3s across days purely from machine load). Min-of-N warm
+timing is the standard way to measure the steady-state plan cost.
 """
 
 from __future__ import annotations
@@ -78,9 +85,12 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        _materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -93,6 +103,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "timing": "min_of_2",
                 "queries": timings,
                 "sf": sf_val,
             }
