@@ -166,3 +166,94 @@ def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(bands),
         (events.value >= bands.lo) & (events.value < bands.hi),
     ).select("event_id", "band_name")
+
+
+# ------------------------------------------------------ binned range join
+# A range join where BOTH sides are large is the case broadcast can't
+# save: Spark's only native plan for `point BETWEEN lo AND hi` is a
+# nested-loop join. The scalable form bins the number line: each
+# interval replicates to every bin it overlaps, each point lands in
+# exactly ONE bin, and the join becomes an equi-join on bin followed by
+# the exact range predicate. Replication factor = interval_span / bin
+# width + 1 (bounded, chosen), pair space = per-bin products instead of
+# |build| x |probe| — the same strategy as Databricks' RANGE_JOIN hint
+# binning, expressed with plain DataFrame ops.
+
+RANGE_BIN_DAYS = 64  # transit windows are <= 50 days -> <= 2 bins/interval
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS d0,
+               CAST(floor(epoch(l_shipdate) / 86400) + floor(l_quantity) AS BIGINT) AS d1
+        FROM lineitem WHERE l_quantity >= 48
+    ),
+    ord AS (
+        SELECT o_orderkey,
+               CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS od
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT li.l_orderkey, li.l_linenumber,
+           CAST(li.d1 - li.d0 AS BIGINT) AS window_days,
+           CAST(count(ord.o_orderkey) AS BIGINT) AS n_urgent_in_window
+    FROM li LEFT JOIN ord ON ord.od BETWEEN li.d0 AND li.d1
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large range join via binning: for every bulk lineitem
+    (quantity >= 48) count the urgent orders placed during its transit
+    window [shipdate, shipdate + quantity days]. Intervals explode to
+    the <= 2 RANGE_BIN_DAYS-wide bins they overlap; points map to one
+    bin; the join is a shuffled EQUI-join on bin with the exact
+    BETWEEN applied after — no BroadcastNestedLoopJoin anywhere
+    (asserted in tests/test_plan_hygiene.py). A matched (interval,
+    point) pair meets in exactly one bin (the point's), so no
+    post-join dedup is needed; zero-match intervals survive via the
+    left join + count(non-null)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.unix_timestamp("l_shipdate") / 86400).alias("d0"),
+            (
+                F.floor(F.unix_timestamp("l_shipdate") / 86400)
+                + F.floor(F.col("l_quantity"))
+            )
+            .cast("long")
+            .alias("d1"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("d0") / RANGE_BIN_DAYS),
+                    F.floor(F.col("d1") / RANGE_BIN_DAYS),
+                )
+            ),
+        )
+    )
+    ord_ = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("od"),
+        )
+        .withColumn("bin", F.floor(F.col("od") / RANGE_BIN_DAYS))
+    )
+    joined = li.join(
+        ord_,
+        (li.bin == ord_.bin)
+        & (ord_.od >= li.d0)
+        & (ord_.od <= li.d1),
+        "left",
+    )
+    return joined.groupBy(
+        "l_orderkey", "l_linenumber", (F.col("d1") - F.col("d0")).alias("window_days")
+    ).agg(F.count("o_orderkey").alias("n_urgent_in_window"))

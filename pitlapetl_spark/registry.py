@@ -50,6 +50,7 @@ _MODULES = (
     "pitlapetl_spark.operators.breadth",
     "pitlapetl_spark.operators.graph_cluster",
     "pitlapetl_spark.operators.scd",
+    "pitlapetl_spark.operators.incremental",
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
@@ -136,6 +137,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- positions 51+: verified only if the driver budget exceeds 50
     # (new/changed this round, locally oracle-checked regardless)
     "sim_topk_lsh_multiprobe",
+    "join_range_binned",
+    "incremental_mv_merge",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",

@@ -180,3 +180,20 @@ def test_driver_standings_rank_is_distributed(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_range_join_binned_is_equi_join(spark):
+    """Large-large range join must compile to a shuffled EQUI-join on
+    the bin key — never the nested-loop plan Spark picks for a bare
+    BETWEEN join (joins.py join_range_binned docstring)."""
+    plan = _plan(Q["join_range_binned"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # any HASH/MERGE equi-join on the bin key is the scalable shape;
+    # at smoke scale AQE broadcasts the small filtered side, on a
+    # cluster the same plan degrades gracefully to sort-merge
+    assert (
+        "BroadcastHashJoin [bin" in plan
+        or "SortMergeJoin [bin" in plan
+        or "ShuffledHashJoin [bin" in plan
+    ), plan

@@ -74,3 +74,41 @@ def test_format_laptime_matches_python_model(secs):
 
     for i, s in enumerate(secs):
         assert got[i] == model(s), (s, got[i], model(s))
+
+
+def test_incremental_mv_merge_is_batching_invariant(spark, sf_dir):
+    """Folding the events in ANY batch split must yield the same MV
+    as one-shot aggregation (incremental.py merge_states contract):
+    1 batch == 2 uneven batches == per-10-day batches."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.operators.incremental import (
+        _partial_state,
+        merge_states,
+    )
+    from pitlapetl_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+
+    def rows(df):
+        return {
+            r.event_type: (r.n_events, round(r.sum_value, 4))
+            for r in df.select("event_type", "n_events", "sum_value").collect()
+        }
+
+    one_shot = rows(_partial_state(events))
+    uneven = rows(
+        merge_states(
+            _partial_state(events.filter(F.col("ts") < "2024-01-04")),
+            _partial_state(events.filter(F.col("ts") >= "2024-01-04")),
+        )
+    )
+    acc = _partial_state(events.filter(F.col("ts") < "2024-01-11"))
+    for lo, hi in (("2024-01-11", "2024-01-21"), ("2024-01-21", "2024-02-01")):
+        acc = merge_states(
+            acc,
+            _partial_state(
+                events.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            ),
+        )
+    assert one_shot == uneven == rows(acc)
