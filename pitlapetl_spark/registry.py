@@ -51,6 +51,7 @@ _MODULES = (
     "pitlapetl_spark.operators.graph_cluster",
     "pitlapetl_spark.operators.scd",
     "pitlapetl_spark.operators.incremental",
+    "pitlapetl_spark.operators.kmeans",
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
@@ -139,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_topk_lsh_multiprobe",
     "join_range_binned",
     "incremental_mv_merge",
+    "kmeans_lloyd_clusters",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
