@@ -1,0 +1,106 @@
+"""Ordered-sequence (funnel) analytics over the events stream.
+
+The classic product-analytics question — how far does each user get
+through view -> click -> purchase, with each stage required to happen
+STRICTLY AFTER the previous one — is naturally a per-user sequence
+scan. The naive relational form is three aggregate+join rounds (the
+oracle below), i.e. three shuffles of the fact table on user_id. The
+Spark-first form here pays ONE shuffle: collect each user's events
+into a time-sorted array, then resolve every stage with higher-order
+array expressions (filter / transform / array_min) — all JVM-side
+codegen, no Python.
+
+Scale notes: per-user state is the user's own event array, so the
+operator is safe wherever per-user event counts are bounded (sessions,
+days, retention windows — the usual analytics grain; an unbounded
+power-user tail wants a pre-aggregation to (user, day) first, same as
+any collect_list). The groupBy key is user_id — uniform, no skew
+special-casing needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _first_after(ev: Column, stage: str, after: Column | None) -> Column:
+    """Earliest event of ``stage`` strictly after ``after`` (or the
+    earliest overall when ``after`` is None). NULL ``after`` propagates
+    to NULL — a stage can only fire once every prior stage has."""
+
+    def keep(e: Column) -> Column:
+        cond = e.getField("event_type") == stage
+        if after is not None:
+            cond = cond & (e.getField("ts") > after)
+        return cond
+
+    return F.array_min(F.transform(F.filter(ev, keep), lambda e: e.getField("ts")))
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY 1
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                     WHEN c.t_click IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS funnel_depth
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel resolution in one shuffle: earliest view, then
+    earliest click after it, then earliest purchase after that, and
+    the depth reached. Users with no view are outside the funnel. The
+    oracle computes the same stages with three aggregate+join rounds —
+    hash equality shows the single-pass array form is semantically
+    identical to the relational form."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("ev"))
+    )
+    t_view = _first_after(F.col("ev"), "view", None)
+    out = ev.withColumn("t_view", t_view)
+    out = out.withColumn("t_click", _first_after(F.col("ev"), "click", F.col("t_view")))
+    out = out.withColumn(
+        "t_purchase", _first_after(F.col("ev"), "purchase", F.col("t_click"))
+    )
+    return (
+        out.filter(F.col("t_view").isNotNull())
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+    )

@@ -52,6 +52,7 @@ _MODULES = (
     "pitlapetl_spark.operators.scd",
     "pitlapetl_spark.operators.incremental",
     "pitlapetl_spark.operators.kmeans",
+    "pitlapetl_spark.operators.funnel",
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
@@ -141,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_range_binned",
     "incremental_mv_merge",
     "kmeans_lloyd_clusters",
+    "funnel_view_click_purchase",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
