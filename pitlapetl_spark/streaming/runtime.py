@@ -154,6 +154,73 @@ def stateful_user_totals(events: DataFrame, watermark: str = "2 days") -> DataFr
     )
 
 
+TWS_OUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_purchase DOUBLE"
+)
+
+
+def tws_user_profile(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Per-user running profile via ``transformWithStateInPandas`` —
+    the Spark 4.x arbitrary-state API that supersedes
+    ``applyInPandasWithState`` (stateful_user_totals above keeps the
+    legacy form for parity). What the new API adds over GroupState:
+    NAMED state variables with independent schemas and per-variable
+    TTL — here a (count, total) ValueState plus a separate
+    max-purchase ValueState, composed in one processor. Requires the
+    RocksDB state store provider (bundled with OSS Spark 4) and the
+    ``protobuf`` package (PySpark's state-server wire format; not
+    installed in this container, so tests/test_streaming.py skips the
+    parity test when the import fails — the legacy
+    ``stateful_user_totals`` path stays the tested one here); state is
+    keyed by user_id and lives executor-side, never on the driver."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+            self._max_purchase = handle.getValueState("max_purchase", "m DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            m = self._max_purchase.get()[0] if self._max_purchase.exists() else None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                purchases = pdf.loc[pdf["event_type"] == "purchase", "value"]
+                if len(purchases):
+                    pm = float(purchases.max())
+                    m = pm if m is None or pm > m else m
+            self._totals.update((n, total))
+            if m is not None:
+                self._max_purchase.update((m,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "max_purchase": [m],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserProfile(),
+            outputStructType=TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

@@ -320,3 +320,40 @@ def test_upsert_sink_no_data_loss_across_batches(spark):
         }, got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_tws_user_profile_matches_batch(spark, events_stream):
+    """transformWithStateInPandas (Spark 4.x arbitrary-state API) must
+    reproduce the batch per-user profile; needs the RocksDB state
+    store provider (set per-query here) and the protobuf package for
+    Spark's state-server wire format — absent in this container, so
+    the test SKIPS rather than stubs (runtime.tws_user_profile
+    docstring records the dependency)."""
+    pytest.importorskip("google.protobuf")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = runtime.run_to_memory(
+            runtime.tws_user_profile(events_stream),
+            "t_tws_profile",
+            output_mode="update",
+        )
+        q.awaitTermination(120)
+        got = spark.table("t_tws_profile")
+        want = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                ).alias("max_purchase"),
+            )
+        )
+        cols = ["user_id", "n_events", "total_value", "max_purchase"]
+        assert _rows(got, *cols) == _rows(want, *cols)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
