@@ -104,3 +104,44 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_depth"),
         )
     )
+
+
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity day, counted
+    on each subsequent day they return — the (cohort_day, day_offset)
+    matrix behind every retention curve. Three aggregations, all
+    keyed on user_id or the small (cohort, offset) grain: the
+    (user, day) distinct and the first-day aggregate shuffle on the
+    SAME user_id key (one exchange layout, AQE-coalesced), the join is
+    co-partitioned on it, and only the final tiny matrix aggregate
+    re-keys. No window functions, no self-join of the raw fact."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

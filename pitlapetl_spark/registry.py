@@ -143,6 +143,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_mv_merge",
     "kmeans_lloyd_clusters",
     "funnel_view_click_purchase",
+    "cohort_retention_matrix",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
