@@ -91,11 +91,67 @@ def stopword_count(tok_col: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tok_col, lambda x: x.isin(*words)))
 
 
-def minhash_cols(n_hashes: int = 16) -> list[Column]:
-    """Minhash signature as ``n_hashes`` min-aggregations over the
-    md5 hash family h_j(s) = md5(j || '|' || s), compared as hex
-    strings. One shuffle (the groupBy), map-side partial min."""
+# ------------------------------------------------------------- minhash
+# Universal-hash family over ONE md5 per shingle: the digest's two
+# 60-bit halves b1, b2 seed h_j(s) = (a_j*b1 + b_j*b2 + c_j) mod P.
+# This replaces the earlier md5-per-hash family (16 md5+concat per
+# shingle row -> 1), the standard "one strong hash, k affine
+# combinations" minhash construction. All arithmetic stays under 2^48
+# (a,b < 2^16, b1,b2 reduced mod P < 2^31), exact in BIGINT on both
+# engines; P is the Mersenne prime 2^31-1.
+
+MINHASH_P = 2_147_483_647
+
+
+def _coef(j: int, salt: int) -> int:
+    return (1_000_003 * (j + salt)) % 65_521 + 1
+
+
+MINHASH_A = tuple(_coef(j, 1) for j in range(64))
+MINHASH_B = tuple(_coef(j, 7) for j in range(64))
+MINHASH_C = tuple((2_654_435_761 * (j + 1)) % MINHASH_P for j in range(64))
+
+
+def minhash_base_cols(s: Column) -> list[Column]:
+    """The two P-reduced 60-bit halves of md5(s) — computed once per
+    shingle row; codegen's subexpression elimination shares the single
+    md5 between them."""
     return [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+        (F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_P).alias("b1"),
+        (F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long") % MINHASH_P).alias("b2"),
+    ]
+
+
+def oracle_minhash_base_sql(s: str = "s") -> str:
+    """DuckDB fragment producing the same b1/b2 columns."""
+    return (
+        f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT) % {MINHASH_P} AS b1, "
+        f"CAST('0x' || substr(md5({s}), 16, 15) AS BIGINT) % {MINHASH_P} AS b2"
+    )
+
+
+def minhash_cols(n_hashes: int = 16) -> list[Column]:
+    """Minhash signature as ``n_hashes`` numeric min-aggregations over
+    the affine family above; expects ``b1``/``b2`` columns
+    (``minhash_base_cols``). One shuffle (the groupBy), map-side
+    partial min."""
+    return [
+        F.min(
+            (
+                F.lit(MINHASH_A[j]) * F.col("b1")
+                + F.lit(MINHASH_B[j]) * F.col("b2")
+                + F.lit(MINHASH_C[j])
+            )
+            % MINHASH_P
+        ).alias(f"h{j}")
         for j in range(n_hashes)
     ]
+
+
+def oracle_minhash_sig_cols(n_hashes: int = 16) -> str:
+    """DuckDB fragment with the identical ``n_hashes`` min-aggregations."""
+    return ", ".join(
+        f"min(({MINHASH_A[j]} * b1 + {MINHASH_B[j]} * b2 + {MINHASH_C[j]})"
+        f" % {MINHASH_P}) AS h{j}"
+        for j in range(n_hashes)
+    )

@@ -36,8 +36,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import (
     SHINGLE_K,
+    minhash_base_cols,
     minhash_cols,
     norm_text,
+    oracle_minhash_base_sql,
+    oracle_minhash_sig_cols,
     oracle_shingles_cte,
     shingle_rows,
 )
@@ -235,20 +238,19 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 
 
 def _oracle_minhash_lsh() -> str:
-    sig_cols = ", ".join(
-        f"min(md5('{j}|' || s)) AS h{j}" for j in range(N_HASHES)
-    )
+    sig_cols = oracle_minhash_sig_cols(N_HASHES)
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {k} AS band_idx, md5({expr}) AS band_val FROM sig".format(
             k=k,
             expr=" || '|' || ".join(
-                f"h{k * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                f"h{k * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
             ),
         )
         for k in range(N_BANDS)
     )
     return f"""
-    WITH sh AS ({oracle_shingles_cte(SHINGLE_K)}),
+    WITH sh0 AS ({oracle_shingles_cte(SHINGLE_K)}),
+    sh AS (SELECT doc_id, s, {oracle_minhash_base_sql()} FROM sh0),
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS ({band_rows}),
     cand AS (
@@ -298,8 +300,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured: 4 full shingle computations in the r1 plan, 2 now).
     # O(docs) rows in executor block storage; at cluster scale swap
     # localCheckpoint for persist(MEMORY_AND_DISK) — same plan shape.
+    # The 16 hash values derive from ONE md5 per shingle
+    # (functions/text.py minhash family) — not 16.
     sig = (
-        sh.groupBy("doc_id")
+        sh.select("doc_id", *minhash_base_cols(F.col("s")))
+        .groupBy("doc_id")
         .agg(*minhash_cols(N_HASHES), F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
