@@ -250,3 +250,80 @@ def rollup_hierarchy_day_from_hour(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("w.start").alias("day_start"), "event_type", "n_events", "sum_value"
         )
     )
+
+
+MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.125, "zh": 0.0625}
+_MIX_DENOM = 16_777_216  # 2^24: first 6 md5 hex chars as a uniform u24
+
+
+@query(
+    "sample_weighted_mix",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                   * 1.0 / {_MIX_DENOM} AS u,
+               CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in MIX_WEIGHTS.items())}
+                    ELSE 0.03125 END AS w
+        FROM documents
+    )
+    WHERE u < w
+    """,
+)
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data domain mixing: keep each document with its
+    source's mixing weight (here per-lang; Pile/Dolma-style domain
+    reweighting before pretraining). The keep decision is a pure
+    function of the doc key — a uniform u24 from the content hash
+    compared against the domain weight — so the mix is reproducible
+    across engines, runs, and repartitioning, and upsampling a domain
+    later keeps every previously-kept doc (weights only move the
+    threshold). Narrow filter, no shuffle, no RNG state."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in MIX_WEIGHTS.items()],
+        F.lit(0.03125),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        / _MIX_DENOM
+    )
+    return docs.select("doc_id", "lang", u.alias("u"), w.alias("w")).filter(
+        F.col("u") < F.col("w")
+    ).select("doc_id", "lang")
+
+
+N_HIST_BINS = 10
+HIST_LO, HIST_HI = 0.0, 1000.0
+
+
+@query(
+    "agg_histogram_equi_width",
+    oracle=f"""
+    SELECT event_type,
+           CAST(least(floor((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / N_HIST_BINS}),
+                      {N_HIST_BINS - 1}) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo_value,
+           round(max(value), 4) AS hi_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event_type (the engine primitive
+    behind NDV/selectivity profiling and value-distribution
+    dashboards): one map-side-partial aggregate on the (type, bin)
+    grain, bin = clamped width_bucket. No sort, no window."""
+    events = load_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / N_HIST_BINS
+    bin_ = F.least(
+        F.floor((F.col("value") - HIST_LO) / width), F.lit(N_HIST_BINS - 1)
+    ).cast("int")
+    return events.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo_value"),
+        F.round(F.max("value"), 4).alias("hi_value"),
+    )

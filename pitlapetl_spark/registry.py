@@ -144,6 +144,8 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_lloyd_clusters",
     "funnel_view_click_purchase",
     "cohort_retention_matrix",
+    "sample_weighted_mix",
+    "agg_histogram_equi_width",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
