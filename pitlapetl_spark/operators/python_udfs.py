@@ -118,3 +118,45 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").applyInPandas(
         _zscore_group, _ZSCORE_SCHEMA
     )
+
+
+@pandas_udf(T.DoubleType())
+def _weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF body: quantity-weighted mean.
+    Receives each group's columns as whole Arrow-backed Series and
+    returns one scalar — the GROUPED_AGG shape. (Type object, not DDL
+    string: the string form needs an active session at decoration
+    time, and this decorates at module import.)"""
+    return float((price * qty).sum() / qty.sum())
+
+
+@query(
+    "pandas_udaf_weighted_mean",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF — the third leg of the Python
+    surface (scalar pandas_udf / grouped-map applyInPandas / grouped
+    agg): a custom aggregation function used in a normal
+    ``groupBy().agg()``, Arrow-batched per group. The oracle states
+    the same weighted mean relationally. Like
+    every GROUPED_AGG, partial aggregation is NOT available (the whole
+    group's columns come to Python) — at 100 TB prefer the algebraic
+    sum(x*w)/sum(w) decomposition the oracle uses unless the
+    aggregation is genuinely non-algebraic (model scoring, exotic
+    statistics); this entry exists to prove the API shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # NOTE: a GROUPED_AGG pandas UDF cannot share an agg() with JVM
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — another reason the
+    # algebraic decomposition wins in production.
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            _weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")), 4
+        ).alias("weighted_avg_price"),
+    )

@@ -146,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_retention_matrix",
     "sample_weighted_mix",
     "agg_histogram_equi_width",
+    "pandas_udaf_weighted_mean",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
