@@ -257,3 +257,60 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "l_orderkey", "l_linenumber", (F.col("d1") - F.col("d0")).alias("window_days")
     ).agg(F.count("o_orderkey").alias("n_urgent_in_window"))
+
+
+# -------------------------------------------------------- salted skew join
+# When one join key dominates (a "null day", a bot user, one viral
+# item), the task holding that key becomes the straggler no matter how
+# many executors exist. AQE's skew-join splitting handles sort-merge
+# inputs; the manual fix — demonstrated here with oracle parity — is
+# salting: the probe side splits each key into SALT_N sub-keys via a
+# deterministic row hash, the build side replicates each row SALT_N
+# times (explode over the salt range), and the join runs on
+# (key, salt) — every hot key now spreads over SALT_N tasks. The
+# replicate-build x salt-probe construction preserves exactly the
+# plain-join multiset, which the unsalted oracle pins.
+
+JOIN_SALT_N = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.event_type, n.n_name AS region_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN nation n ON n.n_nationkey = e.user_id % 25
+    GROUP BY 1, 2
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted shuffle join: events hash to (key, salt in 0..N),
+    the dimension explodes to one replica per salt value, the join key
+    is (key, salt) — identical result to the plain join (the oracle),
+    but a key owning 90% of the rows occupies SALT_N tasks instead of
+    one. The merge hint forces the shuffle path the technique exists
+    for (a broadcastable dim needs no salt)."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "nkey", F.col("user_id") % 25
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    salted_ev = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(JOIN_SALT_N))
+    )
+    salted_dim = nation.withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT_N - 1)).cast("array<long>")),
+    )
+    joined = salted_ev.hint("merge").join(
+        salted_dim,
+        (salted_ev.nkey == salted_dim.n_nationkey)
+        & (salted_ev.salt == salted_dim.salt),
+    )
+    return joined.groupBy(
+        "event_type", F.col("n_name").alias("region_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -147,6 +147,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_weighted_mix",
     "agg_histogram_equi_width",
     "pandas_udaf_weighted_mean",
+    "join_salted_skew",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",

@@ -197,3 +197,12 @@ def test_range_join_binned_is_equi_join(spark):
         or "SortMergeJoin [bin" in plan
         or "ShuffledHashJoin [bin" in plan
     ), plan
+
+
+def test_salted_join_spreads_key_over_salt(spark):
+    """The salted skew join must run as a shuffle join keyed on
+    (key, salt) — a broadcast would mean the salt did nothing (and the
+    hint was dropped)."""
+    plan = _plan(Q["join_salted_skew"](spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "salt" in plan.split("Join")[1][:200], plan
