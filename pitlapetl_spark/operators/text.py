@@ -344,3 +344,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_min_shingle"
         ),
     )
+
+
+@query(
+    "text_kl_domain_drift",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    lw AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM lw GROUP BY 1),
+    cw AS (SELECT w, sum(c) AS cc FROM lw GROUP BY 1),
+    ct AS (SELECT sum(cc) AS tt FROM cw)
+    SELECT lw.lang,
+           lt.t AS n_tokens,
+           round(sum((lw.c * 1.0 / lt.t)
+                     * ln((lw.c * 1.0 / lt.t) / (cw.cc * 1.0 / ct.tt))), 6)
+               AS kl_vs_corpus
+    FROM lw
+    JOIN lt ON lt.lang = lw.lang
+    JOIN cw ON cw.w = lw.w
+    CROSS JOIN ct
+    GROUP BY 1, 2
+    """,
+)
+def text_kl_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift monitoring: KL(lang-unigram-dist || corpus-dist)
+    per language — the distribution-shift gate a training pipeline
+    runs on every ingest batch (a spike means the new slice doesn't
+    look like the corpus). KL over the lang's own support is exact (no
+    smoothing needed: every lang token exists in the corpus by
+    construction). One token explode feeds one (lang, w) aggregate;
+    the corpus distribution REUSES that aggregate (second agg keyed w,
+    same pre-shuffled relation); per-lang totals and the corpus total
+    are broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+    )
+    lw = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    lt = lw.groupBy("lang").agg(F.sum("c").alias("t"))
+    cw = lw.groupBy("w").agg(F.sum("c").alias("cc"))
+    tt = cw.agg(F.sum("cc").alias("tt"))
+    p = F.col("c") / F.col("t")
+    q = F.col("cc") / F.col("tt")
+    return (
+        lw.join(F.broadcast(lt), "lang")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tt))
+        .groupBy("lang", F.col("t").alias("n_tokens"))
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
+    )

@@ -148,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram_equi_width",
     "pandas_udaf_weighted_mean",
     "join_salted_skew",
+    "text_kl_domain_drift",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
