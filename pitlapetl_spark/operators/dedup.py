@@ -365,6 +365,26 @@ def _oracle_simhash() -> str:
     """
 
 
+def _oracle_simhash_keep_best() -> str:
+    core = _oracle_simhash()
+    return f"""
+    WITH clustered AS ({core}),
+    sized AS (
+        SELECT c.doc_id, c.simhash,
+               len(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' '))
+                   AS n_tokens
+        FROM clustered c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT simhash,
+           doc_id AS keeper_doc_id,
+           CAST(n_tokens AS BIGINT) AS keeper_tokens,
+           CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_members
+    FROM sized
+    QUALIFY row_number() OVER (
+        PARTITION BY simhash ORDER BY n_tokens DESC, doc_id) = 1
+    """
+
+
 @query("dedup_simhash", oracle=_oracle_simhash())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup: 16-bit signature from md5-derived per-bit sign
@@ -396,6 +416,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.min("doc_id").over(Window.partitionBy("simhash")).alias("cluster_id"),
+    )
+
+
+@query("dedup_keep_best", oracle=_oracle_simhash_keep_best())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the resolution policy that
+    follows any clustering dedup: per near-dup cluster (equal simhash
+    here), keep the highest-quality member (most tokens, doc_id
+    tiebreak) and record the cluster size. One extra window over the
+    cluster key on top of the simhash pipeline; at 100 TB the keeper
+    choice is a per-cluster top-1 (the same bounded window as
+    window_topk_per_group), never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    clustered = dedup_simhash(spark, sf_dir)
+    sized = clustered.join(
+        docs.select("doc_id", F.size(F.split(norm_text(F.col("text")), " ")).alias("n_tokens")),
+        "doc_id",
+    )
+    w = Window.partitionBy("simhash").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        sized.withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "simhash",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_tokens").cast("long").alias("keeper_tokens"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
     )
 
 

@@ -149,6 +149,7 @@ _PRIORITY: tuple[str, ...] = (
     "pandas_udaf_weighted_mean",
     "join_salted_skew",
     "text_kl_domain_drift",
+    "dedup_keep_best",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
