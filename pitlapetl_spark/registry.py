@@ -53,6 +53,7 @@ _MODULES = (
     "pitlapetl_spark.operators.incremental",
     "pitlapetl_spark.operators.kmeans",
     "pitlapetl_spark.operators.funnel",
+    "pitlapetl_spark.operators.entity_resolution",
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
@@ -150,6 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_salted_skew",
     "text_kl_domain_drift",
     "dedup_keep_best",
+    "fuzzy_match_blocking",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
