@@ -327,3 +327,87 @@ def agg_histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo_value"),
         F.round(F.max("value"), 4).alias("hi_value"),
     )
+
+
+RESAMPLE_VALUE_MIN = 950.0  # rare-event subset so the grid has real gaps
+
+
+@query(
+    "resample_daily_grid",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               value
+        FROM events WHERE value > {RESAMPLE_VALUE_MIN}
+    ),
+    daily AS (
+        SELECT event_type, day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM src GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS mn, max(day) AS mx FROM src),
+    spine AS (
+        SELECT t.event_type, g.d AS day
+        FROM (SELECT DISTINCT event_type FROM src) t
+        CROSS JOIN (SELECT unnest(generate_series(mn, mx)) AS d FROM bounds) g
+    )
+    SELECT s.event_type, s.day,
+           coalesce(d.n_events, 0) AS n_events,
+           coalesce(d.sum_value, 0.0) AS sum_value,
+           last_value(d.sum_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_value
+    FROM spine s LEFT JOIN daily d
+      ON d.event_type = s.event_type AND d.day = s.day
+    """,
+)
+def resample_daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample an irregular event stream onto a complete daily grid:
+    dense date spine (sequence-explode over the observed day range,
+    one tiny bounds aggregate broadcast back) x series key, left join
+    the daily aggregates, zero-fill counts and carry the last observed
+    daily total forward (LOCF) across true gaps. The spine is
+    O(series x days) — metadata-sized next to the facts — and the fill
+    window partitions by series, so nothing ever funnels into one
+    task. The standard time-series densification every
+    dashboard/feature pipeline needs before diffing or windowing."""
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > RESAMPLE_VALUE_MIN)
+        .select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+            "value",
+        )
+    )
+    daily = src.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    bounds = src.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = (
+        src.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum_value"),
+        )
+    )

@@ -152,6 +152,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_kl_domain_drift",
     "dedup_keep_best",
     "fuzzy_match_blocking",
+    "resample_daily_grid",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
