@@ -59,6 +59,9 @@ HEADLINE = (
     # round 2: training-prep surface
     "contamination_eval_overlap",
     "pack_token_budget",
+    # round 2: new heavy families (binned range join, iterative ML)
+    "join_range_binned",
+    "kmeans_lloyd_clusters",
 )
 
 
