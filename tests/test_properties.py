@@ -112,3 +112,74 @@ def test_incremental_mv_merge_is_batching_invariant(spark, sf_dir):
             ),
         )
     assert one_shot == uneven == rows(acc)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 80)),  # (start, span)
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(st.integers(0, 600), min_size=1, max_size=40),  # points
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_binned_range_join_equals_nested_loop(spark, intervals, points):
+    """The bin-replication construction (joins.py join_range_binned)
+    must produce exactly the naive point-in-interval pairs for ANY
+    interval/point sets — including spans larger than the bin width
+    (multi-bin replication) and empty-match intervals."""
+    from pyspark.sql import functions as F
+
+    BIN = 64
+    iv = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(intervals)],
+        "iid int, d0 long, d1 long",
+    )
+    pt = spark.createDataFrame(
+        [(j, p) for j, p in enumerate(points)], "pid int, od long"
+    )
+    binned_iv = iv.withColumn(
+        "bin",
+        F.explode(F.sequence(F.floor(F.col("d0") / BIN), F.floor(F.col("d1") / BIN))),
+    )
+    binned_pt = pt.withColumn("bin", F.floor(F.col("od") / BIN))
+    got = {
+        (r.iid, r.pid)
+        for r in binned_iv.join(
+            binned_pt,
+            (binned_iv.bin == binned_pt.bin)
+            & (binned_pt.od >= binned_iv.d0)
+            & (binned_pt.od <= binned_iv.d1),
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lo, span) in enumerate(intervals)
+        for j, p in enumerate(points)
+        if lo <= p <= lo + span
+    }
+    assert got == want
+
+
+@given(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1))
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+def test_morton_interleave_roundtrip(spark, a, b):
+    """sinks/layout.py morton_interleave must place a's bit i at
+    position 2i and b's at 2i+1 — verified against a Python model."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.sinks.layout import morton_interleave
+
+    got = (
+        spark.range(1)
+        .select(
+            morton_interleave(F.lit(a).cast("long"), F.lit(b).cast("long")).alias("z")
+        )
+        .collect()[0]
+        .z
+    )
+    want = 0
+    for i in range(16):
+        want |= ((a >> i) & 1) << (2 * i)
+        want |= ((b >> i) & 1) << (2 * i + 1)
+    assert got == want
