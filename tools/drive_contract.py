@@ -1,0 +1,66 @@
+"""Fresh-process driver emulation per .claude/skills/verify: smoke
+entry(), then every queries()[name] vs oracle_sql()[name] at sf0.01."""
+import sys, hashlib
+sys.path.insert(0, "/root/repo")
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[8]")
+    .appName("drive_contract")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .config("spark.ui.showConsoleProgress", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+rows = e.entry(spark).collect()
+assert len(rows) > 0, "entry() returned 0 rows"
+print(f"entry() OK: {len(rows)} rows", flush=True)
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+def canon_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        if d[c].dtype == object:
+            d[c] = d[c].astype(str)
+        elif str(d[c].dtype).startswith("float"):
+            d[c] = d[c].round(9)
+        elif str(d[c].dtype).startswith("datetime64[ns,"):
+            d[c] = d[c].dt.tz_localize(None)
+    rows = sorted(repr(tuple(r)) for r in d.itertuples(index=False, name=None))
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+qs, oracles = e.queries(), e.oracle_sql()
+fails = []
+for name, fn in qs.items():
+    sql = oracles.get(name)
+    try:
+        sdf = fn(spark, SF).toPandas()
+        if sql is None:
+            print(f"{name}: rows-only rows={len(sdf)}", flush=True)
+            continue
+        odf = con.execute(sql).df()
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+        ok_hash = ok_rows and ok_cols and canon_hash(sdf) == canon_hash(odf)
+        status = "OK" if (ok_rows and ok_cols and ok_hash) else f"FAIL rows={ok_rows} cols={ok_cols} hash={ok_hash} ({len(sdf)} vs {len(odf)})"
+        if not (ok_rows and ok_cols and ok_hash):
+            fails.append(name)
+        print(f"{name}: {status}", flush=True)
+    except Exception as ex:
+        fails.append(name)
+        print(f"{name}: ERR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
+
+print(f"\n{len(qs)} queries, {len(fails)} failing: {fails}")
+sys.exit(1 if fails else 0)
