@@ -200,3 +200,54 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("events_last_hour"),
     )
+
+
+SESSION_GAP_S = 1800  # 30 min inactivity ends a session
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           user_id || '-' || CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR)
+               AS session_id
+    FROM flagged
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session-ID assignment by inactivity gap — the
+    feature-engineering primitive behind every session-grain dataset
+    (the session_window AGGREGATE in streaming/batch_windows.py emits
+    per-session rollups; this emits the id each EVENT belongs to, so
+    downstream features can join on it). Two stacked windows on the
+    same (user_id ORDER BY ts) spec — one sort, one shuffle; the
+    gap>lag flag cumulative-sums into a per-user session ordinal. The
+    (ts, event_id) tiebreak makes the assignment total-order stable."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.concat_ws("-", F.col("user_id"), F.sum("new_sess").over(run)).alias(
+            "session_id"
+        ),
+    )

@@ -153,6 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "fuzzy_match_blocking",
     "resample_daily_grid",
+    "sessionize_events",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
