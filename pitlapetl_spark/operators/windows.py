@@ -251,3 +251,47 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_id"
         ),
     )
+
+
+@query(
+    "window_share_of_total",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               round(sum(value), 4) AS day_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, day_value,
+           round(day_value / sum(day_value) OVER (PARTITION BY event_type), 6)
+               AS share_of_type,
+           round(day_value / sum(day_value) OVER (), 6) AS share_of_total
+    FROM daily
+    """,
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (type, day) aggregate as a share of its
+    type's total and of the grand total. The partitioned share is a
+    plain window; the GRAND-total share is an unpartitioned window —
+    safe ONLY because it runs over the already-aggregated (type, day)
+    grain (150 rows here, bounded at any corpus size), never the fact
+    table — the same cardinality contract as the standings rank
+    (operators/distributed_rank.py documents the unbounded-grain
+    alternative)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.floor(F.unix_timestamp("ts") / 86400).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    w_type = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    return daily.select(
+        "event_type",
+        "day",
+        "day_value",
+        F.round(F.col("day_value") / F.sum("day_value").over(w_type), 6).alias(
+            "share_of_type"
+        ),
+        F.round(F.col("day_value") / F.sum("day_value").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )

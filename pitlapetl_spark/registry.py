@@ -154,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "fuzzy_match_blocking",
     "resample_daily_grid",
     "sessionize_events",
+    "window_share_of_total",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
