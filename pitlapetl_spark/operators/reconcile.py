@@ -1,0 +1,98 @@
+"""Table diff / reconciliation — the regression gate between two
+versions of the same table (yesterday's load vs today's, pipeline v1
+vs v2, pre- vs post-migration). Every production ETL needs this
+operator; at 100 TB it is one full-outer join on the key plus a
+row-hash comparison — no row ever leaves the cluster, and the output
+is the per-status profile (added / removed / changed / same), i.e.
+grain-sized, not data-sized.
+
+The second table here is DERIVED from the first by deterministic id
+rules (drop every 97th key, bump value on every 89th, append copies of
+every 83rd under new ids), so the expected diff is exactly knowable
+and the oracle replays it end-to-end — the operator is tested on a
+diff with all four statuses populated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+_ADD_OFFSET = 10_000_000
+
+
+def _v2(events: DataFrame) -> DataFrame:
+    """The 'new version' of events: deterministic removes / changes /
+    adds keyed off event_id."""
+    kept = events.filter(F.col("event_id") % 97 != 0)
+    changed = kept.withColumn(
+        "value",
+        F.when(F.col("event_id") % 89 == 0, F.col("value") + 1).otherwise(
+            F.col("value")
+        ),
+    )
+    added = events.filter(F.col("event_id") % 83 == 0).withColumn(
+        "event_id", F.col("event_id") + _ADD_OFFSET
+    )
+    return changed.unionByName(added)
+
+
+def table_diff(
+    v1: DataFrame, v2: DataFrame, key: str, compare_cols: list[str]
+) -> DataFrame:
+    """Per-key diff status between two table versions: full outer join
+    on ``key``, row-hash over ``compare_cols`` on each side, status in
+    {added, removed, changed, same}. One shuffle per side on the key
+    (co-partitioned), hashes computed map-side."""
+    def hashed(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            key, F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols])).alias(out)
+        )
+
+    a = hashed(v1, "h1")
+    b = hashed(v2, "h2")
+    return a.join(b, key, "full").select(
+        key,
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("same")
+        .alias("status"),
+    )
+
+
+@query(
+    "table_diff_reconcile",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT event_id,
+               CASE WHEN event_id % 89 = 0 THEN value + 1 ELSE value END AS value,
+               event_type
+        FROM events WHERE event_id % 97 <> 0
+        UNION ALL
+        SELECT event_id + {_ADD_OFFSET}, value, event_type
+        FROM events WHERE event_id % 83 = 0
+    ),
+    h1 AS (SELECT event_id, md5(CAST(value AS VARCHAR) || '|' || event_type) AS h FROM events),
+    h2 AS (SELECT event_id, md5(CAST(value AS VARCHAR) || '|' || event_type) AS h FROM v2)
+    SELECT CASE WHEN h1.h IS NULL THEN 'added'
+                WHEN h2.h IS NULL THEN 'removed'
+                WHEN h1.h <> h2.h THEN 'changed'
+                ELSE 'same' END AS status,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM h1 FULL OUTER JOIN h2 ON h1.event_id = h2.event_id
+    GROUP BY 1
+    """,
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation profile between events and a deterministically
+    perturbed second version: counts of added / removed / changed /
+    same keys from one co-partitioned full-outer join over row hashes.
+    All four statuses are populated by construction, so the query
+    proves every branch of the diff logic."""
+    events = load_table(spark, sf_dir, "events")
+    diff = table_diff(events, _v2(events), "event_id", ["value", "event_type"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_keys"))

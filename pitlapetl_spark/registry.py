@@ -54,6 +54,7 @@ _MODULES = (
     "pitlapetl_spark.operators.kmeans",
     "pitlapetl_spark.operators.funnel",
     "pitlapetl_spark.operators.entity_resolution",
+    "pitlapetl_spark.operators.reconcile",
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
@@ -155,6 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "resample_daily_grid",
     "sessionize_events",
     "window_share_of_total",
+    "table_diff_reconcile",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
