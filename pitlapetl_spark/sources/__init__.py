@@ -92,11 +92,14 @@ LINEITEM = T.StructType(
     ]
 )
 
-# events.ts is parquet TIMESTAMP(nanoseconds) which Spark's reader does
-# not map to TimestampType; it is read as raw nanos (LongType, with the
-# nanosAsLong legacy flag) and normalized to a microsecond timestamp in
-# load_table — exact integer division, matching DuckDB's ns->us
-# truncation so oracle comparisons agree.
+# events.ts arrives as parquet TIMESTAMP whose physical unit has
+# changed across testdata generations (nanoseconds in round 1, now
+# microseconds). load_table reads the parquet FOOTER's timeUnit (one
+# cheap pyarrow metadata call, no data scan) and picks the right read
+# path: micros map to TimestampType natively; nanos are read as raw
+# longs (legacy nanosAsLong flag) and normalized by exact integer
+# division, matching DuckDB's ns->us truncation so oracle comparisons
+# agree. EVENTS_RAW is the nanos-fallback schema.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -160,17 +163,43 @@ TABLES = tuple(SCHEMAS)
 STATIC_DIMS = ("region", "nation")
 
 
+def parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """Physical time unit ('us', 'ns', ...) of a parquet timestamp
+    column, from the file footer — metadata-only, no data scan. For a
+    directory source (Spark-written table, file-stream dir) the first
+    part file's footer is authoritative: one writer, one unit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return "us"
+        target = os.path.join(path, parts[0])
+    field = pq.ParquetFile(target).schema_arrow.field(column)
+    return getattr(field.type, "unit", "us")
+
+
+def _events_nanos_normalized(raw: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table with its declared schema."""
-    if name == "events":
-        from pyspark.sql import functions as F
-
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events" and parquet_ts_unit(path) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(EVENTS_RAW).parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-            "event_id", "ts", "user_id", "event_type", "value", "props"
-        )
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+        return _events_nanos_normalized(spark.read.schema(EVENTS_RAW).parquet(path))
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -27,22 +27,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sinks import merge_upsert_write
-from ..sources import EVENTS_RAW
+from ..sources import EVENTS, EVENTS_RAW, parquet_ts_unit
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-stream source over events parquet (same nanosecond-ts
-    normalization as the batch reader, sources/__init__.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW)
+    """File-stream source over events parquet (same footer-driven ts
+    unit handling as the batch reader, sources/__init__.py: micros map
+    to TimestampType directly; a nanos footer falls back to the raw
+    long read + exact div-1000 normalization)."""
+    nanos = parquet_ts_unit(path) == "ns"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW if nanos else EVENTS)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    if nanos:
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:

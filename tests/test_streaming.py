@@ -10,7 +10,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from pitlapetl_spark import registry
+from pitlapetl_spark import registry, sources
 from pitlapetl_spark.streaming import runtime
 from tests.conftest import SF_SMOKE
 
@@ -116,10 +116,7 @@ def test_stream_stream_join_matches_batch(spark, events_stream):
     )
     q.awaitTermination(120)
     got = spark.table("t_ssjoin")
-    batch_events = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    batch_events = sources.load_table(spark, SF_SMOKE, "events")
     # batch equivalent: same join body over the static frame
     clicks = batch_events.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
@@ -219,11 +216,9 @@ def test_foreachbatch_upsert_idempotent(spark, events_stream, events_dir):
         q.awaitTermination(120)
         final = spark.read.parquet(f"{tmp}/table")
         want = (
-            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            sources.load_table(spark, SF_SMOKE, "events")
             .groupBy(
-                F.window(
-                    F.timestamp_micros(F.expr("ts div 1000")), "1 day"
-                ).alias("w"),
+                F.window(F.col("ts"), "1 day").alias("w"),
                 "event_type",
             )
             .agg(F.count(F.lit(1)).alias("n_events"))
