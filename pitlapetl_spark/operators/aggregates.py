@@ -100,26 +100,58 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")
+@query(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS approx_parts_within_tol,
+           TRUE AS quantiles_ordered_in_range
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches — HyperLogLog++ distinct and approximate
-    quantiles. No oracle (approximation is engine-specific -> driver
-    records a rows-only check); at 100 TB these replace exact distincts
-    whenever a ±2% answer is acceptable, because they aggregate without
-    an expand and with constant memory.
+    quantiles. At 100 TB these replace exact distincts whenever a ±2%
+    answer is acceptable, because they aggregate without an expand and
+    with constant memory.
 
-    Every output column is SCALAR (one percentile_approx call per
-    quantile, not an array column) so the driver's pandas canonicalizer
-    can hash the frame — an array<double> column made r1's row ERR with
-    "unhashable type: 'list'". The three sketches share one aggregation
-    pass; Spark builds a single QuantileSummaries state per group and
-    queries it three times, so the scalar form costs nothing extra."""
+    Sketch estimates are engine-specific, so the raw estimates can't
+    hash-match a DuckDB oracle. Instead the query emits a DETERMINISTIC
+    contract both engines can agree on: the exact distinct count, plus
+    booleans asserting the HLL estimate lands within its configured
+    tolerance (rsd 0.02, checked at ±5%) and the quantile estimates are
+    ordered and inside the observed value range. The oracle computes
+    the same exact count and TRUE literals — any sketch drifting out of
+    tolerance flips a boolean and fails the hash compare. (r1 shipped
+    raw estimates with no oracle; r2's driver row recorded err:
+    no_oracle — this closes VERDICT.md r2 item 4.) The exact
+    countDistinct exists only to price the tolerance check; production
+    users at scale call the approx form alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price"),
-        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("approx_parts") - F.col("n_parts_exact"))
+            <= F.greatest(F.lit(3), 0.05 * F.col("n_parts_exact"))
+        ).alias("approx_parts_within_tol"),
+        (
+            (F.col("lo") <= F.col("p50"))
+            & (F.col("p50") <= F.col("p95"))
+            & (F.col("p95") <= F.col("p99"))
+            & (F.col("p99") <= F.col("hi"))
+        ).alias("quantiles_ordered_in_range"),
     )
 
 

@@ -64,88 +64,46 @@ _loaded = False
 
 # Driver-gate priority: the external correctness driver verifies queries
 # in the order ``all_queries()`` yields them and has a bounded budget
-# (round 1 stopped at exactly 50 entries). Names listed here are yielded
-# FIRST, in this order; everything else follows in registration order.
-# Round-2 policy (VERDICT.md "Next round" item 1): exactly 50 names —
-# the r1-unverified surface, every entry added or changed this round,
-# and the flagship; two locally-oracle-checked scalar breadth variants
-# (scalar_date_math, scalar_regex_suite) are demoted to make room, and
-# r1-verified unchanged queries follow in registration order.
+# (rounds 1-2 stopped at exactly 50 entries). Names listed here are
+# yielded FIRST, in this order; everything else follows in registration
+# order. Round-3 policy (VERDICT.md r2 "Next round" items 2-4): the 50
+# slots go to (a) every ts-casualty of the events-unit bug — the 6 red
+# r2 driver rows plus the r1-green queries that silently broke on the
+# regenerated data — so the footer fix is PROVEN by fresh driver rows;
+# (b) the 24 queries never driver-verified in r1/r2; (c)
+# agg_approx_sketches with its new deterministic tolerance oracle; (d)
+# the flagship; (e) remaining slots re-prove r1-verified events-table
+# queries on the current data generation. Everything green in r2 on the
+# regenerated data needs no fresh row and is demoted.
 _PRIORITY: tuple[str, ...] = (
-    # the 7 reference pipelines (plans/jobs.py)
-    "job_race_results",
-    "job_qualifying_results",
-    "job_practice_laps",
-    "job_schedule",
-    "job_driver_standings",
-    "job_constructor_standings",
-    # streaming batch-parity windows
+    # (a) red r2 driver rows — the ts-unit casualties, now fixed
     "stream_tumbling_counts",
     "stream_sliding_avg",
     "stream_session_windows",
-    # text analysis
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_tfidf_top_term",
-    "text_bigram_lm_score",
-    "text_fingerprint",
-    # training-data filtering gates (added round 2)
-    "text_gopher_rules",
-    "text_repetition_ratios",
-    "text_pii_scrub",
-    "pipeline_pretrain_filter",
-    # similarity search
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_label_centroid_knn",
-    # python UDF surface
-    "pandas_udf_normalize",
-    "apply_in_pandas_zscore",
-    # REST source + error tolerance
-    "rest_driver_standings",
-    "json_corrupt_quarantine",
-    # sinks
-    "sink_upsert_roundtrip",
-    # multimodal
-    "mm_binary_features",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    # red in r1 (array column), fixed this round
-    "agg_approx_sketches",
-    # implementations changed / added this round — need fresh rows
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard_capped",
-    # graph clustering
-    "dedup_cluster_components",
-    # stats breadth
-    "agg_percentiles",
-    "agg_stats_corr",
-    "agg_grouping_sets",
-    "scalar_array_ops",
-    "agg_salted_group_max",
-    # operator breadth
-    "join_right_outer",
-    "window_ntile_distribution",
-    "agg_collect_set_ordered",
-    "subquery_exists_semi",
-    "window_forward_fill",
-    "sample_hash_systematic",
-    "sample_stratified_topn",
     "rollup_hierarchy_day_from_hour",
-    # data quality
-    "dq_profile_lineitem",
-    "dq_constraint_checks",
-    # flagship stays inside the verified window
+    "window_forward_fill",
+    "sink_upsert_roundtrip",
+    # (a) r1-green queries broken by the regenerated data (local parity
+    # red in the r2 verdict; green again after the footer fix)
+    "asof_join_last_order",
+    "asof_join_tolerance",
+    "window_range_frame",
+    "agg_group_minmax_stats",
+    "sessionize_events",
+    "window_share_of_total",
+    "scd2_user_value_history",
+    "funnel_view_click_purchase",
+    "cohort_retention_matrix",
+    # (c) first-ever hard verification: deterministic tolerance oracle
+    "agg_approx_sketches",
+    # (d) flagship stays inside the verified window
     "flagship_top_value_per_user",
-    # --- positions 51+: verified only if the driver budget exceeds 50
-    # (new/changed this round, locally oracle-checked regardless)
+    # (b) never driver-verified in r1/r2 (the remaining 17 of the 24;
+    # 7 are already listed above as ts-casualties)
     "sim_topk_lsh_multiprobe",
     "join_range_binned",
     "incremental_mv_merge",
     "kmeans_lloyd_clusters",
-    "funnel_view_click_purchase",
-    "cohort_retention_matrix",
     "sample_weighted_mix",
     "agg_histogram_equi_width",
     "pandas_udaf_weighted_mean",
@@ -154,16 +112,50 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "fuzzy_match_blocking",
     "resample_daily_grid",
-    "sessionize_events",
-    "window_share_of_total",
     "table_diff_reconcile",
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
-    "scd2_user_value_history",
-    "asof_join_tolerance",
     "dedup_minhash_lsh",
-    "asof_join_last_order",
+    # (e) r1-verified events-table queries whose driver rows predate the
+    # data regeneration — re-proven on the current generation
+    "window_topk_per_group",
+    "window_lag_lead_gap",
+    "window_rolling_frame",
+    "window_running_total",
+    "join_theta_band",
+    "agg_pivot",
+    "join_left_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "setop_union_all_by_name",
+    "setop_intersect",
+    "setop_except_all",
+    "filter_notnull_derived",
+    "filter_isin_null_safe",
+    "json_map_explode",
+    "scalar_conditional_default",
+    # --- positions 51+: verified only if the driver budget exceeds 50
+    # (all r2-green on the current data, or locally oracle-checked)
+    "job_race_results",
+    "job_qualifying_results",
+    "job_practice_laps",
+    "job_schedule",
+    "job_driver_standings",
+    "job_constructor_standings",
+    "rest_driver_standings",
+    "json_corrupt_quarantine",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard_capped",
+    "dedup_cluster_components",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_label_centroid_knn",
+    "pandas_udf_normalize",
+    "apply_in_pandas_zscore",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_metadata_stats",
 )
 
 

@@ -25,34 +25,22 @@ def test_oracle_keys_subset_of_queries():
 
 def test_approx_sketches_scalar_and_within_tolerance(spark, sf_dir):
     """agg_approx_sketches must emit only scalar columns (r1's
-    array<double> column broke the driver canonicalizer) and its
-    sketches must land near the exact answers: HLL++ distinct within
-    its configured 2% rsd (x5 slack for small groups), quantiles
-    ordered and inside the observed value range."""
-    from pyspark.sql import functions as F
+    array<double> column broke the driver canonicalizer) and every
+    tolerance boolean must be TRUE — the same contract its DuckDB
+    oracle asserts via TRUE literals, so a sketch drifting out of
+    tolerance fails both this test and the driver's hash compare."""
+    import pyspark.sql.types as T
 
     from pitlapetl_spark import registry
 
     df = registry.all_queries()["agg_approx_sketches"](spark, sf_dir)
-    import pyspark.sql.types as T
-
     for f in df.schema.fields:
         assert not isinstance(
             f.dataType, (T.ArrayType, T.MapType, T.StructType)
         ), f"non-scalar column {f.name}: {f.dataType}"
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    exact = {
-        r["l_returnflag"]: r
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n"),
-            F.min("l_extendedprice").alias("lo"),
-            F.max("l_extendedprice").alias("hi"),
-        )
-        .collect()
-    }
-    for r in df.collect():
-        e = exact[r["l_returnflag"]]
-        assert abs(r["approx_parts"] - e["n"]) <= max(3, 0.10 * e["n"])
-        assert e["lo"] <= r["p50_price"] <= r["p95_price"] <= r["p99_price"] <= e["hi"]
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["approx_parts_within_tol"] is True, r
+        assert r["quantiles_ordered_in_range"] is True, r
