@@ -98,8 +98,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_approx_sketches",
     # (d) flagship stays inside the verified window
     "flagship_top_value_per_user",
-    # (b) never driver-verified in r1/r2 (the remaining 17 of the 24;
-    # 7 are already listed above as ts-casualties)
+    # (b) never driver-verified in r1/r2 (with the 6 ts-casualty
+    # never-verifieds above and the two demoted-in-r2 scalar suites
+    # below, all 24 sit inside the 50-row window)
     "sim_topk_lsh_multiprobe",
     "join_range_binned",
     "incremental_mv_merge",
@@ -116,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "contamination_eval_overlap",
     "pack_token_budget",
     "split_train_holdout",
+    "scalar_date_math",
+    "scalar_regex_suite",
     "dedup_minhash_lsh",
     # (e) r1-verified events-table queries whose driver rows predate the
     # data regeneration — re-proven on the current generation
@@ -131,8 +134,6 @@ _PRIORITY: tuple[str, ...] = (
     "setop_union_all_by_name",
     "setop_intersect",
     "setop_except_all",
-    "filter_notnull_derived",
-    "filter_isin_null_safe",
     "json_map_explode",
     "scalar_conditional_default",
     # --- positions 51+: verified only if the driver budget exceeds 50

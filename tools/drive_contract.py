@@ -1,6 +1,8 @@
 """Fresh-process driver emulation per .claude/skills/verify: smoke
-entry(), then every queries()[name] vs oracle_sql()[name] at sf0.01."""
-import sys, hashlib
+entry(), then every queries()[name] vs oracle_sql()[name] at sf0.01.
+Writes per-query results to PARITY_LOCAL.json — the artifact
+tools/gen_coverage.py folds into COVERAGE.md's generated status table."""
+import sys, hashlib, json
 sys.path.insert(0, "/root/repo")
 import duckdb
 import pandas as pd
@@ -42,13 +44,14 @@ def canon_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 qs, oracles = e.queries(), e.oracle_sql()
-fails = []
+fails, results = [], {}
 for name, fn in qs.items():
     sql = oracles.get(name)
     try:
         sdf = fn(spark, SF).toPandas()
         if sql is None:
             print(f"{name}: rows-only rows={len(sdf)}", flush=True)
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             continue
         odf = con.execute(sql).df()
         ok_rows = len(sdf) == len(odf)
@@ -57,10 +60,17 @@ for name, fn in qs.items():
         status = "OK" if (ok_rows and ok_cols and ok_hash) else f"FAIL rows={ok_rows} cols={ok_cols} hash={ok_hash} ({len(sdf)} vs {len(odf)})"
         if not (ok_rows and ok_cols and ok_hash):
             fails.append(name)
+        results[name] = {
+            "status": "ok" if (ok_rows and ok_cols and ok_hash) else "fail",
+            "spark_rows": len(sdf), "oracle_rows": len(odf),
+        }
         print(f"{name}: {status}", flush=True)
     except Exception as ex:
         fails.append(name)
+        results[name] = {"status": "err", "err": f"{type(ex).__name__}: {str(ex)[:200]}"}
         print(f"{name}: ERR {type(ex).__name__}: {str(ex)[:200]}", flush=True)
 
+with open("/root/repo/PARITY_LOCAL.json", "w") as f:
+    json.dump({"sf": SF, "results": results}, f, indent=1)
 print(f"\n{len(qs)} queries, {len(fails)} failing: {fails}")
 sys.exit(1 if fails else 0)
