@@ -80,3 +80,77 @@ def sink_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
+MERGE_DAYS = ("2024-01-10", "2024-01-25")
+
+
+@query(
+    "sink_merge_scoped_roundtrip",
+    oracle=f"""
+    WITH base AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        GROUP BY 1, 2
+    ),
+    upd AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(round(sum(value), 4) + 100.0, 4) AS sum_value
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') IN {MERGE_DAYS!r}
+          AND user_id % 3 = 0
+        GROUP BY 1, 2
+    )
+    SELECT day, user_id, n_events, sum_value FROM upd
+    UNION ALL
+    SELECT b.day, b.user_id, b.n_events, b.sum_value FROM base b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM upd u WHERE u.day = b.day AND u.user_id = b.user_id
+    )
+    """,
+)
+def sink_merge_scoped_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped row-level MERGE round-trip (SCALE.md "MERGE
+    story" tier 1): build a day-partitioned (day, user_id) aggregate
+    table, merge updates for a subset of users in one existing day and
+    one brand-new day, replay the merge (idempotency), and return the
+    final table state for the DuckDB hash gate. Only the touched day
+    partitions are read or rewritten — the O(touched-bytes) MERGE shape
+    a 100-TB table needs without Delta/Iceberg (byte-untouched proof
+    for other partitions in tests/test_sinks.py)."""
+    from ..sinks import merge_upsert_partition_scoped
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    base = agg(events.filter(F.col("ts") < "2024-01-20"))
+    updates = agg(
+        events.filter(
+            F.date_format("ts", "yyyy-MM-dd").isin(*MERGE_DAYS)
+            & (F.col("user_id") % 3 == 0)
+        )
+    ).withColumn("sum_value", F.round(F.col("sum_value") + 100.0, 4))
+
+    path = tempfile.mkdtemp(prefix="pitlap_merge_") + "/table"
+    try:
+        merge_upsert_partition_scoped(base, path, ["day", "user_id"], "day")
+        merge_upsert_partition_scoped(updates, path, ["day", "user_id"], "day")
+        # replay — partition-scoped MERGE must be idempotent
+        merge_upsert_partition_scoped(updates, path, ["day", "user_id"], "day")
+        final = spark.read.parquet(path).select(
+            "day", "user_id", "n_events", "sum_value"
+        )
+        # executor-side materialization before the temp dir is removed
+        # (same contract as sink_upsert_roundtrip above)
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)

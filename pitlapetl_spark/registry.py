@@ -83,6 +83,8 @@ _PRIORITY: tuple[str, ...] = (
     "rollup_hierarchy_day_from_hour",
     "window_forward_fill",
     "sink_upsert_roundtrip",
+    # new this round: partition-scoped MERGE (SCALE.md MERGE story)
+    "sink_merge_scoped_roundtrip",
     # (a) r1-green queries broken by the regenerated data (local parity
     # red in the r2 verdict; green again after the footer fix)
     "asof_join_last_order",
@@ -135,7 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "setop_intersect",
     "setop_except_all",
     "json_map_explode",
-    "scalar_conditional_default",
     # --- positions 51+: verified only if the driver budget exceeds 50
     # (all r2-green on the current data, or locally oracle-checked)
     "job_race_results",

@@ -102,6 +102,67 @@ def merge_upsert_write(updates: DataFrame, path: str, key_cols: list[str]) -> No
     staged_swap(merge_upsert(existing, updates, key_cols), path)
 
 
+def merge_upsert_partition_scoped(
+    updates: DataFrame, path: str, key_cols: list[str], part_col: str
+) -> list:
+    """Row-level MERGE against a hive-partitioned table that reads and
+    rewrites ONLY the partitions ``updates`` touches — the 100-TB MERGE
+    shape without a table format (SCALE.md "MERGE story").
+
+    ``merge_upsert_write`` rewrites the whole table per merge: correct,
+    but O(table) I/O per call. Here the merge cost is O(touched
+    partitions): the distinct ``part_col`` values of ``updates`` are
+    collected driver-side (bounded by partitions-touched-per-batch, the
+    same listing bound a Delta commit carries), the anti-join reads the
+    table pruned to exactly those directory partitions, and the merged
+    result is staged then swapped in per-partition by rename. Old
+    partition data is moved OUTSIDE the table root during the swap so a
+    concurrent reader never sees a phantom ``<v>__old`` partition
+    value. Constraints (standard hive-partition MERGE): ``part_col``
+    values must be non-null filesystem-safe scalars, and a row's
+    partition value must be immutable (a key changing partitions is an
+    insert in the new one, not a delete from the old — same as every
+    partition-scoped MERGE emulation). Single-writer, like every sink
+    here. Returns the list of partition values rewritten."""
+    spark = updates.sparkSession
+    vals = sorted(r[0] for r in updates.select(part_col).distinct().collect())
+    assert all(v is not None for v in vals), "part_col must be non-null"
+    if not os.path.exists(path):
+        updates.write.partitionBy(part_col).parquet(path)
+        return vals
+    part_strs = [str(v) for v in vals]
+    # filter on the NATIVE partition column (directory pruning), then
+    # realign column types to the updates schema — hive partition-type
+    # inference may read the partition column back as a different type
+    scoped = (
+        spark.read.parquet(path)
+        .filter(F.col(part_col).isin(vals))
+        .select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in updates.schema.fields]
+        )
+    )
+    merged = merge_upsert(scoped, updates, key_cols)
+    token = uuid.uuid4().hex[:8]
+    stage = f"{path}__mergestage_{token}"
+    trash = f"{path}__mergeold_{token}"
+    os.makedirs(trash)
+    merged.write.partitionBy(part_col).parquet(stage)
+    try:
+        for v in part_strs:
+            sub = f"{part_col}={v}"
+            src = os.path.join(stage, sub)
+            dst = os.path.join(path, sub)
+            if not os.path.exists(src):
+                continue
+            if os.path.exists(dst):
+                os.rename(dst, os.path.join(trash, sub))
+            os.rename(src, dst)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+    return vals
+
+
 def compact(spark: SparkSession, path: str, target_files: int) -> int:
     """Small-files compaction: rewrite a parquet table into
     ``target_files`` files (staged via a temp suffix, then swapped by

@@ -114,3 +114,83 @@ def test_merge_upsert_write_roundtrip(spark):
     )
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}
+
+
+def test_merge_partition_scoped_rewrites_only_touched(spark):
+    """The 100-TB MERGE shape: a merge touching one day must leave
+    every other day's data files byte-untouched on disk (proven by
+    inode mtime), produce the same result a full-table merge would,
+    and be idempotent on replay."""
+    import glob
+    import os
+
+    from pitlapetl_spark.sinks import merge_upsert_partition_scoped
+
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    base = spark.createDataFrame(
+        [
+            ("d1", 1, 10.0), ("d1", 2, 20.0),
+            ("d2", 3, 30.0), ("d2", 4, 40.0),
+            ("d3", 5, 50.0),
+        ],
+        "day string, k int, v double",
+    )
+    merge_upsert_partition_scoped(base, path, ["k"], "day")
+
+    untouched_before = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/day=d2/*.parquet")
+        + glob.glob(f"{path}/day=d3/*.parquet")
+    }
+    assert untouched_before
+
+    updates = spark.createDataFrame(
+        [("d1", 2, 99.0), ("d1", 6, 60.0)], "day string, k int, v double"
+    )
+    touched = merge_upsert_partition_scoped(updates, path, ["k"], "day")
+    assert touched == ["d1"]
+
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("d1", 10.0), 2: ("d1", 99.0), 6: ("d1", 60.0),
+        3: ("d2", 30.0), 4: ("d2", 40.0), 5: ("d3", 50.0),
+    }
+    untouched_after = {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(f"{path}/day=d2/*.parquet")
+        + glob.glob(f"{path}/day=d3/*.parquet")
+    }
+    assert untouched_after == untouched_before, "untouched partitions were rewritten"
+
+    # replaying the same merge is a no-op on content
+    merge_upsert_partition_scoped(updates, path, ["k"], "day")
+    assert {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()} == got
+    # no stage/trash residue next to the table
+    assert not glob.glob(f"{path}__merge*")
+
+
+def test_merge_partition_scoped_prunes_scan(spark):
+    """The anti-join side must PRUNE untouched partitions at the scan:
+    the executed plan's parquet scan reads only the touched directory
+    (PartitionFilters), not the whole table."""
+    from pitlapetl_spark.sinks import merge_upsert
+
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    spark.createDataFrame(
+        [("d1", 1, 10.0), ("d2", 2, 20.0), ("d3", 3, 30.0)],
+        "day string, k int, v double",
+    ).write.partitionBy("day").parquet(path)
+    updates = spark.createDataFrame([("d1", 1, 99.0)], "day string, k int, v double")
+    scoped = (
+        spark.read.parquet(path)
+        .filter(F.col("day").isin(["d1"]))
+        .select("day", "k", "v")
+    )
+    plan = (
+        merge_upsert(scoped, updates, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "day#" in plan.split("PartitionFilters: [", 1)[1][:200]
