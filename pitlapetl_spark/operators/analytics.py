@@ -1,0 +1,178 @@
+"""Classic warehouse analytics over the star schema — the TPC-H-shaped
+multi-join aggregations (Q3/Q5/Q10 adapted to the columns the synthetic
+schema carries). The reference's join surface stops at two-table
+lookup joins (SURVEY.md §2.5, practicedag.py:63-87); a user replacing
+it with this engine gets the full dim-and-fact join patterns a real
+warehouse runs daily, so these are registered as first-class queries.
+
+Plan shapes (the reason each exists):
+
+- **shipping priority (Q3)**: selective dim filter (market segment) →
+  fact-fact equi-join → grouped revenue → global top-k. The top-k is
+  orderBy+limit, which Spark executes as TakeOrderedAndProject —
+  per-partition heaps then a driver merge of K rows, never a global
+  sort (the distributed top-k contract from operators/relational.py).
+- **local supplier volume (Q5)**: the 6-table join. region/nation are
+  broadcast (STATIC_DIMS); customer/orders/lineitem/supplier shuffle
+  on their join keys with AQE free to reorder; the c_nationkey =
+  s_nationkey constraint turns the join into a cycle that Catalyst
+  plans as a chain + final filter.
+- **returned items (Q10)**: fact filter (returnflag) pushed to the
+  scan, three joins, high-cardinality group (customer grain), top-20.
+
+Determinism: revenue sums are decimal-cast before summing (order
+independent, `dsum`), ties at every top-k boundary broken by unique
+keys on BOTH engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from .aggregates import dsum
+
+REV_DEC = "decimal(18,4)"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_ORACLE_REV = "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {_ORACLE_REV} AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate ASC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted (o_orderpriority stands in for the absent
+    o_shippriority): unshipped-revenue top-10 by order."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(dsum(_revenue(), "revenue", REV_DEC))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {_ORACLE_REV} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from lineitems where the supplier and the
+    ordering customer share a nation, per ASIA nation, for one year."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(_revenue(), "revenue", REV_DEC))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey,
+           c.c_name AS name,
+           {_ORACLE_REV} AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in one
+    quarter — returnflag pushed to the lineitem scan, customer-grain
+    aggregate, distributed top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(dsum(_revenue(), "revenue", REV_DEC))
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )

@@ -146,8 +146,13 @@ def sink_merge_scoped_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_upsert_partition_scoped(updates, path, ["day", "user_id"], "day")
         # replay — partition-scoped MERGE must be idempotent
         merge_upsert_partition_scoped(updates, path, ["day", "user_id"], "day")
+        # hive partition-type inference reads the day dirs back as
+        # DateType; the table contract (and the oracle) is string
         final = spark.read.parquet(path).select(
-            "day", "user_id", "n_events", "sum_value"
+            F.col("day").cast("string").alias("day"),
+            "user_id",
+            "n_events",
+            "sum_value",
         )
         # executor-side materialization before the temp dir is removed
         # (same contract as sink_upsert_roundtrip above)

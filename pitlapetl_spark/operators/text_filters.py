@@ -361,3 +361,121 @@ def pretrain_filter_observed(spark: SparkSession, sf_dir: str):
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )
     return observed.filter(F.col("keep")), obs
+
+
+# ------------------------------------------------- boilerplate lines
+
+# C4/RefinedWeb-style boilerplate-line removal: a "line" repeated
+# across many documents (nav bars, cookie banners, footers) is site
+# boilerplate, not content — drop every line whose document frequency
+# crosses a threshold, keep the per-doc remainder in order. The
+# synthetic corpus has no newlines, so lines are deterministic
+# 10-word chunks, and a 10-word per-source header is planted on every
+# page (the same simulated-structure device dedup_exact uses for its
+# re-crawl) so real boilerplate exists to remove.
+LINE_WORDS = 10
+BOILER_MIN_DF = 10
+_HEADER9 = "nav menu home about contact copyright terms privacy follow"
+
+
+@query(
+    "text_boilerplate_lines",
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id,
+               string_split('{_HEADER9} ' || source || ' ' || text, ' ') AS words
+        FROM documents
+    ),
+    la AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, ((len(words) - 1) // {LINE_WORDS}) + 1),
+                   i -> array_to_string(
+                       words[i*{LINE_WORDS}+1 : i*{LINE_WORDS}+{LINE_WORDS}], ' ')
+               ) AS lines
+        FROM pages
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(range(0, len(lines))) AS line_no,
+               unnest(lines) AS line
+        FROM la
+    ),
+    boiler AS (
+        SELECT line FROM lines
+        GROUP BY line HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}
+    ),
+    kept AS (
+        SELECT l.doc_id, l.line_no, l.line FROM lines l
+        WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               string_agg(line, ' ' ORDER BY line_no) AS cleaned,
+               CAST(count(*) AS BIGINT) AS n_kept_lines
+        FROM kept GROUP BY doc_id
+    ),
+    total AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_lines,
+           CAST(coalesce(c.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+           CAST(t.n_lines - coalesce(c.n_kept_lines, 0) AS BIGINT) AS n_removed,
+           md5(coalesce(c.cleaned, '')) AS cleaned_fp
+    FROM total t LEFT JOIN cleaned c USING (doc_id)
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line removal (C4 §2.2's "lines
+    repeated across pages" rule; /root/reference has no equivalent —
+    this is north-star LLM-pipeline surface).
+
+    Plan shape at 100 TB: line construction is a NARROW projection
+    (sequence+slice inside codegen — no explode-then-group round trip
+    to assemble lines); then (1) one map-side-combinable agg on the
+    line string for document frequency, (2) an anti-join of lines
+    against the boilerplate set keyed on the line string — uniformly
+    distributed, AQE-splittable if a mega-line skews it, (3) one
+    groupBy doc_id to reassemble cleaned text in line order. Three
+    bounded shuffles, no driver paths, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines_arr = F.expr(
+        f"transform(sequence(0, (size(words)-1) div {LINE_WORDS}), "
+        f"i -> array_join(slice(words, i*{LINE_WORDS}+1, {LINE_WORDS}), ' '))"
+    )
+    lines = (
+        docs.select(
+            "doc_id",
+            F.split(
+                F.concat(
+                    F.lit(_HEADER9 + " "), F.col("source"), F.lit(" "), F.col("text")
+                ),
+                " ",
+            ).alias("words"),
+        )
+        .select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= BOILER_MIN_DF)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(line_no, line))),"
+            " s -> s.line), ' ')"
+        ).alias("cleaned"),
+        F.count(F.lit(1)).alias("n_kept_lines"),
+    )
+    total = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return total.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+        (F.col("n_lines") - F.coalesce("n_kept_lines", F.lit(0))).alias("n_removed"),
+        F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_fp"),
+    )

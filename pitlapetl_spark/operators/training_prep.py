@@ -188,3 +188,60 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ------------------------------------------------- epoch shuffle
+
+SHUFFLE_SEED = "epoch-0"  # new epoch = new seed string = new permutation
+SHUFFLE_SHARDS = 8
+
+
+@query(
+    "shuffle_epoch_shards",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS rank_hash
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(rank_hash, 1, 4)) AS INTEGER)
+                % {SHUFFLE_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY CAST(('0x' || substr(rank_hash, 1, 4)) AS INTEGER)
+                   % {SHUFFLE_SHARDS}
+               ORDER BY rank_hash, doc_id
+           ) AS BIGINT) AS shard_pos
+    FROM ranked
+    """,
+)
+def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training-data loading: every
+    document gets a (shard, shard_pos) slot that is a pure function of
+    (seed, doc_id) — no RNG state, so the permutation is reproducible
+    across engines, re-runs, and repartitioning, and a new epoch is
+    just a new seed string. This is the global-shuffle a dataloader
+    needs without ever materializing a global ordering.
+
+    100-TB shape: the rank hash is a narrow projection; shard
+    assignment is a uniform hash bucket (no skew by construction);
+    shard_pos is a window partitioned ON THE SHARD — each shard is one
+    distributed sort of n/SHUFFLE_SHARDS rows, the documented
+    cardinality contract (size SHUFFLE_SHARDS so a shard fits an
+    executor's sort spill budget; real deployments use thousands).
+    There is NO unpartitioned window and no driver-side pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))).alias(
+            "rank_hash"
+        ),
+    )
+    bucket = F.conv(F.substring("rank_hash", 1, 4), 16, 10).cast("long") % SHUFFLE_SHARDS
+    shard = bucket.alias("shard")
+    w = Window.partitionBy(bucket).orderBy("rank_hash", "doc_id")
+    return ranked.select(
+        "doc_id",
+        shard.cast("int").alias("shard"),
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )

@@ -295,3 +295,88 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+# ------------------------------------------------- interval merge
+
+IVAL_BASE_MIN = 1  # event activity lasts 1 + (event_id % 59) minutes
+
+
+@query(
+    "interval_merge_activity",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id, ts AS s,
+               ts + INTERVAL 1 MINUTE * ({IVAL_BASE_MIN} + event_id % 59) AS e
+        FROM events
+    ),
+    x AS (
+        SELECT user_id, event_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_e
+        FROM iv
+    ),
+    y AS (
+        SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                       THEN 1 ELSE 0 END AS new_island
+        FROM x
+    ),
+    z AS (
+        SELECT *, sum(new_island) OVER (PARTITION BY user_id
+                                        ORDER BY s, e, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS island
+        FROM y
+    )
+    SELECT user_id,
+           min(s) AS interval_start,
+           max(e) AS interval_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM z
+    GROUP BY user_id, island
+    """,
+)
+def interval_merge_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval union (gaps-and-islands): each event opens
+    an activity interval of VARYING length (1 + event_id % 59 minutes);
+    intervals of one user that overlap or touch are merged into
+    maximal busy periods. Differs from ``sessionize_events``: that
+    chains on gap-since-last-START, this on gap-past-max-END — with
+    varying durations a long interval can swallow later short ones, a
+    case start-gap sessionization splits incorrectly.
+
+    Shape: running max(end) over (user ORDER BY start) flags island
+    starts; a cumulative sum numbers them; one groupBy collapses each
+    island. Two stacked windows on the SAME (user_id, ts) spec — one
+    sort, one shuffle — then an agg keyed on (user, island): the exact
+    sessionize plan, so the same per-user cardinality contract
+    (windows.py:227) holds at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + F.make_interval(mins=F.lit(IVAL_BASE_MIN) + F.col("event_id") % 59)
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    x = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    y = x.withColumn(
+        "new_island",
+        F.when(F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1)
+        .otherwise(0),
+    )
+    z = y.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return z.groupBy("user_id", "island").agg(
+        F.min("s").alias("interval_start"),
+        F.max("e").alias("interval_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "interval_start", "interval_end", "n_events")

@@ -84,6 +84,16 @@ def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join (§2.12): each micro-batch of the
+    stream left-joins a STATIC dimension — no watermark, no state, the
+    dim is re-resolved per batch (so a dim refresh between batches is
+    picked up). The dim is broadcast: at 100 TB of stream the
+    enrichment stays shuffle-free; a dim too big to broadcast should
+    be pre-bucketed on the join key instead (SCALE.md)."""
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
 def stream_stream_click_purchase_join(
     events: DataFrame, max_gap: str = "6 hours", watermark: str = "1 day"
 ) -> DataFrame:

@@ -106,6 +106,26 @@ def test_stateful_user_totals_matches_batch(spark, events_stream):
     assert _rows(got, *cols) == _rows(want, *cols)
 
 
+def test_stream_static_enrich_matches_batch(spark, events_stream):
+    """Stream-static broadcast enrichment must equal the same join in
+    batch: every event row enriched with the static per-user dim."""
+    batch_events = sources.load_table(spark, SF_SMOKE, "events")
+    user_dim = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("hist_events"),
+        F.round(F.sum("value"), 4).alias("hist_value"),
+    )
+    q = runtime.run_to_memory(
+        runtime.stream_static_enrich(events_stream, user_dim),
+        "t_enrich",
+        output_mode="append",
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_enrich")
+    want = batch_events.join(F.broadcast(user_dim), "user_id", "left")
+    cols = ["event_id", "user_id", "hist_events", "hist_value"]
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
 def test_stream_stream_join_matches_batch(spark, events_stream):
     """Stream-stream purchase<-click attribution join equals the same
     join run in batch over the full table."""
