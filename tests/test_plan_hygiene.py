@@ -206,3 +206,51 @@ def test_salted_join_spreads_key_over_salt(spark):
     plan = _plan(Q["join_salted_skew"](spark, SF_SMOKE))
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "salt" in plan.split("Join")[1][:200], plan
+
+
+def test_q5_broadcasts_static_dims_no_cartesian(spark):
+    """The 6-table Q5 join: nation/region must broadcast; no
+    BroadcastNestedLoopJoin / CartesianProduct may appear anywhere —
+    the c_nationkey = s_nationkey cycle must resolve as equi-join
+    conditions, not a filter over a cross product."""
+    plan = _plan(Q["q5_local_supplier_volume"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q3_topk_never_global_sorts(spark):
+    """Q3's ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition heaps, driver merge of K) — a global Sort before
+    the limit would shuffle the whole aggregate at 100 TB."""
+    plan = _plan(Q["q3_shipping_priority"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q10_pushes_returnflag_to_scan(spark):
+    plan = _plan(Q["q10_returned_items"](spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters: [", 1)[1]
+    assert "l_returnflag" in pushed.split("]", 1)[0] or "EqualTo(l_returnflag,R)" in pushed
+
+
+def test_boilerplate_lines_no_nested_loop(spark):
+    """Line-vs-boilerplate matching must be an equi-(anti-)join on the
+    line string, never a nested-loop scan of the boilerplate set."""
+    plan = _plan(Q["text_boilerplate_lines"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_epoch_shuffle_window_is_sharded(spark):
+    """shard_pos must come from a window PARTITIONED on the shard
+    bucket — an unpartitioned global row_number would serialize the
+    whole corpus through one task."""
+    plan = _plan(Q["shuffle_epoch_shards"](spark, SF_SMOKE))
+    win = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert win, plan
+    # windowspecdefinition(partition..., sort..., frame): its first
+    # argument list is the partition spec — an unpartitioned window
+    # renders windowspecdefinition(<sort> ASC ...) with no partition
+    # column before the sort expressions, and the operator's trailing
+    # partition list renders as [], [sorts]
+    assert "], [], [" not in win[0], f"unpartitioned window: {win[0]}"
