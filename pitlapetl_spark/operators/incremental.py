@@ -91,3 +91,82 @@ def incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_value", 4).alias("max_value"),
         F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
     )
+
+
+# ------------------------------------------------- sketch-state MV
+
+SKETCH_TOL = 0.05  # HLL estimate accepted within ±5% of exact
+
+
+@query(
+    "sketch_mv_union",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_within_tol,
+           TRUE AS kll_p50_in_range
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_mv_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch MV: the NON-algebraic aggregates an incremental
+    MV cannot keep as sums (distinct counts, quantiles) kept as
+    DataSketches state instead. Daily pages each hold an HLL sketch of
+    distinct users and a KLL sketch of values; the month-level answer
+    is a UNION of the daily sketches — no rescan of raw events, the
+    exact discipline `incremental_mv_merge` applies to algebraic state
+    extended to the sketchable aggregates. At 100 TB this is the only
+    way a distinct-users-per-anything rollup stays incremental: page
+    sketches are O(k) bytes, union is associative/commutative, and a
+    late partition just unions one more page.
+
+    Verification contract (same device as agg_approx_sketches): sketch
+    estimates are engine-specific, so the query emits the exact answer
+    plus booleans pinning each estimate inside tolerance — the DuckDB
+    oracle computes the exact side and TRUE literals; a drifting sketch
+    flips a boolean and fails the hash gate. The exact aggregates here
+    exist only to price the tolerance check."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    # the MV: one sketch page per (event_type, day) — what a real
+    # pipeline would PERSIST per load
+    pages = events.groupBy("event_type", day).agg(
+        F.hll_sketch_agg("user_id").alias("hll_users"),
+        F.kll_sketch_agg_double("value").alias("kll_value"),
+    )
+    # the query: union pages up to the coarser grain; raw events never
+    # re-read (per-type estimate + merged p50 from sketch state alone)
+    # HLL has a union AGGREGATE; KLL's merge is a binary scalar, so the
+    # bounded per-group page list (≤ days-per-rollup) folds via the
+    # higher-order aggregate — still sketch-state-only, never raw rows
+    merged = pages.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_users")).alias("approx_users"),
+        F.collect_list("kll_value").alias("kll_pages"),
+    ).select(
+        "event_type",
+        "approx_users",
+        F.kll_sketch_get_quantile_double(
+            F.expr(
+                "aggregate(slice(kll_pages, 2, size(kll_pages) - 1), "
+                "kll_pages[0], (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ),
+            F.lit(0.5),
+        ).alias("p50_value"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users_exact"))
+            <= F.greatest(F.lit(3), SKETCH_TOL * F.col("n_users_exact"))
+        ).alias("hll_within_tol"),
+        (
+            (F.col("p50_value") >= F.col("lo")) & (F.col("p50_value") <= F.col("hi"))
+        ).alias("kll_p50_in_range"),
+    )

@@ -380,3 +380,75 @@ def interval_merge_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("interval_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).select("user_id", "interval_start", "interval_end", "n_events")
+
+
+# ------------------------------------------------- rolling anomaly
+
+ZSCORE_WINDOW_DAYS = 7
+ZSCORE_THRESHOLD = 2.0
+
+
+@query(
+    "anomaly_rolling_zscore",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               round(sum(value), 4) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day, day_value,
+               avg(day_value) OVER w AS roll_mean,
+               stddev_samp(day_value) OVER w AS roll_std
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN {ZSCORE_WINDOW_DAYS - 1} PRECEDING
+                     AND 1 PRECEDING)
+    )
+    SELECT event_type, day, day_value,
+           round(roll_mean, 6) AS roll_mean,
+           round(coalesce(roll_std, 0.0), 6) AS roll_std,
+           coalesce(roll_std, 0.0) > 0 AND
+               abs(day_value - roll_mean) > {ZSCORE_THRESHOLD} * roll_std
+               AS is_anomaly
+    FROM scored
+    """,
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag on the daily rollup: each day's
+    value scored against the TRAILING window (6 prior days, current
+    day excluded — scoring a point against a window containing itself
+    dilutes the signal). Window sits on the aggregated (type, day)
+    grain — bounded rows per partition regardless of raw volume, the
+    standard pre-aggregate-then-window discipline (share-of-total,
+    windows.py:272). First days have no baseline: roll_std coalesces
+    to 0 and the flag is false, never null."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(ZSCORE_WINDOW_DAYS - 1), -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "day_value",
+        F.avg("day_value").over(w).alias("m"),
+        F.stddev_samp("day_value").over(w).alias("s"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "day_value",
+        F.round("m", 6).alias("roll_mean"),
+        F.round(F.coalesce("s", F.lit(0.0)), 6).alias("roll_std"),
+        (
+            (F.coalesce("s", F.lit(0.0)) > 0)
+            & (F.abs(F.col("day_value") - F.col("m")) > ZSCORE_THRESHOLD * F.col("s"))
+        ).alias("is_anomaly"),
+    )

@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "q5_local_supplier_volume",
     "q10_returned_items",
     "interval_merge_activity",
+    "sketch_mv_union",
+    "anomaly_rolling_zscore",
     # (a) r1-green queries broken by the regenerated data (local parity
     # red in the r2 verdict; green again after the footer fix)
     "asof_join_last_order",
@@ -138,8 +140,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_rolling_frame",
     "window_running_total",
     "join_theta_band",
-    "agg_pivot",
-    "join_left_outer",
     # --- positions 51+: verified only if the driver budget exceeds 50
     # (all r2-green on the current data, or locally oracle-checked)
     "job_race_results",
