@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -127,4 +127,77 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("events_value_not_null", nn),
         ],
         "check_name STRING, n_violations BIGINT",
+    )
+
+
+# ------------------------------------------------- skew profiling
+
+SKEW_TOP_K = 5
+
+
+@query(
+    "dq_skew_profile",
+    oracle=f"""
+    WITH freq AS (
+        SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_n
+        FROM freq
+    ),
+    top AS (
+        SELECT key, n,
+               CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT)
+                   AS rnk
+        FROM freq
+        ORDER BY n DESC, key ASC LIMIT {SKEW_TOP_K}
+    )
+    SELECT t.rnk, t.key, t.n,
+           round(t.n * 1.0 * s.n_keys / s.n_rows, 6) AS skew_factor
+    FROM top t CROSS JOIN stats s
+    """,
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnosis: the top-K heaviest keys of a
+    prospective shuffle key with each key's skew factor (its row count
+    over the uniform share n_rows/n_keys). skew_factor >> 1 on a
+    planned join key is the signal to reach for the salted join
+    (operators/joins.py join_salted_skew) or rely on AQE skew-join
+    splitting — this operator is the measurement that justifies either.
+
+    Shape: one map-side-combinable frequency aggregate; the global
+    stats reduce to ONE row that broadcasts back over the
+    TakeOrderedAndProject top-K — at 100 TB the only full-data pass is
+    the frequency count itself."""
+    orders = load_table(spark, sf_dir, "orders")
+    freq = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_n"),
+    )
+    top = (
+        freq.orderBy(F.desc("n"), F.asc("key"))
+        .limit(SKEW_TOP_K)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                # K rows only — the unpartitioned window is bounded by
+                # SKEW_TOP_K, never by data volume
+                Window.orderBy(F.desc("n"), F.asc("key"))
+            ).cast("long"),
+        )
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rnk",
+        "key",
+        "n",
+        F.round(F.col("n") * F.col("n_keys") / F.col("n_rows"), 6).alias(
+            "skew_factor"
+        ),
     )

@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "interval_merge_activity",
     "sketch_mv_union",
     "anomaly_rolling_zscore",
+    "dq_skew_profile",
     # (a) r1-green queries broken by the regenerated data (local parity
     # red in the r2 verdict; green again after the footer fix)
     "asof_join_last_order",
@@ -139,7 +140,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_lead_gap",
     "window_rolling_frame",
     "window_running_total",
-    "join_theta_band",
     # --- positions 51+: verified only if the driver budget exceeds 50
     # (all r2-green on the current data, or locally oracle-checked)
     "job_race_results",

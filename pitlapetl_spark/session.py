@@ -48,6 +48,11 @@ def get_spark(
         # aggregates answer from metadata without scanning row groups
         # (exact — footer stats, not estimates)
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # write TIMESTAMP_MICROS, not the legacy INT96 default: INT96
+        # carries no footer min/max statistics, so every time-ranged
+        # scan over tables THIS engine wrote would lose row-group and
+        # file pruning (caught by test_write_sized_files_caps_and_ranges)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

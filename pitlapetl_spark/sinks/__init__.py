@@ -189,3 +189,33 @@ def read_or_none(spark: SparkSession, path: str, schema=None) -> DataFrame | Non
         return df
     except Exception:
         return None
+
+
+def write_sized_files(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    max_records_per_file: int,
+    num_ranges: int | None = None,
+) -> None:
+    """File-size governance for scan-friendly tables: range-partition
+    on the sort key (each output file then covers a tight, mostly
+    disjoint min/max range — the footer stats a reader prunes on),
+    sort within partitions, and cap records per file. At 100 TB this
+    is the knob pair that keeps files in the 128 MB-1 GB sweet spot:
+    too-small files poison listing/open cost (see ``compact``),
+    too-big files serialize row-group reads; ``maxRecordsPerFile``
+    splits oversized partitions at write time without another
+    shuffle. Complements Z-order (sinks/layout.py) which trades
+    single-key locality for multi-key locality."""
+    parted = (
+        df.repartitionByRange(num_ranges, *sort_cols)
+        if num_ranges is not None
+        else df.repartitionByRange(*sort_cols)
+    )
+    (
+        parted.sortWithinPartitions(*sort_cols)
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -59,3 +59,36 @@ def test_compaction_reduces_file_count(spark, events):
         assert _rows(spark.read.parquet(path)) == before
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_write_sized_files_caps_and_ranges(spark, events):
+    """write_sized_files must (a) cap rows per file, (b) produce files
+    whose ts min/max footer ranges are mostly disjoint — the property
+    a range-pruning scan depends on."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pitlapetl_spark.sinks import write_sized_files
+
+    path = tempfile.mkdtemp(prefix="pitlap_sized_") + "/t"
+    write_sized_files(events, path, ["ts"], max_records_per_file=1000, num_ranges=4)
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 4
+    spans = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        assert pf.metadata.num_rows <= 1000, f
+        ts_idx = pf.schema_arrow.names.index("ts")
+        stats = [
+            pf.metadata.row_group(i).column(ts_idx).statistics
+            for i in range(pf.metadata.num_row_groups)
+        ]
+        spans.append((min(s.min for s in stats), max(s.max for s in stats)))
+    # range partitioning => sorted by file range, overlaps only at
+    # boundaries (range exchange sampling is approximate)
+    spans.sort()
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlaps <= len(spans) // 4, spans
