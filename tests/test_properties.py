@@ -183,3 +183,119 @@ def test_morton_interleave_roundtrip(spark, a, b):
         want |= ((a >> i) & 1) << (2 * i)
         want |= ((b >> i) & 1) << (2 * i + 1)
     assert got == want
+
+
+def test_epoch_shuffle_is_a_permutation(spark, sf_dir):
+    """The epoch shuffle must be a bijection: every doc appears exactly
+    once, shard_pos is dense 1..n within each shard, and a different
+    seed yields a different ordering while remaining a bijection."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark import registry
+    from pitlapetl_spark.operators import training_prep as tp
+
+    df = registry.QUERIES["shuffle_epoch_shards"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert df.count() == n
+    assert df.select("doc_id").distinct().count() == n
+    dense = df.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("shard_pos").alias("mx"),
+        F.min("shard_pos").alias("mn"),
+        F.countDistinct("shard_pos").alias("nd"),
+    )
+    for r in dense.collect():
+        assert (r.mn, r.mx, r.nd) == (1, r.cnt, r.cnt), r
+
+    # new seed => new permutation (overwhelmingly), still a bijection
+    old = tp.SHUFFLE_SEED
+    try:
+        tp.SHUFFLE_SEED = "epoch-1"
+        df2 = registry.QUERIES["shuffle_epoch_shards"](spark, sf_dir)
+        assert df2.select("doc_id").distinct().count() == n
+        joined = df.alias("a").join(df2.alias("b"), "doc_id")
+        moved = joined.filter(
+            (F.col("a.shard") != F.col("b.shard"))
+            | (F.col("a.shard_pos") != F.col("b.shard_pos"))
+        ).count()
+        assert moved > n // 2, f"only {moved}/{n} docs moved between epochs"
+    finally:
+        tp.SHUFFLE_SEED = old
+
+
+def test_interval_merge_islands_are_disjoint_and_cover(spark, sf_dir):
+    """Merged intervals of one user must be pairwise disjoint (no
+    overlap, no touching — touching would have merged) and must cover
+    every source event's interval."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark import registry
+    from pitlapetl_spark.operators.windows import IVAL_BASE_MIN
+
+    islands = registry.QUERIES["interval_merge_activity"](spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("interval_start")
+    gaps = islands.select(
+        "user_id",
+        (F.col("interval_start") > F.lag("interval_end").over(w)).alias("ok"),
+    ).filter(F.col("ok").isNotNull())
+    assert gaps.filter(~F.col("ok")).count() == 0
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = events.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (
+            F.col("ts")
+            + F.make_interval(mins=F.lit(IVAL_BASE_MIN) + F.col("event_id") % 59)
+        ).alias("e"),
+    )
+    uncovered = iv.join(
+        islands,
+        (iv.user_id == islands.user_id)
+        & (iv.s >= islands.interval_start)
+        & (iv.e <= islands.interval_end),
+        "left_anti",
+    )
+    assert uncovered.count() == 0
+
+
+def test_boilerplate_removal_is_idempotent_on_content(spark, sf_dir):
+    """Removing boilerplate lines twice changes nothing: the kept
+    lines' DF can only DROP below threshold after removal, never rise,
+    so a second pass finds no new boilerplate. Modeled directly: no
+    kept line may reach the DF threshold among kept lines."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.operators.text_filters import (
+        BOILER_MIN_DF,
+        LINE_WORDS,
+        _HEADER9,
+    )
+    from pitlapetl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines_arr = F.expr(
+        f"transform(sequence(0, (size(words)-1) div {LINE_WORDS}), "
+        f"i -> array_join(slice(words, i*{LINE_WORDS}+1, {LINE_WORDS}), ' '))"
+    )
+    lines = docs.select(
+        "doc_id",
+        F.split(
+            F.concat(F.lit(_HEADER9 + " "), F.col("source"), F.lit(" "), F.col("text")),
+            " ",
+        ).alias("words"),
+    ).select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
+    dfc = lines.groupBy("line").agg(F.countDistinct("doc_id").alias("line_df"))
+    kept = lines.join(
+        dfc.filter(F.col("line_df") >= BOILER_MIN_DF).select("line"),
+        "line",
+        "left_anti",
+    )
+    second_pass = (
+        kept.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= BOILER_MIN_DF)
+    )
+    assert second_pass.count() == 0
