@@ -176,3 +176,90 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("custkey"))
         .limit(20)
     )
+
+
+# ------------------------------------------------- market basket
+
+BASKET_MIN_PAIR = 3  # minimum co-occurrence count to score a pair
+BASKET_TOP_K = 50
+
+
+@query(
+    "market_basket_pairs",
+    oracle=f"""
+    WITH bk AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM bk GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM bk
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM bk a JOIN bk b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.n_pair,
+           round(p.n_pair * 1.0 / ia.n_item, 6) AS confidence,
+           round(p.n_pair * 1.0 * t.n_orders / (ia.n_item * ib.n_item), 6)
+               AS lift
+    FROM pairs p
+    JOIN items ia ON p.part_a = ia.l_partkey
+    JOIN items ib ON p.part_b = ib.l_partkey
+    CROSS JOIN tot t
+    WHERE p.n_pair >= {BASKET_MIN_PAIR}
+    ORDER BY lift DESC, part_a ASC, part_b ASC
+    LIMIT {BASKET_TOP_K}
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (frequently-bought-together): top pairs
+    by lift with support and confidence. The pair generation is a
+    SELF-JOIN CO-PARTITIONED ON THE BASKET KEY — expansion is bounded
+    by max-basket-size² per order (TPC-H baskets are ≤ ~13 lines;
+    a retail 100-TB fact keeps the same bound), never corpus-quadratic.
+    Item counts (distinct-part grain) broadcast back onto the pair
+    aggregate; the global order count is a one-row broadcast; top-K is
+    TakeOrderedAndProject. This is the same bounded-pair-space
+    discipline as the capped-Jaccard dedup, applied to the classic
+    co-occurrence analytics query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bk = li.select("l_orderkey", "l_partkey").distinct()
+    items = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    tot = bk.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_PAIR)
+    )
+    ia = F.broadcast(items.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")))
+    ib = F.broadcast(items.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")))
+    return (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pair") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )

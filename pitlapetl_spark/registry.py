@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_mv_union",
     "anomaly_rolling_zscore",
     "dq_skew_profile",
+    "market_basket_pairs",
     # (a) r1-green queries broken by the regenerated data (local parity
     # red in the r2 verdict; green again after the footer fix)
     "asof_join_last_order",
@@ -139,7 +140,6 @@ _PRIORITY: tuple[str, ...] = (
     "window_topk_per_group",
     "window_lag_lead_gap",
     "window_rolling_frame",
-    "window_running_total",
     # --- positions 51+: verified only if the driver budget exceeds 50
     # (all r2-green on the current data, or locally oracle-checked)
     "job_race_results",
