@@ -452,3 +452,72 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("day_value") - F.col("m")) > ZSCORE_THRESHOLD * F.col("s"))
         ).alias("is_anomaly"),
     )
+
+
+# --------------------------------------- cumulative distinct count
+
+
+@query(
+    "window_cumulative_distinct_users",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               user_id
+        FROM events
+    ),
+    first_seen AS (
+        SELECT event_type, user_id, min(day) AS first_day
+        FROM d GROUP BY 1, 2
+    ),
+    news AS (
+        SELECT event_type, first_day AS day,
+               CAST(count(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY 1, 2
+    ),
+    days AS (
+        SELECT DISTINCT event_type, day FROM d
+    )
+    SELECT dy.event_type, dy.day,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (
+               PARTITION BY dy.event_type ORDER BY dy.day
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_distinct_users
+    FROM days dy LEFT JOIN news n
+      ON dy.event_type = n.event_type AND dy.day = n.day
+    """,
+)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event_type by day — COUNT(DISTINCT)
+    OVER, which Spark's window functions don't support directly. The
+    scalable restatement: a user contributes to the running distinct
+    count exactly once, on their FIRST day — so aggregate first-seen
+    days per (type, user) (one hash agg on a user-grain key), count
+    new users per (type, day), and run a plain cumulative SUM over the
+    tiny aggregated grain. No distinct-state ever lives inside a
+    window frame; the only windowed input is O(types x days). The
+    day-spine left join keeps days with zero new users in the output."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        "user_id",
+    )
+    first_seen = d.groupBy("event_type", "user_id").agg(F.min("day").alias("first_day"))
+    news = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    days = d.select("event_type", "day").distinct()
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        days.join(news, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_distinct_users", F.sum("new_users").over(w))
+    )
