@@ -569,3 +569,153 @@ def dedup_embedding_cosine_bruteforce(
     BroadcastNestedLoopJoin and must never be the production path)."""
     v = _crawl_vectors(spark, sf_dir).withColumn("bucket", F.lit(0))
     return _cosine_pairs_in(v).drop("bucket")
+
+
+# ---------------------------------------------------------------- winnowing
+
+WINNOW_K = 24  # char k-gram length (~4 words: discriminative on the small-vocab corpus; see docstring)
+WINNOW_W = 4  # winnowing window (k-grams per window)
+WINNOW_DF_CAP = 8  # drop fingerprints shared by more docs (stop-grams)
+WINNOW_MIN_SHARED = 10
+WINNOW_RATIO = 0.5
+
+_WNORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_winnowing",
+    oracle=f"""
+    WITH crawl AS (
+        SELECT doc_id, {_WNORM} AS norm FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               'shifted prefix pad ' || {_WNORM} FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, length(norm) - {WINNOW_K} + 2)) AS pos,
+               unnest(list_transform(
+                   range(1, length(norm) - {WINNOW_K} + 2),
+                   i -> md5(substr(norm, i, {WINNOW_K}))
+               )) AS h
+        FROM crawl
+        WHERE length(norm) >= {WINNOW_K}
+    ),
+    winmin AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n_pos
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM winmin
+        WHERE pos <= n_pos - {WINNOW_W} + 1
+    ),
+    capped AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) <= {WINNOW_DF_CAP}
+    ),
+    live AS (
+        SELECT f.doc_id, f.fp FROM fps f
+        WHERE EXISTS (SELECT 1 FROM capped c WHERE c.fp = f.fp)
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM live a JOIN live b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           round(s.n_shared * 1.0 /
+                 least(sa.n_fp, sb.n_fp), 6) AS overlap_ratio
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    WHERE s.n_shared >= {WINNOW_MIN_SHARED}
+      AND round(s.n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6)
+          >= {WINNOW_RATIO}
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup detection (Schleimer/Wilkerson/
+    Aiken, SIGMOD'03 — the MOSS algorithm): each document keeps the
+    MIN k-gram hash of every w-gram window; a copy with content
+    shifted by an arbitrary offset keeps almost the same fingerprint
+    set, which fixed-chunk hashing loses entirely. Demonstrated on a
+    planted re-crawl whose copies are prefix-shifted.
+
+    Shape at 100 TB: k-gram + window-min extraction is per-doc narrow
+    work (the window partitions on doc_id and spans W rows); the pair
+    space is an inverted-index equi-join on fingerprint, bounded by
+    the fingerprint DF cap exactly like the capped-Jaccard shingle
+    join — hot boilerplate fingerprints are dropped as stop-grams
+    before any pairing. No stage is ever corpus-quadratic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text(F.col("text")).alias("norm")
+    )
+    crawl = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("shifted prefix pad "), F.col("norm")).alias("norm"),
+        )
+    ).filter(F.length("norm") >= WINNOW_K)
+    grams = crawl.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(norm) - {WINNOW_K} + 1), "
+                f"i -> md5(substring(norm, i, {WINNOW_K})))"
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    winmin = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(w).alias("fp"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_pos"),
+    )
+    fps = (
+        winmin.filter(F.col("pos") <= F.col("n_pos") - WINNOW_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    capped = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= WINNOW_DF_CAP
+    ).select("fp")
+    live = fps.join(capped, "fp", "left_semi")
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = live.alias("a"), live.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n_fp_a", "n_fp_b"), 6
+            ).alias("overlap_ratio"),
+        )
+        .filter(F.col("overlap_ratio") >= WINNOW_RATIO)
+    )

@@ -133,3 +133,21 @@ def test_pretrain_filter_observed_one_pass_metrics(spark, sf_dir):
     assert m["docs_in"] == gate.count()
     assert m["n_dups"] == gate.filter("is_dup").count()
     assert m["n_lang_fail"] == gate.filter("NOT lang_ok").count()
+
+
+def test_winnowing_recalls_shifted_copies(spark, sf_dir):
+    """Winnowing's defining property: a copy with content shifted by an
+    arbitrary prefix keeps (almost) the same fingerprint set — every
+    planted shifted copy must pair with its original, at full overlap.
+    Fixed-position chunk hashing scores 0 on this corpus."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark import registry
+
+    df = registry.QUERIES["dedup_winnowing"](spark, sf_dir)
+    planted = df.filter(F.col("doc_b") - F.col("doc_a") == 1000000)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # a document shorter than ~MIN_SHARED windows cannot clear the
+    # shared-fingerprint floor — recall is over the detectable corpus
+    assert planted.count() >= 0.99 * n_docs
+    assert planted.filter(F.col("overlap_ratio") < 0.99).count() == 0
