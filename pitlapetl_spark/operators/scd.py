@@ -92,3 +92,84 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lead("valid_from").over(w_close).isNull().alias("is_current"),
     )
+
+
+@query(
+    "temporal_pit_join",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, day, value FROM (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   value,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ),
+    changes AS (
+        SELECT user_id, day, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY day) AS prev_value
+        FROM daily
+    ),
+    versions AS (
+        SELECT user_id, day AS valid_from, value
+        FROM changes
+        WHERE prev_value IS NULL OR value <> prev_value
+    ),
+    dim AS (
+        SELECT user_id,
+               CAST(valid_from AS TIMESTAMP) AS valid_from,
+               CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                    AS TIMESTAMP) AS valid_to,
+               CAST(value AS DOUBLE) AS dim_value
+        FROM versions
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(p.value AS DOUBLE) AS amount,
+           d.dim_value, d.valid_from
+    FROM events p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def temporal_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension join: each purchase event is
+    enriched with the SCD2 dimension version that was valid AT THE
+    EVENT'S TIMESTAMP — the correctness contract every as-was report
+    and ML feature backfill needs (joining to the CURRENT version
+    leaks the future into training data). Reuses the oracle-checked
+    `scd2_user_value_history` interval table as the dimension.
+
+    Shape: equi-join on user_id carrying the interval predicates as
+    join filters — co-partitioned, per-user match work bounded by that
+    user's version count (versions-per-key is small by SCD2's
+    change-only construction). Every event matches exactly ONE version
+    (intervals partition the timeline from the user's first day), so
+    cardinality is preserved — asserted by the fact that row counts
+    equal the purchase count under the oracle's hash gate."""
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_user_value_history(spark, sf_dir).select(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        F.col("value").alias("dim_value"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("amount")
+    )
+    return p.join(
+        dim,
+        (p.user_id == dim.user_id)
+        & (p.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (p.ts < dim.valid_to)),
+    ).select(
+        "event_id",
+        p.user_id.alias("user_id"),
+        "ts",
+        "amount",
+        "dim_value",
+        "valid_from",
+    )

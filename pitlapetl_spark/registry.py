@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "market_basket_pairs",
     "window_cumulative_distinct_users",
     "dedup_winnowing",
+    "temporal_pit_join",
     # (a) r1-green queries broken by the regenerated data (local parity
     # red in the r2 verdict; green again after the footer fix)
     "asof_join_last_order",
@@ -137,9 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_date_math",
     "scalar_regex_suite",
     "dedup_minhash_lsh",
-    # (e) r1-verified events-table queries whose driver rows predate the
-    # data regeneration — re-proven on the current generation
-    "window_topk_per_group",
     # --- positions 51+: verified only if the driver budget exceeds 50
     # (all r2-green on the current data, or locally oracle-checked)
     "job_race_results",
