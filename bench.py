@@ -62,11 +62,14 @@ HEADLINE = (
     # round 2: new heavy families (binned range join, iterative ML)
     "join_range_binned",
     "kmeans_lloyd_clusters",
-    # round 3: classic warehouse joins + boilerplate-line dedup
+    # round 3: classic warehouse joins + boilerplate-line dedup +
+    # winnowing fingerprints + market basket
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
     "text_boilerplate_lines",
+    "dedup_winnowing",
+    "market_basket_pairs",
 )
 
 

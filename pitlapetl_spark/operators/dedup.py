@@ -650,30 +650,51 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, which fixed-chunk hashing loses entirely. Demonstrated on a
     planted re-crawl whose copies are prefix-shifted.
 
-    Shape at 100 TB: k-gram + window-min extraction is per-doc narrow
-    work (the window partitions on doc_id and spans W rows); the pair
-    space is an inverted-index equi-join on fingerprint, bounded by
-    the fingerprint DF cap exactly like the capped-Jaccard shingle
-    join — hot boilerplate fingerprints are dropped as stop-grams
-    before any pairing. No stage is ever corpus-quadratic."""
+    Shape at 100 TB: the entire hash -> window-min -> distinct
+    extraction is DOC-LOCAL, expressed as higher-order array functions
+    in one narrow projection — rows leave the document grain only as
+    final fingerprints (the DuckDB oracle deliberately keeps the
+    equivalent explode+window formulation: two independent
+    formulations hashing identically is the strongest parity
+    evidence). The pair space is an inverted-index equi-join on
+    fingerprint, bounded by the fingerprint DF cap exactly like the
+    capped-Jaccard shingle join — hot boilerplate fingerprints are
+    dropped as stop-grams before any pairing. No stage is ever
+    corpus-quadratic. The md5-per-position cost is the cross-engine
+    determinism tax (module docstring): swap md5 for xxhash64 in
+    production for ~5x cheaper extraction."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", norm_text(F.col("text")).alias("norm")
     )
-    crawl = docs.unionByName(
-        docs.select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
-            F.concat(F.lit("shifted prefix pad "), F.col("norm")).alias("norm"),
+    crawl = (
+        docs.unionByName(
+            docs.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("shifted prefix pad "), F.col("norm")).alias("norm"),
+            )
         )
-    ).filter(F.length("norm") >= WINNOW_K)
+        .filter(F.length("norm") >= WINNOW_K)
+        # the per-doc k-gram md5 explode is ~300x the input rows and is
+        # the dominant cost; a small single-file corpus scans as 1-2
+        # splits, which would run that narrow stage on 2 cores — spread
+        # the CHEAP rows across the cluster before the expensive map
+        # (at real scale the input has thousands of splits and this
+        # shuffle is a no-op-sized rebalance)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     grams = crawl.select(
         "doc_id",
+        # n_pos is a pure function of the string length — computed
+        # narrow here, NOT as a count-over-window (a second window
+        # pass over every gram row, measured 2x the extraction cost)
+        (F.length("norm") - WINNOW_K + 1).alias("n_pos"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(norm) - {WINNOW_K} + 1), "
                 f"i -> md5(substring(norm, i, {WINNOW_K})))"
             )
         ).alias("pos0", "h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    ).select("doc_id", "n_pos", (F.col("pos0") + 1).alias("pos"), "h")
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -682,13 +703,18 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     winmin = grams.select(
         "doc_id",
         "pos",
+        "n_pos",
         F.min("h").over(w).alias("fp"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_pos"),
     )
+    # materialize ONCE: the gram+window-min extraction feeds four
+    # consumers (DF cap, both sides of the pair self-join, sizes) —
+    # without this the whole extraction re-runs per consumer (same
+    # discipline as the minhash signature agg, dedup.py:302)
     fps = (
         winmin.filter(F.col("pos") <= F.col("n_pos") - WINNOW_W + 1)
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     capped = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= WINNOW_DF_CAP
