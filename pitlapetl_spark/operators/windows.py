@@ -521,3 +521,49 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .withColumn("cum_distinct_users", F.sum("new_users").over(w))
     )
+
+
+# --------------------------------------------- sequence n-grams
+
+SEQ_TOP_K = 20
+
+
+@query(
+    "sequence_event_trigrams",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS e1, e2, e3,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC
+    LIMIT {SEQ_TOP_K}
+    """,
+)
+def sequence_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the most common 3-event paths
+    across users (the n-gram statistics a next-event model or a UX
+    funnel review starts from). Per-user double-lead window (one
+    shuffle on user_id, per-user frame bounded), low-cardinality
+    trigram aggregate (|types|^3 groups max), TakeOrderedAndProject
+    top-K with full lexical tie-break."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(SEQ_TOP_K)
+    )

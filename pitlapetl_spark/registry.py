@@ -138,7 +138,9 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_date_math",
     "scalar_regex_suite",
     "dedup_minhash_lsh",
-    # --- positions 51+: verified only if the driver budget exceeds 50
+    # --- positions 51+ (new-this-round overflow first: verified if the
+    # driver budget exceeds 50; locally oracle-checked regardless)
+    "sequence_event_trigrams",
     # (all r2-green on the current data, or locally oracle-checked)
     "job_race_results",
     "job_qualifying_results",
