@@ -25,6 +25,7 @@ DEFAULT = (
     "interval_merge_activity",
     "shuffle_epoch_shards",
     "sketch_mv_union",
+    "dedup_winnowing",
 )
 
 
