@@ -160,3 +160,65 @@ def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             _weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")), 4
         ).alias("weighted_avg_price"),
     )
+
+
+# ---------------------------------------------------------------- UDTF
+
+CHUNK = 100  # chars per span
+
+
+@query(
+    "udtf_chunk_spans",
+    oracle=f"""
+    WITH chunks AS (
+        SELECT doc_id, n_chars,
+               unnest(range(0, CAST(ceil(n_chars / {CHUNK}.0) AS INT)))
+                   AS chunk_idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(CASE WHEN (chunk_idx + 1) * {CHUNK} <= n_chars THEN {CHUNK}
+                     ELSE n_chars - chunk_idx * {CHUNK} END AS INT)
+               AS chunk_len
+    FROM chunks
+    """,
+)
+def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function — the one
+    §2.13 API shape the rest of this module doesn't cover): one input
+    row expands to a variable number of output rows inside the
+    engine's lateral-join machinery. Demonstrated as a span chunker
+    (each document yields one row per CHUNK-char span — the shape a
+    fixed-window embedding pass consumes).
+
+    Placement rule: a UDTF evaluates per-row Python, so it belongs at
+    the POST-AGGREGATION/narrow grain, never in a 100-TB hot scan —
+    the genuinely-vectorized alternative for this exact expansion is
+    the sequence+explode JVM form (text_boilerplate_lines builds its
+    lines that way). Registered to prove the API surface with an
+    oracle, with the lateral SQL form exercised end-to-end."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk_len: int")
+    class ChunkSpans:
+        def eval(self, n_chars: int):
+            if n_chars is None:
+                return
+            full, rem = divmod(int(n_chars), CHUNK)
+            for i in range(full):
+                yield i, CHUNK
+            if rem:
+                yield full, rem
+
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_documents_src"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_len
+        FROM udtf_documents_src AS d,
+             LATERAL chunk_spans(d.n_chars) AS c
+        """
+    )

@@ -141,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- positions 51+ (new-this-round overflow first: verified if the
     # driver budget exceeds 50; locally oracle-checked regardless)
     "sequence_event_trigrams",
+    "udtf_chunk_spans",
     # (all r2-green on the current data, or locally oracle-checked)
     "job_race_results",
     "job_qualifying_results",

@@ -99,3 +99,29 @@ def test_nanos_fallback_still_reads(spark, tmp_path):
     assert sources.parquet_ts_unit(str(sf / "events.parquet")) == "ns"
     row = sources.load_table(spark, str(sf), "events").first()
     assert row.ts == datetime.datetime(2024, 1, 1, 0, 0, 0, 123456)
+
+
+def test_all_tables_load_and_match_duckdb_counts(spark):
+    """Every table in the star schema must load under its declared
+    schema and agree with DuckDB on row count — the cheap whole-schema
+    guard against a future testdata regeneration changing physical
+    types out from under the explicit schemas (the events-ts failure
+    mode, generalized)."""
+    import duckdb
+
+    for name in sources.TABLES:
+        df = sources.load_table(spark, SF_SMOKE, name)
+        n_spark = df.count()
+        n_duck = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/{name}.parquet')"
+        ).fetchone()[0]
+        assert n_spark == n_duck, f"{name}: {n_spark} vs {n_duck}"
+        # no column silently reads as all-NULL (a type mismatch under
+        # an explicit schema surfaces exactly that way)
+        from pyspark.sql import functions as F
+
+        row = df.limit(500).agg(
+            *[F.count(c).alias(c) for c in df.columns]
+        ).first()
+        empty = [c for c in df.columns if row[c] == 0]
+        assert not empty, f"{name}: all-NULL columns {empty}"
