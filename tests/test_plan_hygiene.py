@@ -254,3 +254,27 @@ def test_epoch_shuffle_window_is_sharded(spark):
     # column before the sort expressions, and the operator's trailing
     # partition list renders as [], [sorts]
     assert "], [], [" not in win[0], f"unpartitioned window: {win[0]}"
+
+
+def test_winnowing_and_basket_no_cartesian(spark):
+    """The winnowing pair join and the basket self-join must stay
+    equi-joins — a data-sized nested-loop is corpus-quadratic. The
+    basket plan is allowed exactly ONE BroadcastNestedLoopJoin: the
+    deliberate crossJoin of the one-row global totals (the approved
+    bounded-crossJoin pattern, e.g. kmeans/layout)."""
+    plan = _plan(Q["dedup_winnowing"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = _plan(Q["market_basket_pairs"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row totals only
+
+
+def test_pit_join_is_user_equi_join(spark):
+    """The temporal PIT join must carry user_id as the equi key with
+    the interval predicates as join filters — planning it as a pure
+    range nested-loop would scan versions per event."""
+    plan = _plan(Q["temporal_pit_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
