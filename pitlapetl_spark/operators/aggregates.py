@@ -255,3 +255,57 @@ def agg_group_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_argmax_mode",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT o_orderpriority AS mode_priority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+        ORDER BY n DESC, mode_priority ASC LIMIT 1
+    )
+    SELECT (SELECT arg_max(o_custkey, sum_price ORDER BY sum_price DESC, o_custkey ASC)
+            FROM per_cust) AS top_spender,
+           (SELECT max(sum_price) FROM per_cust) AS top_spend,
+           (SELECT mode_priority FROM m) AS mode_priority
+    """,
+)
+def agg_argmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax (`max_by`) and modal value — the two "which row wins"
+    aggregates every report needs without a window: the customer with
+    the highest total spend, and the most common order priority.
+    Both are single hash aggregates (max_by carries (key, measure)
+    partial state; the mode is a count agg + bounded top-1). Ties are
+    broken deterministically on both engines (min key among maxima;
+    lexical for the mode)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice", "sum_price", "decimal(18,2)")
+    )
+    # deterministic argmax under ties: pack (measure, -key) so the max
+    # struct picks the smallest key among equal measures
+    top = per_cust.agg(
+        F.max(F.struct(F.col("sum_price"), (-F.col("o_custkey")).alias("nk"))).alias(
+            "m"
+        )
+    ).select(
+        (-F.col("m.nk")).cast("long").alias("top_spender"),
+        F.col("m.sum_price").alias("top_spend"),
+    )
+    mode = (
+        o.groupBy(F.col("o_orderpriority").alias("mode_priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("mode_priority"))
+        .limit(1)
+        .select("mode_priority")
+    )
+    return top.crossJoin(F.broadcast(mode))

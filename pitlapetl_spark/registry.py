@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     # driver budget exceeds 50; locally oracle-checked regardless)
     "sequence_event_trigrams",
     "udtf_chunk_spans",
+    "agg_argmax_mode",
     # (all r2-green on the current data, or locally oracle-checked)
     "job_race_results",
     "job_qualifying_results",
