@@ -65,86 +65,82 @@ _loaded = False
 
 # Driver-gate priority: the external correctness driver verifies queries
 # in the order ``all_queries()`` yields them and has a bounded budget
-# (rounds 1-2 stopped at exactly 50 entries). Names listed here are
-# yielded FIRST, in this order; everything else follows in registration
-# order. Round-3 policy (VERDICT.md r2 "Next round" items 2-4): the 50
-# slots go to (a) every ts-casualty of the events-unit bug — the 6 red
-# r2 driver rows plus the r1-green queries that silently broke on the
-# regenerated data — so the footer fix is PROVEN by fresh driver rows;
-# (b) the 24 queries never driver-verified in r1/r2; (c)
-# agg_approx_sketches with its new deterministic tolerance oracle; (d)
-# the flagship; (e) remaining slots re-prove r1-verified events-table
-# queries on the current data generation. Everything green in r2 on the
-# regenerated data needs no fresh row and is demoted.
+# (every round so far stopped at exactly 50 entries). Names listed here
+# are yielded FIRST, in this order; everything else follows in
+# registration order. Round-4 policy (VERDICT.md r3 "Next round" items
+# 1-2): the 50 slots go to (a) the only operator whose r3 pass was
+# vacuous — resample_daily_grid, 0-vs-0 rows at the old threshold — now
+# non-vacuous; (b) the 3 queries never driver-verified across r1-r3;
+# (c) dedup_winnowing_fast, new this round (xxhash64 production
+# variant, VERDICT item 4); (d) every query whose ONLY driver evidence
+# is round 1 — two data regenerations ago — starting with
+# agg_pricing_summary (the unexplained r3 bench regression; a fresh
+# correctness row accompanies the re-measurement); (e) two r2-evidence
+# composed-pipeline representatives to fill the window. Everything
+# r3-green is freshly proven and is demoted.
 _PRIORITY: tuple[str, ...] = (
-    # (a) red r2 driver rows — the ts-unit casualties, now fixed
-    "stream_tumbling_counts",
-    "stream_sliding_avg",
-    "stream_session_windows",
-    "rollup_hierarchy_day_from_hour",
-    "window_forward_fill",
-    "sink_upsert_roundtrip",
-    # new this round: partition-scoped MERGE (SCALE.md MERGE story),
-    # boilerplate-line removal, epoch shuffle, TPC-H classics,
-    # interval merge
-    "sink_merge_scoped_roundtrip",
-    "text_boilerplate_lines",
-    "shuffle_epoch_shards",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "interval_merge_activity",
-    "sketch_mv_union",
-    "anomaly_rolling_zscore",
-    "dq_skew_profile",
-    "market_basket_pairs",
-    "window_cumulative_distinct_users",
-    "dedup_winnowing",
-    "temporal_pit_join",
-    # (a) r1-green queries broken by the regenerated data (local parity
-    # red in the r2 verdict; green again after the footer fix)
-    "asof_join_last_order",
-    "asof_join_tolerance",
-    "window_range_frame",
-    "agg_group_minmax_stats",
-    "sessionize_events",
-    "window_share_of_total",
-    "scd2_user_value_history",
-    "funnel_view_click_purchase",
-    "cohort_retention_matrix",
-    # (c) first-ever hard verification: deterministic tolerance oracle
-    "agg_approx_sketches",
-    # (d) flagship stays inside the verified window
-    "flagship_top_value_per_user",
-    # (b) never driver-verified in r1/r2 (with the 6 ts-casualty
-    # never-verifieds above and the two demoted-in-r2 scalar suites
-    # below, all 24 sit inside the 50-row window)
-    "sim_topk_lsh_multiprobe",
-    "join_range_binned",
-    "incremental_mv_merge",
-    "kmeans_lloyd_clusters",
-    "sample_weighted_mix",
-    "agg_histogram_equi_width",
-    "pandas_udaf_weighted_mean",
-    "join_salted_skew",
-    "text_kl_domain_drift",
-    "dedup_keep_best",
-    "fuzzy_match_blocking",
+    # (a) the one unproven operator in the engine: r3 row was 0-vs-0
     "resample_daily_grid",
-    "table_diff_reconcile",
-    "contamination_eval_overlap",
-    "pack_token_budget",
-    "split_train_holdout",
-    "scalar_date_math",
-    "scalar_regex_suite",
-    "dedup_minhash_lsh",
-    # --- positions 51+ (new-this-round overflow first: verified if the
-    # driver budget exceeds 50; locally oracle-checked regardless)
+    # (b) never driver-verified in any round
+    "agg_argmax_mode",
     "sequence_event_trigrams",
     "udtf_chunk_spans",
-    "agg_argmax_mode",
-    # (all r2-green on the current data, or locally oracle-checked)
+    # (c) new this round: xxhash64 winnowing production path
+    "dedup_winnowing_fast",
+    # (d) r1-only evidence, oldest first-priority: the bench-regression
+    # suspect, then the full r1 cohort (verified on a data generation
+    # that no longer exists — re-prove on current data)
+    "agg_pricing_summary",
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_pivot",
+    "agg_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "filter_equality_first_row",
+    "filter_flag_and_range",
+    "filter_isin_null_safe",
+    "filter_notnull_derived",
+    "join_broadcast_lookup",
+    "join_full_outer",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_theta_band",
+    "json_deep_path_standings",
+    "json_doc_assembly",
+    "json_doc_roundtrip",
+    "json_get_path",
+    "json_map_explode",
+    "json_map_functions",
+    "json_schema_parse",
+    "project_composite_key",
+    "project_literal_params",
+    "project_rename_camel",
+    "scalar_conditional_default",
+    "scalar_format_iso8601",
+    "scalar_format_laptime",
+    "scalar_string_math",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_union_all_by_name",
+    "setop_union_distinct",
+    "setop_unpivot",
+    "topk_global",
+    "window_lag_lead_gap",
+    "window_rolling_frame",
+    "window_running_total",
+    "window_standings_rank",
+    "window_topk_per_group",
+    # (e) r2-evidence composed-pipeline representatives (positions
+    # 49-50): end-to-end reference job + the composed pretrain gate
     "job_race_results",
+    "pipeline_pretrain_filter",
+    # --- positions 51+ (verified if the driver budget exceeds 50;
+    # locally oracle-checked regardless). r2/r3-green queries in
+    # rough usefulness order, then the rest in registration order.
+    "flagship_top_value_per_user",
     "job_qualifying_results",
     "job_practice_laps",
     "job_schedule",
