@@ -70,6 +70,10 @@ HEADLINE = (
     "text_boilerplate_lines",
     "dedup_winnowing",
     "market_basket_pairs",
+    # round 4: xxhash64 winnowing production path (the md5 entry above
+    # stays for round-over-round comparability; this is what a real
+    # pipeline runs)
+    "dedup_winnowing_fast",
 )
 
 

@@ -222,8 +222,13 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELF-JOIN CO-PARTITIONED ON THE BASKET KEY — expansion is bounded
     by max-basket-size² per order (TPC-H baskets are ≤ ~13 lines;
     a retail 100-TB fact keeps the same bound), never corpus-quadratic.
-    Item counts (distinct-part grain) broadcast back onto the pair
-    aggregate; the global order count is a one-row broadcast; top-K is
+    Item counts (distinct-part grain) join back onto the pair
+    aggregate WITHOUT an explicit broadcast hint: the item dimension
+    is catalog-sized, and force-broadcasting a 100M-SKU catalog would
+    OOM the driver — AQE picks broadcast when the dimension actually
+    fits (it does for TPC-H's 20k parts) and a co-partitioned shuffle
+    join when it doesn't (VERDICT r3, market-basket caveat). The
+    global order count stays a one-row broadcast; top-K is
     TakeOrderedAndProject. This is the same bounded-pair-space
     discipline as the capped-Jaccard dedup, applied to the classic
     co-occurrence analytics query."""
@@ -245,8 +250,8 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= BASKET_MIN_PAIR)
     )
-    ia = F.broadcast(items.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")))
-    ib = F.broadcast(items.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")))
+    ia = items.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
     return (
         pairs.join(ia, "part_a")
         .join(ib, "part_b")

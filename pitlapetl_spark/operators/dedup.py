@@ -275,6 +275,26 @@ def _oracle_minhash_lsh() -> str:
     """
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """LSH band rows (doc_id, band_idx, band_val) from a minhash
+    signature frame: each band hashes its ROWS_PER_BAND signature
+    slots into one bucket value."""
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{k * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                )
+            ).alias("band_val"),
+        )
+        for k in range(N_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_val")
+
+
 @query("dedup_minhash_lsh", oracle=_oracle_minhash_lsh())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup: shingle -> 16-hash min signature (one
@@ -309,20 +329,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sizes = sig.select("doc_id", "n")
-    band_structs = [
-        F.struct(
-            F.lit(k).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"h{k * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                )
-            ).alias("band_val"),
-        )
-        for k in range(N_BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_val")
+    bands = _band_rows(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -336,6 +343,135 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _pair_jaccard(sh, candidates=cand, sizes=sizes)
+
+
+# ------------------------------------------------- incremental minhash
+# A 100-TB training pipeline does not re-dedup the whole corpus per
+# crawl: it keeps a SIGNATURE STORE (doc_id -> minhash signature +
+# band buckets, a narrow table bucketed on band_val) and dedups each
+# incoming batch against it. Incremental cost is O(batch + band
+# collisions) — the corpus-side store is only probed on the band key,
+# never re-shingled. The query below models the split determinis-
+# tically (doc_id % INCR_MOD == INCR_REM is "today's batch") so the
+# DuckDB oracle can replay it; in production the corpus side is
+# `spark.read` of the signature table and the batch side is the only
+# text that gets shingled.
+
+INCR_MOD = 5
+INCR_REM = 2
+
+
+def _oracle_incremental_minhash() -> str:
+    sig_cols = oracle_minhash_sig_cols(N_HASHES)
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {k} AS band_idx, md5({expr}) AS band_val FROM sig".format(
+            k=k,
+            expr=" || '|' || ".join(
+                f"h{k * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for k in range(N_BANDS)
+    )
+    return f"""
+    WITH sh0 AS ({oracle_shingles_cte(SHINGLE_K)}),
+    sh AS (SELECT doc_id, s, {oracle_minhash_base_sql()} FROM sh0),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS dup_of
+        FROM bands n JOIN bands c
+          ON n.band_idx = c.band_idx AND n.band_val = c.band_val
+        WHERE n.doc_id % {INCR_MOD} = {INCR_REM}
+          AND c.doc_id % {INCR_MOD} <> {INCR_REM}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT x.doc_id AS doc_new, y.doc_id AS dup_of, count(*) AS i
+        FROM sh x JOIN sh y ON x.s = y.s
+        JOIN cand c ON c.doc_new = x.doc_id AND c.dup_of = y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_new, dup_of,
+           round(i * 1.0 / (sn.n + sc.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sn ON sn.doc_id = doc_new
+    JOIN sizes sc ON sc.doc_id = dup_of
+    WHERE round(i * 1.0 / (sn.n + sc.n - i), 6) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_oracle_incremental_minhash())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: dedup an incoming BATCH against the
+    existing CORPUS without re-pairing the corpus with itself. Batch
+    bands (small) broadcast against the corpus band store; only
+    batch-x-corpus collisions are verified with exact Jaccard. Unlike
+    ``dedup_minhash_lsh`` (whole-corpus self-join, O(all collisions)
+    per run) the recurring cost here is O(batch + its collisions):
+    the corpus side is, in production, a pre-computed signature/band
+    table probed on its bucket key — it is never re-shingled and
+    never joined to itself. Returns (doc_new, dup_of, jaccard) for
+    batch docs that near-duplicate an existing corpus doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = (F.col("doc_id") % INCR_MOD) == INCR_REM
+    sh = shingle_rows(docs)
+    # one signature pass over everything here (the test corpus has no
+    # persisted store); the SPLIT below is what production replaces
+    # with a table read — the plan downstream of `sig` is identical
+    sig = (
+        sh.select("doc_id", *minhash_base_cols(F.col("s")))
+        .groupBy("doc_id")
+        .agg(*minhash_cols(N_HASHES), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    bands = _band_rows(sig)
+    batch_bands = bands.filter(is_batch)
+    corpus_bands = bands.filter(~is_batch)
+    cand = (
+        corpus_bands.alias("c")
+        .join(
+            # the batch is the small side by construction — broadcast
+            # it so the corpus band store is probed in place, one
+            # scan, zero shuffle of the big side
+            F.broadcast(batch_bands.alias("n")),
+            (F.col("c.band_idx") == F.col("n.band_idx"))
+            & (F.col("c.band_val") == F.col("n.band_val")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("c.doc_id").alias("dup_of")
+        )
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to candidate docs on both
+    # sides (same candidate-restriction discipline as _pair_jaccard)
+    new_docs = cand.select(F.col("doc_new").alias("doc_id")).distinct()
+    old_docs = cand.select(F.col("dup_of").alias("doc_id")).distinct()
+    sh_new = sh.join(F.broadcast(new_docs), "doc_id", "left_semi")
+    sh_old = sh.join(F.broadcast(old_docs), "doc_id", "left_semi")
+    inter = (
+        sh_new.alias("x")
+        .join(sh_old.alias("y"), F.col("x.s") == F.col("y.s"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_new"), F.col("y.doc_id").alias("dup_of")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+        .join(F.broadcast(cand), ["doc_new", "dup_of"], "left_semi")
+    )
+    sizes = sig.select("doc_id", "n")
+    sn = sizes.select(F.col("doc_id").alias("doc_new"), F.col("n").alias("n_new"))
+    sc = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("n_old"))
+    return (
+        inter.join(sn, "doc_new")
+        .join(sc, "dup_of")
+        .select(
+            "doc_new",
+            "dup_of",
+            F.round(
+                F.col("i") / (F.col("n_new") + F.col("n_old") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 # --------------------------------------------------------------- simhash
@@ -661,8 +797,125 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped-Jaccard shingle join — hot boilerplate fingerprints are
     dropped as stop-grams before any pairing. No stage is ever
     corpus-quadratic. The md5-per-position cost is the cross-engine
-    determinism tax (module docstring): swap md5 for xxhash64 in
-    production for ~5x cheaper extraction."""
+    determinism tax (module docstring): ``dedup_winnowing_fast`` below
+    is the production path on xxhash64 (~60% cheaper extraction,
+    long-typed fingerprints shuffle 4x less data than 32-char md5
+    strings); this md5 twin stays registered as the full-fidelity
+    oracle row."""
+    return _winnow_pairs(spark, sf_dir, f"md5(substring(norm, i, {WINNOW_K}))")
+
+
+# Hash-independent size floor for the fast path's contract: which
+# k-gram each window ELECTS is a function of the hash, so decisions
+# within ~1 fingerprint of the accept thresholds can differ between
+# md5 and xxhash64 (observed: a 49-char doc with exactly
+# WINNOW_MIN_SHARED=10 distinct md5 fingerprints at ratio 1.0 fell to
+# 9 under xxhash64). Docs >= 120 normalized chars carry ~40+
+# fingerprints, so true copies land at n_shared ~4x the floor and
+# ratio >= ~0.78 vs the 0.5 threshold — no decision sits near a
+# boundary and the pair set is hash-invariant (asserted identical to
+# the md5 twin's at sf0.001/0.01/0.1 by tests/test_llm_ops.py).
+# Production story: text LENGTH is deterministic, so the sub-floor
+# tail routes to the exact tiny-doc path (cheap by definition) while
+# the bulk corpus takes this path.
+WINNOW_FAST_MIN_LEN = 120
+
+
+@query(
+    "dedup_winnowing_fast",
+    # Same SQL as dedup_winnowing with the length floor, projected to
+    # the accepted PAIRS only. DuckDB cannot evaluate Spark's
+    # xxhash64, so the oracle replays the md5 formulation — a REAL
+    # cross-hash equivalence check, valid because the floor keeps
+    # every decision far from the thresholds (see WINNOW_FAST_MIN_LEN
+    # note). n_shared and overlap_ratio DO depend on which k-grams
+    # win their windows, so they are deliberately not part of this
+    # query's contract.
+    oracle=f"""
+    WITH crawl AS (
+        SELECT doc_id, norm FROM (
+            SELECT doc_id, {_WNORM} AS norm FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   'shifted prefix pad ' || {_WNORM} FROM documents
+        ) WHERE length(norm) >= {WINNOW_FAST_MIN_LEN}
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, length(norm) - {WINNOW_K} + 2)) AS pos,
+               unnest(list_transform(
+                   range(1, length(norm) - {WINNOW_K} + 2),
+                   i -> md5(substr(norm, i, {WINNOW_K}))
+               )) AS h
+        FROM crawl
+    ),
+    winmin AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS n_pos
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM winmin
+        WHERE pos <= n_pos - {WINNOW_W} + 1
+    ),
+    capped AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) <= {WINNOW_DF_CAP}
+    ),
+    live AS (
+        SELECT f.doc_id, f.fp FROM fps f
+        WHERE EXISTS (SELECT 1 FROM capped c WHERE c.fp = f.fp)
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM live a JOIN live b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    WHERE s.n_shared >= {WINNOW_MIN_SHARED}
+      AND round(s.n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6)
+          >= {WINNOW_RATIO}
+    """,
+)
+def dedup_winnowing_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production winnowing: identical plan shape to
+    ``dedup_winnowing`` with the per-position hash swapped from md5 to
+    ``xxhash64`` — the dominant extraction stage gets ~60% cheaper and
+    the fingerprint column is a long instead of a 32-char string, so
+    every downstream shuffle (distinct, DF cap, inverted-index pair
+    join) moves 4x less data. Scoped to docs >= WINNOW_FAST_MIN_LEN
+    normalized chars so the accept decision is hash-invariant (see
+    the constant's note). Returns the accepted near-dup PAIRS — the
+    decision a dedup pipeline acts on; similarity magnitudes live on
+    the md5 twin where DuckDB can replay them exactly."""
+    pairs = _winnow_pairs(
+        spark,
+        sf_dir,
+        f"xxhash64(substring(norm, i, {WINNOW_K}))",
+        min_len=WINNOW_FAST_MIN_LEN,
+    )
+    return pairs.select("doc_a", "doc_b")
+
+
+def _winnow_pairs(
+    spark: SparkSession, sf_dir: str, hash_expr: str, min_len: int = WINNOW_K
+) -> DataFrame:
+    """Shared winnowing pipeline, parameterized by the per-k-gram hash
+    expression (``i`` is the 1-based position variable in scope inside
+    the ``transform`` lambda; the expression must be orderable — the
+    window elects its MIN hash as the fingerprint) and the minimum
+    normalized-text length admitted to the corpus."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", norm_text(F.col("text")).alias("norm")
     )
@@ -673,8 +926,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("shifted prefix pad "), F.col("norm")).alias("norm"),
             )
         )
-        .filter(F.length("norm") >= WINNOW_K)
-        # the per-doc k-gram md5 explode is ~300x the input rows and is
+        # a doc needs at least one full winnowing window (w k-grams) to
+        # fingerprint at all — shorter docs produced zero rows after
+        # the window filter anyway, so dropping them here is identical
+        .filter(F.length("norm") >= max(min_len, WINNOW_K + WINNOW_W - 1))
+        # the per-doc k-gram hashing is ~300x ops per input row and is
         # the dominant cost; a small single-file corpus scans as 1-2
         # splits, which would run that narrow stage on 2 cores — spread
         # the CHEAP rows across the cluster before the expensive map
@@ -682,40 +938,56 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle is a no-op-sized rebalance)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    grams = crawl.select(
+    # Stage A: hash every k-gram position into ONE array column —
+    # doc-local, no explode. n_pos = length - k + 1 positions.
+    hashed = crawl.select(
         "doc_id",
-        # n_pos is a pure function of the string length — computed
-        # narrow here, NOT as a count-over-window (a second window
-        # pass over every gram row, measured 2x the extraction cost)
         (F.length("norm") - WINNOW_K + 1).alias("n_pos"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(norm) - {WINNOW_K} + 1), "
-                f"i -> md5(substring(norm, i, {WINNOW_K})))"
-            )
-        ).alias("pos0", "h"),
-    ).select("doc_id", "n_pos", (F.col("pos0") + 1).alias("pos"), "h")
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, WINNOW_W - 1)
+        F.expr(
+            f"transform(sequence(1, length(norm) - {WINNOW_K} + 1), "
+            f"i -> {hash_expr})"
+        ).alias("hs"),
     )
-    winmin = grams.select(
-        "doc_id",
-        "pos",
-        "n_pos",
-        F.min("h").over(w).alias("fp"),
-    )
-    # materialize ONCE: the gram+window-min extraction feeds four
-    # consumers (DF cap, both sides of the pair self-join, sizes) —
-    # without this the whole extraction re-runs per consumer (same
-    # discipline as the minhash signature agg, dedup.py:302)
+    # Stage B: winnowing election as a doc-local sliding min —
+    # fp[j] = min(hs[j .. j+w-1]) for each of the n_pos - w + 1
+    # windows — then per-doc dedup via array_distinct, all inside one
+    # narrow projection (the DuckDB oracle deliberately keeps the
+    # equivalent explode+window formulation: two independent
+    # formulations hashing identically is the strongest parity
+    # evidence). The repartition between A and B is a correctness
+    # barrier as much as a balance one: adjacent Projects collapse,
+    # and inlining `hs` into the slice lambda would re-hash the whole
+    # doc per window — O(n^2). An Exchange pins stage A's output.
+    # Replaces the old explode + Window(partitionBy doc_id) + distinct
+    # formulation: no 300x-row shuffle-and-sort, no (doc, fp) distinct
+    # exchange — measured 5.3s -> ~2s on the md5 twin at sf0.1.
     fps = (
-        winmin.filter(F.col("pos") <= F.col("n_pos") - WINNOW_W + 1)
-        .select("doc_id", "fp")
-        .distinct()
-        .localCheckpoint(eager=True)
+        hashed.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, n_pos - {WINNOW_W} + 1), "
+                        f"j -> array_min(slice(hs, j, {WINNOW_W})))"
+                    )
+                )
+            ).alias("fp"),
+        )
+        # materialize ONCE, hash-partitioned on fp and CACHED (not
+        # localCheckpoint: InMemoryRelation preserves
+        # outputPartitioning, ExistingRDD does not): the extraction
+        # feeds four consumers — DF cap, both sides of the pair
+        # self-join, sizes — and with hash(fp) layout the cap
+        # aggregate, the stop-gram semi-join, and the inverted-index
+        # self-join are all exchange-free; only the tiny sizes/pairs
+        # aggregations still shuffle. Same materialize-once discipline
+        # as the minhash signature agg (dedup.py:302), three fewer
+        # exchanges of the fingerprint table.
+        .repartition(spark.sparkContext.defaultParallelism, F.col("fp"))
+        .persist()
     )
+    fps.count()  # materialize the cache before fan-out
     capped = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= WINNOW_DF_CAP
     ).select("fp")

@@ -85,8 +85,10 @@ _PRIORITY: tuple[str, ...] = (
     "agg_argmax_mode",
     "sequence_event_trigrams",
     "udtf_chunk_spans",
-    # (c) new this round: xxhash64 winnowing production path
+    # (c) new this round: xxhash64 winnowing production path +
+    # incremental batch-vs-corpus minhash dedup
     "dedup_winnowing_fast",
+    "dedup_incremental_minhash",
     # (d) r1-only evidence, oldest first-priority: the bench-regression
     # suspect, then the full r1 cohort (verified on a data generation
     # that no longer exists — re-prove on current data)
@@ -133,11 +135,11 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_total",
     "window_standings_rank",
     "window_topk_per_group",
-    # (e) r2-evidence composed-pipeline representatives (positions
-    # 49-50): end-to-end reference job + the composed pretrain gate
+    # (e) r2-evidence composed-pipeline representative (position 50):
+    # an end-to-end reference job
     "job_race_results",
-    "pipeline_pretrain_filter",
     # --- positions 51+ (verified if the driver budget exceeds 50;
+    "pipeline_pretrain_filter",
     # locally oracle-checked regardless). r2/r3-green queries in
     # rough usefulness order, then the rest in registration order.
     "flagship_top_value_per_user",

@@ -146,20 +146,64 @@ def merge_upsert_partition_scoped(
     stage = f"{path}__mergestage_{token}"
     trash = f"{path}__mergeold_{token}"
     os.makedirs(trash)
-    merged.write.partitionBy(part_col).parquet(stage)
     try:
-        for v in part_strs:
-            sub = f"{part_col}={v}"
-            src = os.path.join(stage, sub)
-            dst = os.path.join(path, sub)
-            if not os.path.exists(src):
-                continue
-            if os.path.exists(dst):
-                os.rename(dst, os.path.join(trash, sub))
-            os.rename(src, dst)
-    finally:
+        merged.write.partitionBy(part_col).parquet(stage)
+        # Every partition value in ``updates`` MUST appear in the staged
+        # write under exactly the hand-built ``col=value`` name: a value
+        # Spark hive-escapes in directory names (space, ':', '=', '%',
+        # ...) would not match, and the old code's silent ``continue``
+        # dropped those updates while still reporting the value as
+        # rewritten. Fail loudly instead, naming what was staged.
+        expected = {f"{part_col}={v}" for v in part_strs}
+        staged = {
+            d for d in os.listdir(stage) if d.startswith(f"{part_col}=")
+        }
+        missing = expected - staged
+        if missing:
+            raise ValueError(
+                f"staged merge write is missing partition dir(s) "
+                f"{sorted(missing)} (staged: {sorted(staged)}): the "
+                f"part_col value is escaped by the hive layout — "
+                f"pre-sanitize partition values to filesystem-safe "
+                f"scalars (docstring constraint)"
+            )
+    except BaseException:
+        # nothing has been swapped yet — the table is untouched, so the
+        # staging debris is safe to remove
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
+        raise
+    displaced: list[str] = []  # old partition dirs moved into trash
+    try:
+        for sub in sorted(expected):
+            src = os.path.join(stage, sub)
+            dst = os.path.join(path, sub)
+            if os.path.exists(dst):
+                os.rename(dst, os.path.join(trash, sub))
+                displaced.append(sub)
+            os.rename(src, dst)
+    except BaseException:
+        # Mid-swap failure: roll the table back to its pre-merge state
+        # by restoring every displaced old partition from trash (the
+        # new data is reproducible by re-running the merge; the OLD
+        # copies in trash are the only ones in existence, which is why
+        # they must never be rmtree'd on this path — the pre-fix code
+        # did exactly that and a mid-swap crash lost data permanently).
+        # If a restore itself fails, stage and trash are left on disk
+        # for manual recovery.
+        for sub in displaced:
+            dst = os.path.join(path, sub)
+            old = os.path.join(trash, sub)
+            try:
+                if os.path.exists(old):
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.rename(old, dst)
+            except OSError:
+                pass  # leave trash in place; the raise below surfaces it
+        raise
+    # success: every partition swapped — only now is trash disposable
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
     return vals
 
 

@@ -15,6 +15,8 @@ free (check: ``.explain`` shows ``PushedFilters`` / narrowed
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -167,22 +169,57 @@ def parquet_ts_unit(path: str, column: str = "ts") -> str:
     """Physical time unit ('us', 'ns', ...) of a parquet timestamp
     column, from the file footer — metadata-only, no data scan. For a
     directory source (Spark-written table, file-stream dir) the first
-    part file's footer is authoritative: one writer, one unit."""
+    part file's footer is authoritative: one writer, one unit; a
+    directory with only nested subdirectories (hive-partitioned
+    layout) is probed one level down. Memoized per (resolved path,
+    column): the footer read costs a filesystem+metadata round trip on
+    every ``load_table`` call for the hottest table otherwise, and a
+    generated table's unit never changes within a process lifetime
+    (ADVICE r3). Use ``parquet_ts_unit.cache_clear()`` in tests that
+    rewrite a directory in place."""
     import os
 
+    return _parquet_ts_unit_cached(os.path.realpath(path), column)
+
+
+def _first_part_file(path: str) -> str | None:
+    """First data file under ``path``, descending one directory level
+    for hive-partitioned layouts; None when none exists."""
+    import os
+
+    if not os.path.isdir(path):
+        return path
+    entries = sorted(
+        e for e in os.listdir(path) if not e.startswith(("_", "."))
+    )
+    for e in entries:
+        full = os.path.join(path, e)
+        if e.endswith(".parquet") and os.path.isfile(full):
+            return full
+    for e in entries:  # nested (e.g. hive-partitioned) layout
+        full = os.path.join(path, e)
+        if os.path.isdir(full):
+            nested = sorted(
+                f for f in os.listdir(full)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            if nested:
+                return os.path.join(full, nested[0])
+    return None
+
+
+@_functools.lru_cache(maxsize=256)
+def _parquet_ts_unit_cached(path: str, column: str) -> str:
     import pyarrow.parquet as pq
 
-    target = path
-    if os.path.isdir(path):
-        parts = sorted(
-            f for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
-        if not parts:
-            return "us"
-        target = os.path.join(path, parts[0])
+    target = _first_part_file(path)
+    if target is None:
+        return "us"
     field = pq.ParquetFile(target).schema_arrow.field(column)
     return getattr(field.type, "unit", "us")
+
+
+parquet_ts_unit.cache_clear = _parquet_ts_unit_cached.cache_clear  # type: ignore[attr-defined]
 
 
 def _events_nanos_normalized(raw: DataFrame) -> DataFrame:

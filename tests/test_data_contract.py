@@ -73,6 +73,25 @@ def test_footer_unit_detection(tmp_path):
     )
     assert sources.parquet_ts_unit(str(d)) == "us"
 
+    # hive-partitioned form: no top-level part files, probe one level
+    # down instead of silently defaulting to 'us' (ADVICE r3)
+    h = tmp_path / "hive_src"
+    (h / "day=d1").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"ts": pa.array([1], pa.timestamp("ns"))}),
+        h / "day=d1" / "part-0.parquet",
+    )
+    assert sources.parquet_ts_unit(str(h)) == "ns"
+
+    # memoized per resolved path: a rewrite without cache_clear is
+    # served from cache; cache_clear re-reads the footer
+    pq.write_table(
+        pa.table({"ts": pa.array([1], pa.timestamp("ns"))}), d / "part-0.parquet"
+    )
+    assert sources.parquet_ts_unit(str(d)) == "us"  # stale by design
+    sources.parquet_ts_unit.cache_clear()
+    assert sources.parquet_ts_unit(str(d)) == "ns"
+
 
 def test_nanos_fallback_still_reads(spark, tmp_path):
     """If the driver ever ships nanos again, the legacy read path must

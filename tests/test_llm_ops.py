@@ -151,3 +151,43 @@ def test_winnowing_recalls_shifted_copies(spark, sf_dir):
     # shared-fingerprint floor — recall is over the detectable corpus
     assert planted.count() >= 0.99 * n_docs
     assert planted.filter(F.col("overlap_ratio") < 0.99).count() == 0
+
+
+def test_winnowing_fast_matches_md5_pair_set(spark, sf_dir):
+    """The xxhash64 production path's contract: above the
+    WINNOW_FAST_MIN_LEN floor the accepted (doc_a, doc_b) set is
+    IDENTICAL to the md5 twin's, because every decision sits ~4x away
+    from the accept thresholds (the floor exists precisely because a
+    49-char doc was observed flipping between hashes at the
+    n_shared floor). This is the same-result discipline used for
+    salted-vs-plain aggregation."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark import registry
+    from pitlapetl_spark.operators.dedup import (
+        WINNOW_FAST_MIN_LEN,
+        WINNOW_K,
+        _winnow_pairs,
+    )
+
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_winnowing_fast"](spark, sf_dir).collect()
+    }
+    md5_floored = {
+        (r.doc_a, r.doc_b)
+        for r in _winnow_pairs(
+            spark,
+            sf_dir,
+            f"md5(substring(norm, i, {WINNOW_K}))",
+            min_len=WINNOW_FAST_MIN_LEN,
+        ).collect()
+    }
+    assert fast == md5_floored
+    # and the floor only trims the tiny-doc tail of the full md5 output
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_winnowing"](spark, sf_dir).collect()
+    }
+    assert fast <= full
+    assert len(fast) >= 0.85 * len(full)

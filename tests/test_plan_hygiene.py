@@ -262,9 +262,20 @@ def test_winnowing_and_basket_no_cartesian(spark):
     basket plan is allowed exactly ONE BroadcastNestedLoopJoin: the
     deliberate crossJoin of the one-row global totals (the approved
     bounded-crossJoin pattern, e.g. kmeans/layout)."""
+    for q in ("dedup_winnowing", "dedup_winnowing_fast"):
+        plan = _plan(Q[q](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+    # the fast path must actually hash with xxhash64: its fingerprint
+    # column is a LONG (rendered fp#<id>L in the checkpointed scan —
+    # the extraction itself is behind the localCheckpoint), where the
+    # md5 twin's is a string
+    import re
+
+    plan = _plan(Q["dedup_winnowing_fast"](spark, SF_SMOKE))
+    assert re.search(r"fp#\d+L", plan), plan
     plan = _plan(Q["dedup_winnowing"](spark, SF_SMOKE))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert not re.search(r"fp#\d+L", plan), plan
 
     plan = _plan(Q["market_basket_pairs"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from pitlapetl_spark.sinks import merge_upsert, overwrite, read_or_none, upsert_partitioned
@@ -167,6 +168,78 @@ def test_merge_partition_scoped_rewrites_only_touched(spark):
     assert {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()} == got
     # no stage/trash residue next to the table
     assert not glob.glob(f"{path}__merge*")
+
+
+def test_merge_partition_scoped_escaped_value_fails_loudly(spark):
+    """A part_col value Spark hive-escapes in directory names (':' ->
+    %3A) cannot be swapped by the hand-built ``col=value`` rename; the
+    old code silently dropped those updates while reporting the value
+    as rewritten (ADVICE r3). It must now fail loudly, leave the table
+    byte-identical, and leave no staging debris."""
+    import glob
+
+    from pitlapetl_spark.sinks import merge_upsert_partition_scoped
+
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d2", 2, 20.0)], "day string, k int, v double"
+    )
+    merge_upsert_partition_scoped(base, path, ["k"], "day")
+    before = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+
+    bad = spark.createDataFrame([("d:1", 9, 90.0)], "day string, k int, v double")
+    with pytest.raises(ValueError, match="escaped"):
+        merge_upsert_partition_scoped(bad, path, ["k"], "day")
+    assert {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()} == before
+    assert not glob.glob(f"{path}__merge*")
+
+
+def test_merge_partition_scoped_midswap_failure_recovers(spark, monkeypatch):
+    """A crash mid-swap (old partition already displaced into trash,
+    later rename fails) must roll the table back to its pre-merge
+    state — the pre-fix code rmtree'd the trash in a finally block,
+    permanently losing the displaced partition (ADVICE r3 medium)."""
+    import os as _os
+
+    from pitlapetl_spark.sinks import merge_upsert_partition_scoped
+
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d2", 2, 20.0), ("d3", 3, 30.0)],
+        "day string, k int, v double",
+    )
+    merge_upsert_partition_scoped(base, path, ["k"], "day")
+    before = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+
+    updates = spark.createDataFrame(
+        [("d1", 1, 99.0), ("d2", 2, 88.0)], "day string, k int, v double"
+    )
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        # d1 swaps fully; d2's displacement into trash blows up
+        if "day=d2" in str(dst) and "__mergeold_" in str(dst):
+            raise OSError("simulated mid-swap crash")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated"):
+        merge_upsert_partition_scoped(updates, path, ["k"], "day")
+    monkeypatch.setattr(_os, "rename", real_rename)
+
+    # every partition — including already-swapped d1 — is back to the
+    # pre-merge state, and the displaced copies were NOT destroyed
+    assert {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()} == before
+
+    # the merge is replayable after the failure and then converges
+    import glob
+    import shutil as _shutil
+
+    for leftover in glob.glob(f"{path}__merge*"):
+        _shutil.rmtree(leftover)
+    merge_upsert_partition_scoped(updates, path, ["k"], "day")
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("d1", 99.0), 2: ("d2", 88.0), 3: ("d3", 30.0)}
 
 
 def test_merge_partition_scoped_prunes_scan(spark):
