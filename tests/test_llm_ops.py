@@ -191,3 +191,27 @@ def test_winnowing_fast_matches_md5_pair_set(spark, sf_dir):
     }
     assert fast <= full
     assert len(fast) >= 0.85 * len(full)
+
+
+def test_incremental_minhash_is_batch_vs_corpus_only(spark, sf_dir):
+    """Every emitted pair must cross the batch/corpus split (a
+    batch-x-batch or corpus-x-corpus pair means the operator is doing
+    whole-corpus work), and the found pairs must agree with the
+    whole-corpus LSH run restricted to cross-split pairs."""
+    from pitlapetl_spark import registry
+    from pitlapetl_spark.operators.dedup import INCR_MOD, INCR_REM
+
+    rows = registry.QUERIES["dedup_incremental_minhash"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_new % INCR_MOD == INCR_REM
+        assert r.dup_of % INCR_MOD != INCR_REM
+
+    full = registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    cross = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in full
+        if (r.doc_a % INCR_MOD == INCR_REM) != (r.doc_b % INCR_MOD == INCR_REM)
+    }
+    got = {frozenset((r.doc_new, r.dup_of)) for r in rows}
+    assert got == cross

@@ -282,6 +282,17 @@ def test_winnowing_and_basket_no_cartesian(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # one-row totals only
 
 
+def test_incremental_minhash_probes_corpus_with_broadcast(spark):
+    """The incremental dedup must probe the corpus band store with a
+    BROADCAST of the (small) batch bands — shuffling the corpus side
+    per crawl would defeat the operator's point — and must never fall
+    back to a cartesian pairing."""
+    plan = _plan(Q["dedup_incremental_minhash"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pit_join_is_user_equi_join(spark):
     """The temporal PIT join must carry user_id as the equi key with
     the interval predicates as join filters — planning it as a pure

@@ -26,6 +26,8 @@ DEFAULT = (
     "shuffle_epoch_shards",
     "sketch_mv_union",
     "dedup_winnowing",
+    "dedup_winnowing_fast",
+    "dedup_incremental_minhash",
 )
 
 
