@@ -266,6 +266,10 @@ def test_winnowing_and_basket_no_cartesian(spark):
         plan = _plan(Q[q](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+        # the fingerprint table must be materialized once and fanned
+        # out from cache (fp-hash-partitioned InMemoryRelation) — the
+        # four consumers re-running the extraction was the r3 cost
+        assert "InMemoryTableScan" in plan, q
     # the fast path must actually hash with xxhash64: its fingerprint
     # column is a LONG (rendered fp#<id>L in the checkpointed scan —
     # the extraction itself is behind the localCheckpoint), where the
