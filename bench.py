@@ -72,8 +72,12 @@ HEADLINE = (
     "market_basket_pairs",
     # round 4: xxhash64 winnowing production path (the md5 entry above
     # stays for round-over-round comparability; this is what a real
-    # pipeline runs)
+    # pipeline runs), incremental dedup, and two more warehouse
+    # classics (Q6 = the pushdown canary, Q18 = aggregate-as-semi-join)
     "dedup_winnowing_fast",
+    "dedup_incremental_minhash",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
 )
 
 

@@ -178,6 +178,132 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-predicate-aggregate — every filter is a
+    pushable parquet predicate (range on shipdate, between on
+    discount, < on quantity), the aggregate is a single partial-final
+    sum with no grouping key. The plan-quality canary: if any of these
+    filters fails to reach PushedFilters, scan pushdown broke."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(
+            F.col("l_extendedprice") * F.col("l_discount"),
+            "revenue_delta",
+            REV_DEC,
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12's shape on the columns this schema carries (no
+    l_shipmode/l_receiptdate: lateness is shipdate > orderdate + 90d,
+    the mode dimension is l_linestatus): fact-fact equi-join with a
+    residual theta predicate, conditional-sum pivot on priority. The
+    pattern behind every 'SLA breach by category' report."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q18_MIN_QTY = 200
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_MIN_QTY}
+    )
+    SELECT c.c_name AS name,
+           c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey,
+           o.o_orderdate AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o   ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a floor, joined
+    back to orders+customer, top-100 by price. The HAVING-then-semi
+    shape: the fact aggregates to order grain FIRST (map-side partial
+    on the natural key), and only the surviving keys join to the
+    dims — the aggregate acts as its own semi-join filter, which is
+    how a 100-TB engine avoids joining the full fact."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > Q18_MIN_QTY)
+        .select("l_orderkey", F.col("qty").cast("double").alias("total_qty"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(100)
+    )
+
+
 # ------------------------------------------------- market basket
 
 BASKET_MIN_PAIR = 3  # minimum co-occurrence count to score a pair

@@ -85,10 +85,14 @@ _PRIORITY: tuple[str, ...] = (
     "agg_argmax_mode",
     "sequence_event_trigrams",
     "udtf_chunk_spans",
-    # (c) new this round: xxhash64 winnowing production path +
-    # incremental batch-vs-corpus minhash dedup
+    # (c) new this round: xxhash64 winnowing production path,
+    # incremental batch-vs-corpus minhash dedup, and the Q6/Q12/Q18
+    # warehouse classics
     "dedup_winnowing_fast",
     "dedup_incremental_minhash",
+    "q6_forecast_revenue",
+    "q12_late_shipment_priority",
+    "q18_large_volume_customers",
     # (d) r1-only evidence, oldest first-priority: the bench-regression
     # suspect, then the full r1 cohort (verified on a data generation
     # that no longer exists — re-prove on current data)
@@ -132,13 +136,13 @@ _PRIORITY: tuple[str, ...] = (
     "topk_global",
     "window_lag_lead_gap",
     "window_rolling_frame",
+    # --- positions 51+ (verified if the driver budget exceeds 50;
+    # the head above is exactly 50: the 3 window r1-cohort members and
+    # the r2-verified job below are the displaced tail)
     "window_running_total",
     "window_standings_rank",
     "window_topk_per_group",
-    # (e) r2-evidence composed-pipeline representative (position 50):
-    # an end-to-end reference job
     "job_race_results",
-    # --- positions 51+ (verified if the driver budget exceeds 50;
     "pipeline_pretrain_filter",
     # locally oracle-checked regardless). r2/r3-green queries in
     # rough usefulness order, then the rest in registration order.

@@ -50,6 +50,29 @@ def test_flagship_plan_shape(spark):
     assert "PushedFilters: [IsNotNull" in plan
 
 
+def test_q6_all_predicates_push_to_scan(spark):
+    """Q6 is the pushdown canary: shipdate range, discount band, and
+    quantity cap must ALL reach the parquet scan as PushedFilters —
+    at 100 TB each lost predicate is a full-column decode."""
+    plan = _plan(Q["q6_forecast_revenue"](spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q18_aggregates_before_joining(spark):
+    """Q18's HAVING floor must apply at the order-grain aggregate
+    BEFORE any join — the aggregate is the semi-join filter; joining
+    the raw fact to dims first would move the whole fact twice."""
+    plan = _plan(Q["q18_large_volume_customers"](spark, SF_SMOKE))
+    agg_pos = plan.find("partial_sum")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # the partial agg appears deeper in the tree (later in the string)
+    # than every join consuming it
+    assert agg_pos > join_pos, "fact joined before aggregation"
+
+
 def test_agg_has_mapside_partial(spark):
     plan = _plan(Q["agg_pricing_summary"](spark, SF_SMOKE))
     # partial_ aggregates before the exchange = map-side combine

@@ -242,6 +242,74 @@ def test_merge_partition_scoped_midswap_failure_recovers(spark, monkeypatch):
     assert got == {1: ("d1", 99.0), 2: ("d2", 88.0), 3: ("d3", 30.0)}
 
 
+def test_merge_partition_scoped_crash_matrix(spark, monkeypatch):
+    """Inject a failure at EVERY rename call index in the swap, one
+    run per index: after each injected crash the table must read back
+    exactly its pre-merge state (full rollback), and a clean replay
+    must then converge to the merged state. This is the exhaustive
+    version of the single-point midswap test above."""
+    import glob
+    import os as _os
+    import shutil as _shutil
+
+    from pitlapetl_spark.sinks import merge_upsert_partition_scoped
+
+    base_rows = [("d1", 1, 10.0), ("d2", 2, 20.0), ("d3", 3, 30.0)]
+    upd_rows = [("d1", 1, 99.0), ("d2", 2, 88.0), ("d4", 9, 90.0)]
+    schema = "day string, k int, v double"
+    real_rename = _os.rename
+
+    # count the renames of a clean run (same layout every time)
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    merge_upsert_partition_scoped(spark.createDataFrame(base_rows, schema), path, ["k"], "day")
+    calls = []
+    monkeypatch.setattr(
+        _os, "rename", lambda s, d: (calls.append(1), real_rename(s, d))[1]
+    )
+    merge_upsert_partition_scoped(spark.createDataFrame(upd_rows, schema), path, ["k"], "day")
+    monkeypatch.setattr(_os, "rename", real_rename)
+    n_renames = len(calls)
+    assert n_renames >= 5  # 2 displaced + 3 staged moves
+
+    for fail_at in range(n_renames):
+        path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+        merge_upsert_partition_scoped(
+            spark.createDataFrame(base_rows, schema), path, ["k"], "day"
+        )
+        before = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+        seen = [0]
+
+        def crashing(src, dst, _seen=seen, _at=fail_at):
+            # transient single fault: exactly the _at-th merge-related
+            # rename fails; the rollback's own renames then succeed (a
+            # second failure DURING rollback is the documented
+            # leave-trash-for-manual-recovery case, not tested here)
+            if "__merge" in str(src) or "__merge" in str(dst):
+                n = _seen[0]
+                _seen[0] += 1
+                if n == _at:
+                    raise OSError(f"injected at rename #{_at}")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(_os, "rename", crashing)
+        with pytest.raises(OSError, match="injected"):
+            merge_upsert_partition_scoped(
+                spark.createDataFrame(upd_rows, schema), path, ["k"], "day"
+            )
+        monkeypatch.setattr(_os, "rename", real_rename)
+        got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+        assert got == before, f"rollback broken when rename #{fail_at} fails"
+        for leftover in glob.glob(f"{path}__merge*"):
+            _shutil.rmtree(leftover)
+        merge_upsert_partition_scoped(
+            spark.createDataFrame(upd_rows, schema), path, ["k"], "day"
+        )
+        got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+        assert got == {
+            1: ("d1", 99.0), 2: ("d2", 88.0), 3: ("d3", 30.0), 9: ("d4", 90.0)
+        }, f"replay after crash at #{fail_at} did not converge"
+
+
 def test_merge_partition_scoped_prunes_scan(spark):
     """The anti-join side must PRUNE untouched partitions at the scan:
     the executed plan's parquet scan reads only the touched directory
