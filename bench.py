@@ -8,12 +8,15 @@ the ``noop`` sink, which forces full computation of every row without
 paying serialization-to-driver or disk-write cost — the honest measure
 of engine throughput.
 
-Each query is run twice and the MIN is reported (declared as
-``"timing": "min_of_2"`` in the JSON): single cold runs conflate
+Each query is run three times and the MIN is reported (declared as
+``"timing": "min_of_3"`` in the JSON): single cold runs conflate
 whole-stage-codegen compilation and host load spikes with engine
 throughput (observed: the same commit's heaviest query swinging
-7.9s -> 13.3s across days purely from machine load). Min-of-N warm
-timing is the standard way to measure the steady-state plan cost.
+7.9s -> 13.3s across days purely from machine load; round 3's bench
+recorded a phantom 2.1x on an unchanged query, and round-4 idle
+re-runs showed sub-second queries bouncing +-50% under co-tenant
+load — min_of_2 was not enough insulation). Min-of-N warm timing is
+the standard way to measure the steady-state plan cost.
 """
 
 from __future__ import annotations
@@ -105,7 +108,7 @@ def main() -> None:
         if fn is None:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _materialize(fn(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -122,7 +125,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "timing": "min_of_2",
+                "timing": "min_of_3",
                 "queries": timings,
                 "sf": sf_val,
             }

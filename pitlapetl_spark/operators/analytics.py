@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources import load_table
+from ..sources import load_table, parquet_row_count
 from .aggregates import dsum
 
 REV_DEC = "decimal(18,4)"
@@ -308,6 +308,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BASKET_MIN_PAIR = 3  # minimum co-occurrence count to score a pair
 BASKET_TOP_K = 50
+# broadcast the item-count dimension only when the catalog is provably
+# small (footer-metadata row count of the part table, an upper bound
+# on distinct l_partkey); ~10M 16-byte rows ≈ low hundreds of MB, the
+# conventional ceiling for a driver-side broadcast build
+BASKET_BROADCAST_MAX_ITEMS = 10_000_000
 
 
 @query(
@@ -349,15 +354,18 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by max-basket-size² per order (TPC-H baskets are ≤ ~13 lines;
     a retail 100-TB fact keeps the same bound), never corpus-quadratic.
     Item counts (distinct-part grain) join back onto the pair
-    aggregate WITHOUT an explicit broadcast hint: the item dimension
-    is catalog-sized, and force-broadcasting a 100M-SKU catalog would
-    OOM the driver — AQE picks broadcast when the dimension actually
-    fits (it does for TPC-H's 20k parts) and a co-partitioned shuffle
-    join when it doesn't (VERDICT r3, market-basket caveat). The
-    global order count stays a one-row broadcast; top-K is
-    TakeOrderedAndProject. This is the same bounded-pair-space
-    discipline as the capped-Jaccard dedup, applied to the classic
-    co-occurrence analytics query."""
+    aggregate with a SIZE-GATED broadcast: the item dimension is
+    catalog-sized, and an unconditional broadcast hint would OOM the
+    driver at a 100M-SKU catalog, while hint-free AQE is
+    non-deterministic run-to-run at the margin. The gate reads the
+    part table's exact row count from parquet FOOTER metadata (no
+    Spark job — distinct l_partkey cardinality is bounded by |part|)
+    and hints broadcast only under BASKET_BROADCAST_MAX_ITEMS
+    (VERDICT r3 market-basket caveat, option b). The global order
+    count stays a one-row broadcast; top-K is TakeOrderedAndProject.
+    This is the same bounded-pair-space discipline as the
+    capped-Jaccard dedup, applied to the classic co-occurrence
+    analytics query."""
     li = load_table(spark, sf_dir, "lineitem")
     bk = li.select("l_orderkey", "l_partkey").distinct()
     items = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
@@ -378,6 +386,8 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = items.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
     ib = items.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    if parquet_row_count(f"{sf_dir}/part.parquet") <= BASKET_BROADCAST_MAX_ITEMS:
+        ia, ib = F.broadcast(ia), F.broadcast(ib)
     return (
         pairs.join(ia, "part_a")
         .join(ib, "part_b")

@@ -222,6 +222,26 @@ def _parquet_ts_unit_cached(path: str, column: str) -> str:
 parquet_ts_unit.cache_clear = _parquet_ts_unit_cached.cache_clear  # type: ignore[attr-defined]
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count of a parquet file/directory from footer
+    metadata — O(files) metadata reads, no Spark job, no data scan.
+    The cheap cardinality estimate for broadcast-vs-shuffle decisions
+    on dimension tables (a dimension's key cardinality is bounded by
+    its row count)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def _events_nanos_normalized(raw: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 

@@ -261,6 +261,49 @@ def test_interval_merge_islands_are_disjoint_and_cover(spark, sf_dir):
     assert uncovered.count() == 0
 
 
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    sizes=st.lists(st.integers(5, 60), min_size=3, max_size=10),
+)
+@settings(max_examples=3, deadline=None, suppress_health_check=list(HealthCheck))
+def test_winnowing_finds_exactly_planted_pairs_on_any_corpus(seed, sizes):
+    """Winnowing recall/precision on ARBITRARY corpora, not just the
+    driver tables: generate docs with doc-disjoint vocabularies (so
+    no cross-doc fingerprints can exist), write them as a documents
+    table, run the registered query. Every long-enough doc must pair
+    with its planted prefix-shifted copy (the winnowing guarantee:
+    shared substrings >= k+w-1 chars share a fingerprint), and NO
+    cross-doc pair may ever appear (disjoint vocabularies => exact
+    precision)."""
+    import random
+    import tempfile
+
+    from pitlapetl_spark import registry
+
+    registry.load_all()
+    spark = _get_spark()
+    rng = random.Random(seed)
+    docs = []
+    for i, n_words in enumerate(sizes):
+        words = [f"w{i}x{rng.randrange(10**6)}" for _ in range(n_words)]
+        text = " ".join(words)
+        docs.append((i, text, "en", f"src{i}", len(text)))
+    d = tempfile.mkdtemp(prefix="pitlap_prop_")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_winnowing"](spark, d).collect()
+    }
+    for a, b in pairs:
+        assert b - a == 1_000_000, f"cross-doc pair {(a, b)} on disjoint vocab"
+    long_enough = {i for i, t, *_ in docs if len(t) >= 150}
+    missed = {i for i in long_enough if (i, i + 1_000_000) not in pairs}
+    assert not missed, f"planted copies missed for docs {missed}"
+
+
 def test_boilerplate_removal_is_idempotent_on_content(spark, sf_dir):
     """Removing boilerplate lines twice changes nothing: the kept
     lines' DF can only DROP below threshold after removal, never rise,

@@ -25,9 +25,9 @@ import re
 import sys
 
 # query -> SCALE.md section explaining the accepted regression
-ACCEPTED_REGRESSIONS: dict[str, str] = {
-    "market_basket_pairs": "Round-4 additions: catalog broadcast un-hinted",
-}
+# (empty right now: the round-4 market-basket un-hint was superseded
+# by the size-gated broadcast, which restored the r3 plan at bench SF)
+ACCEPTED_REGRESSIONS: dict[str, str] = {}
 
 
 def load_queries(path: str) -> dict[str, float]:
