@@ -275,6 +275,21 @@ def _oracle_minhash_lsh() -> str:
     """
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N-1}, n) minhash signature frame for a documents
+    frame (doc_id, text, ...): shingle explode + one grouped
+    aggregation carrying the 16-hash signature and the shingle count.
+    The shared signature builder for whole-corpus LSH, incremental
+    batch dedup, and the streaming ingest sink — one narrow row per
+    document, the thing a production signature STORE persists."""
+    sh = shingle_rows(docs)
+    return (
+        sh.select("doc_id", *minhash_base_cols(F.col("s")))
+        .groupBy("doc_id")
+        .agg(*minhash_cols(N_HASHES), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _band_rows(sig: DataFrame) -> DataFrame:
     """LSH band rows (doc_id, band_idx, band_val) from a minhash
     signature frame: each band hashes its ROWS_PER_BAND signature
@@ -322,12 +337,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint for persist(MEMORY_AND_DISK) — same plan shape.
     # The 16 hash values derive from ONE md5 per shingle
     # (functions/text.py minhash family) — not 16.
-    sig = (
-        sh.select("doc_id", *minhash_base_cols(F.col("s")))
-        .groupBy("doc_id")
-        .agg(*minhash_cols(N_HASHES), F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
     sizes = sig.select("doc_id", "n")
     bands = _band_rows(sig)
     a = bands.alias("a")
@@ -418,12 +428,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one signature pass over everything here (the test corpus has no
     # persisted store); the SPLIT below is what production replaces
     # with a table read — the plan downstream of `sig` is identical
-    sig = (
-        sh.select("doc_id", *minhash_base_cols(F.col("s")))
-        .groupBy("doc_id")
-        .agg(*minhash_cols(N_HASHES), F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
     bands = _band_rows(sig)
     batch_bands = bands.filter(is_batch)
     corpus_bands = bands.filter(~is_batch)

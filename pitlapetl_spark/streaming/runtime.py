@@ -286,3 +286,117 @@ def run_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------ dedup ingest sink
+
+DEDUP_INGEST_EST_THRESHOLD = 0.7  # minhash-estimate accept threshold
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over a documents parquet directory."""
+    from ..sources import DOCUMENTS
+
+    reader = spark.readStream.schema(DOCUMENTS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_dedup_ingest_sink(
+    docs: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming crawl ingest with incremental near-dup dedup — the
+    recurring production shape behind ``dedup_incremental_minhash``
+    run continuously: every micro-batch (a) computes its minhash
+    signatures, (b) probes the persisted SIGNATURE STORE's band table
+    with the (broadcast-small) batch bands, (c) drops batch docs whose
+    signature-estimated Jaccard against any store doc clears the
+    threshold, and (d) appends the survivors to the corpus table and
+    their signatures to the store, so the next batch dedups against
+    them too.
+
+    The dedup decision here is the SIGNATURE ESTIMATE (fraction of
+    agreeing minhash slots — the standard unbiased Jaccard estimator),
+    not an exact-shingle verify: the store persists O(1) signature
+    rows per doc, never shingle sets, so the recurring cost stays
+    O(batch + collisions) with a fixed-width store row. Batches are
+    deduped against the store, not internally — intra-batch dups
+    land once each and the SECOND occurrence is caught on the next
+    batch boundary (bound the window with maxFilesPerTrigger; run the
+    batch ``dedup_minhash_lsh`` for a full intra-corpus sweep).
+    Exactly-once: the foreachBatch appends are idempotent only via
+    the streaming checkpoint's batch tracking — a replayed batch
+    re-runs against a store that already contains its docs, and every
+    batch doc then matches ITSELF in the store at estimate 1.0, so
+    replays drop all their rows and append nothing new (self-healing
+    append, no MERGE needed for this workload)."""
+    from ..operators.dedup import N_HASHES, _band_rows, minhash_signatures
+    from ..sinks import read_or_none
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        sig = minhash_signatures(batch).localCheckpoint(eager=True)
+        store = read_or_none(spark, store_path, schema=sig.schema)
+        if store is None:
+            survivors = sig.select("doc_id")
+        else:
+            cand = (
+                _band_rows(store)
+                .alias("c")
+                .join(
+                    F.broadcast(_band_rows(sig).alias("b")),
+                    (F.col("c.band_idx") == F.col("b.band_idx"))
+                    & (F.col("c.band_val") == F.col("b.band_val")),
+                )
+                .select(
+                    F.col("b.doc_id").alias("doc_new"),
+                    F.col("c.doc_id").alias("dup_of"),
+                )
+                .distinct()
+            )
+            bsig = sig.select(
+                F.col("doc_id").alias("doc_new"),
+                *[F.col(f"h{j}").alias(f"bh{j}") for j in range(N_HASHES)],
+            )
+            ssig = store.select(
+                F.col("doc_id").alias("dup_of"),
+                *[F.col(f"h{j}").alias(f"sh{j}") for j in range(N_HASHES)],
+            )
+            est = sum(
+                F.when(F.col(f"bh{j}") == F.col(f"sh{j}"), 1).otherwise(0)
+                for j in range(N_HASHES)
+            ) / F.lit(N_HASHES)
+            dups = (
+                cand.join(bsig, "doc_new")
+                .join(ssig, "dup_of")
+                .filter(est >= DEDUP_INGEST_EST_THRESHOLD)
+                .select("doc_new")
+                .distinct()
+            )
+            survivors = sig.select("doc_id").join(
+                dups.withColumnRenamed("doc_new", "doc_id"), "doc_id", "left_anti"
+            )
+        keep = F.broadcast(survivors)
+        batch.join(keep, "doc_id", "left_semi").write.mode("append").parquet(
+            corpus_path
+        )
+        sig.join(keep, "doc_id", "left_semi").write.mode("append").parquet(
+            store_path
+        )
+
+    return (
+        docs.writeStream.foreachBatch(ingest_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

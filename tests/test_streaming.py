@@ -372,3 +372,67 @@ def test_tws_user_profile_matches_batch(spark, events_stream):
         assert _rows(got, *cols) == _rows(want, *cols)
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_dedup_ingest_sink_drops_store_dups_and_grows_store(spark, tmp_path):
+    """Two micro-batch rounds of the streaming crawl-ingest dedup:
+    batch 1 bootstraps the signature store; batch 2 contains one
+    exact dup and one prefix-shifted near-dup of stored docs plus two
+    fresh docs — the dups must be dropped, the fresh docs appended to
+    BOTH the corpus and the store, and a third round containing a dup
+    of a batch-2 doc must drop it (the store grew)."""
+    import random
+
+    from pitlapetl_spark.streaming.runtime import (
+        read_documents_stream,
+        run_dedup_ingest_sink,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    store, corpus, ckpt = (
+        str(tmp_path / "store"),
+        str(tmp_path / "corpus"),
+        str(tmp_path / "ckpt"),
+    )
+    rng = random.Random(7)
+
+    def doc(i, text):
+        return (i, text, "en", f"src{i}", len(text))
+
+    def text_for(i, n=40):
+        return " ".join(f"w{i}x{rng.randrange(10**6)}" for _ in range(n))
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def run_round(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(incoming))
+        q = run_dedup_ingest_sink(
+            read_documents_stream(spark, str(incoming)), store, corpus, ckpt
+        )
+        q.awaitTermination(120)
+
+    t0, t1, t2 = text_for(0), text_for(1), text_for(2)
+    run_round([doc(0, t0), doc(1, t1), doc(2, t2)], "b1")
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {0, 1, 2}
+
+    t11 = text_for(11)
+    run_round(
+        [
+            doc(10, t0),  # exact dup of stored doc 0
+            doc(13, "shifted prefix pad " + t1),  # near-dup of stored doc 1
+            doc(11, t11),  # fresh
+            doc(12, text_for(12)),  # fresh
+        ],
+        "b2",
+    )
+    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert ids == {0, 1, 2, 11, 12}, ids
+
+    run_round([doc(20, t11), doc(21, text_for(21))], "b3")
+    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert ids == {0, 1, 2, 11, 12, 21}, ids
+    # store rows mirror the corpus exactly
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == ids
