@@ -34,6 +34,7 @@ _MODULES = (
     "pitlapetl_spark.operators.joins",
     "pitlapetl_spark.operators.aggregates",
     "pitlapetl_spark.operators.analytics",
+    "pitlapetl_spark.operators.warehouse",
     "pitlapetl_spark.operators.windows",
     "pitlapetl_spark.operators.setops",
     "pitlapetl_spark.operators.nested",
@@ -93,6 +94,19 @@ _PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q12_late_shipment_priority",
     "q18_large_volume_customers",
+    # (c') the round-4 second warehouse tranche (operators/warehouse.py)
+    # — zero driver evidence by construction, so they outrank the
+    # re-prove cohort below
+    "q4_order_priority_check",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_high_balance",
     # (d) r1-only evidence, oldest first-priority: the bench-regression
     # suspect, then the full r1 cohort (verified on a data generation
     # that no longer exists — re-prove on current data)
@@ -136,9 +150,11 @@ _PRIORITY: tuple[str, ...] = (
     "topk_global",
     "window_lag_lead_gap",
     "window_rolling_frame",
-    # --- positions 51+ (verified if the driver budget exceeds 50;
-    # the head above is exactly 50: the 3 window r1-cohort members and
-    # the r2-verified job below are the displaced tail)
+    # --- positions 51+ (verified only if the driver budget exceeds
+    # 50; the 10-query warehouse tranche above pushed the last ten
+    # r1-cohort re-proofs below the 50 line — new-operator evidence
+    # outranks re-proving rows that are r1-green AND locally green on
+    # current-generation data)
     "window_running_total",
     "window_standings_rank",
     "window_topk_per_group",

@@ -327,3 +327,77 @@ def test_pit_join_is_user_equi_join(spark):
     plan = _plan(Q["temporal_pit_join"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Q4's correlated EXISTS must compile to a left-semi hash join on
+    l_orderkey (theta residual evaluated post-match) — a per-order
+    subquery re-scan or a nested loop would be quadratic in the fact."""
+    plan = _plan(Q["q4_order_priority_check"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_q8_snowflake_broadcasts_dims(spark):
+    """The 6-to-8-table snowflakes must broadcast every dimension role
+    (nation twice, region, filtered part) and never plan a cartesian —
+    at 100 TB only the fact tables may shuffle."""
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        plan = _plan(Q[name](spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q13_keeps_left_outer_with_on_predicate(spark):
+    """Q13's priority exclusion lives in the join's ON clause: the plan
+    must keep the LeftOuter join (preserving zero-order customers) —
+    if the predicate leaked into a post-join filter the c_count=0 bin
+    would vanish."""
+    plan = _plan(Q["q13_customer_distribution"](spark, SF_SMOKE))
+    assert "LeftOuter" in plan
+
+
+def test_q15_max_is_broadcast_not_window(spark):
+    """Q15's scalar max must be a one-row broadcast joined back, not a
+    global all-rows-to-one-partition window."""
+    plan = _plan(Q["q15_top_supplier"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_threshold_reuses_partkey_exchange(spark):
+    """Q17's per-part average and the main join both key on l_partkey;
+    the aggregate must partial-combine map-side and the plan must stay
+    equi-join only."""
+    plan = _plan(Q["q17_small_quantity_revenue"](spark, SF_SMOKE))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_brand_superset_pushes_to_part_scan(spark):
+    """Q19's OR-of-ANDs: Catalyst must still push the brand IN-list
+    superset to the part scan even though the full disjunction spans
+    both join sides."""
+    plan = _plan(Q["q19_discounted_revenue"](spark, SF_SMOKE))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0] if "PushedFilters: [" in plan else ""
+    assert "p_brand" in plan, "brand filter vanished from the plan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_stacked_semi_anti_joins(spark):
+    """Q21's EXISTS/NOT EXISTS pair must be a left-semi then left-anti
+    equi-join on l_orderkey — per-order bounded at any scale."""
+    plan = _plan(Q["q21_suppliers_kept_waiting"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_scans_filtered_orders(spark):
+    """Q22's NOT-EXISTS side must push the recency predicate into the
+    orders scan before the anti-join."""
+    plan = _plan(Q["q22_dormant_high_balance"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    pushed_sections = [s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderdate" in s for s in pushed_sections), pushed_sections
