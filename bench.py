@@ -81,6 +81,12 @@ HEADLINE = (
     "dedup_incremental_minhash",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
+    # round 4 (this session): exact-substring dedup spans (xxhash64
+    # production twin), the dual-role snowflake Q7, and the stacked
+    # semi/anti Q21 — each a heavy shape not yet represented
+    "dedup_repeated_spans_fast",
+    "q7_volume_shipping",
+    "q21_suppliers_kept_waiting",
 )
 
 

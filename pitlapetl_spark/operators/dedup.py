@@ -1022,3 +1022,225 @@ def _winnow_pairs(
         )
         .filter(F.col("overlap_ratio") >= WINNOW_RATIO)
     )
+
+
+# ------------------------------------------ repeated-substring spans
+
+# Exact substring-level deduplication (the modality the doc-level
+# dedups above cannot express): find every maximal token span whose
+# k-grams occur more than once in the corpus — the spans an
+# exact-substring dedup pass (suffix-array style, as popularized for
+# LLM pretraining corpora) would cut from the training set. Suffix
+# arrays don't distribute; the standard scale-out equivalent is
+# hashed fixed-k token grams -> corpus-wide occurrence count ->
+# island-merge of overlapping repeated positions, which finds exactly
+# the repeated substrings of length >= SPAN_K tokens.
+#
+# 100-TB shape: gram extraction is doc-local array expressions (no
+# explode until one row per position), the occurrence count is one
+# hash-agg on the gram hash, the join back is an equi-join on the
+# same key, and the island merge is a per-doc window — nothing is
+# corpus-quadratic and nothing ships text, only 16-byte hashes.
+# Span membership is invariant to the CHOICE of gram hash (any
+# injective hash marks the same positions), so the xxhash64 fast twin
+# below is bit-identical to this md5 formulation modulo collisions —
+# unlike winnowing there is no threshold for a hash swap to perturb.
+
+SPAN_K = 8  # token k-gram length (= min repeated-substring length)
+SPAN_MIN_COUNT = 2  # corpus-wide occurrences for a gram to be "repeated"
+
+_SPAN_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _repeated_span_frame(
+    spark: SparkSession, sf_dir: str, gram_hash: str
+) -> DataFrame:
+    """Shared plan for the md5 / xxhash64 twins: ``gram_hash`` is a
+    Spark-SQL expression over the token-array column ``t`` and the
+    0-based position ``i`` (slice is 1-based: ``slice(t, i + 1, K)``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("t")
+    ).filter(F.size("t") >= SPAN_K)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {SPAN_K}),"
+                f" i -> struct(i AS pos, {gram_hash} AS g))"
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    repeated = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= SPAN_MIN_COUNT)
+        .select("g")
+    )
+    spans = grams.join(repeated, "g", "left_semi").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("s"),
+        (F.col("pos") + SPAN_K).cast("long").alias("e"),
+    )
+    # island merge: positions whose spans overlap/touch collapse into
+    # one maximal repeated substring (same gaps-and-islands plan as
+    # interval_merge_activity, windows.py:339)
+    w = Window.partitionBy("doc_id").orderBy("s")
+    x = spans.withColumn(
+        "prev_max_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    y = x.withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    z = y.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        z.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_grams",
+        )
+    )
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_SPAN_NORM}, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) - {SPAN_K} + 2)) - 1 AS pos,
+               unnest(list_transform(
+                   range(1, len(t) - {SPAN_K} + 2),
+                   i -> md5(array_to_string(t[i:i + {SPAN_K} - 1], ' '))
+               )) AS g
+        FROM toks WHERE len(t) >= {SPAN_K}
+    ),
+    rep AS (
+        SELECT g FROM grams GROUP BY g HAVING count(*) >= {SPAN_MIN_COUNT}
+    ),
+    spans AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS s,
+               CAST(pos + {SPAN_K} AS BIGINT) AS e
+        FROM grams WHERE g IN (SELECT g FROM rep)
+    ),
+    x AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_e
+        FROM spans
+    ),
+    y AS (
+        SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                       THEN 1 ELSE 0 END AS new_island
+        FROM x
+    ),
+    z AS (
+        SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS UNBOUNDED PRECEDING) AS island
+        FROM y
+    )
+    SELECT doc_id,
+           min(s) AS span_start,
+           max(e) AS span_end,
+           max(e) - min(s) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM z
+    GROUP BY doc_id, island
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal repeated token spans (>= SPAN_K tokens occurring >=
+    SPAN_MIN_COUNT times corpus-wide) per document — the distributed
+    equivalent of suffix-array exact-substring dedup for pretraining
+    corpora. The reference has no substring-level operator (its dedup
+    surface is row-level, racedag.py drop_duplicates); this closes the
+    one dedup modality doc-level minhash/simhash/winnowing cannot see:
+    a boilerplate paragraph embedded in otherwise-unique documents.
+    md5 gram hashes for cross-engine parity; ``_fast`` twin below is
+    the production path."""
+    return _repeated_span_frame(
+        spark, sf_dir, f"md5(array_join(slice(t, i + 1, {SPAN_K}), ' '))"
+    )
+
+
+@query(
+    "dedup_repeated_spans_fast",
+    # Same SQL as dedup_repeated_spans: span membership is a function
+    # of gram EQUALITY only, so any injective hash yields the same
+    # spans — DuckDB replays the md5 formulation and the result must
+    # be bit-identical (no thresholds for a hash swap to perturb;
+    # contrast WINNOW_FAST_MIN_LEN).
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_SPAN_NORM}, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) - {SPAN_K} + 2)) - 1 AS pos,
+               unnest(list_transform(
+                   range(1, len(t) - {SPAN_K} + 2),
+                   i -> md5(array_to_string(t[i:i + {SPAN_K} - 1], ' '))
+               )) AS g
+        FROM toks WHERE len(t) >= {SPAN_K}
+    ),
+    rep AS (
+        SELECT g FROM grams GROUP BY g HAVING count(*) >= {SPAN_MIN_COUNT}
+    ),
+    spans AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS s,
+               CAST(pos + {SPAN_K} AS BIGINT) AS e
+        FROM grams WHERE g IN (SELECT g FROM rep)
+    ),
+    x AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_e
+        FROM spans
+    ),
+    y AS (
+        SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                       THEN 1 ELSE 0 END AS new_island
+        FROM x
+    ),
+    z AS (
+        SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS UNBOUNDED PRECEDING) AS island
+        FROM y
+    )
+    SELECT doc_id,
+           min(s) AS span_start,
+           max(e) AS span_end,
+           max(e) - min(s) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM z
+    GROUP BY doc_id, island
+    """,
+)
+def dedup_repeated_spans_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production repeated-span detection: xxhash64 gram hashes (long
+    keys, one JVM hash vs md5's digest + 32-char string shuffle).
+    Identical output to ``dedup_repeated_spans`` for any
+    collision-free hash; tests/test_llm_ops.py asserts the span sets
+    match the md5 twin's exactly."""
+    return _repeated_span_frame(
+        spark, sf_dir, f"xxhash64(array_join(slice(t, i + 1, {SPAN_K}), ' '))"
+    )

@@ -91,6 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     # warehouse classics
     "dedup_winnowing_fast",
     "dedup_incremental_minhash",
+    "dedup_repeated_spans",
+    "dedup_repeated_spans_fast",
     "q6_forecast_revenue",
     "q12_late_shipment_priority",
     "q18_large_volume_customers",

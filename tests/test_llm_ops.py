@@ -215,3 +215,42 @@ def test_incremental_minhash_is_batch_vs_corpus_only(spark, sf_dir):
     }
     got = {frozenset((r.doc_new, r.dup_of)) for r in rows}
     assert got == cross
+
+
+def test_repeated_spans_fast_is_bit_identical_to_md5(spark, sf_dir):
+    """Span membership depends only on gram EQUALITY, so the xxhash64
+    production twin must return the exact same row set as the md5
+    parity twin — no floor, no tolerance (contrast winnowing, where
+    hash choice can flip near-threshold decisions)."""
+    from pitlapetl_spark import registry
+
+    md5_rows = {
+        tuple(r)
+        for r in registry.QUERIES["dedup_repeated_spans"](spark, sf_dir).collect()
+    }
+    fast_rows = {
+        tuple(r)
+        for r in registry.QUERIES["dedup_repeated_spans_fast"](spark, sf_dir).collect()
+    }
+    assert md5_rows == fast_rows
+    assert md5_rows, "vacuous: no repeated spans found in the corpus"
+
+
+def test_repeated_spans_are_maximal_and_disjoint(spark, sf_dir):
+    """Structural contract of the island merge: per doc, spans are
+    disjoint (a maximal span absorbs everything it overlaps), each is
+    at least SPAN_K tokens, and the gram count is bounded by the
+    span's possible positions."""
+    from pitlapetl_spark import registry
+    from pitlapetl_spark.operators.dedup import SPAN_K
+
+    rows = registry.QUERIES["dedup_repeated_spans"](spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.span_tokens == r.span_end - r.span_start >= SPAN_K
+        assert 1 <= r.n_grams <= r.span_tokens - SPAN_K + 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1, "merged spans must not overlap or touch"

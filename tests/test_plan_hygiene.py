@@ -401,3 +401,16 @@ def test_q22_anti_join_scans_filtered_orders(spark):
     assert "LeftAnti" in plan
     pushed_sections = [s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]]
     assert any("o_orderdate" in s for s in pushed_sections), pushed_sections
+
+
+def test_repeated_spans_no_cartesian_one_fact_agg(spark):
+    """The repeated-span plan must stay equi-only: gram count is a
+    hash agg on the hash key, the join back a semi join on the same
+    key, the island merge a per-doc window — nothing corpus-quadratic,
+    for either hash twin."""
+    for name in ("dedup_repeated_spans", "dedup_repeated_spans_fast"):
+        plan = _plan(Q[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "LeftSemi" in plan, name
+        assert "partial_" in plan, name
