@@ -417,3 +417,62 @@ def resample_daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum_value"),
         )
     )
+
+
+# ------------------------------------------------- equi-depth histogram
+
+N_DEPTH_BINS = 10
+_DEPTH_CUTS = [i / N_DEPTH_BINS for i in range(1, N_DEPTH_BINS)]  # 0.1..0.9
+
+
+@query(
+    "agg_histogram_equi_depth",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT [{", ".join(f"quantile_cont(value, {p})" for p in _DEPTH_CUTS)}]
+               AS qs
+        FROM events
+    )
+    SELECT CAST(list_sum(list_transform(c.qs,
+                q -> CASE WHEN e.value >= q THEN 1 ELSE 0 END)) AS INT)
+               AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(e.value), 4) AS lo_value,
+           round(max(e.value), 4) AS hi_value
+    FROM events e CROSS JOIN cuts c
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram of event values — the
+    QuantileDiscretizer semantic: bins hold ~equal row counts, bin id =
+    number of decile cuts at or below the value. The cuts are ONE
+    exact-percentile aggregate (a single row) broadcast back over the
+    fact; bucketing is then a pure expression, so the fact scans once
+    and shuffles once on the bin grain. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically (the agg_percentiles
+    contract), and bin membership uses >= on those shared doubles —
+    deterministic on both engines. At 100 TB swap the exact percentile
+    for approx_percentile; the plan is unchanged."""
+    events = load_table(spark, sf_dir, "events")
+    cuts = F.broadcast(
+        events.agg(
+            F.expr(
+                f"percentile(value, array({', '.join(str(p) for p in _DEPTH_CUTS)}))"
+            ).alias("qs")
+        )
+    )
+    bin_ = F.expr(
+        "aggregate(qs, 0, (acc, q) -> acc + IF(value >= q, 1, 0))"
+    ).cast("int")
+    return (
+        events.crossJoin(cuts)
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo_value"),
+            F.round(F.max("value"), 4).alias("hi_value"),
+        )
+        .orderBy("bin")
+    )

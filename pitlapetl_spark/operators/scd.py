@@ -173,3 +173,66 @@ def temporal_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim_value",
         "valid_from",
     )
+
+
+# ------------------------------------------------- CDC changelog apply
+
+# The change-data-capture companion to the SCD2/PIT operators above:
+# instead of building a history, collapse an ordered change log into
+# the CURRENT snapshot, honoring tombstones. This is the Debezium/
+# binlog-ingestion shape: at 100 TB of accumulated log the plan is a
+# single shuffle on the key (the window) with no self-join and no
+# state — and because only rn=1 survives, AQE's partial top-1
+# (rank-limit pushdown) can prune per-partition before the final sort.
+# Event mapping on the synthetic log: 'error' is the delete tombstone,
+# every other event upserts the key's value.
+
+CDC_TOMBSTONE = "error"
+
+
+@query(
+    "cdc_latest_state",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT user_id, ts, event_type, value, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_changes
+        FROM events
+    )
+    SELECT user_id,
+           ts AS last_ts,
+           event_type AS last_type,
+           round(value, 6) AS last_value,
+           n_changes
+    FROM ranked
+    WHERE rn = 1 AND event_type <> '{CDC_TOMBSTONE}'
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC changelog: last writer wins per key, a trailing
+    tombstone deletes the key entirely. One window over (user_id,
+    ts DESC, event_id DESC) — the unique event_id tiebreak makes the
+    winner deterministic even under equal timestamps, which real
+    binlogs produce constantly. Complements scd2_user_value_history
+    (full history) and the MERGE sinks (persisted upsert): this is the
+    stateless log->snapshot collapse."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_changes", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != CDC_TOMBSTONE))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+            "n_changes",
+        )
+    )

@@ -194,3 +194,76 @@ def agg_salted_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_events"),
         F.max("_mx").alias("max_value"),
     )
+
+
+# ------------------------------------------------- winsorization
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@query(
+    "winsorize_group_values",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, {WINSOR_LO}) AS lo,
+               quantile_cont(value, {WINSOR_HI}) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_raw,
+           round(CAST(sum(CAST(least(greatest(e.value, c.lo), c.hi)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_winsorized
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_group_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each value to its group's exact
+    [p05, p95] band and report raw vs clipped means — the outlier
+    treatment a feature pipeline applies before normalization. Plan:
+    one exact-percentile agg (tiny: one row per group) broadcast back
+    onto the fact, then one grouped agg — the fact shuffles once, on
+    the same key both times, so AQE coalesces the exchanges. Means
+    accumulate in exact decimal so clip-then-sum is order-independent.
+    At 100 TB swap the exact percentile for percentile_approx (the
+    cuts differ, the plan does not)."""
+    events = load_table(spark, sf_dir, "events")
+    cuts = F.broadcast(
+        events.groupBy("event_type").agg(
+            F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+            F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        events.join(cuts, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsorized"),
+        )
+    )

@@ -245,3 +245,97 @@ def shuffle_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.cast("int").alias("shard"),
         F.row_number().over(w).cast("long").alias("shard_pos"),
     )
+
+
+# ------------------------------------------------- mixture allocation
+
+# Target pretraining mixture by language, as a fraction of the total
+# token budget. The allocation rule is the standard capped-proportional
+# one: a language can contribute at most what it has (rate caps at 1;
+# the undersupplied remainder is reported, not silently reassigned —
+# reassignment policy is a planner decision, not an engine one).
+MIX_TARGET_WEIGHTS = {"en": 0.40, "zh": 0.20, "de": 0.15, "es": 0.15, "fr": 0.10}
+MIX_BUDGET_FRACTION = 0.5  # total budget = 50% of corpus tokens
+
+_MIX_WEIGHTS_SQL = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGET_WEIGHTS.items())
+)
+
+
+@query(
+    "mix_token_allocation",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(sum(len(string_split(trim(regexp_replace(lower(text),
+                    '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(avail_tokens) AS BIGINT) AS corpus_tokens FROM per_lang
+    ),
+    alloc AS (
+        SELECT p.lang, p.avail_tokens,
+               CAST(floor(t.corpus_tokens * {MIX_BUDGET_FRACTION}
+                    * CASE p.lang {_MIX_WEIGHTS_SQL} ELSE 0 END) AS BIGINT)
+                   AS target_tokens
+        FROM per_lang p CROSS JOIN tot t
+    )
+    SELECT lang, avail_tokens, target_tokens,
+           round(least(1.0, target_tokens * 1.0 / avail_tokens), 6)
+               AS sample_rate,
+           CAST(least(target_tokens, avail_tokens) AS BIGINT)
+               AS expected_tokens,
+           CAST(greatest(target_tokens - avail_tokens, 0) AS BIGINT)
+               AS shortfall_tokens
+    FROM alloc
+    ORDER BY lang
+    """,
+)
+def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-proportional token-budget allocation across languages —
+    the planning step before ``sample_weighted_mix`` executes a draw:
+    how many tokens each language SHOULD contribute (target weight x
+    budget), what it CAN contribute, the per-language sampling rate,
+    and the shortfall where the target exceeds supply. One grouped
+    token count (map-side partial sum of a doc-local expression), a
+    one-row total broadcast back — no second corpus scan, no driver
+    math, so the same plan prices a 100-TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import norm_text
+
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(norm_text(F.col("text")), " ")))
+        .cast("long")
+        .alias("avail_tokens")
+    )
+    per_lang = per_lang.localCheckpoint(eager=False)
+    tot = F.broadcast(
+        per_lang.agg(F.sum("avail_tokens").cast("long").alias("corpus_tokens"))
+    )
+    weight = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in sorted(MIX_TARGET_WEIGHTS.items())
+        ],
+        F.lit(0.0),
+    )
+    alloc = per_lang.crossJoin(tot).select(
+        "lang",
+        "avail_tokens",
+        F.floor(F.col("corpus_tokens") * MIX_BUDGET_FRACTION * weight)
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    return alloc.select(
+        "lang",
+        "avail_tokens",
+        "target_tokens",
+        F.round(
+            F.least(F.lit(1.0), F.col("target_tokens") / F.col("avail_tokens")), 6
+        ).alias("sample_rate"),
+        F.least("target_tokens", "avail_tokens").cast("long").alias("expected_tokens"),
+        F.greatest(F.col("target_tokens") - F.col("avail_tokens"), F.lit(0))
+        .cast("long")
+        .alias("shortfall_tokens"),
+    ).orderBy("lang")

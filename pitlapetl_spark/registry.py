@@ -93,6 +93,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "dedup_repeated_spans",
     "dedup_repeated_spans_fast",
+    "cdc_latest_state",
+    "winsorize_group_values",
+    "mix_token_allocation",
+    "agg_histogram_equi_depth",
     "q6_forecast_revenue",
     "q12_late_shipment_priority",
     "q18_large_volume_customers",

@@ -414,3 +414,27 @@ def test_repeated_spans_no_cartesian_one_fact_agg(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "LeftSemi" in plan, name
         assert "partial_" in plan, name
+
+
+def test_cdc_latest_state_single_key_shuffle(spark):
+    """The changelog collapse must be windows over one key shuffle —
+    no join, no second scan of the log."""
+    plan = _plan(Q["cdc_latest_state"](spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_winsorize_broadcasts_group_cuts(spark):
+    """The per-group percentile cuts (one row per group) must
+    broadcast back onto the fact — shuffling the fact against a
+    5-row frame would be a plan bug."""
+    plan = _plan(Q["winsorize_group_values"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mix_allocation_no_second_corpus_scan(spark):
+    """The token totals must derive from the per-language aggregate
+    (localCheckpoint reuse), not a second documents scan."""
+    plan = _plan(Q["mix_token_allocation"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") <= 1, "documents scanned more than once"
