@@ -1055,10 +1055,17 @@ _SPAN_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 def _repeated_span_frame(
     spark: SparkSession, sf_dir: str, gram_hash: str
 ) -> DataFrame:
-    """Shared plan for the md5 / xxhash64 twins: ``gram_hash`` is a
-    Spark-SQL expression over the token-array column ``t`` and the
-    0-based position ``i`` (slice is 1-based: ``slice(t, i + 1, K)``)."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Shared plan for the md5 / xxhash64 twins over the documents
+    table."""
+    return repeated_spans_for(load_table(spark, sf_dir, "documents"), gram_hash)
+
+
+def repeated_spans_for(docs: DataFrame, gram_hash: str) -> DataFrame:
+    """Repeated-span detection over any (doc_id, text) frame:
+    ``gram_hash`` is a Spark-SQL expression over the token-array
+    column ``t`` and the 0-based position ``i`` (slice is 1-based:
+    ``slice(t, i + 1, K)``). Public so pipelines (and the planted-
+    corpus property test) can run it on arbitrary corpora."""
     toks = docs.select(
         "doc_id", F.split(norm_text(F.col("text")), " ").alias("t")
     ).filter(F.size("t") >= SPAN_K)
@@ -1071,6 +1078,11 @@ def _repeated_span_frame(
             )
         ).alias("x"),
     ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    # grams feeds two consumers (the occurrence count and the span
+    # probe); without a cache each would re-scan documents and re-run
+    # the extraction — at 100 TB a second full corpus pass. Same
+    # single-materialization discipline as winnowing's fps cache.
+    grams = grams.localCheckpoint(eager=False)
     repeated = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_occ"))

@@ -145,3 +145,94 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# ------------------------------------------------- touch attribution
+
+ATTRIB_WINDOW_DAYS = 7
+_TOUCH_TYPES = ("view", "click")
+
+
+@query(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_type, event_id, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_ts,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type
+        FROM events
+    )
+    SELECT user_id,
+           event_id AS purchase_id,
+           ts AS purchase_ts,
+           round(value, 6) AS purchase_value,
+           CASE WHEN touch_ts IS NOT NULL
+                 AND ts - touch_ts <= INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+                THEN touch_type END AS attributed_to,
+           CASE WHEN touch_ts IS NOT NULL
+                 AND ts - touch_ts <= INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+                THEN touch_ts END AS touch_ts
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding view/click within the attribution window, NULL if
+    the trail is cold. One window per user carrying the last non-null
+    touch forward (``F.last(ignorenulls=True)`` — the LOCF idiom of
+    window_forward_fill applied to event attribution); the lookback
+    cap is a post-window comparison, not a range self-join, so the
+    plan is one key shuffle regardless of window length. A caveat the
+    naive two-table as-of formulation misses: the preceding-rows frame
+    means a purchase at the exact ts of a touch (tie) does NOT credit
+    itself — tiebreak is by (ts, event_id), identical on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ts = F.last(
+        F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    touch_type = F.last(
+        F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    in_window = touch_ts.isNotNull() & (
+        F.col("ts").cast("long") - touch_ts.cast("long")
+        <= ATTRIB_WINDOW_DAYS * 86400
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            "value",
+            touch_ts.alias("_touch_ts"),
+            touch_type.alias("_touch_type"),
+            in_window.alias("_in_win"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 6).alias("purchase_value"),
+            F.when(F.col("_in_win"), F.col("_touch_type")).alias("attributed_to"),
+            F.when(F.col("_in_win"), F.col("_touch_ts")).alias("touch_ts"),
+        )
+    )

@@ -97,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "winsorize_group_values",
     "mix_token_allocation",
     "agg_histogram_equi_depth",
+    "attribution_last_touch",
     "q6_forecast_revenue",
     "q12_late_shipment_priority",
     "q18_large_volume_customers",

@@ -438,3 +438,12 @@ def test_mix_allocation_no_second_corpus_scan(spark):
     (localCheckpoint reuse), not a second documents scan."""
     plan = _plan(Q["mix_token_allocation"](spark, SF_SMOKE))
     assert plan.count("Scan parquet") <= 1, "documents scanned more than once"
+
+
+def test_attribution_single_window_no_self_join(spark):
+    """Last-touch attribution must be one per-user window (LOCF), not
+    an events-to-events range self-join — the naive as-of formulation
+    would shuffle the fact twice and explode on hot users."""
+    plan = _plan(Q["attribution_last_touch"](spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Join" not in plan

@@ -342,3 +342,44 @@ def test_boilerplate_removal_is_idempotent_on_content(spark, sf_dir):
         .filter(F.col("line_df") >= BOILER_MIN_DF)
     )
     assert second_pass.count() == 0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=st.integers(0, 10_000),
+    n_docs=st.integers(4, 10),
+    n_planted=st.integers(2, 4),
+)
+def test_repeated_spans_find_exactly_planted_sentences(seed, n_docs, n_planted):
+    """On a corpus whose filler tokens are globally UNIQUE (zero
+    organic k-gram repeats by construction) with one fixed sentence
+    planted into a subset of docs, the operator must report exactly
+    one span per planted doc, covering exactly the planted region —
+    no misses, no spurious spans, correct offsets."""
+    import random
+
+    from pitlapetl_spark.operators.dedup import SPAN_K, repeated_spans_for
+
+    rng = random.Random(seed)
+    n_planted = min(n_planted, n_docs)
+    sentence = [f"planted{j}" for j in range(SPAN_K + 4)]  # 12 tokens
+    planted_at: dict[int, int] = {}
+    rows = []
+    docs_planted = rng.sample(range(n_docs), n_planted)
+    for d in range(n_docs):
+        filler = [f"w{d}x{i}" for i in range(rng.randint(SPAN_K, 30))]
+        if d in docs_planted:
+            p = rng.randint(0, len(filler))
+            filler[p:p] = sentence
+            planted_at[d] = p
+        rows.append((d, " ".join(filler)))
+    spark = _get_spark()
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans_for(
+            docs, f"xxhash64(array_join(slice(t, i + 1, {SPAN_K}), ' '))"
+        ).collect()
+    }
+    want = {(d, p, p + len(sentence)) for d, p in planted_at.items()}
+    assert got == want

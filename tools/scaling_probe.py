@@ -28,6 +28,9 @@ DEFAULT = (
     "dedup_winnowing",
     "dedup_winnowing_fast",
     "dedup_incremental_minhash",
+    "dedup_repeated_spans_fast",
+    "cdc_latest_state",
+    "q21_suppliers_kept_waiting",
 )
 
 
