@@ -1094,9 +1094,19 @@ def repeated_spans_for(docs: DataFrame, gram_hash: str) -> DataFrame:
         F.col("pos").cast("long").alias("s"),
         (F.col("pos") + SPAN_K).cast("long").alias("e"),
     )
-    # island merge: positions whose spans overlap/touch collapse into
-    # one maximal repeated substring (same gaps-and-islands plan as
-    # interval_merge_activity, windows.py:339)
+    return _merge_islands(spans).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        "n_grams",
+    )
+
+
+def _merge_islands(spans: DataFrame) -> DataFrame:
+    """Island merge: (doc_id, s, e) spans that overlap/touch collapse
+    into maximal (doc_id, span_start, span_end, n_grams) rows — same
+    gaps-and-islands plan as interval_merge_activity, windows.py:339."""
     w = Window.partitionBy("doc_id").orderBy("s")
     x = spans.withColumn(
         "prev_max_e",
@@ -1112,20 +1122,10 @@ def repeated_spans_for(docs: DataFrame, gram_hash: str) -> DataFrame:
         "island",
         F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return (
-        z.groupBy("doc_id", "island")
-        .agg(
-            F.min("s").alias("span_start"),
-            F.max("e").alias("span_end"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-        .select(
-            "doc_id",
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
-            "n_grams",
-        )
+    return z.groupBy("doc_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
     )
 
 
@@ -1255,4 +1255,173 @@ def dedup_repeated_spans_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     match the md5 twin's exactly."""
     return _repeated_span_frame(
         spark, sf_dir, f"xxhash64(array_join(slice(t, i + 1, {SPAN_K}), ' '))"
+    )
+
+
+# ----------------------------------- repeated-substring apply (cut)
+
+@query(
+    "dedup_repeated_spans_apply",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_SPAN_NORM}, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) - {SPAN_K} + 2)) - 1 AS pos,
+               unnest(list_transform(
+                   range(1, len(t) - {SPAN_K} + 2),
+                   i -> md5(array_to_string(t[i:i + {SPAN_K} - 1], ' '))
+               )) AS g
+        FROM toks WHERE len(t) >= {SPAN_K}
+    ),
+    rep AS (
+        SELECT g FROM grams GROUP BY g HAVING count(*) >= {SPAN_MIN_COUNT}
+    ),
+    occ AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM grams WHERE g IN (SELECT g FROM rep)
+    ),
+    removable AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS s,
+               CAST(pos + {SPAN_K} AS BIGINT) AS e
+        FROM occ WHERE rn > 1
+    ),
+    x AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max_e
+        FROM removable
+    ),
+    y AS (
+        SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                       THEN 1 ELSE 0 END AS new_island
+        FROM x
+    ),
+    z AS (
+        SELECT *, sum(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                                        ROWS UNBOUNDED PRECEDING) AS island
+        FROM y
+    ),
+    merged AS (
+        SELECT doc_id, min(s) AS ms, max(e) AS me
+        FROM z GROUP BY doc_id, island
+    ),
+    nspans AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut
+        FROM merged GROUP BY doc_id
+    ),
+    tokpos AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(range(0, len(t))) AS idx
+        FROM toks
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.tok, tp.idx FROM tokpos tp
+        WHERE NOT EXISTS (
+            SELECT 1 FROM merged m
+            WHERE m.doc_id = tp.doc_id AND tp.idx >= m.ms AND tp.idx < m.me
+        )
+    ),
+    cleaned AS (
+        SELECT doc_id,
+               array_to_string(array_agg(tok ORDER BY idx), ' ')
+                   AS cleaned_text,
+               CAST(count(*) AS BIGINT) AS n_tokens_after
+        FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens_before,
+           coalesce(c.n_tokens_after, 0) AS n_tokens_after,
+           coalesce(n.n_spans_cut, 0) AS n_spans_cut,
+           coalesce(c.cleaned_text, '') AS cleaned_text
+    FROM toks tk
+    LEFT JOIN cleaned c ON c.doc_id = tk.doc_id
+    LEFT JOIN nspans n ON n.doc_id = tk.doc_id
+    """,
+)
+def dedup_repeated_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the substring dedup (Lee et al.'s 'Deduplicating Training
+    Data Makes Language Models Better' semantics): every occurrence of
+    a repeated >= SPAN_K-token substring is CUT except the globally
+    first one (first by (doc_id, pos) — deterministic, engine-
+    independent). `dedup_repeated_spans` reports where the repeats
+    are; this emits the cleaned corpus a training pipeline actually
+    feeds downstream: per doc, the surviving text plus before/after
+    token counts.
+
+    Plan: the canonical-occurrence choice is ONE window over the gram
+    key (row_number per g — the same shuffle key as the repeat count,
+    so no extra exchange shape); removable extents island-merge per
+    doc; the cut itself is a doc-local higher-order-function filter
+    over (token, index) pairs — no explode of the corpus tokens, no
+    Python. Docs with nothing to cut pass through via the left join
+    (n_spans_cut = 0), so the operator is total over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(norm_text(F.col("text")), " ").alias("t")
+    )
+    toks = toks.localCheckpoint(eager=False)  # reused for grams AND the cut
+    gram_hash = f"md5(array_join(slice(t, i + 1, {SPAN_K}), ' '))"
+    grams = (
+        toks.filter(F.size("t") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SPAN_K}),"
+                    f" i -> struct(i AS pos, {gram_hash} AS g))"
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
+    )
+    grams = grams.localCheckpoint(eager=False)
+    repeated = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= SPAN_MIN_COUNT)
+        .select("g")
+    )
+    occ_w = Window.partitionBy("g").orderBy("doc_id", "pos")
+    removable = (
+        grams.join(repeated, "g", "left_semi")
+        .withColumn("rn", F.row_number().over(occ_w))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("s"),
+            (F.col("pos") + SPAN_K).cast("long").alias("e"),
+        )
+    )
+    merged = _merge_islands(removable).select(
+        "doc_id",
+        F.struct(
+            F.col("span_start").alias("s"), F.col("span_end").alias("e")
+        ).alias("sp"),
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.collect_list("sp").alias("spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_cut"),
+    )
+    joined = toks.join(per_doc, "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.expr("array()"))
+    )
+    kept = F.expr(
+        "filter(transform(t, (x, i) -> struct(x AS tok, CAST(i AS BIGINT) AS idx)),"
+        " p -> NOT exists(spans, sp -> p.idx >= sp.s AND p.idx < sp.e))"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.coalesce(F.col("n_spans_cut"), F.lit(0)).alias("n_spans_cut"),
+        F.array_join(F.expr(
+            "transform(filter(transform(t, (x, i) -> struct(x AS tok,"
+            " CAST(i AS BIGINT) AS idx)),"
+            " p -> NOT exists(spans, sp -> p.idx >= sp.s AND p.idx < sp.e)),"
+            " p -> p.tok)"
+        ), " ").alias("cleaned_text"),
     )

@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "dedup_repeated_spans",
     "dedup_repeated_spans_fast",
+    "dedup_repeated_spans_apply",
     "cdc_latest_state",
     "winsorize_group_values",
     "mix_token_allocation",

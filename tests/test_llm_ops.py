@@ -254,3 +254,61 @@ def test_repeated_spans_are_maximal_and_disjoint(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1, "merged spans must not overlap or touch"
+
+
+def test_repeated_spans_apply_keeps_exactly_first_occurrence(spark, tmp_path):
+    """Apply semantics (Lee et al.): on a corpus with one sentence
+    planted into several docs and globally-unique filler everywhere
+    else, the cleaned corpus keeps the sentence ONLY in the lowest
+    (doc_id, pos) occurrence; every other planted doc loses exactly
+    the planted region; untouched docs pass through verbatim."""
+    import random
+
+    from pitlapetl_spark import registry
+    from pitlapetl_spark.operators.dedup import SPAN_K
+
+    rng = random.Random(7)
+    sentence = [f"planted{j}" for j in range(SPAN_K + 4)]
+    rows, planted_at = [], {}
+    for d in range(8):
+        filler = [f"w{d}x{i}" for i in range(rng.randint(SPAN_K, 25))]
+        if d in (1, 3, 6):
+            p = rng.randint(0, len(filler))
+            filler[p:p] = sentence
+            planted_at[d] = p
+        text = " ".join(filler)
+        rows.append((d, text, "en", "src", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in registry.QUERIES["dedup_repeated_spans_apply"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert len(got) == 8
+    first = min(planted_at)  # globally first by (doc_id, pos)
+    for d, (_, text, *_rest) in zip(range(8), rows):
+        r = got[d]
+        n_tokens = len(text.split())
+        if d not in planted_at or d == first:
+            assert r.n_spans_cut == 0 and r.cleaned_text == text, d
+            assert r.n_tokens_after == n_tokens
+        else:
+            assert r.n_spans_cut == 1, d
+            assert r.n_tokens_after == n_tokens - len(sentence)
+            assert "planted0" not in r.cleaned_text
+    # the cleaned corpus has no repeated grams left: one more pass
+    # over the cleaned text finds nothing
+    cleaned_rows = [
+        (d, got[d].cleaned_text, "en", "src", len(got[d].cleaned_text))
+        for d in got
+    ]
+    spark.createDataFrame(
+        cleaned_rows,
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    again = registry.QUERIES["dedup_repeated_spans"](spark, str(tmp_path))
+    assert again.count() == 0

@@ -447,3 +447,13 @@ def test_attribution_single_window_no_self_join(spark):
     plan = _plan(Q["attribution_last_touch"](spark, SF_SMOKE))
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_spans_apply_no_cartesian_no_corpus_token_explode(spark):
+    """The cut must stay doc-local HOF filtering over (token, index)
+    structs — no cartesian pairing and no corpus-token explode feeding
+    a join (the gram explode is the only explode, and it feeds the
+    hash agg)."""
+    plan = _plan(Q["dedup_repeated_spans_apply"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
