@@ -85,6 +85,7 @@ HEADLINE = (
     # production twin), the dual-role snowflake Q7, and the stacked
     # semi/anti Q21 — each a heavy shape not yet represented
     "dedup_repeated_spans_fast",
+    "dedup_repeated_spans_apply",
     "q7_volume_shipping",
     "q21_suppliers_kept_waiting",
 )

@@ -29,6 +29,7 @@ DEFAULT = (
     "dedup_winnowing_fast",
     "dedup_incremental_minhash",
     "dedup_repeated_spans_fast",
+    "dedup_repeated_spans_apply",
     "cdc_latest_state",
     "q21_suppliers_kept_waiting",
 )
