@@ -271,7 +271,9 @@ def test_repeated_spans_apply_keeps_exactly_first_occurrence(spark, tmp_path):
     sentence = [f"planted{j}" for j in range(SPAN_K + 4)]
     rows, planted_at = [], {}
     for d in range(8):
-        filler = [f"w{d}x{i}" for i in range(rng.randint(SPAN_K, 25))]
+        # doc 7 is shorter than one gram: must pass through verbatim
+        n_fill = 3 if d == 7 else rng.randint(SPAN_K, 25)
+        filler = [f"w{d}x{i}" for i in range(n_fill)]
         if d in (1, 3, 6):
             p = rng.randint(0, len(filler))
             filler[p:p] = sentence
