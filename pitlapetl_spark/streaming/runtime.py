@@ -22,7 +22,7 @@ interchangeable and replay-idempotent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -399,4 +399,99 @@ def run_dedup_ingest_sink(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+# ------------------------------------------------ CDC snapshot sink
+
+
+def run_cdc_sink(
+    events: DataFrame,
+    store_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming CDC apply — ``cdc_latest_state`` run continuously:
+    every micro-batch MERGEs into a persisted current-state store with
+    last-writer-wins per user and tombstone DELETES (an 'error' event
+    that wins removes the key from the store entirely — plain keyed
+    upsert cannot express that).
+
+    Cross-batch ordering is handled by keeping the winning event's
+    full (ts, event_id) in the store and re-running the winner
+    election over store-row-vs-batch-rows per touched key: a late
+    batch carrying an OLDER event than the stored state loses the
+    election and the store is unchanged — blind replace-on-arrival
+    (what foreachBatch upsert alone would do) would regress the key.
+    Untouched keys pass through via anti-join without entering the
+    window. Idempotent on replay: re-electing against a store that
+    already absorbed the batch yields the same winners. At 100 TB the
+    store is a hive-partitioned table and this merge runs
+    partition-scoped (sinks.merge_upsert_partition_scoped's pruning
+    contract); cost is O(touched partitions), not O(store)."""
+    from ..operators.scd import CDC_TOMBSTONE
+    from ..sinks import read_or_none, staged_swap
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cols = ["user_id", "ts", "event_type", "value", "event_id"]
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        batch_latest = (
+            batch_df.select(*cols)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        store = read_or_none(spark, store_path)
+        if store is None:
+            contenders = batch_latest
+            untouched = None
+        else:
+            store = store.select(*cols)
+            keys = batch_latest.select("user_id")
+            untouched = store.join(keys, "user_id", "left_anti")
+            contenders = store.join(keys, "user_id", "left_semi").unionByName(
+                batch_latest
+            )
+        winners = (
+            contenders.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        # tombstone winners STAY in the store as rows (Kafka-compaction
+        # semantics) and are filtered at read time: physically deleting
+        # the key would forget the tombstone's ts, and an out-of-order
+        # OLDER event in a later batch would then resurrect the key
+        # with stale state (observed exactly that in the multi-batch
+        # parity test before this retention was added)
+        final = (
+            winners if untouched is None else untouched.unionByName(winners)
+        )
+        staged_swap(final, store_path)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_store_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """Read the streaming CDC store in ``cdc_latest_state``'s output
+    shape (minus n_changes, which a latest-only store cannot carry).
+    Tombstone rows are retained in the store for ordering correctness
+    and filtered HERE."""
+    from ..operators.scd import CDC_TOMBSTONE
+
+    return spark.read.parquet(store_path).filter(
+        F.col("event_type") != CDC_TOMBSTONE
+    ).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
     )

@@ -436,3 +436,40 @@ def test_dedup_ingest_sink_drops_store_dups_and_grows_store(spark, tmp_path):
     assert ids == {0, 1, 2, 11, 12, 21}, ids
     # store rows mirror the corpus exactly
     assert {r.doc_id for r in spark.read.parquet(store).collect()} == ids
+
+
+def test_cdc_sink_matches_batch_snapshot_across_batches(spark, tmp_path):
+    """Stream the event log in several file-batches (file order is
+    arbitrary, so batches arrive out of time order) through the CDC
+    sink; the final store must equal the batch cdc_latest_state
+    snapshot exactly — same keys (tombstoned users absent), same
+    winning (ts, type, value) per key."""
+    src = tmp_path / "src"
+    store = str(tmp_path / "cdc_store")
+    ckpt = str(tmp_path / "ckpt")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1; salted
+    # split so a user's events spread across batches
+    events.withColumn("_b", F.col("event_id") % 3).write.partitionBy(
+        "_b"
+    ).mode("overwrite").parquet(str(src))
+    stream = (
+        spark.readStream.schema(events.withColumn("_b", F.lit(0)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .drop("_b")
+    )
+    q = runtime.run_cdc_sink(stream, store, ckpt)
+    q.awaitTermination(120)
+    got = _rows(
+        runtime.cdc_store_state(spark, store),
+        "user_id", "last_ts", "last_type", "last_value",
+    )
+    from pitlapetl_spark.registry import QUERIES
+
+    want = _rows(
+        QUERIES["cdc_latest_state"](spark, SF_SMOKE),
+        "user_id", "last_ts", "last_type", "last_value",
+    )
+    assert got == want
+    assert len(got) > 0
