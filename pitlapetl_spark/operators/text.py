@@ -397,3 +397,84 @@ def text_kl_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", F.col("t").alias("n_tokens"))
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"))
     )
+
+
+# ------------------------------------------------- feature hashing
+
+FEATHASH_DIM = 32  # bucket count (the hashing-trick vector width)
+
+
+@query(
+    "featurize_hashed_ngrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                    % {FEATHASH_DIM} AS INT) AS b
+        FROM toks
+    ),
+    counts AS (
+        SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+        FROM bucketed GROUP BY doc_id, b
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               list(struct_pack(b := b, c := CAST(c AS DOUBLE))) AS entries,
+               sqrt(sum(CAST(c AS DOUBLE) * c)) AS nrm
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, {FEATHASH_DIM})) AS INT) AS dim,
+           unnest(list_transform(range(0, {FEATHASH_DIM}),
+               i -> round(coalesce(list_sum(list_transform(entries,
+                        e -> CASE WHEN struct_extract(e, 'b') = i
+                             THEN struct_extract(e, 'c') ELSE 0.0 END)), 0.0)
+                    / nrm, 6))) AS weight
+    FROM perdoc
+    """,
+)
+def featurize_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): each document becomes a
+    dense L2-normalized FEATHASH_DIM-vector of hashed-token-bucket
+    counts — the no-vocabulary featurizer that needs no fitted state,
+    no dictionary broadcast, and therefore no scan to build one: the
+    ONLY pass over the corpus is the count itself, which is what makes
+    it the default text featurizer at 100 TB (vocabulary approaches
+    need a fit pass plus a driver-sized vocab). Bucket = md5-prefix
+    mod DIM for cross-engine parity (production would use xxhash64 —
+    bucket membership is hash-DEPENDENT, so unlike repeated-spans
+    there is no bit-identical twin, just a differently-hashed but
+    equally-valid feature space). Plan: token explode -> one (doc,
+    bucket) count agg -> per-doc densify via a doc-local array
+    expression, emitted long-form (doc_id, dim, weight) per the
+    registry's scalar-columns-only output convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % FEATHASH_DIM
+    ).cast("int")
+    counts = toks.groupBy("doc_id", bucket.alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sparse = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("b"), F.col("c").cast("double")))
+        ).alias("m"),
+        F.sqrt(F.sum(F.col("c").cast("double") * F.col("c"))).alias("nrm"),
+    )
+    dense = F.expr(
+        f"transform(sequence(0, {FEATHASH_DIM - 1}),"
+        f" i -> round(coalesce(m[i], 0.0D) / nrm, 6))"
+    )
+    return sparse.select(
+        "doc_id", F.posexplode(dense).alias("dim", "weight")
+    )

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "mix_token_allocation",
     "agg_histogram_equi_depth",
     "attribution_last_touch",
+    "featurize_hashed_ngrams",
     "q6_forecast_revenue",
     "q12_late_shipment_priority",
     "q18_large_volume_customers",

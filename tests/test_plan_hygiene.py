@@ -457,3 +457,12 @@ def test_spans_apply_no_cartesian_no_corpus_token_explode(spark):
     plan = _plan(Q["dedup_repeated_spans_apply"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_featurizer_two_doc_shuffles_no_pivot(spark):
+    """The hashing-trick featurizer must densify via a doc-local array
+    expression — no pivot (which plans a wide aggregate per bucket
+    column) and no join back to the corpus."""
+    plan = _plan(Q["featurize_hashed_ngrams"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "partial_" in plan
