@@ -88,6 +88,7 @@ HEADLINE = (
     "dedup_repeated_spans_apply",
     "q7_volume_shipping",
     "q21_suppliers_kept_waiting",
+    "graph_pagerank_copurchase",
 )
 
 

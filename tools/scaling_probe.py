@@ -32,6 +32,7 @@ DEFAULT = (
     "dedup_repeated_spans_apply",
     "cdc_latest_state",
     "q21_suppliers_kept_waiting",
+    "graph_pagerank_copurchase",
 )
 
 
