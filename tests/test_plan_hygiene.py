@@ -468,11 +468,17 @@ def test_featurizer_two_doc_shuffles_no_pivot(spark):
     assert "partial_" in plan
 
 
-def test_pagerank_iteration_plan_is_constant_size(spark):
-    """Each PageRank round localCheckpoints, so the FINAL plan must
-    not contain the full unrolled join chain — one edges-join-ranks
-    round plus the top-k, regardless of PR_ITERS."""
+def test_pagerank_unroll_is_bounded_by_checkpoint_cadence(spark):
+    """PageRank cuts lineage every PR_CHECKPOINT_EVERY rounds, so the
+    final plan's join chain is bounded by the cadence (2 joins per
+    uncut round + the prep join), never by the total iteration
+    count."""
+    from pitlapetl_spark.operators.pagerank import (
+        PR_CHECKPOINT_EVERY,
+        PR_ITERS,
+    )
+
     plan = _plan(Q["graph_pagerank_copurchase"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    # a non-checkpointed 4-iteration unroll would show 4+ joins
-    assert plan.count("Join") <= 2, f"lineage not cut: {plan.count('Join')} joins"
+    uncut = PR_ITERS % PR_CHECKPOINT_EVERY or PR_CHECKPOINT_EVERY
+    assert plan.count("Join") <= 2 * uncut + 1, plan.count("Join")
