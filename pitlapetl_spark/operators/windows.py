@@ -567,3 +567,84 @@ def sequence_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
         .limit(SEQ_TOP_K)
     )
+
+
+# ------------------------------------------------- EWMA smoothing
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "window_ewma_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               round(sum(value), 4) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    numbered AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day)
+                      AS rn
+        FROM daily
+    ),
+    rec AS (
+        SELECT event_type, rn, day, x,
+               CAST(round(x, 6) AS DOUBLE) AS y
+        FROM numbered WHERE rn = 1
+        UNION ALL
+        SELECT d.event_type, d.rn, d.day, d.x,
+               CAST(round(CAST({EWMA_ALPHA} AS DOUBLE) * d.x
+                          + CAST({1 - EWMA_ALPHA} AS DOUBLE) * r.y, 6)
+                    AS DOUBLE)
+        FROM numbered d
+        JOIN rec r ON d.event_type = r.event_type AND d.rn = r.rn + 1
+    )
+    SELECT event_type, day, x AS day_value, y AS ewma FROM rec
+    """,
+)
+def window_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over each event type's
+    daily series — the recursive time-series smoother (y_t = a*x_t +
+    (1-a)*y_{t-1}) that NO window frame expresses: every output
+    depends on the entire prefix with decaying weights. Implemented as
+    collect-sorted-series per key + one higher-order ``aggregate``
+    building the smoothed array doc-locally, then an explode back to
+    rows — the per-key memory bound is the series length, which at a
+    DAILY grain is bounded (36.5k rows per century per key), the same
+    bound sessionization already accepts. Each step rounds to 6
+    places on BOTH engines, so the recursion cannot accumulate
+    cross-engine FP drift (the DuckDB oracle replays it as a
+    recursive CTE). At 100 TB the daily pre-aggregate is the only
+    corpus-sized stage — one shuffle on (type, day)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    smoothed = F.expr(
+        f"""
+        aggregate(
+            s,
+            CAST(array() AS array<struct<day:bigint, x:double, y:double>>),
+            (acc, e) -> acc || array(struct(
+                e.day AS day, e.x AS x,
+                round(CASE WHEN size(acc) = 0 THEN e.x
+                      ELSE CAST({EWMA_ALPHA} AS DOUBLE) * e.x
+                           + CAST({1 - EWMA_ALPHA} AS DOUBLE)
+                             * element_at(acc, -1).y END, 6) AS y))
+        )
+        """
+    )
+    return (
+        series.select("event_type", F.explode(smoothed).alias("r"))
+        .select(
+            "event_type",
+            F.col("r.day").alias("day"),
+            F.col("r.x").alias("day_value"),
+            F.col("r.y").alias("ewma"),
+        )
+    )

@@ -102,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "attribution_last_touch",
     "featurize_hashed_ngrams",
     "graph_pagerank_copurchase",
+    "window_ewma_daily",
     "q6_forecast_revenue",
     "q12_late_shipment_priority",
     "q18_large_volume_customers",
