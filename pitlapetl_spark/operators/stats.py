@@ -267,3 +267,106 @@ def winsorize_group_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_winsorized"),
         )
     )
+
+
+# ------------------------------------------------- A/B test z-score
+
+AB_Z_CRIT = 1.96  # two-sided 95%
+
+
+@query(
+    "ab_test_variant_zscore",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT event_type,
+               CAST(user_id % 2 AS INT) AS variant,
+               value
+        FROM events
+    ),
+    per AS (
+        SELECT event_type, variant,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   AS mean,
+               var_samp(value) AS var
+        FROM assigned GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT a.event_type,
+               a.n AS n_control, b.n AS n_treat,
+               a.mean AS mean_control, b.mean AS mean_treat,
+               a.var AS var_control, b.var AS var_treat
+        FROM per a JOIN per b
+          ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type,
+           n_control, n_treat,
+           round(mean_control, 6) AS mean_control,
+           round(mean_treat, 6) AS mean_treat,
+           round((mean_treat - mean_control)
+                 / sqrt(var_treat / n_treat + var_control / n_control), 6)
+               AS z_score,
+           abs((mean_treat - mean_control)
+               / sqrt(var_treat / n_treat + var_control / n_control))
+               > {AB_Z_CRIT} AS significant
+    FROM wide
+    ORDER BY event_type
+    """,
+)
+def ab_test_variant_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B comparison per metric (event type): users split
+    into control/treatment by a deterministic hash of user_id, Welch's
+    z on the value means, significance at the two-sided 95% level.
+    One pass: a (metric, variant) grouped aggregate (count/mean/var
+    are all single-pass moments with map-side partials) self-joined
+    wide on the metric key — at 100 TB the fact is touched once and
+    the join runs over one row per (metric, variant). Means divide
+    exact decimal sums; var_samp matches Spark's variance (sample, n-1
+    denominator); the z expression has the same IEEE shape on both
+    engines and rounds to 6."""
+    events = load_table(spark, sf_dir, "events")
+    per = (
+        events.select(
+            "event_type",
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "value",
+        )
+        .groupBy("event_type", "variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = per.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_control"),
+        F.col("mean").alias("mean_control"),
+        F.col("var").alias("var_control"),
+    )
+    b = per.filter(F.col("variant") == 1).select(
+        F.col("event_type").alias("et2"),
+        F.col("n").alias("n_treat"),
+        F.col("mean").alias("mean_treat"),
+        F.col("var").alias("var_treat"),
+    )
+    z = (F.col("mean_treat") - F.col("mean_control")) / F.sqrt(
+        F.col("var_treat") / F.col("n_treat")
+        + F.col("var_control") / F.col("n_control")
+    )
+    return (
+        a.join(b, a.event_type == b.et2)
+        .select(
+            "event_type",
+            "n_control",
+            "n_treat",
+            F.round("mean_control", 6).alias("mean_control"),
+            F.round("mean_treat", 6).alias("mean_treat"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > AB_Z_CRIT).alias("significant"),
+        )
+        .orderBy("event_type")
+    )

@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "featurize_hashed_ngrams",
     "graph_pagerank_copurchase",
     "window_ewma_daily",
+    "ab_test_variant_zscore",
     "q6_forecast_revenue",
     "q12_late_shipment_priority",
     "q18_large_volume_customers",
