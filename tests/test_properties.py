@@ -383,3 +383,29 @@ def test_repeated_spans_find_exactly_planted_sentences(seed, n_docs, n_planted):
     }
     want = {(d, p, p + len(sentence)) for d, p in planted_at.items()}
     assert got == want
+
+
+def test_ewma_matches_pandas_recursion(spark, sf_dir):
+    """Independent third-engine check: the EWMA series must match
+    pandas ewm(alpha, adjust=False) — the same recursion computed by
+    a library neither engine shares code with — within the 1e-6
+    per-step rounding the operator applies."""
+    import pandas as pd
+
+    from pitlapetl_spark.operators.windows import EWMA_ALPHA
+    from pitlapetl_spark.registry import QUERIES
+
+    out = (
+        QUERIES["window_ewma_daily"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+    )
+    assert len(out) > 0
+    for _, g in out.groupby("event_type"):
+        want = (
+            g["day_value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean().to_numpy()
+        )
+        got = g["ewma"].to_numpy()
+        assert (abs(got - want) < 1e-4).all(), (
+            abs(got - want).max()
+        )
