@@ -211,9 +211,12 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type")),
         ignorenulls=True,
     ).over(w)
+    # microsecond-exact window cap: a seconds-truncating cast would
+    # admit purchases up to 1s past the cap that the oracle's interval
+    # comparison (exact micros) excludes
     in_window = touch_ts.isNotNull() & (
-        F.col("ts").cast("long") - touch_ts.cast("long")
-        <= ATTRIB_WINDOW_DAYS * 86400
+        F.unix_micros(F.col("ts")) - F.unix_micros(touch_ts)
+        <= ATTRIB_WINDOW_DAYS * 86400 * 1_000_000
     )
     return (
         events.select(
