@@ -1409,19 +1409,19 @@ def dedup_repeated_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = toks.join(per_doc, "doc_id", "left").withColumn(
         "spans", F.coalesce(F.col("spans"), F.expr("array()"))
     )
-    kept = F.expr(
-        "filter(transform(t, (x, i) -> struct(x AS tok, CAST(i AS BIGINT) AS idx)),"
-        " p -> NOT exists(spans, sp -> p.idx >= sp.s AND p.idx < sp.e))"
+    kept = joined.withColumn(
+        "kept",
+        F.expr(
+            "filter(transform(t, (x, i) -> struct(x AS tok, CAST(i AS BIGINT) AS idx)),"
+            " p -> NOT exists(spans, sp -> p.idx >= sp.s AND p.idx < sp.e))"
+        ),
     )
-    return joined.select(
+    return kept.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens_before"),
-        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.size("kept").cast("long").alias("n_tokens_after"),
         F.coalesce(F.col("n_spans_cut"), F.lit(0)).alias("n_spans_cut"),
-        F.array_join(F.expr(
-            "transform(filter(transform(t, (x, i) -> struct(x AS tok,"
-            " CAST(i AS BIGINT) AS idx)),"
-            " p -> NOT exists(spans, sp -> p.idx >= sp.s AND p.idx < sp.e)),"
-            " p -> p.tok)"
-        ), " ").alias("cleaned_text"),
+        F.array_join(
+            F.expr("transform(kept, p -> p.tok)"), " "
+        ).alias("cleaned_text"),
     )

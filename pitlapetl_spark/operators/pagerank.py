@@ -12,10 +12,12 @@ rounds, not every round: a per-round cut re-materializes the O(nodes)
 rank frame per iteration and measured 15% slower at sf0.1, while an
 unbounded unroll grows the plan and the failure-recovery recompute
 linearly in the iteration count — the cadence bounds both (the
-standard Pregel checkpoint-interval trade). The DuckDB oracle replays the
-exact same iterations as a programmatically unrolled CTE chain — the
-kmeans precedent for hash-checking an iterative operator against
-ANSI SQL.
+standard Pregel checkpoint-interval trade). The cadence is set BELOW
+the shipped PR_ITERS so the cut actually executes in production and
+in every test, not only at hypothetical larger iteration counts.
+The DuckDB oracle replays the exact same iterations as a
+programmatically unrolled CTE chain — the kmeans precedent for
+hash-checking an iterative operator against ANSI SQL.
 
 Determinism contract: per-edge contributions are round(pr/outdeg, 12)
 cast to DECIMAL(28,12) and summed EXACTLY (order-independent); the
@@ -39,7 +41,7 @@ from ..registry import query
 from ..sources import load_table
 
 PR_ITERS = 4
-PR_CHECKPOINT_EVERY = 5  # lineage-cut cadence (see docstring)
+PR_CHECKPOINT_EVERY = 3  # lineage-cut cadence (see docstring)
 PR_DAMP = 0.85
 PR_TOP = 20
 _DEC = "decimal(28,12)"
@@ -90,10 +92,11 @@ def _oracle() -> str:
     return head + its + tail
 
 
-@query("graph_pagerank_copurchase", oracle=_oracle())
-def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-PR_TOP parts by PageRank after PR_ITERS unrolled iterations
-    over the undirected customer-part purchase graph."""
+def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (node, pr) frame after PR_ITERS iterations — the library
+    surface; the registered query below projects the part top-k.
+    Exposed so invariants over ALL nodes (rank-mass conservation) are
+    testable."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (
@@ -133,8 +136,15 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if (it + 1) % PR_CHECKPOINT_EVERY == 0:
             ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+@query("graph_pagerank_copurchase", oracle=_oracle())
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PR_TOP parts by PageRank after PR_ITERS unrolled iterations
+    over the undirected customer-part purchase graph."""
     return (
-        ranks.filter(F.col("node").startswith("p"))
+        pagerank_ranks(spark, sf_dir).filter(F.col("node").startswith("p"))
         .select(
             F.expr("CAST(substring(node, 2) AS BIGINT)").alias("part_key"),
             F.col("pr").alias("rank"),

@@ -306,8 +306,8 @@ AB_Z_CRIT = 1.96  # two-sided 95%
            round((mean_treat - mean_control)
                  / sqrt(var_treat / n_treat + var_control / n_control), 6)
                AS z_score,
-           abs((mean_treat - mean_control)
-               / sqrt(var_treat / n_treat + var_control / n_control))
+           abs(round((mean_treat - mean_control)
+               / sqrt(var_treat / n_treat + var_control / n_control), 6))
                > {AB_Z_CRIT} AS significant
     FROM wide
     ORDER BY event_type
@@ -366,7 +366,11 @@ def ab_test_variant_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_control", 6).alias("mean_control"),
             F.round("mean_treat", 6).alias("mean_treat"),
             F.round(z, 6).alias("z_score"),
-            (F.abs(z) > AB_Z_CRIT).alias("significant"),
+            # threshold the ROUNDED z: the raw double differs in the
+            # last ulps between engines (partial-agg merge order), and
+            # a |z| within that noise of the critical value would flip
+            # the boolean cross-engine
+            (F.abs(F.round(z, 6)) > AB_Z_CRIT).alias("significant"),
         )
         .orderBy("event_type")
     )

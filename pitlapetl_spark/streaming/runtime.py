@@ -428,7 +428,6 @@ def run_cdc_sink(
     store is a hive-partitioned table and this merge runs
     partition-scoped (sinks.merge_upsert_partition_scoped's pruning
     contract); cost is O(touched partitions), not O(store)."""
-    from ..operators.scd import CDC_TOMBSTONE
     from ..sinks import read_or_none, staged_swap
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -484,7 +483,8 @@ def cdc_store_state(spark: SparkSession, store_path: str) -> DataFrame:
     """Read the streaming CDC store in ``cdc_latest_state``'s output
     shape (minus n_changes, which a latest-only store cannot carry).
     Tombstone rows are retained in the store for ordering correctness
-    and filtered HERE."""
+    and filtered HERE. Requires at least one committed batch (the
+    store path must exist)."""
     from ..operators.scd import CDC_TOMBSTONE
 
     return spark.read.parquet(store_path).filter(

@@ -321,7 +321,7 @@ def test_pagerank_ranks_hub_part_above_leaf(spark, tmp_path):
     every customer must out-rank a part purchased by one, and rank
     mass must be conserved (sum over ALL nodes ~ 1)."""
     from pitlapetl_spark import registry
-    from pitlapetl_spark.operators import pagerank as pr
+    from pitlapetl_spark.operators.pagerank import pagerank_ranks
 
     orders = [(i, 100 + i) for i in range(6)]  # orderkey -> custkey
     lines = [(i, 1) for i in range(6)] + [(0, 2)]  # part 1 = hub, part 2 = leaf
@@ -343,3 +343,10 @@ def test_pagerank_ranks_hub_part_above_leaf(spark, tmp_path):
     assert ranks[1] > ranks[2]
     # every node's rank is positive and bounded
     assert all(0 < v < 1 for v in ranks.values())
+    # rank mass is conserved over ALL nodes: no dangling leak, no
+    # double-counted contributions (tolerance = accumulated per-step
+    # rounding)
+    total = sum(
+        r.pr for r in pagerank_ranks(spark, str(tmp_path)).collect()
+    )
+    assert abs(total - 1.0) < 1e-6, total

@@ -10,9 +10,8 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from tests.conftest import SF_CORRECTNESS as SF_DIR
 from tests.oracle_harness import duckdb_connection
-
-SF_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")

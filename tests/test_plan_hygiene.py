@@ -380,8 +380,8 @@ def test_q19_brand_superset_pushes_to_part_scan(spark):
     superset to the part scan even though the full disjunction spans
     both join sides."""
     plan = _plan(Q["q19_discounted_revenue"](spark, SF_SMOKE))
-    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0] if "PushedFilters: [" in plan else ""
-    assert "p_brand" in plan, "brand filter vanished from the plan"
+    pushed_sections = [s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]]
+    assert any("p_brand" in s for s in pushed_sections), pushed_sections
     assert "BroadcastHashJoin" in plan
 
 
