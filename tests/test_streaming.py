@@ -473,3 +473,39 @@ def test_cdc_sink_matches_batch_snapshot_across_batches(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_cdc_sink_full_replay_is_idempotent(spark, tmp_path):
+    """The docstring's replay claim, proven: re-running the ENTIRE
+    stream against the already-populated store (fresh checkpoint = a
+    full source replay, the worst case) must leave the store
+    byte-identical — the store-vs-batch winner election absorbs
+    already-applied events."""
+    src = tmp_path / "src"
+    store = str(tmp_path / "cdc_store")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    events.withColumn("_b", F.col("event_id") % 2).write.partitionBy(
+        "_b"
+    ).mode("overwrite").parquet(str(src))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(events.withColumn("_b", F.lit(0)).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .drop("_b")
+        )
+        q = runtime.run_cdc_sink(stream, store, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    first = _rows(
+        runtime.cdc_store_state(spark, store),
+        "user_id", "last_ts", "last_type", "last_value",
+    )
+    run("ckpt2")  # fresh checkpoint: every batch replays
+    second = _rows(
+        runtime.cdc_store_state(spark, store),
+        "user_id", "last_ts", "last_type", "last_value",
+    )
+    assert first == second and len(first) > 0
