@@ -723,14 +723,29 @@ WINNOW_RATIO = 0.5
 _WNORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-@query(
-    "dedup_winnowing",
-    oracle=f"""
+
+def _winnow_oracle(min_len: int, pairs_only: bool) -> str:
+    """ONE oracle formulation for BOTH winnowing twins (md5 parity and
+    xxhash64-with-md5-replay), parameterized by the length floor and
+    the projection — so the two registered SQL strings cannot drift.
+    A drift would silently invalidate the fast path's cross-hash
+    equivalence argument (WINNOW_FAST_MIN_LEN note below)."""
+    projection = (
+        "SELECT s.doc_a, s.doc_b"
+        if pairs_only
+        else """SELECT s.doc_a, s.doc_b, s.n_shared,
+           round(s.n_shared * 1.0 /
+                 least(sa.n_fp, sb.n_fp), 6) AS overlap_ratio"""
+    )
+    floor = f"WHERE length(norm) >= {min_len}" if min_len else ""
+    return f"""
     WITH crawl AS (
-        SELECT doc_id, {_WNORM} AS norm FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000,
-               'shifted prefix pad ' || {_WNORM} FROM documents
+        SELECT doc_id, norm FROM (
+            SELECT doc_id, {_WNORM} AS norm FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   'shifted prefix pad ' || {_WNORM} FROM documents
+        ) {floor}
     ),
     grams AS (
         SELECT doc_id,
@@ -772,17 +787,17 @@ _WNORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
           ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
-    SELECT s.doc_a, s.doc_b, s.n_shared,
-           round(s.n_shared * 1.0 /
-                 least(sa.n_fp, sb.n_fp), 6) AS overlap_ratio
+    {projection}
     FROM shared s
     JOIN sizes sa ON s.doc_a = sa.doc_id
     JOIN sizes sb ON s.doc_b = sb.doc_id
     WHERE s.n_shared >= {WINNOW_MIN_SHARED}
       AND round(s.n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6)
           >= {WINNOW_RATIO}
-    """,
-)
+    """
+
+
+@query("dedup_winnowing", oracle=_winnow_oracle(0, pairs_only=False))
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-fingerprint near-dup detection (Schleimer/Wilkerson/
     Aiken, SIGMOD'03 — the MOSS algorithm): each document keeps the
@@ -828,70 +843,16 @@ WINNOW_FAST_MIN_LEN = 120
 
 @query(
     "dedup_winnowing_fast",
-    # Same SQL as dedup_winnowing with the length floor, projected to
-    # the accepted PAIRS only. DuckDB cannot evaluate Spark's
-    # xxhash64, so the oracle replays the md5 formulation — a REAL
-    # cross-hash equivalence check, valid because the floor keeps
-    # every decision far from the thresholds (see WINNOW_FAST_MIN_LEN
-    # note). n_shared and overlap_ratio DO depend on which k-grams
-    # win their windows, so they are deliberately not part of this
-    # query's contract.
-    oracle=f"""
-    WITH crawl AS (
-        SELECT doc_id, norm FROM (
-            SELECT doc_id, {_WNORM} AS norm FROM documents
-            UNION ALL
-            SELECT doc_id + 1000000,
-                   'shifted prefix pad ' || {_WNORM} FROM documents
-        ) WHERE length(norm) >= {WINNOW_FAST_MIN_LEN}
-    ),
-    grams AS (
-        SELECT doc_id,
-               unnest(range(1, length(norm) - {WINNOW_K} + 2)) AS pos,
-               unnest(list_transform(
-                   range(1, length(norm) - {WINNOW_K} + 2),
-                   i -> md5(substr(norm, i, {WINNOW_K}))
-               )) AS h
-        FROM crawl
-    ),
-    winmin AS (
-        SELECT doc_id, pos,
-               min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW
-                            AND {WINNOW_W - 1} FOLLOWING) AS fp,
-               count(*) OVER (PARTITION BY doc_id) AS n_pos
-        FROM grams
-    ),
-    fps AS (
-        SELECT DISTINCT doc_id, fp FROM winmin
-        WHERE pos <= n_pos - {WINNOW_W} + 1
-    ),
-    capped AS (
-        SELECT fp FROM fps GROUP BY fp
-        HAVING count(*) <= {WINNOW_DF_CAP}
-    ),
-    live AS (
-        SELECT f.doc_id, f.fp FROM fps f
-        WHERE EXISTS (SELECT 1 FROM capped c WHERE c.fp = f.fp)
-    ),
-    sizes AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY 1
-    ),
-    shared AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(count(*) AS BIGINT) AS n_shared
-        FROM live a JOIN live b
-          ON a.fp = b.fp AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT s.doc_a, s.doc_b
-    FROM shared s
-    JOIN sizes sa ON s.doc_a = sa.doc_id
-    JOIN sizes sb ON s.doc_b = sb.doc_id
-    WHERE s.n_shared >= {WINNOW_MIN_SHARED}
-      AND round(s.n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6)
-          >= {WINNOW_RATIO}
-    """,
+    # Same formulation as dedup_winnowing (one shared builder — the
+    # strings CANNOT drift) with the length floor applied and the
+    # projection cut to the accepted PAIRS only. DuckDB cannot
+    # evaluate Spark's xxhash64, so the oracle replays the md5
+    # formulation — a REAL cross-hash equivalence check, valid because
+    # the floor keeps every decision far from the thresholds (see
+    # WINNOW_FAST_MIN_LEN note). n_shared and overlap_ratio DO depend
+    # on which k-grams win their windows, so they are deliberately
+    # not part of this query's contract.
+    oracle=_winnow_oracle(WINNOW_FAST_MIN_LEN, pairs_only=True),
 )
 def dedup_winnowing_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production winnowing: identical plan shape to
@@ -979,20 +940,20 @@ def _winnow_pairs(
                 )
             ).alias("fp"),
         )
-        # materialize ONCE, hash-partitioned on fp and CACHED (not
-        # localCheckpoint: InMemoryRelation preserves
-        # outputPartitioning, ExistingRDD does not): the extraction
-        # feeds four consumers — DF cap, both sides of the pair
-        # self-join, sizes — and with hash(fp) layout the cap
-        # aggregate, the stop-gram semi-join, and the inverted-index
-        # self-join are all exchange-free; only the tiny sizes/pairs
-        # aggregations still shuffle. Same materialize-once discipline
-        # as the minhash signature agg (dedup.py:302), three fewer
-        # exchanges of the fingerprint table.
-        .repartition(spark.sparkContext.defaultParallelism, F.col("fp"))
-        .persist()
+        # materialize ONCE via localCheckpoint: the extraction feeds
+        # four consumers (DF cap, both sides of the pair self-join,
+        # sizes). An earlier revision repartitioned on fp and
+        # persist()ed so the downstream joins would be exchange-free —
+        # HONEST re-measurement (after fixing the bench to not time
+        # CacheManager hits) showed that variant ~2x SLOWER at sf0.1
+        # (7.5s vs 3.8s): the repartition exchange + cache write cost
+        # more than the three small exchanges they saved, and the
+        # persisted table leaked a session-lifetime cache entry per
+        # invocation. localCheckpoint is also honest by construction:
+        # each invocation builds a fresh RDD, so min-of-N benches
+        # recompute every run.
+        .localCheckpoint(eager=True)
     )
-    fps.count()  # materialize the cache before fan-out
     capped = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= WINNOW_DF_CAP
     ).select("fp")

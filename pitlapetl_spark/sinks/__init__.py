@@ -173,31 +173,37 @@ def merge_upsert_partition_scoped(
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
         raise
-    displaced: list[str] = []  # old partition dirs moved into trash
+    installed: list[str] = []  # partition dirs swapped into the table
     try:
         for sub in sorted(expected):
             src = os.path.join(stage, sub)
             dst = os.path.join(path, sub)
             if os.path.exists(dst):
                 os.rename(dst, os.path.join(trash, sub))
-                displaced.append(sub)
             os.rename(src, dst)
+            installed.append(sub)
     except BaseException:
-        # Mid-swap failure: roll the table back to its pre-merge state
-        # by restoring every displaced old partition from trash (the
-        # new data is reproducible by re-running the merge; the OLD
-        # copies in trash are the only ones in existence, which is why
-        # they must never be rmtree'd on this path — the pre-fix code
-        # did exactly that and a mid-swap crash lost data permanently).
-        # If a restore itself fails, stage and trash are left on disk
-        # for manual recovery.
-        for sub in displaced:
+        # Mid-swap failure: roll the table back to its pre-merge state.
+        # Two cases per touched partition: (a) it had an old copy —
+        # restore it from trash (the OLD copies in trash are the only
+        # ones in existence, which is why they must never be rmtree'd
+        # on this path; the pre-fix code did exactly that and a
+        # mid-swap crash lost data permanently); (b) it was NEWLY
+        # created by this merge — remove it, otherwise a partially
+        # applied merge stays visible (new partitions that sort before
+        # the failing rename would otherwise survive the rollback; the
+        # new data is reproducible by re-running the merge). If a
+        # restore itself fails, stage and trash are left on disk for
+        # manual recovery.
+        for sub in sorted(expected):
             dst = os.path.join(path, sub)
             old = os.path.join(trash, sub)
             try:
-                if os.path.exists(old):
+                if os.path.exists(old):  # case (a): displaced old copy
                     shutil.rmtree(dst, ignore_errors=True)
                     os.rename(old, dst)
+                elif sub in installed:  # case (b): brand-new partition
+                    shutil.rmtree(dst, ignore_errors=True)
             except OSError:
                 pass  # leave trash in place; the raise below surfaces it
         raise

@@ -314,30 +314,52 @@ def run_dedup_ingest_sink(
     """Streaming crawl ingest with incremental near-dup dedup — the
     recurring production shape behind ``dedup_incremental_minhash``
     run continuously: every micro-batch (a) computes its minhash
-    signatures, (b) probes the persisted SIGNATURE STORE's band table
-    with the (broadcast-small) batch bands, (c) drops batch docs whose
-    signature-estimated Jaccard against any store doc clears the
-    threshold, and (d) appends the survivors to the corpus table and
-    their signatures to the store, so the next batch dedups against
-    them too.
+    signatures, (b) dedups WITHIN the batch (band self-join,
+    keep-lowest-doc_id), (c) probes the persisted BAND TABLE with the
+    (broadcast-small) batch bands and drops batch docs whose
+    signature-estimated Jaccard against any stored doc clears the
+    threshold, then (d) writes the survivors' rows, signatures, and
+    band rows, so the next batch dedups against them too.
 
-    The dedup decision here is the SIGNATURE ESTIMATE (fraction of
-    agreeing minhash slots — the standard unbiased Jaccard estimator),
-    not an exact-shingle verify: the store persists O(1) signature
-    rows per doc, never shingle sets, so the recurring cost stays
-    O(batch + collisions) with a fixed-width store row. Batches are
-    deduped against the store, not internally — intra-batch dups
-    land once each and the SECOND occurrence is caught on the next
-    batch boundary (bound the window with maxFilesPerTrigger; run the
-    batch ``dedup_minhash_lsh`` for a full intra-corpus sweep).
-    Exactly-once: the foreachBatch appends are idempotent only via
-    the streaming checkpoint's batch tracking — a replayed batch
-    re-runs against a store that already contains its docs, and every
-    batch doc then matches ITSELF in the store at estimate 1.0, so
-    replays drop all their rows and append nothing new (self-healing
-    append, no MERGE needed for this workload)."""
+    The dedup decision is the SIGNATURE ESTIMATE (fraction of
+    agreeing minhash slots — the standard unbiased Jaccard
+    estimator), not an exact-shingle verify: the store persists O(1)
+    signature + band rows per doc, never shingle sets. Per-batch
+    store-side cost is one scan of the band table (equi-join on the
+    precomputed band key — nothing is re-hashed per batch) plus one
+    scan of the signature table for the estimate join; a point-lookup
+    KV store would cut those scans to O(collisions), which is the
+    stated migration path at corpus sizes where the scans dominate.
+
+    Exactly-once: every output (corpus rows, signatures, bands) is
+    written to a batch-scoped partition directory
+    (``<path>/batch=<id>``) with overwrite semantics, and every store
+    read EXCLUDES the running batch's own partition — so a replayed
+    batch (including one that crashed BETWEEN the three writes)
+    recomputes against store-minus-self and overwrites its own
+    directories to the first run's exact result, instead of
+    append-duplicating or self-matching to empty (the previous append-based design documented a
+    self-healing property that did not survive a crash between the
+    corpus and store appends). The store read is
+    existence-checked-then-strict: a transient READ failure on an
+    existing store raises instead of silently bootstrapping a
+    dedup-free batch."""
+    import os as _os
+
     from ..operators.dedup import N_HASHES, _band_rows, minhash_signatures
-    from ..sinks import read_or_none
+
+    def _read_if_exists(spark, path):
+        # None only when the store genuinely does not exist yet; an
+        # existing-but-unreadable store must raise, not bypass dedup
+        return spark.read.parquet(path) if _os.path.exists(path) else None
+
+    def _est(left_prefix: str, right_prefix: str):
+        return sum(
+            F.when(
+                F.col(f"{left_prefix}{j}") == F.col(f"{right_prefix}{j}"), 1
+            ).otherwise(0)
+            for j in range(N_HASHES)
+        ) / F.lit(N_HASHES)
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -345,25 +367,73 @@ def run_dedup_ingest_sink(
         spark = batch_df.sparkSession
         batch = batch_df.localCheckpoint(eager=True)
         sig = minhash_signatures(batch).localCheckpoint(eager=True)
-        store = read_or_none(spark, store_path, schema=sig.schema)
+        bands = _band_rows(sig).localCheckpoint(eager=True)
+
+        # (b) intra-batch dedup: keep the lowest doc_id of every
+        # estimated-dup pair inside the batch (band self-join — the
+        # batch side is small, the pair space band-bounded)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand_in = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("keep"), F.col("b.doc_id").alias("dup")
+            )
+            .distinct()
+        )
+        s1 = sig.select(
+            F.col("doc_id").alias("keep"),
+            *[F.col(f"h{j}").alias(f"kh{j}") for j in range(N_HASHES)],
+        )
+        s2 = sig.select(
+            F.col("doc_id").alias("dup"),
+            *[F.col(f"h{j}").alias(f"dh{j}") for j in range(N_HASHES)],
+        )
+        in_dups = (
+            cand_in.join(s1, "keep")
+            .join(s2, "dup")
+            .filter(_est("kh", "dh") >= DEDUP_INGEST_EST_THRESHOLD)
+            .select(F.col("dup").alias("doc_id"))
+            .distinct()
+        )
+        sig_kept = sig.join(in_dups, "doc_id", "left_anti")
+
+        # (c) probe the persisted band table — band values were
+        # computed once at append time, nothing store-side re-hashes
+        bands_path = f"{store_path}_bands"
+        store = _read_if_exists(spark, store_path)
+        if store is not None:
+            # exclude THIS batch's own partition (partition-pruned):
+            # on a replay the store already holds the batch's prior
+            # output, and dedup against itself would empty `survivors`
+            # — the overwrite below would then erase the batch instead
+            # of converging. Reading store-minus-self makes the replay
+            # recompute exactly the first run's result.
+            store = store.filter(F.col("batch") != batch_id)
         if store is None:
-            survivors = sig.select("doc_id")
+            survivors = sig_kept.select("doc_id")
         else:
+            store_bands = spark.read.parquet(bands_path).filter(
+                F.col("batch") != batch_id
+            )
             cand = (
-                _band_rows(store)
-                .alias("c")
+                store_bands.alias("c")
                 .join(
-                    F.broadcast(_band_rows(sig).alias("b")),
-                    (F.col("c.band_idx") == F.col("b.band_idx"))
-                    & (F.col("c.band_val") == F.col("b.band_val")),
+                    F.broadcast(bands.alias("x")),
+                    (F.col("c.band_idx") == F.col("x.band_idx"))
+                    & (F.col("c.band_val") == F.col("x.band_val")),
                 )
                 .select(
-                    F.col("b.doc_id").alias("doc_new"),
+                    F.col("x.doc_id").alias("doc_new"),
                     F.col("c.doc_id").alias("dup_of"),
                 )
                 .distinct()
             )
-            bsig = sig.select(
+            bsig = sig_kept.select(
                 F.col("doc_id").alias("doc_new"),
                 *[F.col(f"h{j}").alias(f"bh{j}") for j in range(N_HASHES)],
             )
@@ -371,26 +441,29 @@ def run_dedup_ingest_sink(
                 F.col("doc_id").alias("dup_of"),
                 *[F.col(f"h{j}").alias(f"sh{j}") for j in range(N_HASHES)],
             )
-            est = sum(
-                F.when(F.col(f"bh{j}") == F.col(f"sh{j}"), 1).otherwise(0)
-                for j in range(N_HASHES)
-            ) / F.lit(N_HASHES)
             dups = (
-                cand.join(bsig, "doc_new")
+                cand.join(F.broadcast(bsig), "doc_new")
                 .join(ssig, "dup_of")
-                .filter(est >= DEDUP_INGEST_EST_THRESHOLD)
+                .filter(_est("bh", "sh") >= DEDUP_INGEST_EST_THRESHOLD)
                 .select("doc_new")
                 .distinct()
             )
-            survivors = sig.select("doc_id").join(
+            survivors = sig_kept.select("doc_id").join(
                 dups.withColumnRenamed("doc_new", "doc_id"), "doc_id", "left_anti"
             )
-        keep = F.broadcast(survivors)
-        batch.join(keep, "doc_id", "left_semi").write.mode("append").parquet(
-            corpus_path
+        keep = F.broadcast(survivors.localCheckpoint(eager=True))
+
+        # (d) batch-scoped overwrite writes: replay-idempotent at any
+        # crash point between them
+        sub = f"batch={batch_id}"
+        batch.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            f"{corpus_path}/{sub}"
         )
-        sig.join(keep, "doc_id", "left_semi").write.mode("append").parquet(
-            store_path
+        sig.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            f"{store_path}/{sub}"
+        )
+        bands.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            f"{bands_path}/{sub}"
         )
 
     return (

@@ -290,9 +290,12 @@ def test_winnowing_and_basket_no_cartesian(spark):
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
         # the fingerprint table must be materialized once and fanned
-        # out from cache (fp-hash-partitioned InMemoryRelation) — the
-        # four consumers re-running the extraction was the r3 cost
-        assert "InMemoryTableScan" in plan, q
+        # out to the four consumers from the checkpoint (Scan
+        # ExistingRDD), not re-extracted per consumer — the r3 cost.
+        # (A persisted InMemoryRelation variant was tried and reverted:
+        # honestly timed it was ~2x slower and leaked cache entries;
+        # see the _winnow_pairs materialization comment.)
+        assert "Scan ExistingRDD" in plan, q
     # the fast path must actually hash with xxhash64: its fingerprint
     # column is a LONG (rendered fp#<id>L in the checkpointed scan —
     # the extraction itself is behind the localCheckpoint), where the

@@ -255,7 +255,11 @@ def test_merge_partition_scoped_crash_matrix(spark, monkeypatch):
     from pitlapetl_spark.sinks import merge_upsert_partition_scoped
 
     base_rows = [("d1", 1, 10.0), ("d2", 2, 20.0), ("d3", 3, 30.0)]
-    upd_rows = [("d1", 1, 99.0), ("d2", 2, 88.0), ("d4", 9, 90.0)]
+    # 'a0' is a brand-new partition that sorts BEFORE every existing
+    # one: it installs first, so a later rename failure must roll it
+    # back by REMOVAL (there is no old copy to restore) — the case the
+    # displaced-only rollback missed; 'd4' covers the trailing-new case
+    upd_rows = [("a0", 8, 80.0), ("d1", 1, 99.0), ("d2", 2, 88.0), ("d4", 9, 90.0)]
     schema = "day string, k int, v double"
     real_rename = _os.rename
 
@@ -306,7 +310,8 @@ def test_merge_partition_scoped_crash_matrix(spark, monkeypatch):
         )
         got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
         assert got == {
-            1: ("d1", 99.0), 2: ("d2", 88.0), 3: ("d3", 30.0), 9: ("d4", 90.0)
+            1: ("d1", 99.0), 2: ("d2", 88.0), 3: ("d3", 30.0),
+            8: ("a0", 80.0), 9: ("d4", 90.0),
         }, f"replay after crash at #{fail_at} did not converge"
 
 

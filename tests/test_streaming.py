@@ -509,3 +509,54 @@ def test_cdc_sink_full_replay_is_idempotent(spark, tmp_path):
         "user_id", "last_ts", "last_type", "last_value",
     )
     assert first == second and len(first) > 0
+
+
+def test_dedup_ingest_replay_and_intra_batch(spark, tmp_path):
+    """The rewritten exactly-once contract: (1) a batch containing an
+    internal dup pair keeps only the lowest doc_id (intra-batch
+    dedup); (2) a FULL source replay (fresh checkpoint — the
+    upper bound of any crash-recovery replay) overwrites the same
+    batch-scoped directories and leaves corpus, store, and band table
+    row-identical."""
+    import random
+
+    from pitlapetl_spark.streaming.runtime import (
+        read_documents_stream,
+        run_dedup_ingest_sink,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+    rng = random.Random(11)
+    text = " ".join(f"t{rng.randrange(10**6)}" for _ in range(40))
+    fresh = " ".join(f"u{rng.randrange(10**6)}" for _ in range(40))
+    rows = [
+        (1, text, "en", "s", len(text)),
+        (2, text, "en", "s", len(text)),  # intra-batch exact dup of 1
+        (3, fresh, "en", "s", len(fresh)),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(incoming))
+
+    def run(ckpt):
+        q = run_dedup_ingest_sink(
+            read_documents_stream(spark, str(incoming)),
+            store,
+            corpus,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 3}, ids  # 2 dropped intra-batch, lowest id kept
+
+    def snap(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    before = (snap(corpus), snap(store), snap(store + "_bands"))
+    run("ck2")  # full replay with a fresh checkpoint
+    assert (snap(corpus), snap(store), snap(store + "_bands")) == before

@@ -20,8 +20,8 @@ anchor that explains it.
 
 from __future__ import annotations
 
+import argparse
 import json
-import re
 import sys
 
 # query -> SCALE.md section explaining the accepted regression
@@ -35,20 +35,34 @@ def load_queries(path: str) -> dict[str, float]:
         d = json.load(f)
     if "queries" in d:
         return d["queries"]
-    # driver wrapper: the bench JSON line is inside the captured tail
-    m = re.search(r'\{"metric".*\}', d.get("tail", ""))
-    if not m:
-        raise SystemExit(f"{path}: no bench queries found")
-    return json.loads(m.group(0))["queries"]
+    # driver wrapper: the bench JSON line is embedded in the captured
+    # tail, possibly with text after it on the same line (the old
+    # greedy regex over-captured to the line's last '}'). Try each
+    # '}'-terminated prefix from longest to shortest until one parses.
+    for line in d.get("tail", "").splitlines():
+        i = line.find('{"metric"')
+        if i == -1:
+            continue
+        frag = line[i:]
+        end = len(frag)
+        while (j := frag.rfind("}", 0, end)) != -1:
+            try:
+                return json.loads(frag[: j + 1])["queries"]
+            except (json.JSONDecodeError, KeyError):
+                end = j
+    raise SystemExit(f"{path}: no bench queries found")
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    tol = 1.20
-    for a in sys.argv[1:]:
-        if a.startswith("--tol"):
-            tol = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    base, new = load_queries(args[0]), load_queries(args[1])
+    ap = argparse.ArgumentParser(
+        description="diff two bench JSONs; exit 1 on regression"
+    )
+    ap.add_argument("base")
+    ap.add_argument("new")
+    ap.add_argument("--tol", type=float, default=1.20)
+    ns = ap.parse_args()
+    tol = ns.tol
+    base, new = load_queries(ns.base), load_queries(ns.new)
     shared = sorted(set(base) & set(new))
     bad = []
     for q in shared:
