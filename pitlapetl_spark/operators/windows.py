@@ -235,10 +235,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id) tiebreak makes the assignment total-order stable."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # microsecond-exact gap: unix_timestamp truncates to whole seconds
+    # while the oracle's epoch() keeps fractions — a gap inside
+    # (GAP, GAP+1) seconds would split sessions on one engine only
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     flagged = events.withColumn(
         "new_sess",
-        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1).otherwise(0),
     )
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -263,9 +266,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, day_value,
-           round(day_value / sum(day_value) OVER (PARTITION BY event_type), 6)
+           round(day_value / CAST(sum(CAST(day_value AS DECIMAL(18,4)))
+                 OVER (PARTITION BY event_type) AS DOUBLE), 6)
                AS share_of_type,
-           round(day_value / sum(day_value) OVER (), 6) AS share_of_total
+           round(day_value / CAST(sum(CAST(day_value AS DECIMAL(18,4)))
+                 OVER () AS DOUBLE), 6) AS share_of_total
     FROM daily
     """,
 )
@@ -288,12 +293,24 @@ def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "day_value",
-        F.round(F.col("day_value") / F.sum("day_value").over(w_type), 6).alias(
-            "share_of_type"
-        ),
-        F.round(F.col("day_value") / F.sum("day_value").over(w_all), 6).alias(
-            "share_of_total"
-        ),
+        # denominators accumulate in exact decimal (the file-wide window
+        # discipline): raw-double window sums are shuffle-order
+        # dependent and a 1-ulp associativity flip at a 5e-7 boundary
+        # would break the round(6) hash cross-engine
+        F.round(
+            F.col("day_value")
+            / F.sum(F.col("day_value").cast("decimal(18,4)"))
+            .over(w_type)
+            .cast("double"),
+            6,
+        ).alias("share_of_type"),
+        F.round(
+            F.col("day_value")
+            / F.sum(F.col("day_value").cast("decimal(18,4)"))
+            .over(w_all)
+            .cast("double"),
+            6,
+        ).alias("share_of_total"),
     )
 
 

@@ -46,8 +46,14 @@ def upsert_partitioned(df: DataFrame, path: str, key_cols: list[str]) -> None:
     """K1/K2 keyed upsert: replace exactly the (key...) partitions
     present in ``df``, leave all others untouched."""
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(*key_cols).parquet(path)
+    try:
+        df.write.mode("overwrite").partitionBy(*key_cols).parquet(path)
+    finally:
+        # scope the dynamic mode to THIS write: leaking it session-wide
+        # silently turns later full-refresh overwrites into partial ones
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def staged_swap(df: DataFrame, path: str) -> None:
@@ -62,7 +68,14 @@ def staged_swap(df: DataFrame, path: str) -> None:
     want a table format instead (module docstring)."""
     stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
     old = f"{path}__old"
-    df.write.mode("errorifexists").parquet(stage)
+    try:
+        df.write.mode("errorifexists").parquet(stage)
+    except BaseException:
+        # nothing swapped yet: remove the partial stage so a retrying
+        # caller (streaming foreachBatch) doesn't accumulate one
+        # orphaned debris dir per failure
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.rename(path, old)
@@ -83,7 +96,13 @@ def merge_upsert(
     ``updates`` are replaced; new keys are inserted. Returns the merged
     DataFrame (caller writes it). Implemented as left-anti join +
     union — the standard MERGE emulation without a Delta/Iceberg table
-    format (module docstring)."""
+    format (module docstring).
+
+    ``updates`` must carry ONE row per key (the Delta MERGE rule:
+    a source matching the same target row twice is an error, not an
+    arbitrary pick) — enforced in ``merge_upsert_write``/the sinks
+    that persist, where the one extra small aggregate per batch is
+    cheap; this lazy builder leaves the plan unmodified."""
     if existing is None:
         return updates
     kept = existing.join(
@@ -96,8 +115,24 @@ def merge_upsert_write(updates: DataFrame, path: str, key_cols: list[str]) -> No
     """MERGE ``updates`` into the table at ``path`` and persist the
     result via ``staged_swap`` (the merged plan lazily reads ``path``,
     so the write must go to a staging dir — overwriting in place would
-    read the table being deleted)."""
+    read the table being deleted). Rejects duplicate keys in
+    ``updates`` up front: the anti-join+union emulation would insert
+    ALL copies, silently breaking the one-row-per-key invariant the
+    table's consumers rely on."""
     spark = updates.sparkSession
+    dup = (
+        updates.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert_write: updates contain duplicate key(s), "
+            f"e.g. {tuple(dup[0][k] for k in key_cols)} — aggregate the "
+            f"batch to one row per key before merging"
+        )
     existing = read_or_none(spark, path, schema=updates.schema)
     staged_swap(merge_upsert(existing, updates, key_cols), path)
 
@@ -127,10 +162,36 @@ def merge_upsert_partition_scoped(
     spark = updates.sparkSession
     vals = sorted(r[0] for r in updates.select(part_col).distinct().collect())
     assert all(v is not None for v in vals), "part_col must be non-null"
-    if not os.path.exists(path):
-        updates.write.partitionBy(part_col).parquet(path)
-        return vals
     part_strs = [str(v) for v in vals]
+    if not os.path.exists(path):
+        # bootstrap through the SAME staged+validated path as every
+        # later merge: the old direct write accepted a hive-escapable
+        # part_col value at table creation (day='d:1' -> day=d%3A1 on
+        # disk) that every SUBSEQUENT merge then rejects — validating
+        # clean on batch 1 and failing permanently from batch 2 — and
+        # a mid-write crash left a partial table the next call treated
+        # as a valid existing one. Stage, validate, single rename.
+        stage = f"{path}__mergestage_{uuid.uuid4().hex[:8]}"
+        try:
+            updates.write.partitionBy(part_col).parquet(stage)
+            expected = {f"{part_col}={v}" for v in part_strs}
+            staged = {
+                d for d in os.listdir(stage) if d.startswith(f"{part_col}=")
+            }
+            missing = expected - staged
+            if missing:
+                raise ValueError(
+                    f"staged bootstrap write is missing partition dir(s) "
+                    f"{sorted(missing)} (staged: {sorted(staged)}): the "
+                    f"part_col value is escaped by the hive layout — "
+                    f"pre-sanitize partition values to filesystem-safe "
+                    f"scalars (docstring constraint)"
+                )
+        except BaseException:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        os.rename(stage, path)
+        return vals
     # filter on the NATIVE partition column (directory pruning), then
     # realign column types to the updates schema — hive partition-type
     # inference may read the partition column back as a different type
@@ -230,15 +291,21 @@ def compact(spark: SparkSession, path: str, target_files: int) -> int:
 
 
 def read_or_none(spark: SparkSession, path: str, schema=None) -> DataFrame | None:
-    try:
-        reader = spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.parquet(path)
-        df.head(1)
-        return df
-    except Exception:
+    """None ONLY when ``path`` does not exist. An existing path that
+    fails to read RAISES: the callers are merge paths for which
+    'table absent' means "replace the table with this batch" — if a
+    transient read error were swallowed into None (the pre-fix
+    behavior), one corrupt footer or Py4J hiccup would silently
+    replace a whole table with the current batch, deleting every key
+    not in it."""
+    if not os.path.exists(path):
         return None
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    df.head(1)  # surface read errors HERE, not mid-merge
+    return df
 
 
 def write_sized_files(

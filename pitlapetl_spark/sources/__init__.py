@@ -251,7 +251,18 @@ def _events_nanos_normalized(raw: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table with its declared schema."""
+    """Read one table with its declared schema.
+
+    Nanos caveat: a ns-unit events footer flips the SESSION-wide
+    ``nanosAsLong`` legacy flag, and it stays set — the returned frame
+    is lazy, so un-setting after return would break its execution.
+    The flag changes how OTHER ns-timestamp parquet reads in the same
+    session come back (raw longs). Within one testdata generation all
+    tables share the writer (one unit), so in-engine reads are
+    consistent; a session mixing external ns-parquet sources should
+    isolate them in their own SparkSession. Documented trade — the
+    alternative (eager materialization to scope the flag) would buy
+    back the isolation by paying a full table copy per load."""
     path = f"{sf_dir}/{name}.parquet"
     if name == "events" and parquet_ts_unit(path) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

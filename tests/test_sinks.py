@@ -194,6 +194,36 @@ def test_merge_partition_scoped_escaped_value_fails_loudly(spark):
     assert not glob.glob(f"{path}__merge*")
 
 
+def test_merge_partition_scoped_bootstrap_validates_escaping(spark):
+    """The FIRST write must apply the same hive-escape validation as
+    every later merge — the old direct bootstrap accepted day='d:1'
+    (written as day=d%3A1) and then every subsequent merge failed
+    permanently. Now the bootstrap rejects it and leaves no table."""
+    import glob
+    import os
+
+    from pitlapetl_spark.sinks import merge_upsert_partition_scoped
+
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    bad = spark.createDataFrame([("d:1", 1, 1.0)], "day string, k int, v double")
+    with pytest.raises(ValueError, match="escaped"):
+        merge_upsert_partition_scoped(bad, path, ["k"], "day")
+    assert not os.path.exists(path)
+    assert not glob.glob(f"{path}__merge*")
+
+
+def test_merge_upsert_write_rejects_duplicate_update_keys(spark):
+    """Duplicate keys in one updates batch would all be inserted by
+    the anti-join+union emulation (Delta MERGE rejects this case);
+    the write path must refuse."""
+    from pitlapetl_spark.sinks import merge_upsert_write
+
+    path = tempfile.mkdtemp(prefix="pitlap_t_") + "/t"
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)], "k int, v double")
+    with pytest.raises(ValueError, match="duplicate key"):
+        merge_upsert_write(dup, path, ["k"])
+
+
 def test_merge_partition_scoped_midswap_failure_recovers(spark, monkeypatch):
     """A crash mid-swap (old partition already displaced into trash,
     later rename fails) must roll the table back to its pre-merge
