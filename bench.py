@@ -89,6 +89,11 @@ HEADLINE = (
     "q7_volume_shipping",
     "q21_suppliers_kept_waiting",
     "graph_pagerank_copurchase",
+    # round 4 (session 3): the TPC-H-completion tranche's two heavy
+    # members — Q9 (widest snowflake + fact-fact orderkey join) and
+    # Q2 (derived supplier-part relation + groupwise argmin join-back)
+    "q9_product_type_profit",
+    "q2_min_cost_supplier",
 )
 
 

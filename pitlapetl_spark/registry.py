@@ -35,6 +35,7 @@ _MODULES = (
     "pitlapetl_spark.operators.aggregates",
     "pitlapetl_spark.operators.analytics",
     "pitlapetl_spark.operators.warehouse",
+    "pitlapetl_spark.operators.warehouse2",
     "pitlapetl_spark.operators.windows",
     "pitlapetl_spark.operators.setops",
     "pitlapetl_spark.operators.nested",
@@ -120,6 +121,14 @@ _PRIORITY: tuple[str, ...] = (
     "q19_discounted_revenue",
     "q21_suppliers_kept_waiting",
     "q22_dormant_high_balance",
+    # (c'') the session-3 tranche completing all 22 TPC-H shapes via
+    # the derived supplier-part relation (operators/warehouse2.py) —
+    # zero driver evidence by construction
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_breadth",
+    "q20_excess_suppliers",
     # (d) r1-only evidence, oldest first-priority: the bench-regression
     # suspect, then the full r1 cohort (verified on a data generation
     # that no longer exists — re-prove on current data)
@@ -143,15 +152,15 @@ _PRIORITY: tuple[str, ...] = (
     "join_theta_band",
     "json_deep_path_standings",
     # --- positions 51+ (verified only if the driver budget exceeds 50).
-    # The head above is exactly 50: the 4 (a)/(b) carryovers, 27
-    # round-4 new operators (winnowing_fast + incremental minhash +
-    # the 12 session-2 ops spans/cdc/winsorize/mix/equi-depth/
-    # attribution/featurizer/pagerank/ewma/ab-test + q6/q12/q18 + the
-    # 10-query warehouse tranche), and the FIRST 19 r1-cohort
-    # re-proofs. The remaining 21 r1-cohort names below fall outside
-    # this round's window — they keep r1 driver evidence plus local
-    # sf0.01 parity on current data; new-operator evidence outranks
-    # re-proving them.
+    # The head above is exactly 50 through "join_full_outer":
+    # the 4 (a)/(b) carryovers, 32 round-4 new operators (winnowing_fast
+    # + incremental minhash + the 12 session-2 ops spans/cdc/winsorize/
+    # mix/equi-depth/attribution/featurizer/pagerank/ewma/ab-test +
+    # q6/q12/q18 + the 10-query warehouse tranche + the 5-query
+    # TPC-H-completion tranche), and the FIRST 14 r1-cohort re-proofs.
+    # The remaining r1-cohort names below fall outside this round's
+    # window — they keep r1 driver evidence plus local sf0.01 parity
+    # on current data; new-operator evidence outranks re-proving them.
     "json_doc_assembly",
     "json_doc_roundtrip",
     "json_get_path",

@@ -485,3 +485,48 @@ def test_pagerank_unroll_is_bounded_by_checkpoint_cadence(spark):
     assert "CartesianProduct" not in plan
     uncut = PR_ITERS % PR_CHECKPOINT_EVERY or PR_CHECKPOINT_EVERY
     assert plan.count("Join") <= 2 * uncut + 1, plan.count("Join")
+
+
+def test_q2_argmin_broadcasts_min_no_cartesian(spark):
+    """Q2's groupwise argmin must join the per-part min back as a
+    broadcast equi-join (the min frame is |parts|-bounded) — a window
+    over the candidate set or a cartesian would serialize at scale."""
+    plan = _plan(Q["q2_min_cost_supplier"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_only_fact_shuffles(spark):
+    """Q9's part/supplier/nation dims must all broadcast; the only
+    sort-merge-eligible join is lineitem-orders on the order key."""
+    plan = _plan(Q["q9_product_type_profit"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_global_total_is_broadcast_scalar(spark):
+    """Q11's share-of-global threshold must be a one-row broadcast
+    (nested-loop join against a single row is the legitimate scalar
+    shape), never a Window over all parts."""
+    plan = _plan(Q["q11_important_stock"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "partial_" in plan  # per-part sum partial-combines map-side
+
+
+def test_q16_excludes_via_anti_join(spark):
+    """Q16's NOT IN supplier exclusion must compile to a broadcast
+    left-anti equi-join, and the distinct-pair derivation must
+    partial-aggregate map-side."""
+    plan = _plan(Q["q16_supplier_part_breadth"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_qualifier_is_semi_join(spark):
+    """Q20's qualifying-supplier set must reduce the dim via a
+    left-semi equi-join — the conditional-sum threshold frame never
+    multiplies rows into the output."""
+    plan = _plan(Q["q20_excess_suppliers"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
