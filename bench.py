@@ -94,6 +94,10 @@ HEADLINE = (
     # Q2 (derived supplier-part relation + groupwise argmin join-back)
     "q9_product_type_profit",
     "q2_min_cost_supplier",
+    # round 4 (session 3): the IVF ANN search path and DSIR importance
+    # weighting — the two new LLM-pipeline heavyweights
+    "sim_topk_ivf_nprobe",
+    "dsir_importance_weights",
 )
 
 

@@ -363,3 +363,248 @@ def sim_label_centroid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .drop("rnk")
     )
+
+
+# ------------------------------------------------- IVF search + SemDeDup
+
+NPROBE = 3  # centroid lists probed per query (IVF-flat search)
+# Semantic-dup threshold. Production SemDeDup (Abbas et al. 2023,
+# arXiv:2303.09540) uses ~0.95+ on real text embeddings; the synthetic
+# vectors are near-random (within-cluster max cosine ~0.49 at sf0.01),
+# so the threshold is calibrated to exercise the operator with a
+# non-vacuous, scale-stable pair set (69 pairs at both sf0.001/sf0.01).
+SEMDEDUP_TAU = 0.35
+
+# DuckDB CTE suite replaying the centroid scoring + per-vector rank —
+# shared by the IVF search and SemDeDup oracles. Appends to
+# _ORACLE_VECS (u, norms).
+_ORACLE_CRANK = """
+    cent AS (
+        SELECT e.label, u.i, avg(u.x) AS cx
+        FROM u JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    cnorm AS (SELECT label, sqrt(sum(cx * cx)) AS cnrm FROM cent GROUP BY 1),
+    cdots AS (
+        SELECT u.vec_id, cent.label, sum(u.x * cent.cx) AS dot
+        FROM u JOIN cent ON u.i = cent.i
+        GROUP BY 1, 2
+    ),
+    cscore AS (
+        SELECT vec_id, label, round(dot / (n.nrm * c.cnrm), 6) AS ccos
+        FROM cdots JOIN norms n USING (vec_id) JOIN cnorm c USING (label)
+    ),
+    crank AS (
+        SELECT vec_id, label, row_number() OVER (
+            PARTITION BY vec_id ORDER BY ccos DESC, label) AS crk
+        FROM cscore
+    )
+"""
+
+
+def _centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label centroids as dense vectors: (label, cv, cnrm). K rows —
+    always broadcastable (the IVF coarse quantizer is small by
+    construction; a learned one would be loaded the same way)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("i", "x"),
+    )
+    cent = comp.groupBy("label", "i").agg(F.avg("x").alias("cx"))
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)"
+            ).alias("cv")
+        )
+        .withColumn(
+            "cnrm", F.sqrt(F.expr("aggregate(cv, 0D, (acc, x) -> acc + x * x)"))
+        )
+    )
+
+
+def _centroid_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector scored against every centroid with a per-vector
+    cosine rank: (vec_id, label, ccos, crk). One narrow pass over the
+    corpus against a broadcast K-row centroid table; the rank window
+    partitions on vec_id (K rows per partition — bounded)."""
+    vecs = _vectors(spark, sf_dir)
+    cent = _centroid_frame(spark, sf_dir)
+    scored = (
+        vecs.alias("q")
+        .join(F.broadcast(cent).alias("c"))
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("c.label").alias("label"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(q.v, c.cv, (x, y) -> x * y), 0D,"
+                    " (acc, x) -> acc + x)"
+                )
+                / (F.col("q.nrm") * F.col("c.cnrm")),
+                6,
+            ).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "label")
+    return scored.withColumn("crk", F.row_number().over(w))
+
+
+@query(
+    "sim_topk_ivf_nprobe",
+    oracle=f"""
+    WITH {_ORACLE_VECS},
+    {_ORACLE_CRANK},
+    assign AS (
+        SELECT vec_id AS cand_id, label FROM crank
+        WHERE crk = 1 AND vec_id >= {N_QUERIES}
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, label FROM crank
+        WHERE crk <= {NPROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (SELECT query_id, cand_id FROM probes JOIN assign USING (label)),
+    rdots AS (
+        SELECT cand.query_id, cand.cand_id, sum(q.x * c.x) AS dot
+        FROM cand
+        JOIN u q ON q.vec_id = cand.query_id
+        JOIN u c ON c.vec_id = cand.cand_id AND c.i = q.i
+        GROUP BY 1, 2
+    ),
+    rscored AS (
+        SELECT query_id, cand_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM rdots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id AS neighbor_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+        FROM rscored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN end-to-end (the scale path past sign-LSH): every
+    base vector is listed under its nearest centroid (crk=1); each
+    query probes its NPROBE nearest centroid lists; exact cosine
+    reranks the shortlist to top-k. Search cost is O(Q x N x nprobe/K)
+    instead of O(Q x N) — the recall/cost dial is (K, nprobe). One
+    scored frame feeds assignment and probing (localCheckpoint); the
+    probe->list lookup is a broadcast equi-join on the centroid label;
+    the rerank joins the tiny query set broadcast against the
+    label-pruned shortlist. At 100 TB the assignment table is the
+    persisted 'index' — amortized across query batches, exactly like
+    a FAISS IVF list file."""
+    ranked = _centroid_ranked(spark, sf_dir).localCheckpoint(eager=False)
+    assign = ranked.filter(
+        (F.col("crk") == 1) & (F.col("vec_id") >= N_QUERIES)
+    ).select(F.col("vec_id").alias("cand_id"), "label")
+    probes = ranked.filter(
+        (F.col("crk") <= NPROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "label")
+    cand = F.broadcast(probes).join(assign, "label").select("query_id", "cand_id")
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    rescored = (
+        cand.join(F.broadcast(q), cand.query_id == F.col("q_id"))
+        .join(c, cand.cand_id == F.col("c_id"))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D,"
+                    " (acc, x) -> acc + x)"
+                )
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH {_ORACLE_VECS},
+    {_ORACLE_CRANK},
+    assign AS (SELECT vec_id, label FROM crank WHERE crk = 1),
+    pdots AS (
+        SELECT a1.vec_id AS vec_a, a2.vec_id AS vec_b,
+               a1.label AS cluster_label, sum(u1.x * u2.x) AS dot
+        FROM assign a1
+        JOIN assign a2 ON a1.label = a2.label AND a1.vec_id < a2.vec_id
+        JOIN u u1 ON u1.vec_id = a1.vec_id
+        JOIN u u2 ON u2.vec_id = a2.vec_id AND u2.i = u1.i
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT cluster_label, vec_a, vec_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM pdots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+    )
+    SELECT cluster_label, vec_a, vec_b, cosine
+    FROM scored WHERE cosine >= {SEMDEDUP_TAU}
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    found by clustering embeddings (nearest label-centroid) and
+    comparing cosines ONLY within a cluster — the pair space drops
+    from C(N,2) to sum-over-clusters C(n_k,2), the same
+    bounded-not-all-pairs contract as every dedup here (the
+    plan-hygiene suite gates it). The keep policy downstream is
+    keep-min-id per pair (vec_a survives, vec_b is the drop
+    candidate), composable with dedup_cluster_components for
+    transitive groups. At 100 TB: K scales with corpus size
+    (SemDeDup uses ~sqrt(N) clusters), the pair join is an equi-join
+    on the cluster key, and skewed giant clusters are the known
+    failure mode — cap cluster size or sub-cluster recursively."""
+    ranked = _centroid_ranked(spark, sf_dir)
+    assign = ranked.filter(F.col("crk") == 1).select("vec_id", "label")
+    vecs = _vectors(spark, sf_dir)
+    a = assign.join(vecs, "vec_id")
+    pairs = (
+        a.alias("x")
+        .join(
+            a.alias("y"),
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.label").alias("cluster_label"),
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D,"
+                    " (acc, t) -> acc + t)"
+                )
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return pairs.filter(F.col("cosine") >= SEMDEDUP_TAU)

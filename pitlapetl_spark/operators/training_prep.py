@@ -339,3 +339,105 @@ def mix_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shortfall_tokens"),
     ).orderBy("lang")
+
+
+# ------------------------------------------- DSIR importance weighting
+
+DSIR_DIM = 256  # hashed feature buckets (DSIR uses 10k at real scale)
+DSIR_TARGET_LANG = "en"  # docs in this language stand in for the target
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id, lang,
+               CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                    % {DSIR_DIM} AS INT) AS b
+        FROM toks
+    ),
+    docb AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY 1, 2),
+    gcnt AS (
+        SELECT b,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                   AS tc,
+               count(*) AS bc
+        FROM bt GROUP BY 1
+    ),
+    tot AS (SELECT sum(tc) AS tt, sum(bc) AS tb FROM gcnt),
+    lr AS (
+        SELECT b, ln(((tc + 1.0) * (tb + {DSIR_DIM}))
+                     / ((bc + 1.0) * (tt + {DSIR_DIM}))) AS lw
+        FROM gcnt, tot
+    ),
+    terms AS (
+        SELECT doc_id, CAST(round(c * lr.lw, 9) AS DECIMAL(28,9)) AS term
+        FROM docb JOIN lr USING (b)
+    )
+    SELECT doc_id, round(CAST(sum(term) AS DOUBLE), 6) AS dsir_logweight
+    FROM terms GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every corpus document by its hashed-n-gram log importance weight
+    log p_target(doc)/p_background(doc) — the weight used to resample
+    a raw corpus toward a target domain before pretraining. Feature
+    space is the hashing trick (md5-prefix mod DSIR_DIM, same
+    determinism contract as featurize_hashed_ngrams); target bucket
+    distribution is estimated from the DSIR_TARGET_LANG slice,
+    background from the whole corpus, both with add-one smoothing.
+
+    Plan: ONE token-bucket pass feeds both the per-doc counts and the
+    global target/background counts (localCheckpoint); the global
+    frame is DSIR_DIM rows -> the log-ratio table broadcasts onto the
+    per-doc counts; the per-doc sum shuffles on doc_id once. No
+    vocabulary fit, no driver state — the same properties that make
+    hashed features the 100-TB default.
+
+    Determinism: the log-ratio operates on an exact-integer rational
+    (counts and totals < 2^53 convert to double exactly, identical
+    operand shape both engines); per-term products are round(9)-ed
+    into exact decimal before the per-doc sum so accumulation order
+    can't move the 6-decimal output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % DSIR_DIM
+    ).cast("int")
+    bt = toks.select("doc_id", "lang", bucket.alias("b"))
+    bt = bt.localCheckpoint(eager=False)  # one pass feeds docb + glob
+    docb = bt.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    glob = bt.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tc"),
+        F.count(F.lit(1)).alias("bc"),
+    )
+    tot = F.broadcast(
+        glob.agg(F.sum("tc").alias("tt"), F.sum("bc").alias("tb"))
+    )
+    lr = F.broadcast(
+        glob.crossJoin(tot).select(
+            "b",
+            F.log(
+                ((F.col("tc") + F.lit(1.0)) * (F.col("tb") + F.lit(DSIR_DIM)))
+                / ((F.col("bc") + F.lit(1.0)) * (F.col("tt") + F.lit(DSIR_DIM)))
+            ).alias("lw"),
+        )
+    )
+    terms = docb.join(lr, "b").select(
+        "doc_id",
+        F.round(F.col("c") * F.col("lw"), 9).cast("decimal(28,9)").alias("term"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("dsir_logweight")
+    )

@@ -129,6 +129,12 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q16_supplier_part_breadth",
     "q20_excess_suppliers",
+    # (c''') session-3 LLM-pipeline ops: IVF-flat ANN end-to-end,
+    # SemDeDup cluster-bounded semantic dedup, DSIR importance
+    # weighting — zero driver evidence by construction
+    "sim_topk_ivf_nprobe",
+    "dedup_semantic_semdedup",
+    "dsir_importance_weights",
     # (d) r1-only evidence, oldest first-priority: the bench-regression
     # suspect, then the full r1 cohort (verified on a data generation
     # that no longer exists — re-prove on current data)
@@ -152,12 +158,13 @@ _PRIORITY: tuple[str, ...] = (
     "join_theta_band",
     "json_deep_path_standings",
     # --- positions 51+ (verified only if the driver budget exceeds 50).
-    # The head above is exactly 50 through "join_full_outer":
-    # the 4 (a)/(b) carryovers, 32 round-4 new operators (winnowing_fast
+    # The head above is exactly 50 through "filter_isin_null_safe":
+    # the 4 (a)/(b) carryovers, 35 round-4 new operators (winnowing_fast
     # + incremental minhash + the 12 session-2 ops spans/cdc/winsorize/
     # mix/equi-depth/attribution/featurizer/pagerank/ewma/ab-test +
     # q6/q12/q18 + the 10-query warehouse tranche + the 5-query
-    # TPC-H-completion tranche), and the FIRST 14 r1-cohort re-proofs.
+    # TPC-H-completion tranche + IVF/SemDeDup/DSIR), and the FIRST 11
+    # r1-cohort re-proofs.
     # The remaining r1-cohort names below fall outside this round's
     # window — they keep r1 driver evidence plus local sf0.01 parity
     # on current data; new-operator evidence outranks re-proving them.

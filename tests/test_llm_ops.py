@@ -350,3 +350,94 @@ def test_pagerank_ranks_hub_part_above_leaf(spark, tmp_path):
         r.pr for r in pagerank_ranks(spark, str(tmp_path)).collect()
     )
     assert abs(total - 1.0) < 1e-6, total
+
+
+def _planted_vec_dir(spark, tmp_path):
+    """Embeddings fixture: two tight orthogonal clusters (labels 0/1),
+    vec_ids 0-9 are the query set, base vector 10 is an EXACT copy of
+    query 0, the rest are cluster members with tiny deterministic
+    jitter."""
+    import math
+
+    dim = 8
+    rows = []
+
+    def vec(axis, jitter_seed):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        # deterministic small jitter on the other axes
+        for i in range(dim):
+            if i != axis:
+                v[i] = math.sin(jitter_seed * 13 + i) * 0.05
+        return [float(x) for x in v]
+
+    for q in range(5):  # queries 0-4: cluster on axis 0, label 0
+        rows.append((q, vec(0, q), 0))
+    for q in range(5, 10):  # queries 5-9: cluster on axis 1, label 1
+        rows.append((q, vec(1, q), 1))
+    rows.append((10, rows[0][1], 0))  # exact duplicate of query 0
+    for b in range(11, 31):
+        axis = 0 if b % 2 == 0 else 1
+        rows.append((b, vec(axis, b), axis))
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_semdedup_finds_planted_exact_duplicate(spark, tmp_path):
+    """SemDeDup on a planted fixture: the exact-duplicate pair (0, 10)
+    must surface with cosine 1.0, and no pair may cross clusters
+    (pairing is within-cluster by construction)."""
+    d = _planted_vec_dir(spark, tmp_path)
+    out = Q["dedup_semantic_semdedup"](spark, d).collect()
+    pairs = {(r.vec_a, r.vec_b): r for r in out}
+    assert (0, 10) in pairs
+    assert pairs[(0, 10)].cosine == 1.0
+    def axis(v):
+        if v < 5 or v == 10:
+            return 0
+        if v < 10:
+            return 1
+        return 0 if v % 2 == 0 else 1
+    for (a, b), r in pairs.items():
+        assert axis(a) == axis(b), (a, b)
+
+
+def test_ivf_returns_exact_duplicate_at_rank_one(spark, tmp_path):
+    """IVF-flat search on the planted fixture: query 0's exact copy
+    (vec 10) must come back at rank 1 with cosine 1.0 — the probe
+    must cover the query's own cluster and the rerank must be exact."""
+    d = _planted_vec_dir(spark, tmp_path)
+    out = Q["sim_topk_ivf_nprobe"](spark, d).collect()
+    top = {r.query_id: r for r in out if r.rank == 1}
+    assert top[0].neighbor_id == 10
+    assert top[0].cosine == 1.0
+    # every query got a full top-k from its probed lists
+    from pitlapetl_spark.operators.similarity import TOP_K
+
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == TOP_K for v in by_q.values())
+
+
+def test_dsir_ranks_target_language_higher(spark):
+    """DSIR importance weights on the real corpus: the target-language
+    (en) documents must average a strictly higher log-weight than the
+    rest — the defining property of importance resampling toward a
+    target distribution."""
+    from pyspark.sql import functions as F
+
+    w = Q["dsir_importance_weights"](spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    m = (
+        w.join(docs, "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_target"))
+        .agg(F.avg("dsir_logweight").alias("mw"))
+        .collect()
+    )
+    mw = {r.is_target: r.mw for r in m}
+    assert mw[True] > mw[False]

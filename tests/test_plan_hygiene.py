@@ -530,3 +530,39 @@ def test_q20_qualifier_is_semi_join(spark):
     plan = _plan(Q["q20_excess_suppliers"](spark, SF_SMOKE))
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_search_is_equi_joins_only(spark):
+    """IVF-flat search: probe->list lookup and the rerank must all be
+    broadcast equi-joins (query side and centroid table are tiny);
+    no cartesian, no nested loop anywhere in the search path."""
+    plan = _plan(Q["sim_topk_ivf_nprobe"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_semdedup_pairs_within_cluster_only(spark):
+    """SemDeDup's pair stage must be an equi-join on the cluster key
+    (bounded pair space); the only nested-loop joins allowed are the
+    K-row centroid broadcasts (K = label count, tiny by design)."""
+    plan = _plan(Q["dedup_semantic_semdedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or plan.count("BroadcastHashJoin") >= 2
+    )
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """DSIR: the DSIR_DIM-row log-ratio table must broadcast onto the
+    per-doc counts (one hash join), the only nested loop is the
+    one-row totals cross-join, and the count aggregates must
+    partial-combine map-side."""
+    plan = _plan(Q["dsir_importance_weights"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
