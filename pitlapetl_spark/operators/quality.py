@@ -201,3 +201,70 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_factor"
         ),
     )
+
+
+@query(
+    "report_corpus_datacard",
+    oracle="""
+    WITH base AS (
+        SELECT lang, source, doc_id, n_chars,
+               len(string_split(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    ),
+    hc AS (SELECT h, count(*) AS hcnt FROM base GROUP BY 1)
+    SELECT b.lang, b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CASE WHEN hc.hcnt > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS dup_frac,
+           round(quantile_cont(b.n_chars, 0.5), 6) AS median_chars
+    FROM base b JOIN hc USING (h)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def report_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: the per-(lang, source) summary every released
+    pretraining dataset publishes (docs, token volume, exact-dup
+    fraction against the WHOLE corpus, median doc length) — the
+    reporting step that closes the pipeline after filter/dedup/mix.
+
+    One scan feeds both consumers (localCheckpoint): the global
+    text-hash counts (dup_frac counts a doc as dup if its normalized
+    text appears anywhere else in the corpus, across slice
+    boundaries) and the per-slice aggregate. Two shuffles total (hash
+    grain, slice grain) plus one equi-join back on the hash — each
+    keyed on uniform keys; the slice grain is small by construction.
+    Median is exact percentile for oracle parity; at 100 TB swap in
+    approx_percentile, plan unchanged (same documented trade as
+    dq_profile_lineitem's n_distinct)."""
+    from ..functions.text import norm_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(norm_text(F.col("text"))).alias("h"),
+    )
+    base = base.localCheckpoint(eager=False)  # one scan, two consumers
+    hc = base.groupBy("h").agg(F.count(F.lit(1)).alias("hcnt"))
+    return (
+        base.join(hc, "h")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("hcnt") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -135,6 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_topk_ivf_nprobe",
     "dedup_semantic_semdedup",
     "dsir_importance_weights",
+    "report_corpus_datacard",
     # (d) r1-only evidence, oldest first-priority: the bench-regression
     # suspect, then the full r1 cohort (verified on a data generation
     # that no longer exists — re-prove on current data)
@@ -158,12 +159,13 @@ _PRIORITY: tuple[str, ...] = (
     "join_theta_band",
     "json_deep_path_standings",
     # --- positions 51+ (verified only if the driver budget exceeds 50).
-    # The head above is exactly 50 through "filter_isin_null_safe":
-    # the 4 (a)/(b) carryovers, 35 round-4 new operators (winnowing_fast
+    # The head above is exactly 50 through "filter_flag_and_range":
+    # the 4 (a)/(b) carryovers, 36 round-4 new operators (winnowing_fast
     # + incremental minhash + the 12 session-2 ops spans/cdc/winsorize/
     # mix/equi-depth/attribution/featurizer/pagerank/ewma/ab-test +
     # q6/q12/q18 + the 10-query warehouse tranche + the 5-query
-    # TPC-H-completion tranche + IVF/SemDeDup/DSIR), and the FIRST 11
+    # TPC-H-completion tranche + IVF/SemDeDup/DSIR + the corpus
+    # datacard), and the FIRST 10
     # r1-cohort re-proofs.
     # The remaining r1-cohort names below fall outside this round's
     # window — they keep r1 driver evidence plus local sf0.01 parity

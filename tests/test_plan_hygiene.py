@@ -566,3 +566,12 @@ def test_dsir_ratio_table_broadcasts(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
+
+
+def test_datacard_single_scan_two_shuffles(spark):
+    """The corpus data card must partial-aggregate map-side on both
+    grains and stay equi-join only (hash join back on the text hash)."""
+    plan = _plan(Q["report_corpus_datacard"](spark, SF_SMOKE))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
