@@ -47,6 +47,7 @@ _MODULES = (
     "pitlapetl_spark.operators.training_prep",
     "pitlapetl_spark.operators.multimodal",
     "pitlapetl_spark.operators.sinks_query",
+    "pitlapetl_spark.operators.formats",
     "pitlapetl_spark.operators.rest_query",
     "pitlapetl_spark.operators.python_udfs",
     "pitlapetl_spark.operators.stats",
@@ -136,6 +137,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic_semdedup",
     "dsir_importance_weights",
     "report_corpus_datacard",
+    # (c'''') session-3 source-format connectors (operators/formats.py)
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
     # (d) r1-only evidence, oldest first-priority: the bench-regression
     # suspect, then the full r1 cohort (verified on a data generation
     # that no longer exists — re-prove on current data)
@@ -159,13 +164,13 @@ _PRIORITY: tuple[str, ...] = (
     "join_theta_band",
     "json_deep_path_standings",
     # --- positions 51+ (verified only if the driver budget exceeds 50).
-    # The head above is exactly 50 through "filter_flag_and_range":
-    # the 4 (a)/(b) carryovers, 36 round-4 new operators (winnowing_fast
+    # The head above is exactly 50 through "dedup_ngram_jaccard":
+    # the 4 (a)/(b) carryovers, 39 round-4 new operators (winnowing_fast
     # + incremental minhash + the 12 session-2 ops spans/cdc/winsorize/
     # mix/equi-depth/attribution/featurizer/pagerank/ewma/ab-test +
     # q6/q12/q18 + the 10-query warehouse tranche + the 5-query
     # TPC-H-completion tranche + IVF/SemDeDup/DSIR + the corpus
-    # datacard), and the FIRST 10
+    # datacard + the CSV/JSONL/ORC connector proofs), and the FIRST 7
     # r1-cohort re-proofs.
     # The remaining r1-cohort names below fall outside this round's
     # window — they keep r1 driver evidence plus local sf0.01 parity
