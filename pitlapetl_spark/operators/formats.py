@@ -209,3 +209,57 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                THEN o_orderpriority ELSE '<pre-schema>' END AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY priority
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: a table whose early files predate a
+    column (orders written without o_orderpriority, then appended
+    WITH it) must read as one relation under ``mergeSchema`` with the
+    missing column null-filled for old files — the lakehouse reality
+    of every long-lived 100-TB table. The aggregate coalesces the
+    null era into an explicit '<pre-schema>' bucket so the oracle can
+    replay the era split from the date. mergeSchema costs a footer
+    read per file at planning time — fine here; at production scale
+    you pin the MERGED schema explicitly in the reader (same rule as
+    every connector in this module) and keep mergeSchema for
+    exploration only."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    v2 = o.filter(F.col("o_orderdate") >= "1997-01-01").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="pitlap_evolve_") + "/table"
+    try:
+        v1.write.parquet(path)
+        v2.write.mode("append").parquet(path)
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        return (
+            back.groupBy(
+                F.coalesce(F.col("o_orderpriority"), F.lit("<pre-schema>")).alias(
+                    "priority"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", "total_price", "decimal(18,2)"),
+            )
+            .orderBy("priority")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)

@@ -159,3 +159,64 @@ def sink_merge_scoped_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
+DELETE_TYPES = ("view", "click")
+DELETE_USER_MOD = 7  # forget every user_id divisible by 7
+
+
+@query(
+    "sink_delete_roundtrip",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(value) AS DOUBLE) AS max_value
+        FROM events
+        GROUP BY event_type, user_id
+    )
+    SELECT user_id, n_events, max_value, event_type FROM base
+    WHERE NOT (event_type IN {DELETE_TYPES!r}
+               AND user_id % {DELETE_USER_MOD} = 0)
+    """,
+)
+def sink_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten roundtrip: build the per-(type, user)
+    aggregate table hive-partitioned on event_type, erase one user
+    cohort from two partitions via the partition-scoped delete
+    (``sinks.delete_keys_partition_scoped`` — O(touched partitions),
+    untouched partitions never read), run the SAME delete again
+    (idempotency), and hash the final table state. The keys frame
+    carries the partition column per the sink's contract — the
+    key->partition mapping every partition-scoped erasure pipeline
+    requires so a delete never scans the whole table."""
+    from ..sinks import delete_keys_partition_scoped, upsert_partitioned
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+    path = tempfile.mkdtemp(prefix="pitlap_delete_") + "/table"
+    try:
+        upsert_partitioned(base, path, ["event_type"])
+        keys = (
+            base.filter(
+                F.col("event_type").isin(*DELETE_TYPES)
+                & (F.col("user_id") % DELETE_USER_MOD == 0)
+            )
+            .select("event_type", "user_id")
+        )
+        keys = keys.localCheckpoint(eager=True)  # pin before table rewrite
+        delete_keys_partition_scoped(
+            spark, path, keys, ["event_type", "user_id"], "event_type"
+        )
+        # idempotency: the same erasure request replayed is a no-op
+        delete_keys_partition_scoped(
+            spark, path, keys, ["event_type", "user_id"], "event_type"
+        )
+        final = spark.read.parquet(path)
+        return final.select(
+            "user_id", "n_events", "max_value", "event_type"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)

@@ -203,30 +203,67 @@ def merge_upsert_partition_scoped(
         )
     )
     merged = merge_upsert(scoped, updates, key_cols)
+    _staged_partition_rewrite(
+        merged, path, part_col, part_strs, allow_vanished=False
+    )
+    return vals
+
+
+def _staged_partition_rewrite(
+    result: DataFrame,
+    path: str,
+    part_col: str,
+    part_strs: list[str],
+    allow_vanished: bool,
+) -> None:
+    """Shared crash-safe partition-swap protocol for the
+    partition-scoped MERGE and DELETE sinks: write ``result`` staged,
+    validate, then swap each touched partition into the table by
+    rename, with full rollback on mid-swap failure.
+
+    ``allow_vanished``: a touched partition value absent from the
+    staged write is an ERROR for merge (updates carry rows for every
+    value — absence means the value was hive-escaped and the update
+    would be silently dropped) but LEGITIMATE for delete (every row
+    of the partition was deleted — the swap then removes the old
+    partition dir and installs nothing)."""
     token = uuid.uuid4().hex[:8]
     stage = f"{path}__mergestage_{token}"
     trash = f"{path}__mergeold_{token}"
     os.makedirs(trash)
     try:
-        merged.write.partitionBy(part_col).parquet(stage)
-        # Every partition value in ``updates`` MUST appear in the staged
-        # write under exactly the hand-built ``col=value`` name: a value
-        # Spark hive-escapes in directory names (space, ':', '=', '%',
-        # ...) would not match, and the old code's silent ``continue``
-        # dropped those updates while still reporting the value as
-        # rewritten. Fail loudly instead, naming what was staged.
+        result.write.partitionBy(part_col).parquet(stage)
+        # Every touched partition value SHOULD appear in the staged
+        # write under exactly the hand-built ``col=value`` name: a
+        # value Spark hive-escapes in directory names (space, ':',
+        # '=', '%', ...) would not match, and the old code's silent
+        # ``continue`` dropped those updates while still reporting the
+        # value as rewritten. Fail loudly instead, naming what was
+        # staged — except where ``allow_vanished`` makes absence a
+        # legitimate full-partition delete. The escape hazard is then
+        # handled by the caller validating against dirs that DID stage
+        # (an escaped value that stages under a different name still
+        # trips the check whenever any of its rows survive).
         expected = {f"{part_col}={v}" for v in part_strs}
         staged = {
             d for d in os.listdir(stage) if d.startswith(f"{part_col}=")
         }
         missing = expected - staged
-        if missing:
+        if missing and not allow_vanished:
             raise ValueError(
                 f"staged merge write is missing partition dir(s) "
                 f"{sorted(missing)} (staged: {sorted(staged)}): the "
                 f"part_col value is escaped by the hive layout — "
                 f"pre-sanitize partition values to filesystem-safe "
                 f"scalars (docstring constraint)"
+            )
+        unexpected = staged - expected
+        if unexpected:
+            raise ValueError(
+                f"staged write produced partition dir(s) {sorted(unexpected)} "
+                f"outside the touched set {sorted(expected)}: a part_col "
+                f"value is escaped by the hive layout — pre-sanitize "
+                f"partition values to filesystem-safe scalars"
             )
     except BaseException:
         # nothing has been swapped yet — the table is untouched, so the
@@ -241,8 +278,11 @@ def merge_upsert_partition_scoped(
             dst = os.path.join(path, sub)
             if os.path.exists(dst):
                 os.rename(dst, os.path.join(trash, sub))
-            os.rename(src, dst)
-            installed.append(sub)
+            if os.path.exists(src):
+                os.rename(src, dst)
+                installed.append(sub)
+            # else: full-partition delete — old copy now in trash,
+            # nothing to install (only reachable with allow_vanished)
     except BaseException:
         # Mid-swap failure: roll the table back to its pre-merge state.
         # Two cases per touched partition: (a) it had an old copy —
@@ -271,6 +311,42 @@ def merge_upsert_partition_scoped(
     # success: every partition swapped — only now is trash disposable
     shutil.rmtree(stage, ignore_errors=True)
     shutil.rmtree(trash, ignore_errors=True)
+
+
+def delete_keys_partition_scoped(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    part_col: str,
+) -> list:
+    """Right-to-be-forgotten delete against a hive-partitioned table
+    that reads and rewrites ONLY the partitions containing the keys —
+    the GDPR-erasure shape without a table format (same O(touched
+    partitions) contract and crash-safe swap protocol as
+    ``merge_upsert_partition_scoped``).
+
+    ``keys`` must carry ``part_col`` alongside ``key_cols`` (the
+    key->partition mapping: from the key itself, or the requester's
+    index — the same contract every partition-scoped erasure pipeline
+    imposes so a delete never scans the whole table). A partition
+    whose every row is deleted is REMOVED from the table, not left as
+    an empty directory. Idempotent: re-running the same delete is a
+    no-op rewrite. Returns the partition values touched."""
+    vals = sorted(r[0] for r in keys.select(part_col).distinct().collect())
+    assert all(v is not None for v in vals), "part_col must be non-null"
+    part_strs = [str(v) for v in vals]
+    if not os.path.exists(path):
+        return []
+    scoped = spark.read.parquet(path).filter(F.col(part_col).isin(vals))
+    kept = scoped.join(
+        F.broadcast(keys.select(*key_cols).distinct()),
+        on=key_cols,
+        how="left_anti",
+    ).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in scoped.schema.fields]
+    )
+    _staged_partition_rewrite(kept, path, part_col, part_strs, allow_vanished=True)
     return vals
 
 

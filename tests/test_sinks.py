@@ -370,3 +370,94 @@ def test_merge_partition_scoped_prunes_scan(spark):
     )
     assert "PartitionFilters: [" in plan
     assert "day#" in plan.split("PartitionFilters: [", 1)[1][:200]
+
+
+def test_delete_partition_scoped_semantics(spark):
+    """GDPR delete: removes exactly the named keys, rewrites only the
+    partitions containing them (untouched partition bytes unmodified,
+    mtime-proof), removes a fully-deleted partition's directory, and
+    re-running the same delete is a no-op."""
+    import glob
+    import os as _os
+
+    from pitlapetl_spark.sinks import (
+        delete_keys_partition_scoped,
+        merge_upsert_partition_scoped,
+    )
+
+    path = tempfile.mkdtemp(prefix="pitlap_del_") + "/t"
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0), ("d3", 4, 40.0)],
+        "day string, k int, v double",
+    )
+    merge_upsert_partition_scoped(base, path, ["k"], "day")
+    untouched = sorted(glob.glob(f"{path}/day=d3/*"))
+    mtimes = [_os.path.getmtime(f) for f in untouched]
+
+    # delete k=1 from d1 (partial) and k=3 from d2 (the whole partition)
+    keys = spark.createDataFrame([("d1", 1), ("d2", 3)], "day string, k int")
+    touched = delete_keys_partition_scoped(spark, path, keys, ["k"], "day")
+    assert touched == ["d1", "d2"]
+
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {2: ("d1", 20.0), 4: ("d3", 40.0)}
+    assert not _os.path.exists(f"{path}/day=d2")  # fully-deleted dir gone
+    assert [_os.path.getmtime(f) for f in sorted(glob.glob(f"{path}/day=d3/*"))] == mtimes
+
+    # idempotent: same delete again changes nothing
+    delete_keys_partition_scoped(spark, path, keys, ["k"], "day")
+    again = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == got
+
+    # deleting from a partition value not in the table is a no-op
+    ghost = spark.createDataFrame([("d9", 7)], "day string, k int")
+    delete_keys_partition_scoped(spark, path, ghost, ["k"], "day")
+    assert {r.k for r in spark.read.parquet(path).collect()} == {2, 4}
+
+
+def test_delete_partition_scoped_midswap_failure_recovers(spark, monkeypatch):
+    """A crash mid-swap during a delete must roll every touched
+    partition back — including a fully-deleted partition whose old
+    copy is already in trash (the install-nothing path must restore
+    it too)."""
+    import glob
+    import os as _os
+    import shutil as _shutil
+
+    from pitlapetl_spark.sinks import (
+        delete_keys_partition_scoped,
+        merge_upsert_partition_scoped,
+    )
+
+    path = tempfile.mkdtemp(prefix="pitlap_del_") + "/t"
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d2", 2, 20.0), ("d3", 3, 30.0)],
+        "day string, k int, v double",
+    )
+    merge_upsert_partition_scoped(base, path, ["k"], "day")
+    before = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+
+    # d1 is a full-partition delete (swaps first and installs nothing);
+    # d2's displacement into trash then crashes
+    keys = spark.createDataFrame([("d1", 1), ("d2", 2)], "day string, k int")
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if "day=d2" in str(dst) and "__mergeold_" in str(dst):
+            raise OSError("simulated mid-swap crash")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated"):
+        delete_keys_partition_scoped(spark, path, keys, ["k"], "day")
+    monkeypatch.setattr(_os, "rename", real_rename)
+
+    assert {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()} == before
+
+    # replayable after cleanup, then converges
+    for leftover in glob.glob(f"{path}__merge*"):
+        _shutil.rmtree(leftover)
+    delete_keys_partition_scoped(spark, path, keys, ["k"], "day")
+    got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {3: ("d3", 30.0)}
+    assert not _os.path.exists(f"{path}/day=d1")
