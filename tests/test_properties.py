@@ -409,3 +409,56 @@ def test_ewma_matches_pandas_recursion(spark, sf_dir):
         assert (abs(got - want) < 1e-4).all(), (
             abs(got - want).max()
         )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    table=st.dictionaries(  # key -> (partition 0-3, value)
+        st.integers(0, 30),
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+        min_size=1,
+        max_size=20,
+    ),
+    delete_keys=st.sets(st.integers(0, 30), max_size=12),
+)
+def test_partition_scoped_delete_equals_filter(table, delete_keys):
+    """On ANY table and ANY delete-key set, the partition-scoped
+    delete's final table state equals the plain filter complement —
+    including full-partition deletes (directory removed) and keys
+    absent from the table (no-op)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pitlapetl_spark.sinks import delete_keys_partition_scoped
+
+    spark = _get_spark()
+    path = _tempfile.mkdtemp(prefix="pitlap_delprop_") + "/t"
+    try:
+        rows_ = [(f"p{p}", k, float(v)) for k, (p, v) in table.items()]
+        spark.createDataFrame(
+            rows_, "part string, k int, v double"
+        ).write.partitionBy("part").parquet(path)
+        keys = [
+            (f"p{table[k][0]}" if k in table else "p0", k) for k in delete_keys
+        ]
+        if keys:
+            kdf = spark.createDataFrame(keys, "part string, k int")
+            delete_keys_partition_scoped(spark, path, kdf, ["k"], "part")
+        # explicit schema: a delete that empties EVERY partition leaves
+        # a dir with no part files, where schema inference would throw
+        got = sorted(
+            (r.part, r.k, r.v)
+            for r in spark.read.schema("part string, k int, v double")
+            .parquet(path)
+            .collect()
+        )
+        want = sorted(
+            (f"p{p}", k, float(v))
+            for k, (p, v) in table.items()
+            if k not in delete_keys
+        )
+        assert got == want
+    except Exception:
+        raise
+    finally:
+        _shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
