@@ -155,3 +155,20 @@ def oracle_minhash_sig_cols(n_hashes: int = 16) -> str:
         f" % {MINHASH_P}) AS h{j}"
         for j in range(n_hashes)
     )
+
+
+def hash_bucket(col: Column | str, dim: int) -> Column:
+    """Hashing-trick bucket: md5-prefix mod ``dim`` (int). The ONE
+    definition shared by every hashed-feature operator (featurizer,
+    DSIR) so the Spark expression and its DuckDB twin
+    (``oracle_hash_bucket``) evolve in lockstep — a production swap
+    to xxhash64 changes exactly this pair."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % dim).cast(
+        "int"
+    )
+
+
+def oracle_hash_bucket(expr: str, dim: int) -> str:
+    """DuckDB twin of ``hash_bucket`` over a SQL expression string."""
+    return f"CAST(CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT) % {dim} AS INT)"

@@ -15,7 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, norm_text, shingles, stopword_count, tokens
+from ..functions.text import (
+    STOPWORDS,
+    hash_bucket,
+    norm_text,
+    oracle_hash_bucket,
+    shingles,
+    stopword_count,
+    tokens,
+)
 from ..registry import query
 from ..sources import load_table
 
@@ -415,8 +423,7 @@ FEATHASH_DIM = 32  # bucket count (the hashing-trick vector width)
     ),
     bucketed AS (
         SELECT doc_id,
-               CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
-                    % {FEATHASH_DIM} AS INT) AS b
+               {oracle_hash_bucket('w', FEATHASH_DIM)} AS b
         FROM toks
     ),
     counts AS (
@@ -458,10 +465,7 @@ def featurize_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
     )
-    bucket = (
-        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-        % FEATHASH_DIM
-    ).cast("int")
+    bucket = hash_bucket("w", FEATHASH_DIM)
     counts = toks.groupBy("doc_id", bucket.alias("b")).agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import oracle_shingles_cte, shingle_rows, tokens
+from ..functions.text import (
+    hash_bucket,
+    oracle_hash_bucket,
+    oracle_shingles_cte,
+    shingle_rows,
+    tokens,
+)
 from ..registry import query
 from ..sources import load_table
 
@@ -358,8 +364,7 @@ DSIR_TARGET_LANG = "en"  # docs in this language stand in for the target
     ),
     bt AS (
         SELECT doc_id, lang,
-               CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
-                    % {DSIR_DIM} AS INT) AS b
+               {oracle_hash_bucket('w', DSIR_DIM)} AS b
         FROM toks
     ),
     docb AS (SELECT doc_id, b, count(*) AS c FROM bt GROUP BY 1, 2),
@@ -410,10 +415,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
     )
-    bucket = (
-        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % DSIR_DIM
-    ).cast("int")
-    bt = toks.select("doc_id", "lang", bucket.alias("b"))
+    bt = toks.select("doc_id", "lang", hash_bucket("w", DSIR_DIM).alias("b"))
     bt = bt.localCheckpoint(eager=False)  # one pass feeds docb + glob
     docb = bt.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     glob = bt.groupBy("b").agg(

@@ -329,21 +329,48 @@ def delete_keys_partition_scoped(
     ``keys`` must carry ``part_col`` alongside ``key_cols`` (the
     key->partition mapping: from the key itself, or the requester's
     index — the same contract every partition-scoped erasure pipeline
-    imposes so a delete never scans the whole table). A partition
+    imposes so a delete never scans the whole table). The anti-join
+    matches on key_cols AND part_col, so a request erases exactly the
+    (key, partition) pairs it names — a key living in several
+    partitions loses only the copies the request maps; the outcome of
+    a batch equals the union of deleting each key alone
+    (compositional, no batch-dependent over-delete). A partition
     whose every row is deleted is REMOVED from the table, not left as
-    an empty directory. Idempotent: re-running the same delete is a
-    no-op rewrite. Returns the partition values touched."""
+    an empty directory. Because that vanished-partition case disables
+    the staged-dirs escape check (a legitimately emptied partition
+    and a hive-escaped value both stage nothing), partition values
+    are validated UP FRONT against the filesystem-safe alphabet —
+    the merge sink's documented constraint, enforced eagerly here.
+    Idempotent: re-running the same delete is a no-op rewrite.
+    Returns the partition values touched ([] for an empty request)."""
     vals = sorted(r[0] for r in keys.select(part_col).distinct().collect())
+    if not vals:
+        return []
     assert all(v is not None for v in vals), "part_col must be non-null"
     part_strs = [str(v) for v in vals]
+    unsafe = [
+        v for v in part_strs
+        if not all(c.isalnum() or c in "-_." for c in v)
+    ]
+    if unsafe:
+        raise ValueError(
+            f"delete_keys_partition_scoped: partition value(s) {unsafe} "
+            f"contain characters the hive layout escapes in directory "
+            f"names — a full-partition delete of such a value would "
+            f"silently no-op (the on-disk dir name differs). "
+            f"Pre-sanitize partition values to [A-Za-z0-9._-]."
+        )
     if not os.path.exists(path):
         return []
     scoped = spark.read.parquet(path).filter(F.col(part_col).isin(vals))
-    kept = scoped.join(
-        F.broadcast(keys.select(*key_cols).distinct()),
-        on=key_cols,
-        how="left_anti",
-    ).select(
+    join_cols = [*key_cols, part_col]
+    # align the keys frame's join-column types to the table's (hive
+    # partition-type inference may differ from the caller's frame)
+    sch = {f.name: f.dataType for f in scoped.schema.fields}
+    keyed = keys.select(
+        *[F.col(c).cast(sch[c]).alias(c) for c in join_cols]
+    ).distinct()
+    kept = scoped.join(F.broadcast(keyed), on=join_cols, how="left_anti").select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in scoped.schema.fields]
     )
     _staged_partition_rewrite(kept, path, part_col, part_strs, allow_vanished=True)

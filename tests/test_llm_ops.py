@@ -352,11 +352,23 @@ def test_pagerank_ranks_hub_part_above_leaf(spark, tmp_path):
     assert abs(total - 1.0) < 1e-6, total
 
 
+def _planted_axis(v: int) -> int:
+    """Cluster axis of a fixture vector (see _planted_vec_dir)."""
+    if v < 5 or v == 10:
+        return 0
+    if v < 10:
+        return 1
+    return v % 4
+
+
 def _planted_vec_dir(spark, tmp_path):
-    """Embeddings fixture: two tight orthogonal clusters (labels 0/1),
-    vec_ids 0-9 are the query set, base vector 10 is an EXACT copy of
-    query 0, the rest are cluster members with tiny deterministic
-    jitter."""
+    """Embeddings fixture: FOUR tight orthogonal clusters (labels
+    0-3) — one more than NPROBE=3, so IVF probe selection must
+    EXCLUDE a list per query and a wrong nprobe ordering (e.g. an
+    ascending-cosine rank) fails instead of degenerating to
+    brute-force over all lists. vec_ids 0-9 are the query set
+    (clusters 0/1), base vector 10 is an EXACT copy of query 0, the
+    rest cycle all four clusters with tiny deterministic jitter."""
     import math
 
     dim = 8
@@ -371,14 +383,11 @@ def _planted_vec_dir(spark, tmp_path):
                 v[i] = math.sin(jitter_seed * 13 + i) * 0.05
         return [float(x) for x in v]
 
-    for q in range(5):  # queries 0-4: cluster on axis 0, label 0
-        rows.append((q, vec(0, q), 0))
-    for q in range(5, 10):  # queries 5-9: cluster on axis 1, label 1
-        rows.append((q, vec(1, q), 1))
+    for q in range(10):  # queries: clusters 0 and 1
+        rows.append((q, vec(_planted_axis(q), q), _planted_axis(q)))
     rows.append((10, rows[0][1], 0))  # exact duplicate of query 0
-    for b in range(11, 31):
-        axis = 0 if b % 2 == 0 else 1
-        rows.append((b, vec(axis, b), axis))
+    for b in range(11, 31):  # base vectors cycle clusters 0-3
+        rows.append((b, vec(_planted_axis(b), b), _planted_axis(b)))
     spark.createDataFrame(
         rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
     ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
@@ -394,14 +403,8 @@ def test_semdedup_finds_planted_exact_duplicate(spark, tmp_path):
     pairs = {(r.vec_a, r.vec_b): r for r in out}
     assert (0, 10) in pairs
     assert pairs[(0, 10)].cosine == 1.0
-    def axis(v):
-        if v < 5 or v == 10:
-            return 0
-        if v < 10:
-            return 1
-        return 0 if v % 2 == 0 else 1
     for (a, b), r in pairs.items():
-        assert axis(a) == axis(b), (a, b)
+        assert _planted_axis(a) == _planted_axis(b), (a, b)
 
 
 def test_ivf_returns_exact_duplicate_at_rank_one(spark, tmp_path):

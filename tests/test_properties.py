@@ -413,19 +413,22 @@ def test_ewma_matches_pandas_recursion(spark, sf_dir):
 
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
-    table=st.dictionaries(  # key -> (partition 0-3, value)
-        st.integers(0, 30),
-        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
-        min_size=1,
-        max_size=20,
+    table=st.sets(  # (partition 0-3, key 0-15) pairs — the SAME key may
+        st.tuples(st.integers(0, 3), st.integers(0, 15)),  # live in several
+        min_size=1,                                        # partitions
+        max_size=24,
     ),
-    delete_keys=st.sets(st.integers(0, 30), max_size=12),
+    delete_pairs=st.sets(
+        st.tuples(st.integers(0, 3), st.integers(0, 15)), max_size=12
+    ),
 )
-def test_partition_scoped_delete_equals_filter(table, delete_keys):
-    """On ANY table and ANY delete-key set, the partition-scoped
-    delete's final table state equals the plain filter complement —
-    including full-partition deletes (directory removed) and keys
-    absent from the table (no-op)."""
+def test_partition_scoped_delete_equals_filter(table, delete_pairs):
+    """On ANY table and ANY (partition, key) delete request — including
+    a key living in several partitions with only one copy named — the
+    partition-scoped delete's final state equals removing exactly the
+    named pairs: compositional, no batch-dependent over-delete (the
+    pre-fix anti-join on key_cols alone erased a key from EVERY
+    touched partition, so this property was false in general)."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -434,15 +437,14 @@ def test_partition_scoped_delete_equals_filter(table, delete_keys):
     spark = _get_spark()
     path = _tempfile.mkdtemp(prefix="pitlap_delprop_") + "/t"
     try:
-        rows_ = [(f"p{p}", k, float(v)) for k, (p, v) in table.items()]
+        rows_ = [(f"p{p_}", k, float(p_ * 100 + k)) for p_, k in table]
         spark.createDataFrame(
             rows_, "part string, k int, v double"
         ).write.partitionBy("part").parquet(path)
-        keys = [
-            (f"p{table[k][0]}" if k in table else "p0", k) for k in delete_keys
-        ]
-        if keys:
-            kdf = spark.createDataFrame(keys, "part string, k int")
+        if delete_pairs:
+            kdf = spark.createDataFrame(
+                [(f"p{p_}", k) for p_, k in delete_pairs], "part string, k int"
+            )
             delete_keys_partition_scoped(spark, path, kdf, ["k"], "part")
         # explicit schema: a delete that empties EVERY partition leaves
         # a dir with no part files, where schema inference would throw
@@ -453,12 +455,10 @@ def test_partition_scoped_delete_equals_filter(table, delete_keys):
             .collect()
         )
         want = sorted(
-            (f"p{p}", k, float(v))
-            for k, (p, v) in table.items()
-            if k not in delete_keys
+            (f"p{p_}", k, float(p_ * 100 + k))
+            for p_, k in table
+            if (p_, k) not in delete_pairs
         )
         assert got == want
-    except Exception:
-        raise
     finally:
         _shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)

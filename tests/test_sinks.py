@@ -461,3 +461,41 @@ def test_delete_partition_scoped_midswap_failure_recovers(spark, monkeypatch):
     got = {r.k: (r.day, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {3: ("d3", 30.0)}
     assert not _os.path.exists(f"{path}/day=d1")
+
+
+def test_delete_is_partition_exact_for_multi_partition_keys(spark):
+    """A key living in TWO partitions loses only the copy the request
+    names, even when the other partition is also touched by the same
+    batch (the pre-fix anti-join on key_cols alone over-deleted it)."""
+    from pitlapetl_spark.sinks import (
+        delete_keys_partition_scoped,
+        merge_upsert_partition_scoped,
+    )
+
+    path = tempfile.mkdtemp(prefix="pitlap_del_") + "/t"
+    base = spark.createDataFrame(
+        [("d1", 5, 1.0), ("d2", 5, 2.0), ("d2", 9, 3.0)],
+        "day string, k int, v double",
+    )
+    merge_upsert_partition_scoped(base, path, ["k"], "day")
+    # names (d1,5) and (d2,9): d2 is touched, but (d2,5) is NOT named
+    keys = spark.createDataFrame([("d1", 5), ("d2", 9)], "day string, k int")
+    delete_keys_partition_scoped(spark, path, keys, ["k"], "day")
+    got = sorted((r.day, r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [("d2", 5, 2.0)]
+
+
+def test_delete_rejects_hive_escaped_partition_values(spark):
+    """A partition value the hive layout escapes must be rejected up
+    front: with vanished partitions legal, a full-partition delete of
+    an escaped value would otherwise silently no-op while reporting
+    the value as erased."""
+    from pitlapetl_spark.sinks import delete_keys_partition_scoped
+
+    path = tempfile.mkdtemp(prefix="pitlap_del_") + "/t"
+    spark.createDataFrame(
+        [("ok", 1, 1.0)], "day string, k int, v double"
+    ).write.partitionBy("day").parquet(path)
+    keys = spark.createDataFrame([("d:1", 1)], "day string, k int")
+    with pytest.raises(ValueError, match="hive layout escapes"):
+        delete_keys_partition_scoped(spark, path, keys, ["k"], "day")
