@@ -560,3 +560,70 @@ def test_dedup_ingest_replay_and_intra_batch(spark, tmp_path):
     before = (snap(corpus), snap(store), snap(store + "_bands"))
     run("ck2")  # full replay with a fresh checkpoint
     assert (snap(corpus), snap(store), snap(store + "_bands")) == before
+
+
+def test_streaming_csv_ingest_preserves_micros_and_batches(spark):
+    """CSV directory ingestion through readStream with the formats
+    module's pinned micros timestampFormat: three dropped files become
+    micro-batches (maxFilesPerTrigger=1), every micros-precision
+    timestamp survives the text hop exactly, and the aggregated
+    result matches the batch read of the same directory — the
+    crawl-landing-zone pattern (scrapers drop CSV, the pipeline tails
+    the dir)."""
+    import os
+
+    from pitlapetl_spark.operators.formats import CSV_OPTS
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_csvstream_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        rows = [
+            (1, "2024-03-01 12:00:00.000001", 1.5),
+            (2, "2024-03-01 12:00:00.789123", 2.5),
+            (3, "2024-03-02 00:00:00.999999", 3.5),
+        ]
+
+        def write_file(batch):
+            w = (
+                spark.createDataFrame(batch, "id LONG, s STRING, v DOUBLE")
+                .select("id", F.col("s").cast("timestamp").alias("ts"), "v")
+                .coalesce(1)
+                .write.mode("append")
+                .format("csv")
+            )
+            for k, val in CSV_OPTS.items():
+                w = w.option(k, val)
+            w.save(src)
+
+        for r in rows:
+            write_file([r])
+
+        seen_batches: list[int] = []
+        got: list = []
+        reader = spark.readStream.schema("id LONG, ts TIMESTAMP, v DOUBLE")
+        for k, val in CSV_OPTS.items():
+            reader = reader.option(k, val)
+        stream = reader.option("maxFilesPerTrigger", 1).format("csv").load(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: (seen_batches.append(bid), got.extend(df.collect()))
+            )
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        assert len(seen_batches) == 3  # one micro-batch per dropped file
+        micros = {r.id: r.ts.microsecond for r in got}
+        assert micros == {1: 1, 2: 789123, 3: 999999}
+        batch_rows = {r.id: r.ts for r in (
+            spark.read.schema("id LONG, ts TIMESTAMP, v DOUBLE")
+            .options(**CSV_OPTS)
+            .csv(src)
+            .collect()
+        )}
+        assert batch_rows == {r.id: r.ts for r in got}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
