@@ -32,6 +32,15 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--out", default=None, help="write result parquet here")
     run.add_argument("--explain", action="store_true", help="print the physical plan")
 
+    pipe = sub.add_parser(
+        "pipeline",
+        help="run the reference's seven pipelines as idempotent jobs "
+        "(the entry point an external scheduler invokes per tick)",
+    )
+    pipe.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pipe.add_argument("--out", required=True, help="warehouse directory")
+    pipe.add_argument("--max-attempts", type=int, default=2)
+
     args = parser.parse_args(argv)
     registry.load_all()
 
@@ -40,6 +49,18 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(registry.all_queries()):
             marker = "oracle" if name in oracles else "rows-only"
             print(f"{name}  [{marker}]")
+        return 0
+
+    if args.cmd == "pipeline":
+        from .plans.runner import run_pipeline
+
+        spark = get_spark(app_name="pitlapetl_pipeline")
+        records = run_pipeline(
+            spark, args.sf_dir, args.out, max_attempts=args.max_attempts
+        )
+        for r in records:
+            print(f"{r.job}: attempt {r.attempt} {r.status} "
+                  f"rows={r.rows} {r.seconds:.2f}s")
         return 0
 
     queries = registry.all_queries()

@@ -1,0 +1,80 @@
+"""The Airflow-replacement runner (plans/runner.py): idempotent
+convergence across ticks, task isolation with bounded retry, and the
+run ledger as the metadata record."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pitlapetl_spark.plans.runner import JOB_MANIFEST, run_pipeline
+from pitlapetl_spark.registry import QUERIES, load_all
+from tests.conftest import SF_SMOKE
+
+load_all()
+
+
+def _tables(spark, out_dir):
+    return {
+        spec.name: sorted(
+            tuple(r) for r in spark.read.parquet(f"{out_dir}/{spec.name}").collect()
+        )
+        for spec in JOB_MANIFEST
+    }
+
+
+def test_two_ticks_converge_and_ledger_records_all(spark):
+    """Running the whole pipeline twice (the overlapping-tick /
+    replayed-tick case Airflow guards with its scheduler lock) must
+    converge to identical table states, and the ledger must carry one
+    ok row per job per tick."""
+    out = tempfile.mkdtemp(prefix="pitlap_runner_") + "/warehouse"
+    r1 = run_pipeline(spark, SF_SMOKE, out)
+    state1 = _tables(spark, out)
+    r2 = run_pipeline(spark, SF_SMOKE, out)
+    assert _tables(spark, out) == state1
+    assert [r.status for r in r1 + r2] == ["ok"] * (2 * len(JOB_MANIFEST))
+    ledger = spark.read.parquet(f"{out}/_run_ledger")
+    assert ledger.filter("status = 'ok'").count() == 2 * len(JOB_MANIFEST)
+    assert {r.job for r in ledger.collect()} == {s.name for s in JOB_MANIFEST}
+
+
+def test_flaky_job_retries_and_other_jobs_unaffected(spark):
+    """A job that fails once must retry and succeed within the same
+    tick; a job that always fails must not block the others — its
+    error surfaces AFTER the sweep, with every healthy sink fresh."""
+    out = tempfile.mkdtemp(prefix="pitlap_runner_") + "/warehouse"
+    calls = {"n": 0}
+
+    def flaky(spark_, sf_dir):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return QUERIES["job_schedule"](spark_, sf_dir)
+
+    def dead(spark_, sf_dir):
+        raise RuntimeError("permanent")
+
+    fns = dict(QUERIES)
+    fns["job_schedule"] = flaky
+    fns["job_driver_standings"] = dead
+
+    with pytest.raises(RuntimeError, match="driver_standings"):
+        run_pipeline(spark, SF_SMOKE, out, query_fns=fns)
+
+    ledger = {
+        (r.job, r.attempt): r.status
+        for r in spark.read.parquet(f"{out}/_run_ledger").collect()
+    }
+    assert ledger[("schedule", 1)] == "failed"
+    assert ledger[("schedule", 2)] == "ok"
+    assert ledger[("driver_standings", 1)] == "failed"
+    assert ledger[("driver_standings", 2)] == "failed"
+    # healthy sinks written despite the dead job
+    assert spark.read.parquet(f"{out}/race_results").count() > 0
+    assert spark.read.parquet(f"{out}/schedule").count() > 0
+    # the dead job's sink was never created
+    import os
+
+    assert not os.path.exists(f"{out}/driver_standings")
