@@ -120,10 +120,20 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = edges.join(deg, "src")  # (src, dst, outdeg), reused every round
     ed = ed.localCheckpoint(eager=False)
+    # The rank frame is one row per NODE — orders of magnitude smaller
+    # than the edge list. While it fits an executor (size-gated on the
+    # exact node count already in hand, same discipline as the
+    # market-basket broadcast), broadcast it: every iteration's join
+    # becomes map-side against the stationary edge partitioning and the
+    # only exchange left per round is the dst-key partial aggregate.
+    # Past the gate (web-scale graphs) the plain src-key shuffle join
+    # below is the Pregel shape the 100-TB notes describe.
+    PR_BROADCAST_MAX_NODES = 10_000_000
     for it in range(PR_ITERS):
         contrib = F.round(F.col("pr") / F.col("outdeg"), 12).cast(_DEC)
+        rside = F.broadcast(ranks) if n <= PR_BROADCAST_MAX_NODES else ranks
         ranks = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(rside, ed.src == rside.node)
             .groupBy(F.col("dst").alias("node2"))
             .agg(
                 F.round(
