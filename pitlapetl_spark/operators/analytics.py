@@ -404,3 +404,165 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP_K)
     )
+
+
+@query(
+    "churn_yearly_customers",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS y, o_custkey AS c
+        FROM orders
+    )
+    SELECT a.y AS year,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN b.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_churned,
+           round(CAST(sum(CASE WHEN b.c IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS churn_rate
+    FROM act a
+    LEFT JOIN act b ON b.y = a.y + 1 AND b.c = a.c
+    WHERE a.y < 2001
+    GROUP BY a.y
+    ORDER BY year
+    """,
+)
+def churn_yearly_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly churn: customers active in year Y with no order in Y+1
+    — the temporal anti-membership shape (distinct from cohort
+    retention, which tracks a fixed cohort forward). One hash
+    aggregate reduces the fact to the distinct (year, customer) grain;
+    the self left-join on (year+1, customer) runs on that aggregated
+    frame, so the pair space is |customers| x |years| regardless of
+    fact size. The final year is excluded (its successor is outside
+    the data range, so churn there is undefined, not 100%)."""
+    o = load_table(spark, sf_dir, "orders")
+    act = (
+        o.select(
+            F.year("o_orderdate").alias("y"), F.col("o_custkey").alias("c")
+        ).distinct()
+    )
+    act = act.localCheckpoint(eager=False)  # one derivation, both join sides
+    nxt = act.select((F.col("y") - 1).alias("ny"), F.col("c").alias("c2"))
+    churn_flag = F.when(F.col("c2").isNull(), 1).otherwise(0)
+    cur = act.filter(F.col("y") < 2001)
+    return (
+        cur.join(
+            nxt,
+            (cur.y == nxt.ny) & (cur.c == nxt.c2),
+            "left",
+        )
+        .groupBy(F.col("y").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(churn_flag).alias("n_churned"),
+            F.round(
+                F.sum(churn_flag).cast("double") / F.count(F.lit(1)), 6
+            ).alias("churn_rate"),
+        )
+        .orderBy("year")
+    )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    m AS (
+        SELECT o_custkey AS custkey,
+               CAST(date_diff('day', max(o_orderdate),
+                              (SELECT mx FROM anchor)) AS INT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY 1
+    ),
+    cuts AS (
+        SELECT round(quantile_cont(recency_days, 0.25), 6) AS r1,
+               round(quantile_cont(recency_days, 0.50), 6) AS r2,
+               round(quantile_cont(recency_days, 0.75), 6) AS r3,
+               round(quantile_cont(frequency, 0.25), 6) AS f1,
+               round(quantile_cont(frequency, 0.50), 6) AS f2,
+               round(quantile_cont(frequency, 0.75), 6) AS f3,
+               round(quantile_cont(monetary, 0.25), 6) AS m1,
+               round(quantile_cont(monetary, 0.50), 6) AS m2,
+               round(quantile_cont(monetary, 0.75), 6) AS m3
+        FROM m
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           concat('R', CASE WHEN recency_days <= r1 THEN 1
+                            WHEN recency_days <= r2 THEN 2
+                            WHEN recency_days <= r3 THEN 3 ELSE 4 END,
+                  'F', CASE WHEN frequency <= f1 THEN 1
+                            WHEN frequency <= f2 THEN 2
+                            WHEN frequency <= f3 THEN 3 ELSE 4 END,
+                  'M', CASE WHEN monetary <= m1 THEN 1
+                            WHEN monetary <= m2 THEN 2
+                            WHEN monetary <= m3 THEN 3 ELSE 4 END) AS segment
+    FROM m CROSS JOIN cuts
+    ORDER BY custkey
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value bucketing
+    (recency since last order / order frequency / monetary total,
+    each quartile-bucketed into a segment label like 'R1F4M4').
+    Scalable shape: one customer-grain aggregate, then the NINE
+    quartile cuts as a single broadcast row with CASE bucketing — no
+    global ntile window (which would sort every customer in one
+    partition; the same broadcast-cuts discipline as
+    agg_histogram_equi_depth; at 100 TB swap the exact percentiles
+    for approx_percentile, plan unchanged). Bucket numbers are raw
+    quartiles on each metric (low recency_days = recent = bucket 1);
+    cuts are round(6)-ed on both engines so interpolated boundaries
+    compare identically."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    m = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("mx"), F.max("o_orderdate"))
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary", "decimal(18,2)"),
+        )
+    )
+    m = m.localCheckpoint(eager=False)  # one aggregate feeds cuts + bucketing
+    cuts = F.broadcast(
+        m.agg(
+            *[
+                F.round(F.expr(f"percentile({col}, {q})"), 6).alias(f"{a}{i}")
+                for col, a in (
+                    ("recency_days", "r"),
+                    ("frequency", "f"),
+                    ("monetary", "m"),
+                )
+                for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+            ]
+        )
+    )
+
+    def bucket(col: str, a: str):
+        return (
+            F.when(F.col(col) <= F.col(f"{a}1"), 1)
+            .when(F.col(col) <= F.col(f"{a}2"), 2)
+            .when(F.col(col) <= F.col(f"{a}3"), 3)
+            .otherwise(4)
+        )
+
+    return (
+        m.crossJoin(cuts)
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.concat(
+                F.lit("R"), bucket("recency_days", "r"),
+                F.lit("F"), bucket("frequency", "f"),
+                F.lit("M"), bucket("monetary", "m"),
+            ).alias("segment"),
+        )
+        .orderBy("custkey")
+    )

@@ -143,6 +143,9 @@ _PRIORITY: tuple[str, ...] = (
     "source_orc_roundtrip",
     "source_schema_evolution",
     "sink_delete_roundtrip",
+    # (c5) session-3 customer-lifecycle analytics
+    "churn_yearly_customers",
+    "rfm_customer_segments",
     # (d) r1-only evidence, oldest first-priority: the bench-regression
     # suspect, then the full r1 cohort (verified on a data generation
     # that no longer exists — re-prove on current data)
@@ -166,15 +169,15 @@ _PRIORITY: tuple[str, ...] = (
     "join_theta_band",
     "json_deep_path_standings",
     # --- positions 51+ (verified only if the driver budget exceeds 50).
-    # The head above is exactly 50 through "agg_rollup":
-    # the 4 (a)/(b) carryovers, 41 round-4 new operators (winnowing_fast
+    # The head above is exactly 50 through "agg_distinct_counts":
+    # the 4 (a)/(b) carryovers, 43 round-4 new operators (winnowing_fast
     # + incremental minhash + the 12 session-2 ops spans/cdc/winsorize/
     # mix/equi-depth/attribution/featurizer/pagerank/ewma/ab-test +
     # q6/q12/q18 + the 10-query warehouse tranche + the 5-query
     # TPC-H-completion tranche + IVF/SemDeDup/DSIR + the corpus
     # datacard + the CSV/JSONL/ORC connector proofs + schema-evolution
-    # read + GDPR partition-scoped delete), and the FIRST 5 r1-cohort
-    # re-proofs.
+    # read + GDPR partition-scoped delete + churn/RFM lifecycle
+    # analytics), and the FIRST 3 r1-cohort re-proofs.
     # The remaining r1-cohort names below fall outside this round's
     # window — they keep r1 driver evidence plus local sf0.01 parity
     # on current data; new-operator evidence outranks re-proving them.

@@ -575,3 +575,22 @@ def test_datacard_single_scan_two_shuffles(spark):
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_churn_joins_on_aggregated_grain(spark):
+    """Churn's self-join must run on the distinct (year, customer)
+    grain (partial-combined), never the raw fact; left-outer kept so
+    churned customers survive."""
+    plan = _plan(Q["churn_yearly_customers"](spark, SF_SMOKE))
+    assert "partial_" in plan
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_buckets_without_global_window(spark):
+    """RFM must bucket via the broadcast one-row quartile cuts — no
+    global ntile window over all customers."""
+    plan = _plan(Q["rfm_customer_segments"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
