@@ -421,7 +421,7 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AS DOUBLE) / count(*), 6) AS churn_rate
     FROM act a
     LEFT JOIN act b ON b.y = a.y + 1 AND b.c = a.c
-    WHERE a.y < 2001
+    WHERE a.y + 1 < (SELECT CAST(year(max(o_orderdate)) AS INT) FROM orders)
     GROUP BY a.y
     ORDER BY year
     """,
@@ -433,8 +433,12 @@ def churn_yearly_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate reduces the fact to the distinct (year, customer) grain;
     the self left-join on (year+1, customer) runs on that aggregated
     frame, so the pair space is |customers| x |years| regardless of
-    fact size. The final year is excluded (its successor is outside
-    the data range, so churn there is undefined, not 100%)."""
+    fact size. Right-censoring guard: churn for year Y is reported
+    ONLY when year Y+1 is fully observed — the data's last year is
+    treated as partial (it usually is; here orders end 2001-08-01),
+    so Y+1 must be strictly BEFORE it. The boundary derives from
+    max(o_orderdate) on both engines, never a constant a data
+    regeneration would silently invalidate."""
     o = load_table(spark, sf_dir, "orders")
     act = (
         o.select(
@@ -444,7 +448,10 @@ def churn_yearly_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = act.localCheckpoint(eager=False)  # one derivation, both join sides
     nxt = act.select((F.col("y") - 1).alias("ny"), F.col("c").alias("c2"))
     churn_flag = F.when(F.col("c2").isNull(), 1).otherwise(0)
-    cur = act.filter(F.col("y") < 2001)
+    maxy = F.broadcast(
+        o.agg(F.year(F.max("o_orderdate")).cast("int").alias("maxy"))
+    )
+    cur = act.crossJoin(maxy).filter(F.col("y") + 1 < F.col("maxy"))
     return (
         cur.join(
             nxt,

@@ -128,7 +128,11 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only exchange left per round is the dst-key partial aggregate.
     # Past the gate (web-scale graphs) the plain src-key shuffle join
     # below is the Pregel shape the 100-TB notes describe.
-    PR_BROADCAST_MAX_NODES = 10_000_000
+    # ~1M rows of (string node id, decimal rank) is tens of MB
+    # serialized — comfortably under default driver/broadcast
+    # limits; a 10M-row gate would court maxResultSize/OOM right
+    # at the boundary. Past the gate: the Pregel shuffle join.
+    PR_BROADCAST_MAX_NODES = 1_000_000
     for it in range(PR_ITERS):
         contrib = F.round(F.col("pr") / F.col("outdeg"), 12).cast(_DEC)
         rside = F.broadcast(ranks) if n <= PR_BROADCAST_MAX_NODES else ranks

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import QUERIES, load_all
 from ..sinks import merge_upsert_write, overwrite
+from ..sources import parquet_row_count
 
 
 @dataclass(frozen=True)
@@ -91,7 +92,9 @@ def _persist(spec: JobSpec, df: DataFrame, out_dir: str) -> int:
         overwrite(df, path)
     else:
         raise ValueError(f"unknown sink_mode {spec.sink_mode!r}")
-    return df.sparkSession.read.parquet(path).count()
+    # ledger metric = TABLE rows after the persist (consistent across
+    # sink modes), read from parquet footer metadata — no Spark job
+    return parquet_row_count(path)
 
 
 def run_pipeline(
@@ -107,6 +110,10 @@ def run_pipeline(
     idempotent sink, append the attempts to the run ledger, and raise
     AFTER the sweep if any job exhausted its retries. ``query_fns``
     lets tests inject flaky jobs without touching the registry."""
+    if max_attempts < 1:
+        # range(1, 1) would run ZERO jobs yet exit 0 — a misconfigured
+        # scheduler tick must fail loudly, not record a clean no-op
+        raise ValueError(f"max_attempts must be >= 1, got {max_attempts}")
     load_all()
     fns = query_fns if query_fns is not None else QUERIES
     records: list[RunRecord] = []
@@ -120,7 +127,7 @@ def run_pipeline(
                     RunRecord(
                         spec.name, attempt, "failed", 0,
                         time.perf_counter() - t0,
-                        traceback.format_exc(limit=3),
+                        traceback.format_exc(limit=-5),  # innermost frames: the error site
                     )
                 )
                 continue

@@ -4,8 +4,6 @@ run ledger as the metadata record."""
 
 from __future__ import annotations
 
-import tempfile
-
 import pytest
 
 from pitlapetl_spark.plans.runner import JOB_MANIFEST, run_pipeline
@@ -24,12 +22,12 @@ def _tables(spark, out_dir):
     }
 
 
-def test_two_ticks_converge_and_ledger_records_all(spark):
+def test_two_ticks_converge_and_ledger_records_all(spark, tmp_path):
     """Running the whole pipeline twice (the overlapping-tick /
     replayed-tick case Airflow guards with its scheduler lock) must
     converge to identical table states, and the ledger must carry one
     ok row per job per tick."""
-    out = tempfile.mkdtemp(prefix="pitlap_runner_") + "/warehouse"
+    out = str(tmp_path / "warehouse")
     r1 = run_pipeline(spark, SF_SMOKE, out)
     state1 = _tables(spark, out)
     r2 = run_pipeline(spark, SF_SMOKE, out)
@@ -40,11 +38,11 @@ def test_two_ticks_converge_and_ledger_records_all(spark):
     assert {r.job for r in ledger.collect()} == {s.name for s in JOB_MANIFEST}
 
 
-def test_flaky_job_retries_and_other_jobs_unaffected(spark):
+def test_flaky_job_retries_and_other_jobs_unaffected(spark, tmp_path):
     """A job that fails once must retry and succeed within the same
     tick; a job that always fails must not block the others — its
     error surfaces AFTER the sweep, with every healthy sink fresh."""
-    out = tempfile.mkdtemp(prefix="pitlap_runner_") + "/warehouse"
+    out = str(tmp_path / "warehouse")
     calls = {"n": 0}
 
     def flaky(spark_, sf_dir):
@@ -78,3 +76,10 @@ def test_flaky_job_retries_and_other_jobs_unaffected(spark):
     import os
 
     assert not os.path.exists(f"{out}/driver_standings")
+
+
+def test_zero_max_attempts_fails_loudly(spark, tmp_path):
+    """max_attempts < 1 would run zero jobs yet exit clean — the
+    runner must reject it instead of recording a successful no-op."""
+    with pytest.raises(ValueError, match="max_attempts"):
+        run_pipeline(spark, SF_SMOKE, str(tmp_path / "wh"), max_attempts=0)
