@@ -200,7 +200,10 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, with the lateral SQL form exercised end-to-end."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx: int, chunk_len: int")
+    # Arrow-optimized: rows cross the Python boundary in Arrow
+    # batches (ArrowEvalPythonUDTF), not pickled one at a time —
+    # the whole-registry plan lint bans the row-at-a-time node
+    @udtf(returnType="chunk_idx: int, chunk_len: int", useArrow=True)
     class ChunkSpans:
         def eval(self, n_chars: int):
             if n_chars is None:
