@@ -288,6 +288,44 @@ def run_upsert_sink(
     )
 
 
+def run_upsert_sink_scoped(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    part_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """The 100-TB form of the streaming upsert: every micro-batch
+    MERGEs partition-scoped (sinks.merge_upsert_partition_scoped), so
+    per-batch I/O is O(partitions the batch touches), never O(table) —
+    ``run_upsert_sink``'s whole-table staged swap re-reads and
+    rewrites everything per batch, which is correct but unaffordable
+    once the target outgrows a micro-batch by orders of magnitude.
+
+    Contracts inherited and combined: ``key_cols`` must be the FULL
+    output grain (run_upsert_sink's update-mode rule) and must
+    include ``part_col``'s determinants — a key never migrates
+    between partitions (the partition-scoped MERGE rule); partition
+    values must be filesystem-safe scalars. Idempotent on replay:
+    re-merging an already-absorbed batch rewrites its partitions to
+    the same bytes-equivalent state, so checkpoint + replay keeps
+    exactly-once table semantics."""
+    from ..sinks import merge_upsert_partition_scoped
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert_partition_scoped(batch_df, path, key_cols, part_col)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ------------------------------------------------ dedup ingest sink
 
 DEDUP_INGEST_EST_THRESHOLD = 0.7  # minhash-estimate accept threshold

@@ -627,3 +627,68 @@ def test_streaming_csv_ingest_preserves_micros_and_batches(spark):
         assert batch_rows == {r.id: r.ts for r in got}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_scoped_upsert_sink_touches_only_batch_partitions(spark):
+    """The partition-scoped streaming upsert: two micro-batches over
+    disjoint partition values — batch 2 must leave batch 1's partition
+    bytes untouched (mtime proof), the final table must equal the
+    batch aggregate of all input, and a full replay from a fresh
+    checkpoint must converge to the same state."""
+    import glob
+    import os
+
+    from pitlapetl_spark.streaming.runtime import run_upsert_sink_scoped
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_scoped_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+
+        def write_file(rows):
+            spark.createDataFrame(
+                rows, "event_type string, user_id long, v double"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema("event_type string, user_id long, v double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = stream.groupBy("event_type", "user_id").agg(
+                F.sum("v").alias("total")
+            )
+            q = run_upsert_sink_scoped(
+                agg, f"{tmp}/table", ["event_type", "user_id"],
+                "event_type", ckpt,
+            )
+            q.awaitTermination(180)
+
+        write_file([("click", 1, 1.0), ("click", 2, 2.0)])
+        run(f"{tmp}/ckpt")
+        click_files = sorted(glob.glob(f"{tmp}/table/event_type=click/*"))
+        mtimes = [os.path.getmtime(f) for f in click_files]
+
+        write_file([("view", 3, 5.0)])  # disjoint partition
+        run(f"{tmp}/ckpt")
+        got = {
+            (r.event_type, r.user_id): r.total
+            for r in spark.read.parquet(f"{tmp}/table").collect()
+        }
+        assert got == {("click", 1): 1.0, ("click", 2): 2.0, ("view", 3): 5.0}
+        # batch 2 never rewrote the click partition
+        assert [
+            os.path.getmtime(f)
+            for f in sorted(glob.glob(f"{tmp}/table/event_type=click/*"))
+        ] == mtimes
+
+        # full replay, fresh checkpoint: same final state
+        run(f"{tmp}/ckpt2")
+        again = {
+            (r.event_type, r.user_id): r.total
+            for r in spark.read.parquet(f"{tmp}/table").collect()
+        }
+        assert again == got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
