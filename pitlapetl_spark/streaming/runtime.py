@@ -274,10 +274,28 @@ def run_upsert_sink(
     output grain (e.g. ``["window_start", "event_type"]``) for
     replaced rows to line up one-to-one."""
 
+    return _merge_stream(
+        df, checkpoint, lambda b: merge_upsert_write(b, path, key_cols)
+    )
+
+
+def _merge_stream(df: DataFrame, checkpoint: str, merge_batch) -> StreamingQuery:
+    """Shared update-mode foreachBatch skeleton for the MERGE sinks.
+    The micro-batch is PERSISTED across the multiple actions a merge
+    takes (emptiness probe, the scoped sink's driver-side partition
+    listing, the anti-join + write): without it the upstream stateful
+    aggregation recomputes per action — 3x batch latency on exactly
+    the heavy streams these sinks exist for (the multi-action
+    foreachBatch pattern Spark's own docs prescribe)."""
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        merge_upsert_write(batch_df, path, key_cols)
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            merge_batch(batch_df)
+        finally:
+            batch_df.unpersist()
 
     return (
         df.writeStream.foreachBatch(write_batch)
@@ -312,17 +330,10 @@ def run_upsert_sink_scoped(
     exactly-once table semantics."""
     from ..sinks import merge_upsert_partition_scoped
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        merge_upsert_partition_scoped(batch_df, path, key_cols, part_col)
-
-    return (
-        df.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _merge_stream(
+        df,
+        checkpoint,
+        lambda b: merge_upsert_partition_scoped(b, path, key_cols, part_col),
     )
 
 

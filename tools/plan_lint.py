@@ -27,6 +27,7 @@ invariants (trivially).
 from __future__ import annotations
 
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -43,12 +44,21 @@ def lint(spark) -> dict[str, dict[str, int]]:
     report: dict[str, dict[str, int]] = {}
     for name, fn in sorted(registry.QUERIES.items()):
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+        def node(name: str) -> int:
+            # anchored: "Window" must not count WindowGroupLimit,
+            # "Exchange" must not count ReusedExchange (which performs
+            # no shuffle) — the informational metrics stay exact
+            return len(re.findall(rf"(?<![A-Za-z]){name}(?![a-zA-Z])", plan))
+
         report[name] = {
-            "cartesian": plan.count("CartesianProduct"),
+            "cartesian": node("CartesianProduct"),
+            # substring on purpose: BatchEvalPythonUDTF and any future
+            # row-at-a-time variant must all count
             "batch_eval_python": plan.count("BatchEvalPython"),
-            "bnlj": plan.count("BroadcastNestedLoopJoin"),
-            "window": plan.count("Window"),
-            "exchanges": plan.count("Exchange"),
+            "bnlj": node("BroadcastNestedLoopJoin"),
+            "window": node("Window"),
+            "exchanges": node("Exchange"),
         }
     return report
 
@@ -61,10 +71,12 @@ def main() -> None:
     report = lint(spark)
     out = REPO / "PLAN_LINT.json"
     out.write_text(json.dumps(report, indent=1, sort_keys=True) + "\n")
+    # the SAME gate test_plan_lint.py enforces — the CLI must never
+    # pass a registry state CI would fail
     bad = {
         n: r
         for n, r in report.items()
-        if r["cartesian"] or r["batch_eval_python"]
+        if r["cartesian"] or r["batch_eval_python"] or r["bnlj"] > 2
     }
     print(
         f"{len(report)} queries linted -> {out.name}; "
