@@ -66,16 +66,19 @@ HEADLINE = (
     "join_range_binned",
     "kmeans_lloyd_clusters",
     # round 3: classic warehouse joins + boilerplate-line dedup +
-    # winnowing fingerprints + market basket
+    # market basket. (round 5: `dedup_winnowing` — the md5 oracle twin —
+    # is retired from the headline per VERDICT r4 item 3: it exists so
+    # DuckDB can replay the fingerprints and pays an md5-per-position
+    # determinism tax that no production pipeline pays. It stays
+    # registered + driver-checked; `dedup_winnowing_fast` below is the
+    # benched production path, pair-set-pinned to the twin.)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
     "text_boilerplate_lines",
-    "dedup_winnowing",
     "market_basket_pairs",
-    # round 4: xxhash64 winnowing production path (the md5 entry above
-    # stays for round-over-round comparability; this is what a real
-    # pipeline runs), incremental dedup, and two more warehouse
+    # round 4: xxhash64 winnowing production path,
+    # incremental dedup, and two more warehouse
     # classics (Q6 = the pushdown canary, Q18 = aggregate-as-semi-join)
     "dedup_winnowing_fast",
     "dedup_incremental_minhash",

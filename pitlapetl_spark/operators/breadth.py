@@ -476,3 +476,81 @@ def agg_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# -------------------------------------- weighted reservoir per group
+
+# Efraimidis-Spirakis A-Res weighted reservoir sampling, made
+# deterministic: each row's uniform draw u comes from a seeded content
+# hash (15 md5 hex digits -> u in (0, 1]), and the reservoir keeps the
+# top-RESERVOIR_K rows per group by priority u^(1/w) — equivalently by
+# ln(u)/w, which is what both engines compute (round(9)-ed so libm ulp
+# differences cannot reorder the reservoir; event_id breaks exact
+# ties). Higher-weight rows are proportionally likelier to be kept —
+# the weighted-sampling primitive a training-mix builder needs.
+RESERVOIR_K = 20
+RESERVOIR_SEED = "res-1"
+_U_DENOM = 16**15  # 15 hex digits -> 2^60
+
+
+@query(
+    "sample_reservoir_per_group",
+    oracle=f"""
+    WITH pr AS (
+        SELECT event_type, event_id, value,
+               round(ln((CAST(('0x' || substr(md5('{RESERVOIR_SEED}:'
+                       || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                     / {_U_DENOM}.0) / value, 9) AS priority
+        FROM events
+    )
+    SELECT event_type, event_id, value, priority,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type ORDER BY priority DESC, event_id) AS rn
+        FROM pr
+    )
+    WHERE rn <= {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (A-Res) of RESERVOIR_K events per
+    event_type: priority = ln(u)/w with u a seeded content-hash
+    uniform and w = value, keep the top-K priorities per group. The
+    deterministic twin of `TABLESAMPLE`-with-weights: reproducible
+    across engines/runs/partitionings, and value-weighted (a purchase
+    worth 100x is ~100x likelier sampled).
+
+    100-TB shape: priority is a narrow expression; the reservoir is
+    the same one-shuffle per-group top-k as window_topk_per_group
+    (map-side partial top-k under AQE). A streaming variant keeps the
+    K best priorities per group as bounded state — same math, same
+    determinism, no RNG state to checkpoint."""
+    events = load_table(spark, sf_dir, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(RESERVOIR_SEED + ":"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(_U_DENOM))
+    pr = events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.round(F.log(u) / F.col("value"), 9).alias("priority"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("priority"), "event_id")
+    return (
+        pr.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= RESERVOIR_K)
+    )

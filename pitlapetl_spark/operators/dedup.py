@@ -1386,3 +1386,140 @@ def dedup_repeated_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(kept, p -> p.tok)"), " "
         ).alias("cleaned_text"),
     )
+
+
+# --------------------------------------------- bloom-prefilter exact dedup
+
+# Incremental EXACT dedup with a Bloom-filter prefilter: the corpus
+# fingerprint set is summarized into an m-bit Bloom filter (k hash
+# positions per element); an incoming crawl batch checks its k bits
+# against the summary and only bloom-positive docs pay the exact
+# fingerprint join. The filter is deterministic (bit positions are
+# disjoint 8-hex slices of the md5 fingerprint itself) so the DuckDB
+# oracle replays it bit-for-bit, false positives included.
+#
+# Sizing here is deliberately tight (m = 1024 bits for ~500 corpus
+# fps ~ 2 bits/element, ~77% fill, ~46% false-positive rate) so the
+# test corpus EXERCISES the false-positive path — production sizes
+# ~10 bits/element for <1% FP (same plan, bigger m).
+BLOOM_M = 1024
+BLOOM_K = 3
+
+
+def _bloom_bits_spark(fp_col: str) -> list[F.Column]:
+    return [
+        (F.conv(F.substring(fp_col, 1 + 8 * j, 8), 16, 10).cast("long") % BLOOM_M)
+        for j in range(BLOOM_K)
+    ]
+
+
+def _bloom_bits_sql(fp: str) -> list[str]:
+    return [
+        f"CAST(('0x' || substr({fp}, {1 + 8 * j}, 8)) AS BIGINT) % {BLOOM_M}"
+        for j in range(BLOOM_K)
+    ]
+
+
+_BLOOM_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT DISTINCT {_BLOOM_FP} AS fp FROM documents
+    ),
+    batch AS (
+        SELECT doc_id + 1000000 AS doc_id, {_BLOOM_FP} AS fp
+        FROM documents WHERE doc_id % 10 = 2
+        UNION ALL
+        SELECT doc_id + 2000000,
+               md5(trim(regexp_replace(lower(text || ' fresh crawl suffix'),
+                                       '\\s+', ' ', 'g')))
+        FROM documents WHERE doc_id % 10 = 7
+    ),
+    cbits AS (
+        SELECT DISTINCT bit FROM (
+            {" UNION ALL ".join(f"SELECT {b} AS bit FROM corpus" for b in _bloom_bits_sql("fp"))}
+        )
+    ),
+    bbits AS (
+        SELECT doc_id, fp,
+               unnest([{", ".join(_bloom_bits_sql("fp"))}]) AS bit
+        FROM batch
+    ),
+    scored AS (
+        SELECT b.doc_id, b.fp, count(c.bit) = {BLOOM_K} AS bloom_hit
+        FROM bbits b LEFT JOIN cbits c ON b.bit = c.bit
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_id,
+           s.bloom_hit,
+           s.bloom_hit AND cf.fp IS NOT NULL AS is_dup,
+           s.bloom_hit AND cf.fp IS NULL AS bloom_fp
+    FROM scored s
+    LEFT JOIN corpus cf ON s.bloom_hit AND s.fp = cf.fp
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus EXACT dedup behind a Bloom-filter prefilter.
+    The corpus fingerprint set folds into BLOOM_M distinct set bits
+    (BLOOM_K positions per fp); each batch doc probes its K bits and
+    only bloom-positive candidates pay the exact fingerprint join.
+    Output per batch doc: bloom_hit (summary said maybe), is_dup
+    (exact verify), bloom_fp (the false positives the exact join
+    rejected — nonzero by construction at this deliberately tight
+    sizing; no false NEGATIVES ever, the Bloom guarantee).
+
+    100-TB shape: the bit set is at most BLOOM_M rows (a few KB —
+    broadcast; production keeps it as a bitmap on longs, same
+    semantics), so the corpus is NEVER rescanned per batch — it is
+    summarized once and only bloom-positive fps touch the exact
+    corpus-fp join, the same O(batch + collisions) recurrence as
+    dedup_incremental_minhash but for exact identity. The batch here
+    is a synthetic re-crawl: half true re-crawls (dup), half
+    suffix-perturbed (new content)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(norm_text(F.col("text"))).alias("fp")
+    corpus = docs.select(fp).distinct()
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 2)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), fp)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.md5(
+                    norm_text(F.concat(F.col("text"), F.lit(" fresh crawl suffix")))
+                ).alias("fp"),
+            )
+        )
+    )
+    cbits = (
+        corpus.select(F.explode(F.array(*_bloom_bits_spark("fp"))).alias("bit"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    scored = (
+        batch.select(
+            "doc_id", "fp", F.explode(F.array(*_bloom_bits_spark("fp"))).alias("bit")
+        )
+        .join(F.broadcast(cbits), "bit", "left")
+        .groupBy("doc_id", "fp")
+        .agg((F.coalesce(F.sum("_set"), F.lit(0)) == BLOOM_K).alias("bloom_hit"))
+    )
+    hits = scored.filter(F.col("bloom_hit"))
+    verified = hits.join(
+        corpus.withColumn("_dup", F.lit(1)), "fp", "left"
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.col("_dup").isNotNull().alias("is_dup"),
+        F.col("_dup").isNull().alias("bloom_fp"),
+    )
+    misses = scored.filter(~F.col("bloom_hit")).select(
+        "doc_id",
+        "bloom_hit",
+        F.lit(False).alias("is_dup"),
+        F.lit(False).alias("bloom_fp"),
+    )
+    return verified.unionByName(misses)

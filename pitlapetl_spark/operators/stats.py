@@ -374,3 +374,201 @@ def ab_test_variant_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------- count-min heavy hitters
+
+# Count-min sketch (Cormode-Muthukrishnan): CMS_D independent hash
+# rows x CMS_W buckets of counters; a key's estimate is the MIN of its
+# CMS_D cells, which can only OVER-count (collisions add, never
+# subtract). Hashing is md5-derived so the DuckDB oracle replays the
+# sketch — collisions, overestimates and all. Sized tight (150 keys
+# into 64 buckets) so collisions actually occur in the test corpus.
+CMS_D = 3
+CMS_W = 64
+HH_THRESHOLD = 80  # estimated-count floor for the heavy-hitter flag
+
+
+def _cms_bucket_sql(j: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{j}:' || CAST({key} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
+
+def _cms_bucket_spark(j: int, key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % CMS_W
+    )
+
+
+@query(
+    "agg_heavy_hitters_cms",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT user_id, j,
+               CASE j {" ".join(f"WHEN {j} THEN {_cms_bucket_sql(j, 'user_id')}" for j in range(CMS_D))} END AS bucket
+        FROM events, (SELECT unnest(range({CMS_D})) AS j)
+    ),
+    cells AS (
+        SELECT j, bucket, count(*) AS cell_cnt FROM hashed GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1
+    ),
+    probes AS (
+        SELECT e.user_id, e.exact_cnt, h.j,
+               CASE h.j {" ".join(f"WHEN {j} THEN {_cms_bucket_sql(j, 'e.user_id')}" for j in range(CMS_D))} END AS bucket
+        FROM exact e, (SELECT unnest(range({CMS_D})) AS j) h
+    )
+    SELECT p.user_id,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(c.cell_cnt) AS BIGINT) AS cms_est,
+           CAST(min(c.cell_cnt) - p.exact_cnt AS BIGINT) AS overcount,
+           min(c.cell_cnt) >= {HH_THRESHOLD} AS is_heavy
+    FROM probes p JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.exact_cnt
+    """,
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a count-min sketch: per-event the
+    CMS_D hash rows each bump one of CMS_W counters; a key's estimate
+    is the min over its cells (>= truth, never under). Every distinct
+    key is then probed against the sketch and compared with its exact
+    count, so the overestimate property is *verified* row by row;
+    is_heavy flags estimates over HH_THRESHOLD.
+
+    100-TB shape: the sketch is the point — CMS_D x CMS_W counters
+    (fixed bytes, here 192 cells) regardless of key cardinality, built
+    with one map-side-combinable aggregate and mergeable across
+    partitions/days by cell-wise addition. The probe side joins
+    against the BROADCAST sketch; in production the candidate set
+    comes from a cheap pre-pass (or the stream keeps a rolling top-k),
+    not a full distinct — the distinct here exists to verify the
+    sketch against exact truth."""
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    hashed = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket_spark(j, uid).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("h")
+    ).select("h.j", "h.bucket")
+    cells = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell_cnt"))
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket_spark(j, uid).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "exact_cnt", "h.j", "h.bucket")
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        (F.col("cms_est") >= HH_THRESHOLD).alias("is_heavy"),
+    )
+
+
+# ------------------------------------------------- IQR outlier profile
+
+IQR_FENCE = 1.5
+
+
+@query(
+    "anomaly_iqr_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS q1,
+               round(quantile_cont(value, 0.75), 6) AS q3
+        FROM events GROUP BY 1
+    ),
+    f AS (
+        SELECT event_type, q1, q3,
+               round(q1 - {IQR_FENCE} * (q3 - q1), 6) AS lo_fence,
+               round(q3 + {IQR_FENCE} * (q3 - q1), 6) AS hi_fence
+        FROM q
+    )
+    SELECT e.event_type, f.q1, f.q3, f.lo_fence, f.hi_fence,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN e.value < f.lo_fence OR e.value > f.hi_fence
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS outlier_rate
+    FROM events e JOIN f ON e.event_type = f.event_type
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def anomaly_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per group: exact q1/q3, the
+    IQR_FENCE*IQR fences, and how many values fall outside them —
+    the standard robust (median-family) alternative to the z-score
+    anomaly pass (anomaly_rolling_zscore), insensitive to the
+    outliers it is hunting.
+
+    Two-pass shape: the per-group quantile aggregate produces one row
+    per group (tiny — broadcast), then one streaming pass over the
+    fact compares each value against its group's fences. At 100 TB
+    swap exact percentile for percentile_approx (mergeable t-digest)
+    and the second pass is unchanged; the fence table stays
+    broadcast-size as long as group cardinality does (documented
+    contract, same as every dim broadcast in this repo). Quantiles are
+    round(6)-ed BEFORE the fence arithmetic on both engines so
+    interpolation ulps can't move a borderline value across a fence."""
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "q1",
+        "q3",
+        F.round(F.col("q1") - IQR_FENCE * (F.col("q3") - F.col("q1")), 6).alias(
+            "lo_fence"
+        ),
+        F.round(F.col("q3") + IQR_FENCE * (F.col("q3") - F.col("q1")), 6).alias(
+            "hi_fence"
+        ),
+    )
+    out = (F.col("value") < F.col("lo_fence")) | (F.col("value") > F.col("hi_fence"))
+    return (
+        events.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+            F.round(
+                F.sum(out.cast("long")) / F.count(F.lit(1)), 6
+            ).alias("outlier_rate"),
+        )
+    )

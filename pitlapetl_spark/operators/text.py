@@ -482,3 +482,148 @@ def featurize_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse.select(
         "doc_id", F.posexplode(dense).alias("dim", "weight")
     )
+
+
+# --------------------------------------------- sliding-window chunking
+
+# RAG/pretraining-style document chunker: fixed CHUNK_TOKENS windows
+# every CHUNK_STRIDE tokens (overlap = CHUNK_TOKENS - CHUNK_STRIDE),
+# last window may be short. Pure array expressions — the chunk starts
+# come from `sequence`, the slices from `slice`, the fingerprint from
+# md5 of the re-joined words; no UDF, no shuffle before the explode.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "text_chunk_sliding_tokens",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start_tok,
+               toks
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(least({CHUNK_TOKENS}, len(toks) - start_tok) AS INT)
+               AS chunk_len,
+           md5(array_to_string(
+               toks[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' '))
+               AS chunk_fp
+    FROM c
+    """,
+)
+def text_chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking: every document becomes
+    ceil(n_tokens / CHUNK_STRIDE) overlapping CHUNK_TOKENS-token
+    chunks (stride CHUNK_STRIDE), each with its position and a content
+    fingerprint — the chunk table a retrieval index or a
+    fixed-context pretraining run consumes. The fingerprint feeds
+    straight into the dedup family (chunk-level exact dedup is this
+    plus dedup_exact's aggregate).
+
+    100-TB shape: chunking is a narrow per-doc expression (sequence ->
+    slice -> md5) followed by one explode — no shuffle at all; the
+    output inherits the input partitioning, and downstream chunk-level
+    ops shuffle on the uniform chunk_fp. Long documents fan out
+    linearly in their token count (bounded by the corpus's max-doc
+    contract), never quadratically."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+        ).alias("start_tok"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_TOKENS)
+    return c.select(
+        "doc_id",
+        (F.col("start_tok") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("start_tok"))
+        .cast("int")
+        .alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+# ------------------------------------------------- BPE pair statistics
+
+# The statistics pass of one BPE merge iteration (Sennrich et al.):
+# count adjacent symbol pairs across the corpus, weighted by word
+# frequency — the argmax pair is the next merge rule. Words aggregate
+# FIRST (the vocabulary is orders of magnitude smaller than the
+# corpus), then each distinct word explodes its character pairs
+# weighted by its count: the explode cost scales with |vocab| x
+# word_len, not corpus tokens.
+BPE_TOP_PAIRS = 30
+
+
+@query(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH words AS (
+        SELECT w, count(*) AS wc FROM (
+            SELECT unnest(string_split(
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+            FROM documents
+        ) GROUP BY 1
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> w[i] || w[i + 1])) AS pair,
+               wc
+        FROM words
+        WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_cnt
+    FROM pairs
+    GROUP BY 1
+    ORDER BY pair_cnt DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (the counting pass of one BPE
+    vocabulary-training iteration): frequency of every adjacent
+    character pair across the corpus, weighted by word frequency; the
+    top pair is the next merge rule. Top-BPE_TOP_PAIRS returned
+    (count desc, pair asc — deterministic).
+
+    100-TB shape: the corpus collapses to its VOCABULARY first (one
+    word-count aggregate on a uniform key — at web scale ~10^7 words
+    vs 10^12 tokens), and pair extraction explodes distinct words
+    only, weighted by their counts. The final global top-k is the
+    standard partial-top-k-then-single-reduce shape (the k*partitions
+    rows that reach the driver-side limit are bounded). Iterating BPE
+    re-runs this with merged symbols — each iteration the same two
+    aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("pair_cnt"))
+        .orderBy(F.desc("pair_cnt"), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )

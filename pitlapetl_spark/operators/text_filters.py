@@ -250,10 +250,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_KEEP_THRESHOLD = 0.5
 
-
-@query(
-    "pipeline_pretrain_filter",
-    oracle=f"""
+# The scored-gate CTE prefix (documents -> per-doc fingerprint keeper,
+# token stats, quality score), shared by `pipeline_pretrain_filter`
+# and by training_prep's composed crawl->shards plan so the two
+# oracles can never drift from each other.
+GATE_ORACLE_CTES = f"""
     WITH t AS (
         SELECT doc_id, lang, {_ORACLE_NORM} AS norm, {_ORACLE_TOKS} AS toks
         FROM documents
@@ -274,24 +275,16 @@ QUALITY_KEEP_THRESHOLD = 0.5
                    + 0.25 * (n_distinct * 1.0 / n_tokens), 6) AS quality_score
         FROM m
     )
-    SELECT doc_id,
-           doc_id <> keeper AS is_dup,
-           quality_score,
-           lang = 'en' AS lang_ok,
-           (doc_id = keeper) AND quality_score >= {QUALITY_KEEP_THRESHOLD}
-               AND lang = 'en' AS keep
-    FROM d
-    """,
-)
-def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end pre-training gate COMPOSED in one plan: exact
-    dedup (md5 fingerprint window — first occurrence wins), the
-    heuristic quality score, and a language allowlist, conjoined into
-    the final keep/drop verdict with per-stage reasons. One scan, one
-    window shuffle on the uniform fingerprint key; the rule columns
-    ride along for free. This is the operator a user actually runs
-    nightly — the individual stages exist separately for tuning."""
-    docs = load_table(spark, sf_dir, "documents")
+"""
+
+
+def gate_scored(docs: DataFrame) -> DataFrame:
+    """The Spark twin of ``GATE_ORACLE_CTES``'s ``d`` relation:
+    ``doc_id, lang, n_tokens, keeper, quality_score`` — exact-dedup
+    keeper via the fingerprint window plus the heuristic quality
+    score, one scan + one window shuffle on the uniform fp key.
+    Shared by the gate verdict query and the composed to-shards
+    pipeline (training_prep)."""
     t = docs.select(
         "doc_id",
         "lang",
@@ -311,9 +304,10 @@ def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_punct"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
     )
-    d = m.select(
+    return m.select(
         "doc_id",
         "lang",
+        "n_tokens",
         F.min("doc_id").over(Window.partitionBy("fp")).alias("keeper"),
         F.round(
             0.25 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
@@ -323,6 +317,30 @@ def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality_score"),
     )
+
+
+@query(
+    "pipeline_pretrain_filter",
+    oracle=GATE_ORACLE_CTES
+    + f"""
+    SELECT doc_id,
+           doc_id <> keeper AS is_dup,
+           quality_score,
+           lang = 'en' AS lang_ok,
+           (doc_id = keeper) AND quality_score >= {QUALITY_KEEP_THRESHOLD}
+               AND lang = 'en' AS keep
+    FROM d
+    """,
+)
+def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pre-training gate COMPOSED in one plan: exact
+    dedup (md5 fingerprint window — first occurrence wins), the
+    heuristic quality score, and a language allowlist, conjoined into
+    the final keep/drop verdict with per-stage reasons. One scan, one
+    window shuffle on the uniform fingerprint key; the rule columns
+    ride along for free. This is the operator a user actually runs
+    nightly — the individual stages exist separately for tuning."""
+    d = gate_scored(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         (F.col("doc_id") != F.col("keeper")).alias("is_dup"),

@@ -41,6 +41,7 @@ from ..functions.text import (
 )
 from ..registry import query
 from ..sources import load_table
+from .text_filters import GATE_ORACLE_CTES, QUALITY_KEEP_THRESHOLD
 
 EVAL_MAX_DOC_ID = 50  # doc_id < 50 stands in for the eval benchmark set
 CONTAM_THRESHOLD = 0.5
@@ -442,4 +443,196 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("doc_id").agg(
         F.round(F.sum("term").cast("double"), 6).alias("dsir_logweight")
+    )
+
+
+# ------------------------------------- composed crawl -> training shards
+
+# VERDICT r4 item 7: the end-to-end pipeline as ONE Catalyst plan —
+# gate (exact dedup + quality + language) -> epoch-shard assignment ->
+# concat-and-chunk pack offsets — no driver round trip between stages.
+
+
+@query(
+    "pipeline_pretrain_to_shards",
+    oracle=GATE_ORACLE_CTES
+    + f""",
+    kept AS (
+        SELECT doc_id, n_tokens FROM d
+        WHERE doc_id = keeper
+          AND quality_score >= {QUALITY_KEEP_THRESHOLD}
+          AND lang = 'en'
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS rank_hash
+        FROM kept
+    ),
+    s AS (
+        SELECT doc_id, n_tokens, rank_hash,
+               CAST(('0x' || substr(rank_hash, 1, 4)) AS INTEGER)
+                   % {SHUFFLE_SHARDS} AS shard
+        FROM r
+    ),
+    o AS (
+        SELECT doc_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY rank_hash, doc_id) AS shard_pos,
+               COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY rank_hash, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_offset
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(shard AS INT) AS shard,
+           CAST(shard_pos AS BIGINT) AS shard_pos,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(floor(start_offset / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM o
+    """,
+)
+def pipeline_pretrain_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl -> training shards in ONE plan: the pretrain gate
+    (text_filters.gate_scored: exact-dedup keeper + quality score +
+    language allowlist), the deterministic epoch shuffle
+    (seed-hash shard + in-shard order), and concat-and-chunk packing
+    (per-shard token cumsum -> PACK_BUDGET sequence ids), composed so
+    Catalyst fuses gate scoring into the scan and the only shuffles
+    are the fingerprint window and the shard window — zero driver
+    round trips between stages.
+
+    100-TB shape: stage boundaries that are usually separate nightly
+    jobs (filter table -> shuffle manifest -> packer) here share one
+    lineage; the gate's fp window and the shard window both key on
+    uniform hashes (no skew), and every shard packs independently
+    (raise SHUFFLE_SHARDS with corpus size — no cross-shard
+    coordination, same contract as shuffle_epoch_shards /
+    pack_token_budget)."""
+    from .text_filters import gate_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = gate_scored(docs)
+    kept = d.filter(
+        (F.col("doc_id") == F.col("keeper"))
+        & (F.col("quality_score") >= QUALITY_KEEP_THRESHOLD)
+        & (F.col("lang") == "en")
+    ).select("doc_id", "n_tokens")
+    ranked = kept.withColumn(
+        "rank_hash",
+        F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))),
+    )
+    s = ranked.withColumn(
+        "shard",
+        (F.conv(F.substring("rank_hash", 1, 4), 16, 10).cast("long") % SHUFFLE_SHARDS)
+        .cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("rank_hash", "doc_id")
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("start_offset"),
+    ).withColumn("pack_id", F.floor(F.col("start_offset") / PACK_BUDGET))
+
+
+# ------------------------------------------------- curriculum ordering
+
+N_PHASES = 5  # quality-score bands, low -> high
+
+
+@query(
+    "curriculum_quality_order",
+    oracle=GATE_ORACLE_CTES
+    + f""",
+    kept AS (
+        SELECT doc_id, quality_score FROM d WHERE doc_id = keeper
+    ),
+    p AS (
+        SELECT doc_id, quality_score,
+               CAST(least(floor(quality_score * {N_PHASES}),
+                          {N_PHASES - 1}) AS INT) AS phase
+        FROM kept
+    ),
+    o AS (
+        SELECT doc_id, quality_score, phase,
+               row_number() OVER (
+                   PARTITION BY phase
+                   ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                            doc_id) AS phase_pos
+        FROM p
+    ),
+    sizes AS (
+        SELECT phase, count(*) AS n FROM p GROUP BY 1
+    ),
+    offs AS (
+        SELECT phase,
+               COALESCE(sum(n) OVER (ORDER BY phase
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS phase_offset
+        FROM sizes
+    )
+    SELECT o.doc_id, o.quality_score, o.phase,
+           CAST(o.phase_pos AS BIGINT) AS phase_pos,
+           CAST(offs.phase_offset + o.phase_pos AS BIGINT) AS global_pos
+    FROM o JOIN offs ON o.phase = offs.phase
+    """,
+)
+def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: deduped docs are banded into
+    N_PHASES quality phases (low -> high), shuffled WITHIN each phase
+    by the deterministic seed hash, and given a global curriculum
+    position — easy/low-quality-first schedules (or the reverse) read
+    the output in global_pos order.
+
+    100-TB shape: the phase is a narrow banding expression; in-phase
+    position is a window partitioned on the phase (N_PHASES
+    distributed sorts — at scale you band finer or sub-shard each
+    phase exactly like shuffle_epoch_shards); the phase-offset table
+    is N_PHASES rows, computed with a window over a 5-row aggregate
+    and broadcast back. The ONLY unpartitioned window in the plan runs
+    over those 5 rows — a documented cardinality contract, not a
+    global sort of the corpus."""
+    from .text_filters import gate_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        gate_scored(docs)
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "quality_score")
+    )
+    p = kept.withColumn(
+        "phase",
+        F.least(
+            F.floor(F.col("quality_score") * N_PHASES), F.lit(N_PHASES - 1)
+        ).cast("int"),
+    )
+    w = Window.partitionBy("phase").orderBy(
+        F.md5(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    o = p.withColumn("phase_pos", F.row_number().over(w).cast("long"))
+    sizes = p.groupBy("phase").agg(F.count(F.lit(1)).alias("n"))
+    offs = sizes.select(
+        "phase",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("phase_offset"),
+    )
+    return o.join(F.broadcast(offs), "phase").select(
+        "doc_id",
+        "quality_score",
+        "phase",
+        "phase_pos",
+        (F.col("phase_offset") + F.col("phase_pos")).cast("long").alias("global_pos"),
     )

@@ -71,87 +71,30 @@ _loaded = False
 # in the order ``all_queries()`` yields them and has a bounded budget
 # (every round so far stopped at exactly 50 entries). Names listed here
 # are yielded FIRST, in this order; everything else follows in
-# registration order. Round-4 policy (VERDICT.md r3 "Next round" items
-# 1-2): the 50 slots go to (a) the only operator whose r3 pass was
-# vacuous — resample_daily_grid, 0-vs-0 rows at the old threshold — now
-# non-vacuous; (b) the 3 queries never driver-verified across r1-r3;
-# (c) dedup_winnowing_fast, new this round (xxhash64 production
-# variant, VERDICT item 4); (d) every query whose ONLY driver evidence
-# is round 1 — two data regenerations ago — starting with
-# agg_pricing_summary (the unexplained r3 bench regression; a fresh
-# correctness row accompanies the re-measurement); (e) two r2-evidence
-# composed-pipeline representatives to fill the window. Everything
-# r3-green is freshly proven and is demoted.
+# registration order.
+#
+# Round-5 policy (VERDICT.md r4 "Next round" item 1): after round 4,
+# every one of the 181 registered queries has at least one green driver
+# row, so the 50 slots go to EVIDENCE CURRENCY — (a) queries NEW in
+# round 5 (zero driver evidence by construction), then (b) the 40
+# queries whose only driver row is round 1, two data generations old
+# (the filter/projection/scalar/json/setop/window core), oldest-cohort
+# first, then (c) the oldest r2-evidence queries to fill the window.
+# The policy ledger: after this round lands, no query's latest driver
+# evidence should predate round 2, and round 6 rotates the r2 cohort.
 _PRIORITY: tuple[str, ...] = (
-    # (a) the one unproven operator in the engine: r3 row was 0-vs-0
-    "resample_daily_grid",
-    # (b) never driver-verified in any round
-    "agg_argmax_mode",
-    "sequence_event_trigrams",
-    "udtf_chunk_spans",
-    # (c) new this round: xxhash64 winnowing production path,
-    # incremental batch-vs-corpus minhash dedup, and the Q6/Q12/Q18
-    # warehouse classics
-    "dedup_winnowing_fast",
-    "dedup_incremental_minhash",
-    "dedup_repeated_spans",
-    "dedup_repeated_spans_fast",
-    "dedup_repeated_spans_apply",
-    "cdc_latest_state",
-    "winsorize_group_values",
-    "mix_token_allocation",
-    "agg_histogram_equi_depth",
-    "attribution_last_touch",
-    "featurize_hashed_ngrams",
-    "graph_pagerank_copurchase",
-    "window_ewma_daily",
-    "ab_test_variant_zscore",
-    "q6_forecast_revenue",
-    "q12_late_shipment_priority",
-    "q18_large_volume_customers",
-    # (c') the round-4 second warehouse tranche (operators/warehouse.py)
-    # — zero driver evidence by construction, so they outrank the
-    # re-prove cohort below
-    "q4_order_priority_check",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_high_balance",
-    # (c'') the session-3 tranche completing all 22 TPC-H shapes via
-    # the derived supplier-part relation (operators/warehouse2.py) —
-    # zero driver evidence by construction
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_breadth",
-    "q20_excess_suppliers",
-    # (c''') session-3 LLM-pipeline ops: IVF-flat ANN end-to-end,
-    # SemDeDup cluster-bounded semantic dedup, DSIR importance
-    # weighting — zero driver evidence by construction
-    "sim_topk_ivf_nprobe",
-    "dedup_semantic_semdedup",
-    "dsir_importance_weights",
-    "report_corpus_datacard",
-    # (c'''') session-3 source-format connectors (operators/formats.py)
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "sink_delete_roundtrip",
-    # (c5) session-3 customer-lifecycle analytics
-    "churn_yearly_customers",
-    "rfm_customer_segments",
-    # (d) r1-only evidence, oldest first-priority: the bench-regression
-    # suspect, then the full r1 cohort (verified on a data generation
-    # that no longer exists — re-prove on current data)
-    "agg_pricing_summary",
-    "agg_cube",
-    "agg_distinct_counts",
+    # (a) new in round 5 — zero driver evidence by construction
+    "pipeline_pretrain_to_shards",
+    "dedup_bloom_prefilter",
+    "sample_reservoir_per_group",
+    "agg_heavy_hitters_cms",
+    "text_chunk_sliding_tokens",
+    "curriculum_quality_order",
+    "anomaly_iqr_outliers",
+    "text_bpe_pair_stats",
+    # (b) the r1-evidence cohort: only driver row is round 1 (two data
+    # regenerations ago). Local parity covers them on current data, but
+    # driver evidence is the hard signal — re-prove all 40.
     "agg_pivot",
     "agg_rollup",
     "dedup_exact",
@@ -168,19 +111,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_left_semi",
     "join_theta_band",
     "json_deep_path_standings",
-    # --- positions 51+ (verified only if the driver budget exceeds 50).
-    # The head above is exactly 50 through "agg_distinct_counts":
-    # the 4 (a)/(b) carryovers, 43 round-4 new operators (winnowing_fast
-    # + incremental minhash + the 12 session-2 ops spans/cdc/winsorize/
-    # mix/equi-depth/attribution/featurizer/pagerank/ewma/ab-test +
-    # q6/q12/q18 + the 10-query warehouse tranche + the 5-query
-    # TPC-H-completion tranche + IVF/SemDeDup/DSIR + the corpus
-    # datacard + the CSV/JSONL/ORC connector proofs + schema-evolution
-    # read + GDPR partition-scoped delete + churn/RFM lifecycle
-    # analytics), and the FIRST 3 r1-cohort re-proofs.
-    # The remaining r1-cohort names below fall outside this round's
-    # window — they keep r1 driver evidence plus local sf0.01 parity
-    # on current data; new-operator evidence outranks re-proving them.
     "json_doc_assembly",
     "json_doc_roundtrip",
     "json_get_path",
@@ -205,11 +135,10 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_total",
     "window_standings_rank",
     "window_topk_per_group",
+    # (c) oldest r2-evidence queries fill the remaining slots (8 new +
+    # 40 r1 = 48 head entries; these start at position 49). Round 6
+    # continues down this list.
     "job_race_results",
-    "pipeline_pretrain_filter",
-    # locally oracle-checked regardless). r2/r3-green queries in
-    # rough usefulness order, then the rest in registration order.
-    "flagship_top_value_per_user",
     "job_qualifying_results",
     "job_practice_laps",
     "job_schedule",
@@ -217,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "job_constructor_standings",
     "rest_driver_standings",
     "json_corrupt_quarantine",
+    "pipeline_pretrain_filter",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard_capped",
     "dedup_cluster_components",
@@ -228,6 +158,28 @@ _PRIORITY: tuple[str, ...] = (
     "mm_binary_features",
     "mm_frame_sample",
     "mm_metadata_stats",
+    "agg_collect_set_ordered",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "agg_salted_group_max",
+    "agg_stats_corr",
+    "dq_constraint_checks",
+    "dq_profile_lineitem",
+    "join_right_outer",
+    "sample_hash_systematic",
+    "sample_stratified_topn",
+    "scalar_array_ops",
+    "subquery_exists_semi",
+    "text_bigram_lm_score",
+    "text_fingerprint",
+    "text_gopher_rules",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_ratios",
+    "text_tfidf_top_term",
+    "text_token_stats",
+    "window_ntile_distribution",
 )
 
 
