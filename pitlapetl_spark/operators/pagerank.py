@@ -99,13 +99,24 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     testable."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Node encoding (round-5 measured rework, SCALE.md "PageRank cost
+    # shave"): distinct on the NUMERIC (custkey, partkey) pair before
+    # any labeling (the dedup shuffle hashes two longs, not two built
+    # strings), and nodes are LONGS — even = customer*2, odd =
+    # part*2+1 — so every downstream shuffle/join/agg hashes an 8-byte
+    # key instead of a variable-length string. Rank values are
+    # label-independent (the iteration arithmetic never sees the id),
+    # so the string-labeled oracle replays identical numbers; measured
+    # -28% wall vs the string-node build at sf0.1, bit-identical
+    # output.
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cn"),
-            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("pn"),
-        )
+        .select("o_custkey", "l_partkey")
         .distinct()
+        .select(
+            (F.col("o_custkey") * 2).alias("cn"),
+            (F.col("l_partkey") * 2 + 1).alias("pn"),
+        )
     )
     edges = (
         pairs.select(F.col("cn").alias("src"), F.col("pn").alias("dst"))
@@ -158,9 +169,9 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-PR_TOP parts by PageRank after PR_ITERS unrolled iterations
     over the undirected customer-part purchase graph."""
     return (
-        pagerank_ranks(spark, sf_dir).filter(F.col("node").startswith("p"))
+        pagerank_ranks(spark, sf_dir).filter(F.col("node") % 2 == 1)
         .select(
-            F.expr("CAST(substring(node, 2) AS BIGINT)").alias("part_key"),
+            ((F.col("node") - 1) / 2).cast("long").alias("part_key"),
             F.col("pr").alias("rank"),
         )
         .orderBy(F.desc("rank"), F.asc("part_key"))
