@@ -52,12 +52,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "pipeline":
-        from .plans.runner import run_pipeline
+        from .plans.runner import PipelineFailure, run_pipeline
 
         spark = get_spark(app_name="pitlapetl_pipeline")
-        records = run_pipeline(
-            spark, args.sf_dir, args.out, max_attempts=args.max_attempts
-        )
+        try:
+            records = run_pipeline(
+                spark, args.sf_dir, args.out, max_attempts=args.max_attempts
+            )
+        except PipelineFailure as e:
+            # print the attempt summary for every job that DID run
+            # before reporting the failure (ADVICE r4: the old path
+            # printed only the exception, losing the sweep's outcome)
+            for r in e.records:
+                print(f"{r.job}: attempt {r.attempt} {r.status} "
+                      f"rows={r.rows} {r.seconds:.2f}s")
+            print(f"PIPELINE FAILED: {e}", file=sys.stderr)
+            return 1
         for r in records:
             print(f"{r.job}: attempt {r.attempt} {r.status} "
                   f"rows={r.rows} {r.seconds:.2f}s")

@@ -84,6 +84,17 @@ class RunRecord:
     error: str | None
 
 
+class PipelineFailure(RuntimeError):
+    """A tick completed its sweep but >=1 job exhausted its retries.
+    Carries the full attempt ``records`` (healthy jobs included) so
+    callers — the CLI in particular — can report what DID run instead
+    of losing the sweep's outcome to the raise (ADVICE r4)."""
+
+    def __init__(self, msg: str, records: list[RunRecord]):
+        super().__init__(msg)
+        self.records = records
+
+
 def _persist(spec: JobSpec, df: DataFrame, out_dir: str) -> int:
     path = f"{out_dir}/{spec.name}"
     if spec.sink_mode == "merge":
@@ -149,8 +160,9 @@ def run_pipeline(
         - {r.job for r in records if r.status == "ok"}
     )
     if dead:
-        raise RuntimeError(
+        raise PipelineFailure(
             f"jobs failed after {max_attempts} attempt(s): {dead} "
-            f"(other sinks are fresh; see {out_dir}/_run_ledger)"
+            f"(other sinks are fresh; see {out_dir}/_run_ledger)",
+            records,
         )
     return records

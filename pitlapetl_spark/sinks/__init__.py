@@ -29,17 +29,127 @@ At 100 TB the honest answer for row-level MERGE is an OSS table format
 safety. Neither is installable in this container (no pip), so the
 staged-rename emulation below is the deliberate fallback; its contract
 (old data survives failure, readers see old-or-new, never half) is the
-same one a table-format commit provides, minus multi-writer safety.
+same one a table-format commit provides. Multi-writer safety is NOT
+provided — but since round 5 it is ENFORCED rather than assumed: every
+sink takes a ``_writer_lock`` lease and a second concurrent writer
+raises ``ConcurrentWriterError`` instead of silently interleaving
+renames, and hard-kill debris from a crashed swap fails the next write
+fast (``StaleDebrisError``) instead of compounding it.
 """
 
 from __future__ import annotations
 
+import contextlib
+import glob as _glob
 import os
 import shutil
+import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted to modify a table while another
+    writer holds its lease — the single-writer contract, enforced
+    (round-5 closure of the SCALE.md MERGE decision record's "assumed,
+    unenforced" limitation)."""
+
+
+class StaleDebrisError(RuntimeError):
+    """Leftover ``__mergestage_`` / ``__mergeold_`` directories from a
+    hard-killed partition swap were found next to the table. Writing
+    through them could compound a half-applied swap, so every sink
+    refuses until the operator resolves the crash (restore the dirs in
+    ``__mergeold_<token>`` into the table, delete ``__mergestage_``)."""
+
+
+@contextlib.contextmanager
+def _writer_lock(path: str):
+    """Best-effort single-writer lease for the table at ``path``:
+    a ``<path>__lock`` file created with O_EXCL, holding the owner's
+    pid. A second concurrent writer raises ``ConcurrentWriterError``
+    instead of silently interleaving renames (previously a documented
+    assumption only). If the recorded owner pid is dead — a writer
+    crashed holding the lease — the lock is stolen, so a crash never
+    wedges the table permanently. Local-filesystem scope, like every
+    sink in this module: on a real cluster / object store the
+    equivalent contract comes from a table format's commit protocol or
+    an external lock service (module docstring trade-off)."""
+    lock = f"{path}__lock"
+    parent = os.path.dirname(os.path.abspath(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)  # first-ever write: the
+        # warehouse dir may not exist yet; the lease must live where
+        # the table will
+    fd = None
+    for _attempt in range(3):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    owner = int(fh.read().split()[0])
+            except (OSError, ValueError, IndexError):
+                # unreadable/empty lock: the owner crashed in the
+                # microseconds between open and write, or the file is
+                # corrupt — conservatively treat as held
+                raise ConcurrentWriterError(
+                    f"table {path!r} is locked by {lock!r} and the owner "
+                    f"pid is unreadable — resolve manually (delete the "
+                    f"lock if no writer is running)"
+                ) from None
+            alive = True
+            try:
+                os.kill(owner, 0)
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True  # exists, owned by someone else
+            if alive:
+                raise ConcurrentWriterError(
+                    f"table {path!r} is being written by live pid {owner} "
+                    f"(lease {lock!r}) — every sink here is single-writer; "
+                    f"serialize the writes or use a table format"
+                ) from None
+            # dead owner: steal the lease (another stealer may race us
+            # to the unlink+create; the loop retries, O_EXCL decides)
+            with contextlib.suppress(OSError):
+                os.unlink(lock)
+    if fd is None:
+        raise ConcurrentWriterError(
+            f"could not acquire writer lease {lock!r} after contention"
+        )
+    try:
+        os.write(fd, f"{os.getpid()} {int(_time.time())}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(lock)
+
+
+def _fail_on_merge_debris(path: str) -> None:
+    """Fail fast when a previous partition swap was hard-killed
+    mid-rename (ADVICE r4: the in-process rollback handles exceptions,
+    but a SIGKILL between renames leaves ``__mergestage_``/
+    ``__mergeold_`` dirs and possibly a table missing touched
+    partitions; the next merge/delete used to proceed over it)."""
+    debris = sorted(
+        os.path.basename(d)
+        for pat in (f"{path}__mergestage_*", f"{path}__mergeold_*")
+        for d in _glob.glob(pat)
+    )
+    if debris:
+        raise StaleDebrisError(
+            f"table {path!r} has leftover swap debris from a crashed "
+            f"writer: {debris}. Recover first: move any partition dirs "
+            f"inside the __mergeold_<token> dir back into the table "
+            f"(they are the displaced pre-swap copies), then delete the "
+            f"__mergestage_/__mergeold_ dirs."
+        )
 
 
 def upsert_partitioned(df: DataFrame, path: str, key_cols: list[str]) -> None:
@@ -49,7 +159,8 @@ def upsert_partitioned(df: DataFrame, path: str, key_cols: list[str]) -> None:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        df.write.mode("overwrite").partitionBy(*key_cols).parquet(path)
+        with _writer_lock(path):
+            df.write.mode("overwrite").partitionBy(*key_cols).parquet(path)
     finally:
         # scope the dynamic mode to THIS write: leaking it session-wide
         # silently turns later full-refresh overwrites into partial ones
@@ -63,24 +174,38 @@ def staged_swap(df: DataFrame, path: str) -> None:
     table empty (the exact K3 failure mode of the reference,
     driverstandings.py:82-85). Here a failure before the swap leaves
     the old table untouched; a failure between the two renames leaves
-    the data recoverable in ``<path>__old``. Local/HDFS rename is a
-    cheap metadata move; object stores and true multi-writer atomicity
-    want a table format instead (module docstring)."""
-    stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
-    old = f"{path}__old"
-    try:
-        df.write.mode("errorifexists").parquet(stage)
-    except BaseException:
-        # nothing swapped yet: remove the partial stage so a retrying
-        # caller (streaming foreachBatch) doesn't accumulate one
-        # orphaned debris dir per failure
-        shutil.rmtree(stage, ignore_errors=True)
-        raise
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(stage, path)
-    shutil.rmtree(old, ignore_errors=True)
+    the data recoverable in ``<path>__old`` — and a LATER call finding
+    that state (table missing, ``__old`` present: a hard kill in the
+    rename window) auto-restores the old copy before writing, instead
+    of rmtree-ing the only surviving data (ADVICE r4). Concurrent
+    writers are rejected by the ``_writer_lock`` lease. Local/HDFS
+    rename is a cheap metadata move; object stores and true
+    multi-writer atomicity want a table format instead (module
+    docstring)."""
+    with _writer_lock(path):
+        old = f"{path}__old"
+        if not os.path.exists(path) and os.path.exists(old):
+            # crashed between the two renames of a previous swap:
+            # __old holds the only committed copy — reinstall it (the
+            # uncommitted stage of that crashed write is deleted below,
+            # which is a clean rollback of a write that never committed)
+            os.rename(old, path)
+        for stale in _glob.glob(f"{path}__stage_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+        stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+        try:
+            df.write.mode("errorifexists").parquet(stage)
+        except BaseException:
+            # nothing swapped yet: remove the partial stage so a retrying
+            # caller (streaming foreachBatch) doesn't accumulate one
+            # orphaned debris dir per failure
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(stage, path)
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def overwrite(df: DataFrame, path: str) -> None:
@@ -160,6 +285,7 @@ def merge_upsert_partition_scoped(
     partition-scoped MERGE emulation). Single-writer, like every sink
     here. Returns the list of partition values rewritten."""
     spark = updates.sparkSession
+    _fail_on_merge_debris(path)
     vals = sorted(r[0] for r in updates.select(part_col).distinct().collect())
     assert all(v is not None for v in vals), "part_col must be non-null"
     part_strs = [str(v) for v in vals]
@@ -171,27 +297,28 @@ def merge_upsert_partition_scoped(
         # clean on batch 1 and failing permanently from batch 2 — and
         # a mid-write crash left a partial table the next call treated
         # as a valid existing one. Stage, validate, single rename.
-        stage = f"{path}__mergestage_{uuid.uuid4().hex[:8]}"
-        try:
-            updates.write.partitionBy(part_col).parquet(stage)
-            expected = {f"{part_col}={v}" for v in part_strs}
-            staged = {
-                d for d in os.listdir(stage) if d.startswith(f"{part_col}=")
-            }
-            missing = expected - staged
-            if missing:
-                raise ValueError(
-                    f"staged bootstrap write is missing partition dir(s) "
-                    f"{sorted(missing)} (staged: {sorted(staged)}): the "
-                    f"part_col value is escaped by the hive layout — "
-                    f"pre-sanitize partition values to filesystem-safe "
-                    f"scalars (docstring constraint)"
-                )
-        except BaseException:
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        os.rename(stage, path)
-        return vals
+        with _writer_lock(path):
+            stage = f"{path}__mergestage_{uuid.uuid4().hex[:8]}"
+            try:
+                updates.write.partitionBy(part_col).parquet(stage)
+                expected = {f"{part_col}={v}" for v in part_strs}
+                staged = {
+                    d for d in os.listdir(stage) if d.startswith(f"{part_col}=")
+                }
+                missing = expected - staged
+                if missing:
+                    raise ValueError(
+                        f"staged bootstrap write is missing partition dir(s) "
+                        f"{sorted(missing)} (staged: {sorted(staged)}): the "
+                        f"part_col value is escaped by the hive layout — "
+                        f"pre-sanitize partition values to filesystem-safe "
+                        f"scalars (docstring constraint)"
+                    )
+            except BaseException:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise
+            os.rename(stage, path)
+            return vals
     # filter on the NATIVE partition column (directory pruning), then
     # realign column types to the updates schema — hive partition-type
     # inference may read the partition column back as a different type
@@ -203,9 +330,10 @@ def merge_upsert_partition_scoped(
         )
     )
     merged = merge_upsert(scoped, updates, key_cols)
-    _staged_partition_rewrite(
-        merged, path, part_col, part_strs, allow_vanished=False
-    )
+    with _writer_lock(path):
+        _staged_partition_rewrite(
+            merged, path, part_col, part_strs, allow_vanished=False
+        )
     return vals
 
 
@@ -227,6 +355,7 @@ def _staged_partition_rewrite(
     would be silently dropped) but LEGITIMATE for delete (every row
     of the partition was deleted — the swap then removes the old
     partition dir and installs nothing)."""
+    _fail_on_merge_debris(path)
     token = uuid.uuid4().hex[:8]
     stage = f"{path}__mergestage_{token}"
     trash = f"{path}__mergeold_{token}"
@@ -296,6 +425,7 @@ def _staged_partition_rewrite(
         # new data is reproducible by re-running the merge). If a
         # restore itself fails, stage and trash are left on disk for
         # manual recovery.
+        restore_failed = False
         for sub in sorted(expected):
             dst = os.path.join(path, sub)
             old = os.path.join(trash, sub)
@@ -306,7 +436,14 @@ def _staged_partition_rewrite(
                 elif sub in installed:  # case (b): brand-new partition
                     shutil.rmtree(dst, ignore_errors=True)
             except OSError:
-                pass  # leave trash in place; the raise below surfaces it
+                restore_failed = True  # leave trash; the raise surfaces it
+        if not restore_failed:
+            # rollback fully restored the table: the stage (uncommitted
+            # new data) and the now-emptied trash are disposable — and
+            # MUST go, or the entry debris check would wedge the next
+            # write over a table that is actually consistent
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
         raise
     # success: every partition swapped — only now is trash disposable
     shutil.rmtree(stage, ignore_errors=True)
@@ -343,6 +480,7 @@ def delete_keys_partition_scoped(
     the merge sink's documented constraint, enforced eagerly here.
     Idempotent: re-running the same delete is a no-op rewrite.
     Returns the partition values touched ([] for an empty request)."""
+    _fail_on_merge_debris(path)
     vals = sorted(r[0] for r in keys.select(part_col).distinct().collect())
     if not vals:
         return []
@@ -361,7 +499,16 @@ def delete_keys_partition_scoped(
             f"Pre-sanitize partition values to [A-Za-z0-9._-]."
         )
     if not os.path.exists(path):
-        return []
+        # ADVICE r4: an erasure request aimed at a missing/wrong table
+        # path must not report success — the caller would record the
+        # keys as erased while nothing was. (An EMPTY request above
+        # still returns []: 'nothing to erase' is distinguishable from
+        # 'nowhere to erase it from'.)
+        raise FileNotFoundError(
+            f"delete_keys_partition_scoped: table {path!r} does not exist "
+            f"but {len(part_strs)} partition value(s) were requested for "
+            f"erasure — refusing to report an erasure that did not happen"
+        )
     scoped = spark.read.parquet(path).filter(F.col(part_col).isin(vals))
     join_cols = [*key_cols, part_col]
     # align the keys frame's join-column types to the table's (hive
@@ -373,7 +520,8 @@ def delete_keys_partition_scoped(
     kept = scoped.join(F.broadcast(keyed), on=join_cols, how="left_anti").select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in scoped.schema.fields]
     )
-    _staged_partition_rewrite(kept, path, part_col, part_strs, allow_vanished=True)
+    with _writer_lock(path):
+        _staged_partition_rewrite(kept, path, part_col, part_strs, allow_vanished=True)
     return vals
 
 

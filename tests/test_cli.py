@@ -47,3 +47,30 @@ def test_pipeline_subcommand_runs_manifest(spark, tmp_path):
     assert main(["pipeline", "--sf-dir", SF_SMOKE, "--out", out]) == 0
     for spec in JOB_MANIFEST:
         assert spark.read.parquet(f"{out}/{spec.name}").count() > 0
+
+
+def test_pipeline_failure_still_prints_healthy_job_records(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """ADVICE r4: when a job exhausts retries, the CLI must still print
+    the attempt summary for the jobs that DID run (previously only the
+    exception text surfaced) and exit nonzero."""
+    from pitlapetl_spark.plans import runner as runner_mod
+    from pitlapetl_spark.plans.runner import PipelineFailure, RunRecord
+
+    records = [
+        RunRecord("schedule", 1, "ok", 10, 0.5, None),
+        RunRecord("race_results", 1, "failed", 0, 0.1, "boom"),
+        RunRecord("race_results", 2, "failed", 0, 0.1, "boom"),
+    ]
+
+    def fail_pipeline(*a, **kw):
+        raise PipelineFailure("jobs failed after 2 attempt(s): ['race_results']", records)
+
+    monkeypatch.setattr(runner_mod, "run_pipeline", fail_pipeline)
+    rc = main(["pipeline", "--out", str(tmp_path / "wh")])
+    captured = capsys.readouterr()
+    assert rc == 1
+    assert "schedule: attempt 1 ok rows=10" in captured.out
+    assert "race_results: attempt 2 failed" in captured.out
+    assert "PIPELINE FAILED" in captured.err

@@ -499,3 +499,127 @@ def test_delete_rejects_hive_escaped_partition_values(spark):
     keys = spark.createDataFrame([("d:1", 1)], "day string, k int")
     with pytest.raises(ValueError, match="hive layout escapes"):
         delete_keys_partition_scoped(spark, path, keys, ["k"], "day")
+
+
+# -------------------------------- round-5 hardening: lock + debris
+
+
+def test_concurrent_writer_raises_not_interleaves(spark, tmp_path):
+    """VERDICT r4 item 6: the single-writer assumption is an enforced
+    contract now. A second writer that finds a live lease must raise
+    ConcurrentWriterError — not interleave renames."""
+    import os
+
+    from pitlapetl_spark.sinks import ConcurrentWriterError, staged_swap
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    staged_swap(df, path)  # create the table (lease taken and released)
+    # simulate another LIVE writer holding the lease: our own pid is
+    # alive by definition
+    with open(f"{path}__lock", "w") as fh:
+        fh.write(f"{os.getpid()} 0\n")
+    with pytest.raises(ConcurrentWriterError, match="live pid"):
+        staged_swap(df, path)
+    os.unlink(f"{path}__lock")
+    # table unchanged and still writable after the lease clears
+    staged_swap(spark.createDataFrame([(2, "b")], "k int, v string"), path)
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "b")]
+
+
+def test_dead_writer_lease_is_stolen(spark, tmp_path):
+    """A lease whose owner pid is dead (writer crashed holding the
+    lock) must be stolen, not wedge the table forever."""
+    import os
+    import subprocess
+
+    from pitlapetl_spark.sinks import staged_swap
+
+    path = str(tmp_path / "t")
+    # a real pid that is guaranteed dead: a child that already exited
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(f"{path}__lock", "w") as fh:
+        fh.write(f"{child.pid} 0\n")
+    staged_swap(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    assert spark.read.parquet(path).count() == 1
+    assert not os.path.exists(f"{path}__lock")  # released after the swap
+
+
+def test_merge_fails_fast_on_crashed_swap_debris(spark, tmp_path):
+    """ADVICE r4: leftover __mergestage_/__mergeold_ dirs from a
+    hard-killed swap must fail the NEXT write fast instead of
+    compounding a half-applied swap."""
+    import os
+
+    from pitlapetl_spark.sinks import (
+        StaleDebrisError,
+        delete_keys_partition_scoped,
+        merge_upsert_partition_scoped,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([("d1", 1, 1.0)], "day string, k int, v double")
+    merge_upsert_partition_scoped(base, path, ["k"], "day")
+    os.makedirs(f"{path}__mergeold_deadbeef/day=d1")
+    upd = spark.createDataFrame([("d1", 1, 9.0)], "day string, k int, v double")
+    with pytest.raises(StaleDebrisError, match="mergeold_deadbeef"):
+        merge_upsert_partition_scoped(upd, path, ["k"], "day")
+    keys = spark.createDataFrame([("d1", 1)], "day string, k int")
+    with pytest.raises(StaleDebrisError, match="mergeold_deadbeef"):
+        delete_keys_partition_scoped(spark, path, keys, ["k"], "day")
+    # operator resolves the crash -> writes flow again
+    import shutil
+
+    shutil.rmtree(f"{path}__mergeold_deadbeef")
+    merge_upsert_partition_scoped(upd, path, ["k"], "day")
+    got = sorted(
+        (r.day, r.k, r.v)
+        for r in spark.read.parquet(path).select("day", "k", "v").collect()
+    )
+    assert got == [("d1", 1, 9.0)]
+
+
+def test_staged_swap_recovers_crash_window_old_copy(spark, tmp_path):
+    """ADVICE r4: a hard kill between staged_swap's two renames leaves
+    the table missing and __old holding the only copy. The next
+    staged_swap must restore it BEFORE writing — and if its own write
+    then fails, the restored table survives (previously the old copy
+    was rmtree'd up front)."""
+    import os
+
+    from pitlapetl_spark.sinks import staged_swap
+
+    path = str(tmp_path / "t")
+    staged_swap(spark.createDataFrame([(1, "a")], "k int, v string"), path)
+    # simulate the crash window: table renamed away, stage orphaned
+    os.rename(path, f"{path}__old")
+    os.makedirs(f"{path}__stage_deadbeef")
+    # next write's df fails to evaluate -> swap aborts...
+    from pyspark.sql import functions as F2
+
+    bad = spark.createDataFrame([(1,)], "k int").select(
+        F2.assert_true(F2.col("k") < 0).alias("v")
+    )
+    with pytest.raises(Exception):
+        staged_swap(bad, path)
+    # ...but the crash-window copy was restored first and survives
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(1, "a")]
+    assert not os.path.exists(f"{path}__stage_deadbeef")  # debris swept
+    # and a healthy retry commits normally
+    staged_swap(spark.createDataFrame([(2, "b")], "k int, v string"), path)
+    assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "b")]
+
+
+def test_delete_on_missing_table_raises(spark, tmp_path):
+    """ADVICE r4: a GDPR erasure aimed at a missing table path must
+    raise, not report success with an empty touched list. An EMPTY
+    request still returns [] (nothing to erase is not an error)."""
+    from pitlapetl_spark.sinks import delete_keys_partition_scoped
+
+    missing = str(tmp_path / "never_created")
+    keys = spark.createDataFrame([("d1", 1)], "day string, k int")
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        delete_keys_partition_scoped(spark, missing, keys, ["k"], "day")
+    empty = keys.filter("k < 0")
+    assert delete_keys_partition_scoped(spark, missing, empty, ["k"], "day") == []
