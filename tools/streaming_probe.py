@@ -1,0 +1,142 @@
+"""Streaming-sink throughput probe (VERDICT r4 item 8): measured
+per-batch wall for the round-4 streaming sinks so the
+O(batch + collisions) / O(touched partitions) claims carry numbers.
+Results are recorded in SCALE.md "Streaming sink throughput".
+
+    python tools/streaming_probe.py
+
+Method: each sink processes K micro-batches (maxFilesPerTrigger=1,
+availableNow) at several rows-per-batch sizes; reported cost is
+total wall / K. For the scoped upsert, every batch touches its OWN
+partition value while the table keeps growing — a flat per-batch cost
+across batch index is the O(touched partitions) evidence. For the
+dedup ingest sink the band/signature store grows per batch, so the
+per-batch trend shows the documented store-scan component.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pitlapetl_spark.session import get_spark  # noqa: E402
+
+
+def probe_scoped_upsert(spark, rows_per_batch: int, n_batches: int) -> dict:
+    from pitlapetl_spark.streaming.runtime import run_upsert_sink_scoped
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_sprobe_")
+    try:
+        src = f"{tmp}/src"
+        per_batch = []
+        for b in range(n_batches):
+            # each batch = one file = one partition value ("day")
+            (
+                spark.range(rows_per_batch)
+                .select(
+                    F.lit(f"d{b}").alias("day"),
+                    F.col("id").alias("k"),
+                    (F.col("id") * 1.5).alias("v"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            stream = (
+                spark.readStream.schema("day string, k long, v double")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            agg = stream.groupBy("day", "k").agg(F.sum("v").alias("total"))
+            t0 = time.perf_counter()
+            q = run_upsert_sink_scoped(
+                agg, f"{tmp}/table", ["day", "k"], "day", f"{tmp}/ckpt"
+            )
+            q.awaitTermination(600)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        total_rows = spark.read.parquet(f"{tmp}/table").count()
+        assert total_rows == rows_per_batch * n_batches, total_rows
+        return {
+            "rows_per_batch": rows_per_batch,
+            "per_batch_sec": per_batch,
+            "rows_per_sec": round(rows_per_batch / (sum(per_batch) / n_batches)),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def probe_dedup_ingest(spark, docs_per_batch: int, n_batches: int) -> dict:
+    from pitlapetl_spark.streaming.runtime import (
+        read_documents_stream,
+        run_dedup_ingest_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_dprobe_")
+    try:
+        src = f"{tmp}/src"
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        per_batch = []
+        for b in range(n_batches):
+            base = b * docs_per_batch
+            rows = [
+                (
+                    base + i,
+                    " ".join(
+                        words[(base + i + j) % len(words)] for j in range(40)
+                    ),
+                    "en",
+                    "probe",
+                    200,
+                )
+                for i in range(docs_per_batch)
+            ]
+            (
+                spark.createDataFrame(
+                    rows, "doc_id long, text string, lang string, source string, n_chars long"
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            docs = read_documents_stream(spark, src, max_files_per_trigger=1)
+            t0 = time.perf_counter()
+            q = run_dedup_ingest_sink(
+                docs, f"{tmp}/store", f"{tmp}/corpus", f"{tmp}/ckpt"
+            )
+            q.awaitTermination(600)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        return {
+            "docs_per_batch": docs_per_batch,
+            "per_batch_sec": per_batch,
+            "docs_per_sec": round(docs_per_batch / (sum(per_batch) / n_batches)),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="pitlapetl_streaming_probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    print("scoped upsert sink (each batch its own partition; table grows):")
+    for rows in (1_000, 10_000, 100_000):
+        print("  ", probe_scoped_upsert(spark, rows, n_batches=4))
+    print("dedup ingest sink (store grows per batch):")
+    for docs in (100, 500):
+        print("  ", probe_dedup_ingest(spark, docs, n_batches=4))
+
+
+if __name__ == "__main__":
+    main()
