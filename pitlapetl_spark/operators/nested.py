@@ -274,3 +274,38 @@ def json_deep_path_standings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("standings").alias("s"))
         .select("s.entity_id", "s.points", "s.position")
     )
+
+
+# ------------------------------------------------------------- VARIANT
+
+
+@query(
+    "json_variant_get",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.missing') AS INT) AS missing_field,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def json_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT type (Spark 4, §2.11's open-schema tier):
+    ``parse_json`` ingests the raw JSON string into the binary
+    VARIANT encoding ONCE, then ``variant_get`` path lookups are
+    O(field) against the encoded form — by contrast,
+    ``get_json_object`` (json_get_path) re-parses the whole string
+    per extraction. ``try_variant_get`` on an absent path yields null
+    instead of erroring — the schema-drift posture an evolving event
+    stream needs. At 100 TB: parse once at the bronze->silver hop,
+    store the VARIANT column, and every downstream extraction skips
+    string parsing entirely."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v = events.select("event_id", F.parse_json(F.col("props")).alias("v"))
+    return v.select(
+        "event_id",
+        F.variant_get(F.col("v"), "$.k", "int").alias("k"),
+        F.try_variant_get(F.col("v"), "$.missing", "int").alias("missing_field"),
+        (F.variant_get(F.col("v"), "$.k", "int") % 10).alias("k_mod"),
+    )

@@ -225,3 +225,77 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL chunk_spans(d.n_chars) AS c
         """
     )
+
+
+# ----------------------------------------------------------- mapInArrow
+
+
+@query(
+    "map_in_arrow_revenue",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 2) AS net_revenue,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)
+               AS charged
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def map_in_arrow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the zero-copy tier of the Python UDF surface
+    (§2.13): the batch arrives as a ``pyarrow.RecordBatch`` and the
+    transform runs in Arrow compute kernels, no pandas conversion on
+    either side (the pandas bridge's object-dtype and copy overheads
+    are skipped entirely). Same net-revenue arithmetic as the
+    warehouse queries, so the DuckDB oracle replays it exactly.
+
+    Placement rule (same as every Python op here): the built-in
+    expression form of this projection is strictly faster — register
+    the op to prove the API tier, and reach for mapInArrow in real
+    pipelines only when the per-batch logic needs a Python library
+    that speaks Arrow (vector/tensor kernels, tokenizers) —
+    multimodal.py's decode plumbing is the genuine use case."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rev(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            net = pc.multiply(
+                t.column("l_extendedprice").combine_chunks(),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount").combine_chunks()),
+            )
+            charged = pc.multiply(
+                net, pc.add(pa.scalar(1.0), t.column("l_tax").combine_chunks())
+            )
+            out = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    # declared output schema says int64; the parquet
+                    # stores int32 — cast explicitly, Arrow won't
+                    "l_linenumber": pc.cast(
+                        t.column("l_linenumber").combine_chunks(), pa.int64()
+                    ),
+                    # Arrow's default round is half-to-even; Spark
+                    # and DuckDB round half away from zero — pin it
+                    "net_revenue": pc.round(
+                        net, 2, round_mode="half_towards_infinity"
+                    ),
+                    "charged": pc.round(
+                        charged, 2, round_mode="half_towards_infinity"
+                    ),
+                }
+            )
+            yield from out.to_batches()
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+        )
+    )
+    return src.mapInArrow(
+        rev,
+        "l_orderkey long, l_linenumber long, net_revenue double, charged double",
+    )

@@ -63,6 +63,7 @@ _MODULES = (
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
+    "pitlapetl_spark.sources.paged_api",
 )
 
 _loaded = False
@@ -84,6 +85,9 @@ _loaded = False
 # evidence should predate round 2, and round 6 rotates the r2 cohort.
 _PRIORITY: tuple[str, ...] = (
     # (a) new in round 5 — zero driver evidence by construction
+    "source_python_datasource",
+    "map_in_arrow_revenue",
+    "json_variant_get",
     "pipeline_pretrain_to_shards",
     "dedup_bloom_prefilter",
     "sample_reservoir_per_group",
