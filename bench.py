@@ -101,6 +101,14 @@ HEADLINE = (
     # weighting — the two new LLM-pipeline heavyweights
     "sim_topk_ivf_nprobe",
     "dsir_importance_weights",
+    # round 5: the composed crawl->shards pipeline (gate + shard +
+    # pack in ONE plan — the nightly job a real corpus runs), the
+    # Bloom-prefilter incremental exact dedup, and the two new
+    # text-family ops (RAG chunker, BPE pair statistics)
+    "pipeline_pretrain_to_shards",
+    "dedup_bloom_prefilter",
+    "text_chunk_sliding_tokens",
+    "text_bpe_pair_stats",
 )
 
 

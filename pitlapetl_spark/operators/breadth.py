@@ -502,6 +502,7 @@ _U_DENOM = 16**15  # 15 hex digits -> 2^60
                        || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
                      / {_U_DENOM}.0) / value, 9) AS priority
         FROM events
+        WHERE value > 0
     )
     SELECT event_type, event_id, value, priority,
            CAST(rn AS BIGINT) AS rn
@@ -543,7 +544,11 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         + 1
     ) / F.lit(float(_U_DENOM))
-    pr = events.select(
+    # A-Res requires w > 0: a zero/negative-weight row has zero
+    # selection probability by definition (and ln(u)/0 is a
+    # divide-by-zero under ANSI mode — hit by a real 0.0 at sf0.1),
+    # so exclude it up front on BOTH engines
+    pr = events.filter(F.col("value") > 0).select(
         "event_type",
         "event_id",
         "value",
