@@ -206,3 +206,113 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="last_click_id",
         tolerance=ASOF_TOLERANCE,
     ).select("event_id", "user_id", "last_click_id", "last_click_value")
+
+
+# ------------------------------------------------------ nearest as-of
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+        SELECT p.event_id, p.user_id,
+               c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC NULLS LAST,
+                            (c.ts <= p.ts) DESC,
+                            c.event_id DESC) AS rn
+        FROM p LEFT JOIN c ON c.user_id = p.user_id
+    )
+    SELECT event_id, user_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM m WHERE rn = 1
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (pandas ``merge_asof(direction="nearest")``):
+    for each purchase, the same user's click CLOSEST in time in
+    EITHER direction — backward preferred on exact gap ties, highest
+    click id on exact time ties (matching the backward as-of's
+    tie-break).
+
+    One-shuffle plan, same union device as ``asof_join`` but with TWO
+    window passes over the one sorted layout: ``last(payload)`` over
+    the backward frame and ``first(payload)`` over the forward frame
+    share the partitioning exchange (the second pass re-sorts within
+    partitions, no second shuffle), then a narrow conditional picks
+    the closer side. The oracle replays it as the per-user pairwise
+    join + rank — O(purchases x clicks) per user, fine for an oracle,
+    exactly what the engine plan avoids."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    payload = F.struct(
+        F.col("click_id"), F.unix_micros(F.col("ts")).alias("cus")
+    ).alias("__pay")
+    right = c.select(
+        F.col("user_id").alias("__k"),
+        F.unix_micros(F.col("ts")).alias("__t"),
+        F.lit(1).alias("__r"),
+        payload,
+    )
+    left = p.select(
+        F.col("user_id").alias("__k"),
+        F.unix_micros(F.col("ts")).alias("__t"),
+        F.lit(0).alias("__r"),
+        F.lit(None).cast(right.schema["__pay"].dataType).alias("__pay"),
+        "event_id",
+        "user_id",
+    )
+    u = left.unionByName(
+        right.select(
+            "__k", "__t", "__r", "__pay",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("user_id"),
+        )
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(
+            F.col("__t").asc(), F.col("__r").desc(),
+            F.col("__pay.click_id").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(
+            F.col("__t").asc(), F.col("__r").asc(),
+            F.col("__pay.click_id").desc_nulls_last(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = (
+        u.withColumn("__b", F.last("__pay", ignorenulls=True).over(wb))
+        .withColumn("__f", F.first("__pay", ignorenulls=True).over(wf))
+        .filter(F.col("__r") == 0)
+    )
+    gb = F.col("__t") - F.col("__b.cus")  # >= 0 (click at/before purchase)
+    gf = F.col("__t") - F.col("__f.cus")  # <= 0 (click after purchase)
+    pick_back = F.col("__f").isNull() | (
+        F.col("__b").isNotNull() & (gb <= -gf)  # tie -> backward
+    )
+    chosen = F.when(pick_back, F.col("__b")).otherwise(F.col("__f"))
+    return m.select(
+        "event_id",
+        "user_id",
+        chosen.getField("click_id").alias("click_id"),
+        (F.col("__t") - chosen.getField("cus")).alias("gap_us"),
+    )

@@ -572,3 +572,81 @@ def anomaly_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_rate"),
         )
     )
+
+
+# -------------------------------------------- closed-form linear fit
+
+
+@query(
+    "ml_linear_fit_closed_form",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        FROM lineitem GROUP BY 1
+    ),
+    d AS (
+        SELECT l_returnflag, n,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+               CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round(num / denx, 6) AS slope,
+           round((syd - num / denx * sxd) / n, 6) AS intercept,
+           round(num * num / (denx * deny), 6) AS r2
+    FROM d
+    """,
+)
+def ml_linear_fit_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression by the closed-form normal
+    equations: ONE aggregate pass collecting the five moment sums,
+    then slope/intercept/r² as scalar arithmetic — no gradient loop,
+    no ML library, no second scan. Price-vs-quantity per returnflag
+    here; the shape is the per-segment trend fit every metrics
+    pipeline runs.
+
+    Determinism contract (the pagerank device): the moment sums
+    accumulate in EXACT DECIMAL (inputs have 2 decimal places, so
+    decimal(18,2) products are exact and their sums
+    order-independent) — double accumulation would differ by ulps
+    between engines at 10^11-scale sums and flip round(6). The exact
+    decimals are cast to double only for the final three divisions,
+    identical IEEE ops on identical inputs. 100-TB shape: one
+    map-side-combinable aggregate on the group key; moments are
+    mergeable, so this fits incremental/MV maintenance too
+    (incremental.py's pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / denx, 6).alias("slope"),
+        F.round((syd - num / denx * sxd) / F.col("n"), 6).alias("intercept"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )

@@ -665,3 +665,41 @@ def window_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.y").alias("ewma"),
         )
     )
+
+
+# ----------------------------------------------------------- debounce
+
+DEBOUNCE_US = 60_000_000  # 60 s: a repeat within this window is noise
+
+
+@query(
+    "window_debounce_events",
+    oracle=f"""
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS BIGINT) AS gap_us,
+           COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) >= {DEBOUNCE_US}, TRUE) AS kept
+    FROM events
+    """,
+)
+def window_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup: a repeat of the same (user, event_type) within
+    DEBOUNCE_US of the previous occurrence is flagged as noise
+    (double-click, retry storm, duplicate webhook) — the classic
+    event-stream hygiene filter. First occurrence per key is always
+    kept. One lag window on the (user, type) key — uniform, one
+    shuffle; the streaming twin is a keyed state holding one
+    timestamp per (user, type), same decision rule."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        gap.cast("long").alias("gap_us"),
+        F.coalesce(gap >= DEBOUNCE_US, F.lit(True)).alias("kept"),
+    )

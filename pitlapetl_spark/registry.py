@@ -96,6 +96,9 @@ _PRIORITY: tuple[str, ...] = (
     "curriculum_quality_order",
     "anomaly_iqr_outliers",
     "text_bpe_pair_stats",
+    "asof_join_nearest",
+    "window_debounce_events",
+    "ml_linear_fit_closed_form",
     # (b) the r1-evidence cohort: only driver row is round 1 (two data
     # regenerations ago). Local parity covers them on current data, but
     # driver evidence is the hard signal — re-prove all 40.
