@@ -627,3 +627,121 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_cnt"), "pair")
         .limit(BPE_TOP_PAIRS)
     )
+
+
+# --------------------------------------------- PMI word association
+
+# Pointwise mutual information over a skip-2 co-occurrence window:
+# the corpus-linguistics association miner (collocations, multi-word
+# expressions) — high-PMI pairs co-occur far above chance. Ordered
+# pairs, window j in {1, 2}; rare pairs (c_xy < PMI_MIN_PAIR) are
+# floored out before ranking, the standard PMI noise guard.
+PMI_WINDOW = 2
+PMI_MIN_PAIR = 5
+PMI_TOP = 30
+
+
+@query(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, count(*) AS cx FROM (SELECT unnest(toks) AS w FROM t)
+        GROUP BY 1
+    ),
+    n AS (SELECT sum(cx) AS n_tok FROM uni),
+    pairs AS (
+        SELECT x, y, count(*) AS cxy FROM (
+            SELECT unnest(list_concat(
+                CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)),
+                                   i -> {{'x': toks[i], 'y': toks[i + 1]}})
+                ELSE [] END,
+                CASE WHEN len(toks) >= 3 THEN
+                    list_transform(range(1, len(toks) - 1),
+                                   i -> {{'x': toks[i], 'y': toks[i + 2]}})
+                ELSE [] END), recursive := true)
+            FROM t
+        )
+        GROUP BY 1, 2
+    ),
+    p AS (SELECT sum(cxy) AS n_pair FROM pairs)
+    SELECT x, y,
+           CAST(cxy AS BIGINT) AS cxy,
+           round(ln((cxy * n_tok * n_tok) * 1.0 / (n_pair * ux.cx * uy.cx)), 6)
+               AS pmi
+    FROM pairs
+    JOIN uni ux ON ux.w = pairs.x
+    JOIN uni uy ON uy.w = pairs.y
+    CROSS JOIN n CROSS JOIN p
+    WHERE cxy >= {PMI_MIN_PAIR}
+    ORDER BY pmi DESC, x, y
+    LIMIT {PMI_TOP}
+    """,
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: ordered word
+    pairs within a skip-{PMI_WINDOW} window, PMI =
+    ln(P(x,y) / (P(x)P(y))) computed from exact integer counts (the
+    log argument is an exact-integer ratio, so both engines take ln
+    of identical doubles).
+
+    100-TB shape: pair extraction is a doc-local array transform +
+    one explode (no self-join on positions); the pair aggregate keys
+    on the uniform (x, y) pair; unigram counts are a vocabulary-sized
+    relation joined back on each side (broadcast here; at web scale
+    an equi-join on the word key — same plan as TF-IDF's DF join).
+    The corpus totals are one-row broadcasts. The PMI_MIN_PAIR floor
+    caps the ranked space the way every collocation miner does."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tokens(F.col("text")).alias("toks"))
+    pair_expr = """
+        concat(
+          CASE WHEN size(toks) >= 2 THEN
+            transform(sequence(0, size(toks) - 2),
+                      i -> struct(toks[i] AS x, toks[i + 1] AS y))
+          ELSE array() END,
+          CASE WHEN size(toks) >= 3 THEN
+            transform(sequence(0, size(toks) - 3),
+                      i -> struct(toks[i] AS x, toks[i + 2] AS y))
+          ELSE array() END)
+    """
+    pairs = (
+        t.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cx"))
+    )
+    n_tok = uni.agg(F.sum("cx").alias("n_tok"))
+    n_pair = pairs.agg(F.sum("cxy").alias("n_pair"))
+    ux = uni.select(F.col("w").alias("x"), F.col("cx").alias("ux"))
+    uy = uni.select(F.col("w").alias("y"), F.col("cx").alias("uy"))
+    scored = (
+        pairs.filter(F.col("cxy") >= PMI_MIN_PAIR)
+        .join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "x",
+            "y",
+            "cxy",
+            F.round(
+                F.log(
+                    (F.col("cxy") * F.col("n_tok") * F.col("n_tok"))
+                    / (F.col("n_pair") * F.col("ux") * F.col("uy"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "x", "y").limit(PMI_TOP)

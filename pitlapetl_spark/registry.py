@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "asof_join_nearest",
     "window_debounce_events",
     "ml_linear_fit_closed_form",
+    "text_pmi_cooccurrence",
     # (b) the r1-evidence cohort: only driver row is round 1 (two data
     # regenerations ago). Local parity covers them on current data, but
     # driver evidence is the hard signal — re-prove all 40.

@@ -617,3 +617,69 @@ def cdc_store_state(spark: SparkSession, store_path: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.round("value", 6).alias("last_value"),
     )
+
+
+# ------------------------------------------------- debounce stream
+
+DEBOUNCE_OUT_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, "
+    "gap_us BIGINT, kept BOOLEAN"
+)
+DEBOUNCE_STATE_SCHEMA = "last_us BIGINT"
+
+
+def debounce_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
+    """Streaming twin of the batch ``window_debounce_events``
+    operator: per (user, event_type) the state store holds ONE
+    timestamp — the key's latest seen event — and each arriving event
+    is flagged noise when it lands within DEBOUNCE_US of it. The
+    within-batch recurrence is vectorized (a shifted diff over the
+    Arrow batch sorted by (ts, event_id)); only the single carry-in
+    value crosses batches. State is O(1) per live key, bounded by the
+    watermark.
+
+    In-order contract (the standard one for this operator): events
+    for a key must arrive in event-time order across micro-batches —
+    the same assumption the batch twin encodes by sorting. Out-of-
+    order arrivals within a batch are handled by the sort; across
+    batches they would need a watermark-deep buffer, which is the
+    documented trade for O(1) state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.windows import DEBOUNCE_US
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        us = rows["ts"].astype("int64") // 1000  # ns -> us
+        prev = us.shift(1)
+        if last is not None:
+            prev.iloc[0] = last
+        gap = (us - prev).astype("Int64")
+        kept = gap.isna() | (gap >= DEBOUNCE_US)
+        state.update((int(us.iloc[-1]),))
+        yield pd.DataFrame(
+            {
+                "event_id": rows["event_id"].values,
+                "user_id": [key[0]] * len(rows),
+                "event_type": [key[1]] * len(rows),
+                "gap_us": gap.values,
+                "kept": kept.values,
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            update,
+            DEBOUNCE_OUT_SCHEMA,
+            DEBOUNCE_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

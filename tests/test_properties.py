@@ -4,6 +4,7 @@ models. Examples are kept small: each case builds real DataFrames."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -462,3 +463,88 @@ def test_partition_scoped_delete_equals_filter(table, delete_pairs):
         assert got == want
     finally:
         _shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n_tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=8)
+)
+def test_chunker_tiles_any_document_length(n_tokens):
+    """Sliding chunker model on arbitrary token counts: chunk starts
+    at every stride multiple below n, each chunk min(CHUNK, n-start)
+    long, full [0, n) coverage, fixed interior overlap."""
+    spark = _get_spark()
+    import math
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark import registry
+    from pitlapetl_spark.operators.text import CHUNK_STRIDE, CHUNK_TOKENS
+
+    registry.load_all()
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_chunkprop_")
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)), "en", "prop", n)
+        for i, n in enumerate(n_tokens)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = registry.QUERIES["text_chunk_sliding_tokens"](spark, tmp).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_tokens):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert len(chunks) == math.ceil(n / CHUNK_STRIDE)
+        for k, c in enumerate(chunks):
+            assert c.start_tok == k * CHUNK_STRIDE
+            assert c.chunk_len == min(CHUNK_TOKENS, n - c.start_tok)
+        assert chunks[-1].start_tok + chunks[-1].chunk_len == n
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=50, allow_nan=False),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_linear_fit_matches_numpy_lstsq(pts):
+    """Closed-form fit model: slope/intercept equal numpy's
+    least-squares on the same points (within rounding), whenever x
+    has variance."""
+    spark = _get_spark()
+    import tempfile
+
+    import numpy as np
+
+    from pitlapetl_spark import registry
+
+    registry.load_all()
+    xs = np.array([round(p[0], 2) for p in pts])
+    ys = np.array([round(p[1], 2) for p in pts])
+    if np.var(xs) < 1e-6:
+        return  # degenerate: denominator ~ 0, fit undefined
+    tmp = tempfile.mkdtemp(prefix="pitlap_fitprop_")
+    rows = [
+        (i, 1, 1, i, float(x), float(y), 0.0, 0.0, "N", "O", None)
+        for i, (x, y) in enumerate(zip(xs, ys))
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    row = registry.QUERIES["ml_linear_fit_closed_form"](spark, tmp).collect()[0]
+    slope_np, icept_np = np.polyfit(xs, ys, 1)
+    assert row.slope == pytest.approx(slope_np, abs=1e-4)
+    assert row.intercept == pytest.approx(icept_np, abs=1e-4)

@@ -692,3 +692,44 @@ def test_scoped_upsert_sink_touches_only_batch_partitions(spark):
         assert again == got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_debounce_stream_matches_batch_across_batches(spark, tmp_path):
+    """The stateful streaming debounce must equal the batch
+    window_debounce_events over the same events — including gaps that
+    SPAN micro-batches (the carry-in timestamp is the state). Events
+    are staged as three event-time-ordered files -> three batches."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    from pitlapetl_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")  # ts as TIMESTAMP (UTC)
+    # three ts-range slices, written in order (the operator's in-order
+    # arrival contract)
+    q1, q2 = (
+        ev.select(F.unix_micros("ts").alias("us"))
+        .approxQuantile("us", [0.33, 0.66], 0.0)
+    )
+    us = F.unix_micros(F.col("ts"))
+    slices = [
+        ev.filter(us <= q1),
+        ev.filter((us > q1) & (us <= q2)),
+        ev.filter(us > q2),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = runtime.run_to_memory(
+        runtime.debounce_stream(stream), "t_debounce", output_mode="update"
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_debounce")
+    want = registry.QUERIES["window_debounce_events"](spark, SF_SMOKE)
+    cols = ["event_id", "user_id", "event_type", "gap_us", "kept"]
+    assert _rows(got, *cols) == _rows(want, *cols)
