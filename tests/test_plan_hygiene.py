@@ -594,3 +594,41 @@ def test_rfm_buckets_without_global_window(spark):
     assert "Window" not in plan
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- round-5 plan pins
+
+
+def test_asof_nearest_is_single_exchange(spark):
+    """The nearest as-of's whole point: backward last() + forward
+    first() share ONE partitioning exchange — a second shuffle would
+    mean the dual-window trick regressed to two sorted joins."""
+    plan = _plan(Q["asof_join_nearest"](spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_chunker_has_no_exchange(spark):
+    """Sliding-window chunking is a narrow map + explode: ANY
+    exchange in this plan means the doc-local array formulation
+    regressed to a shuffle (e.g. someone reintroduced a per-position
+    window)."""
+    plan = _plan(Q["text_chunk_sliding_tokens"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_pipeline_to_shards_exactly_two_exchanges(spark):
+    """The composed crawl->shards plan carries exactly TWO shuffles —
+    the fingerprint window and the shard window. A third exchange
+    means a stage boundary stopped fusing (e.g. the gate started
+    materializing between stages)."""
+    plan = _plan(Q["pipeline_pretrain_to_shards"](spark, SF_SMOKE))
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_linear_fit_is_one_aggregate_pass(spark):
+    """Closed-form fit must stay a single partial+final aggregate on
+    the group key: one exchange, no join, no second scan of
+    lineitem."""
+    plan = _plan(Q["ml_linear_fit_closed_form"](spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
