@@ -76,13 +76,19 @@ _loaded = False
 #
 # Round-5 policy (VERDICT.md r4 "Next round" item 1): after round 4,
 # every one of the 181 registered queries has at least one green driver
-# row, so the 50 slots go to EVIDENCE CURRENCY — (a) queries NEW in
-# round 5 (zero driver evidence by construction), then (b) the 40
-# queries whose only driver row is round 1, two data generations old
-# (the filter/projection/scalar/json/setop/window core), oldest-cohort
-# first, then (c) the oldest r2-evidence queries to fill the window.
-# The policy ledger: after this round lands, no query's latest driver
-# evidence should predate round 2, and round 6 rotates the r2 cohort.
+# row, so the 50 slots go to EVIDENCE CURRENCY — (a) the 15 queries
+# NEW in round 5 (zero driver evidence by construction; never-verified
+# is a strictly worse state than stale-verified, so they outrank the
+# re-prove cohort, the same call the r4 ledger made), then (b) the 40
+# queries whose only driver row is round 1 (the filter/projection/
+# scalar/json/setop/window core), then (c) the oldest r2-evidence
+# queries. Arithmetic: 15 + 40 = 55 > the driver's observed 50-slot
+# budget, so the LAST 5 of cohort (b) — the five r1-era window_*
+# queries, whose family has fresher r3-green relatives
+# (window_forward_fill/range_frame/ntile etc.) — spill to positions
+# 51-55 and lead round 6's rotation together with the r2 cohort.
+# The policy ledger: after this round lands no query is never-verified,
+# ≤5 queries carry r1-era evidence, and round 6 clears those plus r2.
 _PRIORITY: tuple[str, ...] = (
     # (a) new in round 5 — zero driver evidence by construction
     "source_python_datasource",
