@@ -12,7 +12,7 @@ pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -745,3 +745,73 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "x", "y").limit(PMI_TOP)
+
+
+# ------------------------------------- composed RAG chunk-dedup plan
+
+CHUNK_MIN_TOKENS = 16  # tail fragments below this are not index-worthy
+
+
+@query(
+    "pipeline_rag_chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start_tok,
+               toks
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(start_tok / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+               CAST(least({CHUNK_TOKENS}, len(toks) - start_tok) AS INT)
+                   AS chunk_len,
+               md5(array_to_string(
+                   toks[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' '))
+                   AS chunk_fp
+        FROM c
+        WHERE least({CHUNK_TOKENS}, len(toks) - start_tok) >= {CHUNK_MIN_TOKENS}
+    )
+    SELECT doc_id, chunk_idx, chunk_fp,
+           CAST(count(*) OVER (PARTITION BY chunk_fp) AS BIGINT) AS n_copies,
+           row_number() OVER (
+               PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx) = 1
+               AS is_canonical
+    FROM f
+    """,
+)
+def pipeline_rag_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-ingestion pipeline composed in ONE plan: sliding-window
+    chunking (reusing the registered chunker's frame — composition of
+    query fns, not copy-paste), a minimum-length gate on tail
+    fragments, and CHUNK-level exact dedup (first occurrence by
+    (doc_id, chunk_idx) is canonical; n_copies rides along for
+    corpus-health reporting). A retrieval index built from the
+    ``is_canonical`` rows never embeds the same passage twice — the
+    chunk-granular twin of ``dedup_exact``, catching duplicated
+    passages that document-level dedup cannot see (the corpus has
+    real ones: shared boilerplate-aligned windows).
+
+    100-TB shape: the chunker contributes ZERO shuffles (plan-pinned
+    in test_plan_hygiene); this composition adds exactly ONE — the
+    window on the uniform 128-bit chunk fingerprint. Gate before
+    shuffle: the length filter runs in the narrow stage, so fragment
+    rows never enter the exchange."""
+    chunks = text_chunk_sliding_tokens(spark, sf_dir).filter(
+        F.col("chunk_len") >= CHUNK_MIN_TOKENS
+    )
+    w = Window.partitionBy("chunk_fp")
+    wo = w.orderBy("doc_id", "chunk_idx")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_fp",
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        (F.row_number().over(wo) == 1).alias("is_canonical"),
+    )

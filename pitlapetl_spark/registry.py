@@ -76,19 +76,20 @@ _loaded = False
 #
 # Round-5 policy (VERDICT.md r4 "Next round" item 1): after round 4,
 # every one of the 181 registered queries has at least one green driver
-# row, so the 50 slots go to EVIDENCE CURRENCY — (a) the 15 queries
+# row, so the 50 slots go to EVIDENCE CURRENCY — (a) the 16 queries
 # NEW in round 5 (zero driver evidence by construction; never-verified
 # is a strictly worse state than stale-verified, so they outrank the
 # re-prove cohort, the same call the r4 ledger made), then (b) the 40
 # queries whose only driver row is round 1 (the filter/projection/
 # scalar/json/setop/window core), then (c) the oldest r2-evidence
-# queries. Arithmetic: 15 + 40 = 55 > the driver's observed 50-slot
-# budget, so the LAST 5 of cohort (b) — the five r1-era window_*
-# queries, whose family has fresher r3-green relatives
-# (window_forward_fill/range_frame/ntile etc.) — spill to positions
-# 51-55 and lead round 6's rotation together with the r2 cohort.
+# queries. Arithmetic: 16 + 40 = 56 > the driver's observed 50-slot
+# budget, so the LAST 6 of cohort (b) — topk_global and the five
+# r1-era window_* queries, whose families have fresher r3-green
+# relatives (window_forward_fill/range_frame/ntile, the two-stage
+# rank) — spill to positions 51-56 and lead round 6's rotation
+# together with the r2 cohort.
 # The policy ledger: after this round lands no query is never-verified,
-# ≤5 queries carry r1-era evidence, and round 6 clears those plus r2.
+# ≤6 queries carry r1-era evidence, and round 6 clears those plus r2.
 _PRIORITY: tuple[str, ...] = (
     # (a) new in round 5 — zero driver evidence by construction
     "source_python_datasource",
@@ -106,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_debounce_events",
     "ml_linear_fit_closed_form",
     "text_pmi_cooccurrence",
+    "pipeline_rag_chunk_dedup",
     # (b) the r1-evidence cohort: only driver row is round 1 (two data
     # regenerations ago). Local parity covers them on current data, but
     # driver evidence is the hard signal — re-prove all 40.
@@ -149,9 +151,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_total",
     "window_standings_rank",
     "window_topk_per_group",
-    # (c) oldest r2-evidence queries fill the remaining slots (8 new +
-    # 40 r1 = 48 head entries; these start at position 49). Round 6
-    # continues down this list.
+    # (c) oldest r2-evidence queries (positions 57+ — outside this
+    # round's window; round 6 continues down this list).
     "job_race_results",
     "job_qualifying_results",
     "job_practice_laps",

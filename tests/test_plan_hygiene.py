@@ -632,3 +632,11 @@ def test_linear_fit_is_one_aggregate_pass(spark):
     plan = _plan(Q["ml_linear_fit_closed_form"](spark, SF_SMOKE))
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_rag_chunk_dedup_single_exchange(spark):
+    """Chunker (zero shuffles) + fp window (one) composed: the whole
+    RAG ingestion plan carries exactly ONE exchange, and the
+    fragment-length gate runs BEFORE it (no fragment rows shuffle)."""
+    plan = _plan(Q["pipeline_rag_chunk_dedup"](spark, SF_SMOKE))
+    assert plan.count("Exchange") == 1, plan
