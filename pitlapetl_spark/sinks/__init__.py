@@ -114,10 +114,51 @@ def _writer_lock(path: str):
                     f"(lease {lock!r}) — every sink here is single-writer; "
                     f"serialize the writes or use a table format"
                 ) from None
-            # dead owner: steal the lease (another stealer may race us
-            # to the unlink+create; the loop retries, O_EXCL decides)
+            # Dead owner: steal the lease via RENAME-ASIDE, which is
+            # atomic — exactly ONE stealer's rename succeeds; a loser
+            # re-enters the loop and contends against the winner's
+            # fresh (live) lock. A bare unlink here would race: two
+            # stealers both reading the dead pid could have the second
+            # unlink DELETE the first's freshly-created live lock,
+            # putting two live writers on the table (review r5 #1).
+            aside = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(lock, aside)
+            except OSError:
+                continue  # lost the steal race — retry against the winner
+            # Confirm what we renamed really is the dead lease we read
+            # (it could have been replaced by a NEW live lock in the
+            # microseconds since): re-read the aside copy.
+            try:
+                with open(aside) as fh:
+                    owner2 = int(fh.read().split()[0])
+                owner2_alive = True
+                try:
+                    os.kill(owner2, 0)
+                except ProcessLookupError:
+                    owner2_alive = False
+                except PermissionError:
+                    owner2_alive = True
+            except (OSError, ValueError, IndexError):
+                owner2_alive = False  # unreadable aside: treat as dead
+            if owner2_alive:
+                # we renamed a LIVE writer's lock aside — restore it
+                try:
+                    os.rename(aside, lock)
+                except OSError:
+                    # a third writer recreated the lock meanwhile; the
+                    # aside file documents the pile-up — fail safe
+                    raise ConcurrentWriterError(
+                        f"lease contention on {lock!r} could not be "
+                        f"resolved safely (displaced live lease saved "
+                        f"at {aside!r}) — resolve manually"
+                    ) from None
+                raise ConcurrentWriterError(
+                    f"table {path!r} is being written by live pid "
+                    f"{owner2} (lease {lock!r})"
+                ) from None
             with contextlib.suppress(OSError):
-                os.unlink(lock)
+                os.unlink(aside)
     if fd is None:
         raise ConcurrentWriterError(
             f"could not acquire writer lease {lock!r} after contention"
@@ -297,27 +338,38 @@ def merge_upsert_partition_scoped(
         # clean on batch 1 and failing permanently from batch 2 — and
         # a mid-write crash left a partial table the next call treated
         # as a valid existing one. Stage, validate, single rename.
+        bootstrapped = False
         with _writer_lock(path):
-            stage = f"{path}__mergestage_{uuid.uuid4().hex[:8]}"
-            try:
-                updates.write.partitionBy(part_col).parquet(stage)
-                expected = {f"{part_col}={v}" for v in part_strs}
-                staged = {
-                    d for d in os.listdir(stage) if d.startswith(f"{part_col}=")
-                }
-                missing = expected - staged
-                if missing:
-                    raise ValueError(
-                        f"staged bootstrap write is missing partition dir(s) "
-                        f"{sorted(missing)} (staged: {sorted(staged)}): the "
-                        f"part_col value is escaped by the hive layout — "
-                        f"pre-sanitize partition values to filesystem-safe "
-                        f"scalars (docstring constraint)"
-                    )
-            except BaseException:
-                shutil.rmtree(stage, ignore_errors=True)
-                raise
-            os.rename(stage, path)
+            # re-check under the lease: another writer may have
+            # bootstrapped between the unlocked check and lock acquire
+            # (review r5 #2) — if so, fall through to the merge path
+            if not os.path.exists(path):
+                stage = f"{path}__mergestage_{uuid.uuid4().hex[:8]}"
+                try:
+                    updates.write.partitionBy(part_col).parquet(stage)
+                    expected = {f"{part_col}={v}" for v in part_strs}
+                    staged = {
+                        d for d in os.listdir(stage) if d.startswith(f"{part_col}=")
+                    }
+                    missing = expected - staged
+                    if missing:
+                        raise ValueError(
+                            f"staged bootstrap write is missing partition dir(s) "
+                            f"{sorted(missing)} (staged: {sorted(staged)}): the "
+                            f"part_col value is escaped by the hive layout — "
+                            f"pre-sanitize partition values to filesystem-safe "
+                            f"scalars (docstring constraint)"
+                        )
+                    # the rename lives INSIDE the cleanup scope: if it
+                    # fails, the stage must not survive as phantom
+                    # crash debris that wedges every later write
+                    # (review r5 #2)
+                    os.rename(stage, path)
+                except BaseException:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
+                bootstrapped = True
+        if bootstrapped:
             return vals
     # filter on the NATIVE partition column (directory pruning), then
     # realign column types to the updates schema — hive partition-type

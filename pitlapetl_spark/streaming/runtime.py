@@ -651,9 +651,13 @@ def debounce_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
-        rows = pd.concat(list(pdfs))
-        if len(rows) == 0:
+        # guard BEFORE concat: pd.concat([]) raises, and a timed-out
+        # key (if a GroupStateTimeout is ever enabled) fires with an
+        # empty iterator (review r5 #3)
+        dfs = [d for d in pdfs if len(d)]
+        if not dfs:
             return
+        rows = pd.concat(dfs)
         rows = rows.sort_values(["ts", "event_id"])
         us = rows["ts"].astype("int64") // 1000  # ns -> us
         prev = us.shift(1)

@@ -91,8 +91,7 @@ def test_chunker_covers_every_token_with_declared_overlap(spark):
     assert docs
     for chunks in docs.values():
         chunks.sort(key=lambda r: r.chunk_idx)
-        n = chunks[0].start_tok + 0  # recompute doc length from last chunk
-        last = chunks[-1]
+        last = chunks[-1]  # doc length recomputed from the last chunk
         n = last.start_tok + last.chunk_len
         for i, c in enumerate(chunks):
             assert c.start_tok == i * CHUNK_STRIDE

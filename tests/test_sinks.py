@@ -623,3 +623,32 @@ def test_delete_on_missing_table_raises(spark, tmp_path):
         delete_keys_partition_scoped(spark, missing, keys, ["k"], "day")
     empty = keys.filter("k < 0")
     assert delete_keys_partition_scoped(spark, missing, empty, ["k"], "day") == []
+
+
+def test_bootstrap_rename_failure_leaves_no_debris(spark, tmp_path, monkeypatch):
+    """Review r5 #2: if the bootstrap's final rename fails (e.g. a
+    racing writer created the table between check and rename), the
+    staged dir must be cleaned up — NOT left as phantom crash debris
+    that wedges every later write via StaleDebrisError."""
+    import glob
+    import os as _os
+
+    from pitlapetl_spark.sinks import merge_upsert_partition_scoped
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([("d1", 1, 1.0)], "day string, k int, v double")
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if "__mergestage_" in str(src) and str(dst) == path:
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated"):
+        merge_upsert_partition_scoped(base, path, ["k"], "day")
+    monkeypatch.undo()
+    assert glob.glob(f"{path}__mergestage_*") == []  # no debris
+    # and the table is writable afterwards
+    merge_upsert_partition_scoped(base, path, ["k"], "day")
+    assert spark.read.parquet(path).count() == 1
