@@ -687,3 +687,96 @@ def debounce_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------- streaming CMS sketch
+
+
+def run_cms_sink(
+    events: DataFrame, store_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming count-min sketch maintenance: every micro-batch
+    computes ITS OWN d x w cell counts (a bounded-size aggregate —
+    CMS_D x CMS_W rows regardless of batch size) and writes them to a
+    batch-scoped partition (``batch=<id>``, overwrite). The live
+    sketch is the cell-wise SUM over batch partitions — the
+    mergeability that makes CMS the streaming-native frequency
+    structure (operators/stats.py agg_heavy_hitters_cms is the batch
+    twin; ``read_cms_estimates`` below probes the merged sketch with
+    the identical hash family, so stream-maintained estimates are
+    bit-equal to a batch build over the same rows).
+
+    Exactly-once: additive state CANNOT be idempotently re-added, so
+    a replayed batch must not merge-add twice — the batch-scoped
+    overwrite makes replay rewrite the same partition to the same
+    bytes instead (the dedup-ingest sink's device, applied to the
+    additive-sketch case). Store size is O(batches x d x w) tiny
+    rows; compact by summing old partitions into one when batch
+    count grows."""
+    from ..operators.stats import CMS_D, _cms_bucket_spark
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        uid = F.col("user_id")
+        cells = (
+            batch_df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                _cms_bucket_spark(j, uid).alias("bucket"),
+                            )
+                            for j in range(CMS_D)
+                        ]
+                    )
+                ).alias("h")
+            )
+            .groupBy("h.j", "h.bucket")
+            .agg(F.count(F.lit(1)).alias("cell_cnt"))
+        )
+        cells.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_estimates(spark: SparkSession, store_path: str, keys: DataFrame) -> DataFrame:
+    """Probe the stream-maintained sketch: merge the batch partitions
+    cell-wise, then estimate every key in ``keys`` (a ``user_id``
+    column) as the min over its CMS_D cells — identical hash family
+    and arithmetic as the batch operator."""
+    from ..operators.stats import CMS_D, _cms_bucket_spark
+
+    merged = (
+        spark.read.parquet(store_path)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell_cnt").alias("cell_cnt"))
+    )
+    uid = F.col("user_id")
+    probes = keys.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_bucket_spark(j, uid).alias("bucket")
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "h.j", "h.bucket")
+    return (
+        probes.join(F.broadcast(merged), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell_cnt").cast("long").alias("cms_est"))
+    )

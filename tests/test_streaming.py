@@ -733,3 +733,52 @@ def test_debounce_stream_matches_batch_across_batches(spark, tmp_path):
     want = registry.QUERIES["window_debounce_events"](spark, SF_SMOKE)
     cols = ["event_id", "user_id", "event_type", "gap_us", "kept"]
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_cms_sink_matches_batch_sketch_and_replays_exactly_once(spark, tmp_path):
+    """The stream-maintained CMS (cell-wise mergeable batch
+    partitions) must give bit-equal estimates to the batch operator
+    over the same events — and a REPLAY must not double-add (the
+    additive-state exactly-once trap: overwrite-by-batch, not
+    merge-add)."""
+    import os
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import read_cms_estimates, run_cms_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev = load_table(spark, SF_SMOKE, "events")
+    # three files -> three micro-batches
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+
+    def run(ckpt):
+        q = run_cms_sink(stream, f"{tmp_path}/store", f"{tmp_path}/{ckpt}")
+        q.awaitTermination(180)
+
+    run("ckpt")
+    keys = ev.select("user_id").distinct()
+    got = {
+        r.user_id: r.cms_est
+        for r in read_cms_estimates(spark, f"{tmp_path}/store", keys).collect()
+    }
+    want = {
+        r.user_id: r.cms_est
+        for r in registry.QUERIES["agg_heavy_hitters_cms"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # full replay from a fresh checkpoint: overwrite, never double-add
+    run("ckpt2")
+    again = {
+        r.user_id: r.cms_est
+        for r in read_cms_estimates(spark, f"{tmp_path}/store", keys).collect()
+    }
+    assert again == want
