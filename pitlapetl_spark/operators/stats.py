@@ -407,6 +407,31 @@ def _cms_bucket_spark(j: int, key) -> F.Column:
     )
 
 
+def cms_hash_explode(df: DataFrame, key_col: str, *carry: str) -> DataFrame:
+    """The ONE definition of the CMS hash family's row layout: explode
+    ``df`` into (``*carry``, j, bucket) rows — CMS_D rows per input
+    row, bucket = hash_j(key). Shared by the batch sketch builder, the
+    batch probe side, the streaming sketch sink, and the streaming
+    probe (streaming/runtime.py), so the stream/batch bit-equality
+    contract is structural rather than four hand-kept copies (review
+    r5 round 2 #6)."""
+    key = F.col(key_col)
+    return df.select(
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_bucket_spark(j, key).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select(*carry, "h.j", "h.bucket")
+
+
 @query(
     "agg_heavy_hitters_cms",
     oracle=f"""
@@ -452,37 +477,10 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a full distinct — the distinct here exists to verify the
     sketch against exact truth."""
     events = load_table(spark, sf_dir, "events")
-    uid = F.col("user_id")
-    hashed = events.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_bucket_spark(j, uid).alias("bucket"),
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("h")
-    ).select("h.j", "h.bucket")
+    hashed = cms_hash_explode(events, "user_id")
     cells = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell_cnt"))
     exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    probes = exact.select(
-        "user_id",
-        "exact_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _cms_bucket_spark(j, uid).alias("bucket"),
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("h"),
-    ).select("user_id", "exact_cnt", "h.j", "h.bucket")
+    probes = cms_hash_explode(exact, "user_id", "user_id", "exact_cnt")
     est = (
         probes.join(F.broadcast(cells), ["j", "bucket"])
         .groupBy("user_id", "exact_cnt")

@@ -494,10 +494,11 @@ def featurize_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
-
-@query(
-    "text_chunk_sliding_tokens",
-    oracle=f"""
+# The sliding-chunk CTE prefix (documents -> per-chunk start/len/fp
+# ingredients), shared by the chunker oracle and the composed RAG
+# pipeline oracle so the two cannot drift (the GATE_ORACLE_CTES
+# anti-drift pattern, text_filters.py; review r5 round 2 #5).
+CHUNK_ORACLE_CTES = f"""
     WITH t AS (
         SELECT doc_id,
                string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
@@ -510,6 +511,13 @@ CHUNK_STRIDE = 48
                toks
         FROM t
     )
+"""
+
+
+@query(
+    "text_chunk_sliding_tokens",
+    oracle=CHUNK_ORACLE_CTES
+    + f"""
     SELECT doc_id,
            CAST(start_tok / {CHUNK_STRIDE} AS INT) AS chunk_idx,
            CAST(start_tok AS INT) AS start_tok,
@@ -754,19 +762,8 @@ CHUNK_MIN_TOKENS = 16  # tail fragments below this are not index-worthy
 
 @query(
     "pipeline_rag_chunk_dedup",
-    oracle=f"""
-    WITH t AS (
-        SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-                   AS toks
-        FROM documents
-    ),
-    c AS (
-        SELECT doc_id,
-               unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start_tok,
-               toks
-        FROM t
-    ),
+    oracle=CHUNK_ORACLE_CTES
+    + f""",
     f AS (
         SELECT doc_id,
                CAST(start_tok / {CHUNK_STRIDE} AS INT) AS chunk_idx,

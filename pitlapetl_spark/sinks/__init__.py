@@ -67,109 +67,54 @@ class StaleDebrisError(RuntimeError):
 
 @contextlib.contextmanager
 def _writer_lock(path: str):
-    """Best-effort single-writer lease for the table at ``path``:
-    a ``<path>__lock`` file created with O_EXCL, holding the owner's
-    pid. A second concurrent writer raises ``ConcurrentWriterError``
-    instead of silently interleaving renames (previously a documented
-    assumption only). If the recorded owner pid is dead — a writer
-    crashed holding the lease — the lock is stolen, so a crash never
-    wedges the table permanently. Local-filesystem scope, like every
-    sink in this module: on a real cluster / object store the
-    equivalent contract comes from a table format's commit protocol or
-    an external lock service (module docstring trade-off)."""
+    """Single-writer lease for the table at ``path`` via
+    ``fcntl.flock`` on a persistent ``<path>__lock`` file. flock is
+    the right primitive here (review r5 round 2): acquisition is
+    ATOMIC, a second live writer's non-blocking attempt fails
+    immediately (-> ``ConcurrentWriterError``), and the kernel
+    releases the lock when the holder dies — crash, SIGKILL, anything
+    — so there is no dead-owner detection, no pid bookkeeping, and no
+    steal protocol at all. (Two earlier hand-rolled designs — O_EXCL
+    pid files with unlink-steal, then rename-aside steal — each had
+    an unfixable read-check-replace race in the steal path; flock
+    deletes the steal path.) The lock file persists between writes
+    (unlink-on-release would reintroduce a race between flock-ing an
+    unlinked inode and a fresh create) and carries the owner pid as
+    advisory metadata for error messages only. Local-filesystem
+    scope, like every sink in this module: on a real cluster / object
+    store the equivalent contract comes from a table format's commit
+    protocol or an external lock service (module docstring
+    trade-off); NFS flock semantics vary — another reason prod uses a
+    table format."""
+    import fcntl
+
     lock = f"{path}__lock"
     parent = os.path.dirname(os.path.abspath(path))
     if parent:
         os.makedirs(parent, exist_ok=True)  # first-ever write: the
         # warehouse dir may not exist yet; the lease must live where
         # the table will
-    fd = None
-    for _attempt in range(3):
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
             try:
                 with open(lock) as fh:
-                    owner = int(fh.read().split()[0])
-            except (OSError, ValueError, IndexError):
-                # unreadable/empty lock: the owner crashed in the
-                # microseconds between open and write, or the file is
-                # corrupt — conservatively treat as held
-                raise ConcurrentWriterError(
-                    f"table {path!r} is locked by {lock!r} and the owner "
-                    f"pid is unreadable — resolve manually (delete the "
-                    f"lock if no writer is running)"
-                ) from None
-            alive = True
-            try:
-                os.kill(owner, 0)
-            except ProcessLookupError:
-                alive = False
-            except PermissionError:
-                alive = True  # exists, owned by someone else
-            if alive:
-                raise ConcurrentWriterError(
-                    f"table {path!r} is being written by live pid {owner} "
-                    f"(lease {lock!r}) — every sink here is single-writer; "
-                    f"serialize the writes or use a table format"
-                ) from None
-            # Dead owner: steal the lease via RENAME-ASIDE, which is
-            # atomic — exactly ONE stealer's rename succeeds; a loser
-            # re-enters the loop and contends against the winner's
-            # fresh (live) lock. A bare unlink here would race: two
-            # stealers both reading the dead pid could have the second
-            # unlink DELETE the first's freshly-created live lock,
-            # putting two live writers on the table (review r5 #1).
-            aside = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
-            try:
-                os.rename(lock, aside)
-            except OSError:
-                continue  # lost the steal race — retry against the winner
-            # Confirm what we renamed really is the dead lease we read
-            # (it could have been replaced by a NEW live lock in the
-            # microseconds since): re-read the aside copy.
-            try:
-                with open(aside) as fh:
-                    owner2 = int(fh.read().split()[0])
-                owner2_alive = True
-                try:
-                    os.kill(owner2, 0)
-                except ProcessLookupError:
-                    owner2_alive = False
-                except PermissionError:
-                    owner2_alive = True
-            except (OSError, ValueError, IndexError):
-                owner2_alive = False  # unreadable aside: treat as dead
-            if owner2_alive:
-                # we renamed a LIVE writer's lock aside — restore it
-                try:
-                    os.rename(aside, lock)
-                except OSError:
-                    # a third writer recreated the lock meanwhile; the
-                    # aside file documents the pile-up — fail safe
-                    raise ConcurrentWriterError(
-                        f"lease contention on {lock!r} could not be "
-                        f"resolved safely (displaced live lease saved "
-                        f"at {aside!r}) — resolve manually"
-                    ) from None
-                raise ConcurrentWriterError(
-                    f"table {path!r} is being written by live pid "
-                    f"{owner2} (lease {lock!r})"
-                ) from None
-            with contextlib.suppress(OSError):
-                os.unlink(aside)
-    if fd is None:
-        raise ConcurrentWriterError(
-            f"could not acquire writer lease {lock!r} after contention"
-        )
-    try:
+                    owner = fh.read().split()[0]
+            except (OSError, IndexError):
+                owner = "unknown"
+            raise ConcurrentWriterError(
+                f"table {path!r} is being written by another live writer "
+                f"(lease {lock!r}, advertised owner pid {owner}) — every "
+                f"sink here is single-writer; serialize the writes or use "
+                f"a table format"
+            ) from None
+        os.ftruncate(fd, 0)
         os.write(fd, f"{os.getpid()} {int(_time.time())}\n".encode())
-        os.close(fd)
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.unlink(lock)
+        os.close(fd)  # closing the fd releases the flock
 
 
 def _fail_on_merge_debris(path: str) -> None:

@@ -713,27 +713,14 @@ def run_cms_sink(
     additive-sketch case). Store size is O(batches x d x w) tiny
     rows; compact by summing old partitions into one when batch
     count grows."""
-    from ..operators.stats import CMS_D, _cms_bucket_spark
+    from ..operators.stats import cms_hash_explode
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        uid = F.col("user_id")
         cells = (
-            batch_df.select(
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(j).alias("j"),
-                                _cms_bucket_spark(j, uid).alias("bucket"),
-                            )
-                            for j in range(CMS_D)
-                        ]
-                    )
-                ).alias("h")
-            )
-            .groupBy("h.j", "h.bucket")
+            cms_hash_explode(batch_df, "user_id")
+            .groupBy("j", "bucket")
             .agg(F.count(F.lit(1)).alias("cell_cnt"))
         )
         cells.coalesce(1).write.mode("overwrite").parquet(
@@ -753,30 +740,26 @@ def read_cms_estimates(spark: SparkSession, store_path: str, keys: DataFrame) ->
     """Probe the stream-maintained sketch: merge the batch partitions
     cell-wise, then estimate every key in ``keys`` (a ``user_id``
     column) as the min over its CMS_D cells — identical hash family
-    and arithmetic as the batch operator."""
-    from ..operators.stats import CMS_D, _cms_bucket_spark
+    and arithmetic as the batch operator (the shared
+    ``cms_hash_explode`` layout). An UNSEEN key's empty cells count
+    as 0 — left join + coalesce, never an inner join that would
+    inflate the min over populated cells only or drop the key from
+    the output (review r5 round 2 #3; a CMS must never report an
+    unseen key above its collision mass)."""
+    from ..operators.stats import cms_hash_explode
 
     merged = (
         spark.read.parquet(store_path)
         .groupBy("j", "bucket")
         .agg(F.sum("cell_cnt").alias("cell_cnt"))
     )
-    uid = F.col("user_id")
-    probes = keys.select(
-        "user_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"), _cms_bucket_spark(j, uid).alias("bucket")
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("h"),
-    ).select("user_id", "h.j", "h.bucket")
+    probes = cms_hash_explode(keys, "user_id", "user_id")
     return (
-        probes.join(F.broadcast(merged), ["j", "bucket"])
+        probes.join(F.broadcast(merged), ["j", "bucket"], "left")
         .groupBy("user_id")
-        .agg(F.min("cell_cnt").cast("long").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cell_cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
     )

@@ -506,8 +506,9 @@ def test_delete_rejects_hive_escaped_partition_values(spark):
 
 def test_concurrent_writer_raises_not_interleaves(spark, tmp_path):
     """VERDICT r4 item 6: the single-writer assumption is an enforced
-    contract now. A second writer that finds a live lease must raise
-    ConcurrentWriterError — not interleave renames."""
+    contract now. A second writer that finds a live flock-held lease
+    must raise ConcurrentWriterError — not interleave renames."""
+    import fcntl
     import os
 
     from pitlapetl_spark.sinks import ConcurrentWriterError, staged_swap
@@ -515,21 +516,25 @@ def test_concurrent_writer_raises_not_interleaves(spark, tmp_path):
     path = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "a")], "k int, v string")
     staged_swap(df, path)  # create the table (lease taken and released)
-    # simulate another LIVE writer holding the lease: our own pid is
-    # alive by definition
-    with open(f"{path}__lock", "w") as fh:
-        fh.write(f"{os.getpid()} 0\n")
-    with pytest.raises(ConcurrentWriterError, match="live pid"):
-        staged_swap(df, path)
-    os.unlink(f"{path}__lock")
+    # hold a REAL flock on the lease file (flock conflicts across
+    # separate open-file-descriptions even within one process)
+    fd = os.open(f"{path}__lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(ConcurrentWriterError, match="live writer"):
+            staged_swap(df, path)
+    finally:
+        os.close(fd)
     # table unchanged and still writable after the lease clears
     staged_swap(spark.createDataFrame([(2, "b")], "k int, v string"), path)
     assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "b")]
 
 
-def test_dead_writer_lease_is_stolen(spark, tmp_path):
-    """A lease whose owner pid is dead (writer crashed holding the
-    lock) must be stolen, not wedge the table forever."""
+def test_dead_writer_lease_auto_releases(spark, tmp_path):
+    """A crashed writer's flock is released by the KERNEL — a
+    leftover lease file with a dead owner's pid (its flock died with
+    the process) must never wedge the table; no steal protocol
+    exists or is needed."""
     import os
     import subprocess
 
@@ -540,10 +545,10 @@ def test_dead_writer_lease_is_stolen(spark, tmp_path):
     child = subprocess.Popen(["true"])
     child.wait()
     with open(f"{path}__lock", "w") as fh:
-        fh.write(f"{child.pid} 0\n")
+        fh.write(f"{child.pid} 0\n")  # dead owner's leftover lease file
     staged_swap(spark.createDataFrame([(1, "a")], "k int, v string"), path)
     assert spark.read.parquet(path).count() == 1
-    assert not os.path.exists(f"{path}__lock")  # released after the swap
+    assert os.path.exists(f"{path}__lock")  # persistent by design
 
 
 def test_merge_fails_fast_on_crashed_swap_debris(spark, tmp_path):

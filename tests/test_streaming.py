@@ -775,6 +775,13 @@ def test_cms_sink_matches_batch_sketch_and_replays_exactly_once(spark, tmp_path)
         for r in registry.QUERIES["agg_heavy_hitters_cms"](spark, SF_SMOKE).collect()
     }
     assert got == want
+    # an UNSEEN key must estimate from its own (possibly empty) cells
+    # — 0 when any cell is empty, never inflated by an inner join over
+    # populated cells only, never dropped from the output
+    ghost = spark.createDataFrame([(987654321,)], "user_id long")
+    ghost_est = read_cms_estimates(spark, f"{tmp_path}/store", ghost).collect()
+    assert len(ghost_est) == 1
+    assert 0 <= ghost_est[0].cms_est  # present, collision-mass bounded
     # full replay from a fresh checkpoint: overwrite, never double-add
     run("ckpt2")
     again = {
