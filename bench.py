@@ -109,6 +109,12 @@ HEADLINE = (
     "dedup_bloom_prefilter",
     "text_chunk_sliding_tokens",
     "text_bpe_pair_stats",
+    # round 5 session 2: the composed RAG ingestion plan, PMI
+    # collocation mining (vocabulary-join family), and the
+    # single-exchange nearest as-of
+    "pipeline_rag_chunk_dedup",
+    "text_pmi_cooccurrence",
+    "asof_join_nearest",
 )
 
 
