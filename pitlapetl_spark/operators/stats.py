@@ -601,9 +601,9 @@ def anomaly_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n,
-           round(num / denx, 6) AS slope,
-           round((syd - num / denx * sxd) / n, 6) AS intercept,
-           round(num * num / (denx * deny), 6) AS r2
+           round(num / nullif(denx, 0), 6) AS slope,
+           round((syd - num / nullif(denx, 0) * sxd) / n, 6) AS intercept,
+           round(num * num / nullif(denx * deny, 0), 6) AS r2
     FROM d
     """,
 )
@@ -641,10 +641,15 @@ def ml_linear_fit_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     sxd = F.col("sx").cast("double")
     syd = F.col("sy").cast("double")
+    # degenerate groups go NULL, never divide-by-zero (hypothesis
+    # found the constant-y case: deny = 0 -> r2 is 0/0, undefined;
+    # constant-x additionally undefines the slope) — nullif on BOTH
+    # engines, identical semantics
+    denx_nz = F.nullif(denx, F.lit(0.0))
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
-        F.round(num / denx, 6).alias("slope"),
-        F.round((syd - num / denx * sxd) / F.col("n"), 6).alias("intercept"),
-        F.round(num * num / (denx * deny), 6).alias("r2"),
+        F.round(num / denx_nz, 6).alias("slope"),
+        F.round((syd - num / denx_nz * sxd) / F.col("n"), 6).alias("intercept"),
+        F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
     )

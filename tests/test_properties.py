@@ -548,3 +548,7 @@ def test_linear_fit_matches_numpy_lstsq(pts):
     slope_np, icept_np = np.polyfit(xs, ys, 1)
     assert row.slope == pytest.approx(slope_np, abs=1e-4)
     assert row.intercept == pytest.approx(icept_np, abs=1e-4)
+    if np.var(ys) < 1e-12:
+        # constant y: r^2 is 0/0 — the operator must return NULL,
+        # not raise or fabricate a number (the case hypothesis found)
+        assert row.r2 is None
