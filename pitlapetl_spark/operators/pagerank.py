@@ -92,23 +92,20 @@ def _oracle() -> str:
     return head + its + tail
 
 
-def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full (node, pr) frame after PR_ITERS iterations — the library
-    surface; the registered query below projects the part top-k.
-    Exposed so invariants over ALL nodes (rank-mass conservation) are
-    testable."""
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer-part co-purchase edge list with LONG node
+    ids (even = customer*2, odd = part*2+1) — shared by PageRank and
+    label-propagation communities.
+
+    Node encoding (round-5 measured rework, SCALE.md "PageRank cost
+    shave"): distinct on the NUMERIC (custkey, partkey) pair before
+    any labeling (the dedup shuffle hashes two longs, not two built
+    strings), and nodes are LONGS so every downstream
+    shuffle/join/agg hashes an 8-byte key instead of a
+    variable-length string; measured -28% wall vs the string-node
+    build at sf0.1, bit-identical PageRank output."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Node encoding (round-5 measured rework, SCALE.md "PageRank cost
-    # shave"): distinct on the NUMERIC (custkey, partkey) pair before
-    # any labeling (the dedup shuffle hashes two longs, not two built
-    # strings), and nodes are LONGS — even = customer*2, odd =
-    # part*2+1 — so every downstream shuffle/join/agg hashes an 8-byte
-    # key instead of a variable-length string. Rank values are
-    # label-independent (the iteration arithmetic never sees the id),
-    # so the string-labeled oracle replays identical numbers; measured
-    # -28% wall vs the string-node build at sf0.1, bit-identical
-    # output.
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select("o_custkey", "l_partkey")
@@ -118,10 +115,19 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") * 2 + 1).alias("pn"),
         )
     )
-    edges = (
-        pairs.select(F.col("cn").alias("src"), F.col("pn").alias("dst"))
-        .unionByName(pairs.select(F.col("pn").alias("src"), F.col("cn").alias("dst")))
-    ).localCheckpoint(eager=False)
+    return pairs.select(F.col("cn").alias("src"), F.col("pn").alias("dst")).unionByName(
+        pairs.select(F.col("pn").alias("src"), F.col("cn").alias("dst"))
+    )
+
+
+def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full (node, pr) frame after PR_ITERS iterations — the library
+    surface; the registered query below projects the part top-k.
+    Exposed so invariants over ALL nodes (rank-mass conservation) are
+    testable. Rank values are label-independent (the iteration
+    arithmetic never sees the id), so the string-labeled oracle
+    replays identical numbers over the long-encoded nodes."""
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     deg = deg.localCheckpoint(eager=False)
     n = deg.count()  # node count: one driver-side long, not a data path

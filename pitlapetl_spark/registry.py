@@ -54,6 +54,7 @@ _MODULES = (
     "pitlapetl_spark.operators.breadth",
     "pitlapetl_spark.operators.pagerank",
     "pitlapetl_spark.operators.graph_cluster",
+    "pitlapetl_spark.operators.community",
     "pitlapetl_spark.operators.scd",
     "pitlapetl_spark.operators.incremental",
     "pitlapetl_spark.operators.kmeans",
@@ -108,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "ml_linear_fit_closed_form",
     "text_pmi_cooccurrence",
     "pipeline_rag_chunk_dedup",
+    "graph_label_propagation",
     # (b) the r1-evidence cohort: only driver row is round 1 (two data
     # regenerations ago). Local parity covers them on current data, but
     # driver evidence is the hard signal — re-prove all 40.
