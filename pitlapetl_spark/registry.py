@@ -77,20 +77,20 @@ _loaded = False
 #
 # Round-5 policy (VERDICT.md r4 "Next round" item 1): after round 4,
 # every one of the 181 registered queries has at least one green driver
-# row, so the 50 slots go to EVIDENCE CURRENCY — (a) the 16 queries
+# row, so the 50 slots go to EVIDENCE CURRENCY — (a) the 17 queries
 # NEW in round 5 (zero driver evidence by construction; never-verified
 # is a strictly worse state than stale-verified, so they outrank the
 # re-prove cohort, the same call the r4 ledger made), then (b) the 40
 # queries whose only driver row is round 1 (the filter/projection/
 # scalar/json/setop/window core), then (c) the oldest r2-evidence
-# queries. Arithmetic: 16 + 40 = 56 > the driver's observed 50-slot
-# budget, so the LAST 6 of cohort (b) — topk_global and the five
-# r1-era window_* queries, whose families have fresher r3-green
-# relatives (window_forward_fill/range_frame/ntile, the two-stage
-# rank) — spill to positions 51-56 and lead round 6's rotation
-# together with the r2 cohort.
+# queries. Arithmetic: 17 + 40 = 57 > the driver's observed 50-slot
+# budget, so the LAST 7 of cohort (b) — setop_unpivot, topk_global,
+# and the five r1-era window_* queries, whose families have fresher
+# r3-green relatives (window_forward_fill/range_frame/ntile, the
+# two-stage rank, the other four setops) — spill to positions 51-57
+# and lead round 6's rotation together with the r2 cohort.
 # The policy ledger: after this round lands no query is never-verified,
-# ≤6 queries carry r1-era evidence, and round 6 clears those plus r2.
+# ≤7 queries carry r1-era evidence, and round 6 clears those plus r2.
 _PRIORITY: tuple[str, ...] = (
     # (a) new in round 5 — zero driver evidence by construction
     "source_python_datasource",

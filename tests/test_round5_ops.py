@@ -201,3 +201,24 @@ def test_iqr_fences_bound_inliers(spark):
         assert r.lo_fence <= r.q1 <= r.q3 <= r.hi_fence
         assert 0 <= r.n_outliers <= r.n_rows
         assert r.outlier_rate == pytest.approx(r.n_outliers / r.n_rows, abs=1e-6)
+
+
+def test_lpa_partitions_all_nodes_with_node_id_labels(spark):
+    """LPA invariants: community sizes partition the node set exactly
+    (sum over communities == |nodes|), every community id IS a node
+    id, and parts + customers == nodes per community."""
+    from pitlapetl_spark.operators.pagerank import copurchase_edges
+
+    rows = Q["graph_label_propagation"](spark, SF_SMOKE).collect()
+    assert rows
+    n_nodes = (
+        copurchase_edges(spark, SF_SMOKE).select("src").distinct().count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    node_ids = {
+        r.src
+        for r in copurchase_edges(spark, SF_SMOKE).select("src").distinct().collect()
+    }
+    for r in rows:
+        assert r.community in node_ids
+        assert r.n_parts + r.n_customers == r.n_nodes
