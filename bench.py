@@ -115,6 +115,7 @@ HEADLINE = (
     "pipeline_rag_chunk_dedup",
     "text_pmi_cooccurrence",
     "asof_join_nearest",
+    "graph_label_propagation",
 )
 
 
