@@ -110,8 +110,9 @@ HEADLINE = (
     "text_chunk_sliding_tokens",
     "text_bpe_pair_stats",
     # round 5 session 2: the composed RAG ingestion plan, PMI
-    # collocation mining (vocabulary-join family), and the
-    # single-exchange nearest as-of
+    # collocation mining (vocabulary-join family), the single-exchange
+    # nearest as-of, and label-propagation communities (the second
+    # iterative-graph bench entry next to PageRank)
     "pipeline_rag_chunk_dedup",
     "text_pmi_cooccurrence",
     "asof_join_nearest",

@@ -32,17 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .pagerank import copurchase_edges
+from .pagerank import PAIRS_ORACLE_CTE, copurchase_edges
 
 LPA_ROUNDS = 3
 
 
 def _oracle() -> str:
-    head = """
-    WITH pairs AS (
-        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ),
+    head = f"""
+    WITH {PAIRS_ORACLE_CTE},
     edges AS (
         SELECT c * 2 AS src, p * 2 + 1 AS dst FROM pairs
         UNION ALL

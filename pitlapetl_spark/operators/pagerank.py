@@ -47,12 +47,18 @@ PR_TOP = 20
 _DEC = "decimal(28,12)"
 
 
-def _oracle() -> str:
-    head = """
-    WITH pairs AS (
+# The co-purchase pair CTE, shared with the LPA oracle
+# (operators/community.py) so the two graph oracles cannot drift from
+# each other or from the Spark-side ``copurchase_edges`` definition.
+PAIRS_ORACLE_CTE = """pairs AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    ),
+    )"""
+
+
+def _oracle() -> str:
+    head = f"""
+    WITH {PAIRS_ORACLE_CTE},
     edges AS (
         SELECT 'c' || CAST(c AS VARCHAR) AS src, 'p' || CAST(p AS VARCHAR) AS dst FROM pairs
         UNION ALL

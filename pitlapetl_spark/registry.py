@@ -153,7 +153,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_running_total",
     "window_standings_rank",
     "window_topk_per_group",
-    # (c) oldest r2-evidence queries (positions 57+ — outside this
+    # (c) oldest r2-evidence queries (positions 58+ — outside this
     # round's window; round 6 continues down this list).
     "job_race_results",
     "job_qualifying_results",
