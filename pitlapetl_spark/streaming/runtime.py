@@ -635,8 +635,19 @@ def debounce_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     is flagged noise when it lands within DEBOUNCE_US of it. The
     within-batch recurrence is vectorized (a shifted diff over the
     Arrow batch sorted by (ts, event_id)); only the single carry-in
-    value crosses batches. State is O(1) per live key, bounded by the
-    watermark.
+    value crosses batches. State is O(1) per live key AND evicted:
+    each key's timeout is set to last-event-time + DEBOUNCE, so once
+    the watermark passes that point the key's state is removed
+    (EventTimeTimeout + ``state.remove()`` on the timed-out path —
+    the watermark alone never evicts applyInPandasWithState state,
+    ADVICE r5 #1). Eviction preserves the ``kept`` decision exactly
+    under the in-order contract below: any later in-order event has
+    ts > watermark > last + DEBOUNCE, so its gap clears the threshold
+    and the no-state path flags it kept, same as the batch twin. The
+    diagnostic ``gap_us`` column is the one bounded-state trade: for
+    such an event it reads NULL (unknown-but-over-threshold) where
+    the batch twin, which sees all history, reports the exact gap —
+    you cannot report a gap across state you no longer hold.
 
     In-order contract (the standard one for this operator): events
     for a key must arrive in event-time order across micro-batches —
@@ -650,10 +661,14 @@ def debounce_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     from ..operators.windows import DEBOUNCE_US
 
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_us + DEBOUNCE: no in-order event
+            # can ever see this carry-in again — drop the key's state
+            state.remove()
+            return
         last = state.get[0] if state.exists else None
-        # guard BEFORE concat: pd.concat([]) raises, and a timed-out
-        # key (if a GroupStateTimeout is ever enabled) fires with an
-        # empty iterator (review r5 #3)
+        # guard BEFORE concat: pd.concat([]) raises, and the timed-out
+        # path above fires with an empty iterator (review r5 #3)
         dfs = [d for d in pdfs if len(d)]
         if not dfs:
             return
@@ -665,7 +680,16 @@ def debounce_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
             prev.iloc[0] = last
         gap = (us - prev).astype("Int64")
         kept = gap.isna() | (gap >= DEBOUNCE_US)
-        state.update((int(us.iloc[-1]),))
+        last_us = int(us.iloc[-1])
+        state.update((last_us,))
+        # evict once the watermark passes last + DEBOUNCE; the API
+        # rejects timestamps at/behind the current watermark, so for
+        # a key whose events are already that old, fire next batch
+        timeout_ms = max(
+            last_us // 1000 + DEBOUNCE_US // 1000,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             {
                 "event_id": rows["event_id"].values,
@@ -684,7 +708,7 @@ def debounce_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
             DEBOUNCE_OUT_SCHEMA,
             DEBOUNCE_STATE_SCHEMA,
             "update",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

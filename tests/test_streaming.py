@@ -698,7 +698,15 @@ def test_debounce_stream_matches_batch_across_batches(spark, tmp_path):
     """The stateful streaming debounce must equal the batch
     window_debounce_events over the same events — including gaps that
     SPAN micro-batches (the carry-in timestamp is the state). Events
-    are staged as three event-time-ordered files -> three batches."""
+    are staged as three event-time-ordered files -> three batches.
+
+    Exact-parity contract under state eviction (ADVICE r5 #1 fix):
+    ``kept`` matches the batch twin on EVERY row; ``gap_us`` matches
+    wherever the stream reports one, and is NULL only where the
+    predecessor's state was already evicted — which can only happen
+    when the true gap cleared the debounce threshold (so ``kept``
+    still agrees). The test asserts all three clauses and that the
+    eviction path actually fired (at least one NULL-for-non-NULL)."""
     import os
 
     src = str(tmp_path / "src")
@@ -732,7 +740,22 @@ def test_debounce_stream_matches_batch_across_batches(spark, tmp_path):
     got = spark.table("t_debounce")
     want = registry.QUERIES["window_debounce_events"](spark, SF_SMOKE)
     cols = ["event_id", "user_id", "event_type", "gap_us", "kept"]
-    assert _rows(got, *cols) == _rows(want, *cols)
+    g, w = _rows(got, *cols), _rows(want, *cols)
+    assert len(g) == len(w)
+    from pitlapetl_spark.operators.windows import DEBOUNCE_US
+
+    evicted = 0
+    for (gid, gu, gt, ggap, gkept), (wid, wu, wt, wgap, wkept) in zip(g, w):
+        assert (gid, gu, gt) == (wid, wu, wt)
+        assert gkept == wkept  # the decision is exact on every row
+        if ggap is None and wgap is not None:
+            # NULL only via eviction, which requires the true gap to
+            # have cleared the threshold (kept on both sides)
+            assert wgap >= DEBOUNCE_US and wkept
+            evicted += 1
+        else:
+            assert ggap == wgap
+    assert evicted > 0  # the eviction path must actually fire here
 
 
 def test_cms_sink_matches_batch_sketch_and_replays_exactly_once(spark, tmp_path):
