@@ -169,29 +169,43 @@ def staged_swap(df: DataFrame, path: str) -> None:
     multi-writer atomicity want a table format instead (module
     docstring)."""
     with _writer_lock(path):
-        old = f"{path}__old"
-        if not os.path.exists(path) and os.path.exists(old):
-            # crashed between the two renames of a previous swap:
-            # __old holds the only committed copy — reinstall it (the
-            # uncommitted stage of that crashed write is deleted below,
-            # which is a clean rollback of a write that never committed)
-            os.rename(old, path)
-        for stale in _glob.glob(f"{path}__stage_*"):
-            shutil.rmtree(stale, ignore_errors=True)
-        stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
-        try:
-            df.write.mode("errorifexists").parquet(stage)
-        except BaseException:
-            # nothing swapped yet: remove the partial stage so a retrying
-            # caller (streaming foreachBatch) doesn't accumulate one
-            # orphaned debris dir per failure
-            shutil.rmtree(stage, ignore_errors=True)
-            raise
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(stage, path)
-        shutil.rmtree(old, ignore_errors=True)
+        _staged_swap_locked(df, path)
+
+
+def _staged_swap_locked(df: DataFrame, path: str) -> None:
+    """``staged_swap`` body without the lease, for callers that must
+    hold ``_writer_lock`` across a WIDER span than the write itself —
+    ``merge_upsert_write`` and ``compact`` read the table they are
+    about to replace, and taking the lease only at swap time leaves
+    the read-merge window unprotected: two concurrent merges could
+    both pass the read phase, and the loser would die mid-stage-write
+    with FileNotFound (the winner's swap removed the files it was
+    reading) instead of the promised ConcurrentWriterError (ADVICE
+    r5 #2). flock is not reentrant per-fd-pair, so the outer caller
+    passes control here rather than re-acquiring."""
+    old = f"{path}__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        # crashed between the two renames of a previous swap:
+        # __old holds the only committed copy — reinstall it (the
+        # uncommitted stage of that crashed write is deleted below,
+        # which is a clean rollback of a write that never committed)
+        os.rename(old, path)
+    for stale in _glob.glob(f"{path}__stage_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+    try:
+        df.write.mode("errorifexists").parquet(stage)
+    except BaseException:
+        # nothing swapped yet: remove the partial stage so a retrying
+        # caller (streaming foreachBatch) doesn't accumulate one
+        # orphaned debris dir per failure
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def overwrite(df: DataFrame, path: str) -> None:
@@ -229,7 +243,15 @@ def merge_upsert_write(updates: DataFrame, path: str, key_cols: list[str]) -> No
     read the table being deleted). Rejects duplicate keys in
     ``updates`` up front: the anti-join+union emulation would insert
     ALL copies, silently breaking the one-row-per-key invariant the
-    table's consumers rely on."""
+    table's consumers rely on.
+
+    The writer lease covers the WHOLE read+merge+swap span (ADVICE
+    r5 #2): ``read_or_none`` resolves the table's file listing (and
+    probes a row) eagerly, so acquiring the lease only inside the
+    swap would let two concurrent merges both pass the read phase —
+    the loser then fails mid-stage-write with FileNotFound instead of
+    the module-contract ConcurrentWriterError, and its merge result
+    would be based on a listing the winner already replaced."""
     spark = updates.sparkSession
     dup = (
         updates.groupBy(*key_cols)
@@ -244,8 +266,9 @@ def merge_upsert_write(updates: DataFrame, path: str, key_cols: list[str]) -> No
             f"e.g. {tuple(dup[0][k] for k in key_cols)} — aggregate the "
             f"batch to one row per key before merging"
         )
-    existing = read_or_none(spark, path, schema=updates.schema)
-    staged_swap(merge_upsert(existing, updates, key_cols), path)
+    with _writer_lock(path):
+        existing = read_or_none(spark, path, schema=updates.schema)
+        _staged_swap_locked(merge_upsert(existing, updates, key_cols), path)
 
 
 def merge_upsert_partition_scoped(
@@ -530,9 +553,13 @@ def compact(spark: SparkSession, path: str, target_files: int) -> int:
     parallelism and NameNode/listing cost; periodic compaction with
     ``repartition`` (full shuffle, even sizes) is the standard cure —
     use ``coalesce`` instead when skew is acceptable to avoid the
-    shuffle. Returns the file count after compaction."""
-    df = spark.read.parquet(path)
-    staged_swap(df.repartition(target_files), path)
+    shuffle. Returns the file count after compaction. Like
+    ``merge_upsert_write``, the lease covers the read too: the file
+    listing resolved by ``spark.read`` must be the one the swap
+    replaces (ADVICE r5 #2)."""
+    with _writer_lock(path):
+        df = spark.read.parquet(path)
+        _staged_swap_locked(df.repartition(target_files), path)
     import glob
 
     return len(glob.glob(f"{path}/part-*"))

@@ -530,6 +530,48 @@ def test_concurrent_writer_raises_not_interleaves(spark, tmp_path):
     assert [tuple(r) for r in spark.read.parquet(path).collect()] == [(2, "b")]
 
 
+def test_merge_and_compact_lease_covers_read_phase(spark, tmp_path, monkeypatch):
+    """ADVICE r5 #2: merge_upsert_write and compact must take the
+    writer lease BEFORE reading the table they will replace — a lease
+    scoped to the swap alone lets two merges both pass the read phase
+    and the loser dies mid-write with FileNotFound instead of the
+    contract's ConcurrentWriterError. Observable: under a held lease
+    both raise ConcurrentWriterError WITHOUT ever starting the read."""
+    import fcntl
+    import os
+
+    import pitlapetl_spark.sinks as sinks
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    sinks.staged_swap(df, path)
+
+    reads = []
+    real_read = sinks.read_or_none
+    monkeypatch.setattr(
+        sinks, "read_or_none", lambda *a, **kw: reads.append(1) or real_read(*a, **kw)
+    )
+    fd = os.open(f"{path}__lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(sinks.ConcurrentWriterError, match="live writer"):
+            sinks.merge_upsert_write(df, path, ["k"])
+        assert reads == []  # lease rejected us before the read phase
+        with pytest.raises(sinks.ConcurrentWriterError, match="live writer"):
+            sinks.compact(spark, path, 1)
+    finally:
+        os.close(fd)
+    # both still work once the lease clears
+    sinks.merge_upsert_write(
+        spark.createDataFrame([(2, "b")], "k int, v string"), path, ["k"]
+    )
+    assert sinks.compact(spark, path, 1) == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
 def test_dead_writer_lease_auto_releases(spark, tmp_path):
     """A crashed writer's flock is released by the KERNEL — a
     leftover lease file with a dead owner's pid (its flock died with
