@@ -680,7 +680,9 @@ PMI_TOP = 30
     p AS (SELECT sum(cxy) AS n_pair FROM pairs)
     SELECT x, y,
            CAST(cxy AS BIGINT) AS cxy,
-           round(ln((cxy * n_tok * n_tok) * 1.0 / (n_pair * ux.cx * uy.cx)), 6)
+           round(ln(CAST(cxy AS DOUBLE)) + 2.0 * ln(CAST(n_tok AS DOUBLE))
+                 - ln(CAST(n_pair AS DOUBLE)) - ln(CAST(ux.cx AS DOUBLE))
+                 - ln(CAST(uy.cx AS DOUBLE)), 6)
                AS pmi
     FROM pairs
     JOIN uni ux ON ux.w = pairs.x
@@ -694,9 +696,15 @@ PMI_TOP = 30
 def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top collocations by pointwise mutual information: ordered word
     pairs within a skip-{PMI_WINDOW} window, PMI =
-    ln(P(x,y) / (P(x)P(y))) computed from exact integer counts (the
-    log argument is an exact-integer ratio, so both engines take ln
-    of identical doubles).
+    ln(P(x,y) / (P(x)P(y))) computed from exact integer counts,
+    evaluated in LOG SPACE on both engines — ln(cxy) + 2 ln(n_tok) -
+    ln(n_pair) - ln(ux) - ln(uy), same term order (ADVICE r5 #3: the
+    earlier cxy * n_tok^2 int64 product overflows under ANSI mode
+    once the corpus passes ~3e9 tokens, while DuckDB's HUGEINT
+    silently survives — so at scale the engines also diverged; each
+    count is exact as a double below 2^53, far above any real corpus'
+    vocabulary/pair counts, and the identical expression tree makes
+    the rounded doubles bit-equal).
 
     100-TB shape: pair extraction is a doc-local array transform +
     one explode (no self-join on positions); the pair aggregate keys
@@ -744,10 +752,11 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y",
             "cxy",
             F.round(
-                F.log(
-                    (F.col("cxy") * F.col("n_tok") * F.col("n_tok"))
-                    / (F.col("n_pair") * F.col("ux") * F.col("uy"))
-                ),
+                F.log(F.col("cxy").cast("double"))
+                + F.lit(2.0) * F.log(F.col("n_tok").cast("double"))
+                - F.log(F.col("n_pair").cast("double"))
+                - F.log(F.col("ux").cast("double"))
+                - F.log(F.col("uy").cast("double")),
                 6,
             ).alias("pmi"),
         )
