@@ -75,86 +75,30 @@ _loaded = False
 # are yielded FIRST, in this order; everything else follows in
 # registration order.
 #
-# Round-5 policy (VERDICT.md r4 "Next round" item 1): after round 4,
-# every one of the 181 registered queries has at least one green driver
-# row, so the 50 slots go to EVIDENCE CURRENCY — (a) the 17 queries
-# NEW in round 5 (zero driver evidence by construction; never-verified
-# is a strictly worse state than stale-verified, so they outrank the
-# re-prove cohort, the same call the r4 ledger made), then (b) the 40
-# queries whose only driver row is round 1 (the filter/projection/
-# scalar/json/setop/window core), then (c) the oldest r2-evidence
-# queries. Arithmetic: 17 + 40 = 57 > the driver's observed 50-slot
-# budget, so the LAST 7 of cohort (b) — setop_unpivot, topk_global,
-# and the five r1-era window_* queries, whose families have fresher
-# r3-green relatives (window_forward_fill/range_frame/ntile, the
-# two-stage rank, the other four setops) — spill to positions 51-57
-# and lead round 6's rotation together with the r2 cohort.
-# The policy ledger: after this round lands no query is never-verified,
-# ≤7 queries carry r1-era evidence, and round 6 clears those plus r2.
+# Round-6 policy (VERDICT.md r5 "Next round" item 1): after round 5 no
+# query is never-verified and the evidence ledger reads — 7 queries
+# r1-era (the cohort that spilled from the r5 window: setop_unpivot,
+# topk_global, five window_*), ~43 r2-era, everything else r3+.
+# The 50 slots therefore go: (a) queries NEW in round 6 (zero driver
+# evidence by construction — never-verified outranks stale-verified,
+# same call as r4/r5), then (b) the 7 spilled r1-era queries, then
+# (c) the r2-era cohort, oldest first. Arithmetic: with N new r6
+# queries, the last N of cohort (c) spill to round 7's rotation.
+# Done-state the ledger promises: after this round no query carries
+# r1-era evidence and the r2 cohort is cleared except the spill tail.
 _PRIORITY: tuple[str, ...] = (
-    # (a) new in round 5 — zero driver evidence by construction
-    "source_python_datasource",
-    "map_in_arrow_revenue",
-    "json_variant_get",
-    "pipeline_pretrain_to_shards",
-    "dedup_bloom_prefilter",
-    "sample_reservoir_per_group",
-    "agg_heavy_hitters_cms",
-    "text_chunk_sliding_tokens",
-    "curriculum_quality_order",
-    "anomaly_iqr_outliers",
-    "text_bpe_pair_stats",
-    "asof_join_nearest",
-    "window_debounce_events",
-    "ml_linear_fit_closed_form",
-    "text_pmi_cooccurrence",
-    "pipeline_rag_chunk_dedup",
-    "graph_label_propagation",
-    # (b) the r1-evidence cohort: only driver row is round 1 (two data
-    # regenerations ago). Local parity covers them on current data, but
-    # driver evidence is the hard signal — re-prove all 40.
-    "agg_pivot",
-    "agg_rollup",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "filter_equality_first_row",
-    "filter_flag_and_range",
-    "filter_isin_null_safe",
-    "filter_notnull_derived",
-    "join_broadcast_lookup",
-    "join_full_outer",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_theta_band",
-    "json_deep_path_standings",
-    "json_doc_assembly",
-    "json_doc_roundtrip",
-    "json_get_path",
-    "json_map_explode",
-    "json_map_functions",
-    "json_schema_parse",
-    "project_composite_key",
-    "project_literal_params",
-    "project_rename_camel",
-    "scalar_conditional_default",
-    "scalar_format_iso8601",
-    "scalar_format_laptime",
-    "scalar_string_math",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_union_all_by_name",
-    "setop_union_distinct",
+    # (a) new in round 6 — zero driver evidence by construction
+    "dedup_cluster_components_fast",
+    # (b) the r1-era spill from round 5 (registry ledger, r5 comment):
+    # their only driver row is round 1, three data regenerations ago.
     "setop_unpivot",
     "topk_global",
-    "window_lag_lead_gap",
-    "window_rolling_frame",
-    "window_running_total",
     "window_standings_rank",
     "window_topk_per_group",
-    # (c) oldest r2-evidence queries (positions 58+ — outside this
-    # round's window; round 6 continues down this list).
+    "window_lag_lead_gap",
+    "window_running_total",
+    "window_rolling_frame",
+    # (c) the r2-evidence cohort, in the order the r5 ledger queued it.
     "job_race_results",
     "job_qualifying_results",
     "job_practice_laps",

@@ -1,10 +1,12 @@
 """Custom Python DataSource (the Spark 4 DataSource API) — a
 paged-API connector, SURVEY.md §2.1 S1 restated a second way.
 
-The reference walks a paginated REST API driver-side: a blocking GET
-per page, offset-looped in the task body (racedag.py:49-57's
-``requests.get`` + payload walking). ``sources/rest.py`` already
-restates that as a mapInPandas fetch over a URL frame; THIS module is
+The reference fetches its REST API driver-side as ONE blocking
+``requests.get`` per task (driverstandings.py:66-68) — it has no
+pagination at all; paging is a north-star extension this engine adds
+for APIs whose exports don't fit one response. ``sources/rest.py``
+already restates the reference's single-shot fetch as a mapInPandas
+fetch over a URL frame; THIS module is
 the modern first-class form: a ``DataSource`` subclass whose reader
 declares ONE InputPartition PER PAGE, so the planner schedules pages
 across executors like any other scan — pagination becomes partition
