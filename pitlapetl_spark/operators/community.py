@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from .pagerank import PAIRS_ORACLE_CTE, copurchase_edges
+from .pagerank import PAIRS_ORACLE_CTE, copurchase_edges_cached
 
 LPA_ROUNDS = 3
 
@@ -83,7 +83,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the part/customer split. Every node starts as its own
     community; each round every node adopts its most frequent
     neighbor label (ties -> smallest label)."""
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = copurchase_edges_cached(spark, sf_dir)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
