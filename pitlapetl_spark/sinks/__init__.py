@@ -50,11 +50,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# a foreign host's lease heartbeat younger than this blocks the write
+# (see _writer_lock's cross-host fail-fast); older is treated as a
+# crashed foreign holder and flock's same-host verdict stands alone
+FOREIGN_LEASE_TTL_S = 900
+
+
 class ConcurrentWriterError(RuntimeError):
     """A second writer attempted to modify a table while another
     writer holds its lease — the single-writer contract, enforced
     (round-5 closure of the SCALE.md MERGE decision record's "assumed,
     unenforced" limitation)."""
+
+
+class CrossHostWriterError(RuntimeError):
+    """flock succeeded even though the lease file names a LIVE writer
+    on a DIFFERENT host — on a filesystem that propagates flock across
+    hosts that acquisition would have blocked, so this state proves
+    the locks are NOT shared (e.g. an NFS mount whose flock is
+    host-local) and two hosts could interleave a swap. Refuse rather
+    than corrupt; see SCALE.md "Cross-host writer decision record"."""
 
 
 class StaleDebrisError(RuntimeError):
@@ -85,8 +100,22 @@ def _writer_lock(path: str):
     store the equivalent contract comes from a table format's commit
     protocol or an external lock service (module docstring
     trade-off); NFS flock semantics vary — another reason prod uses a
-    table format."""
+    table format.
+
+    Cross-host fail-fast (VERDICT r5 item 6): the lease body is
+    ``pid epoch hostname`` while held and is TRUNCATED on release
+    (still under the lock), so a non-empty body means a live or
+    crashed holder. If flock succeeds while the body names a
+    different host with a heartbeat fresher than
+    ``FOREIGN_LEASE_TTL_S``, the locks are provably not propagating
+    between the hosts (a shared flock would have blocked us) —
+    ``CrossHostWriterError``. Bounds: a foreign write longer than the
+    TTL escapes detection (no heartbeat thread — documented trade),
+    and a foreign CRASH inside the TTL false-positives until the TTL
+    lapses, which errs on the safe side. Same-host decisions remain
+    purely flock's — the kernel is authoritative there."""
     import fcntl
+    import socket
 
     lock = f"{path}__lock"
     parent = os.path.dirname(os.path.abspath(path))
@@ -95,6 +124,7 @@ def _writer_lock(path: str):
         # warehouse dir may not exist yet; the lease must live where
         # the table will
     fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+    held = False
     try:
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
@@ -110,10 +140,45 @@ def _writer_lock(path: str):
                 f"sink here is single-writer; serialize the writes or use "
                 f"a table format"
             ) from None
+        host = socket.gethostname()
+        try:
+            with open(lock) as fh:
+                prev = fh.read().split()
+        except OSError:
+            prev = []
+        if len(prev) >= 3 and prev[2] != host:
+            try:
+                age = _time.time() - int(prev[1])
+            except ValueError:
+                age = 0.0
+            if age < FOREIGN_LEASE_TTL_S:
+                raise CrossHostWriterError(
+                    f"acquired flock on {lock!r} while its lease body "
+                    f"names a writer on host {prev[2]!r} (pid {prev[0]}, "
+                    f"heartbeat {age:.0f}s old < TTL "
+                    f"{FOREIGN_LEASE_TTL_S}s) — this filesystem does not "
+                    f"propagate flock between these hosts, so the "
+                    f"single-writer contract cannot be enforced here. "
+                    f"Serialize cross-host writers externally or use a "
+                    f"table format; if {prev[2]!r} crashed, retry after "
+                    f"the TTL."
+                )
         os.ftruncate(fd, 0)
-        os.write(fd, f"{os.getpid()} {int(_time.time())}\n".encode())
+        os.write(fd, f"{os.getpid()} {int(_time.time())} {host}\n".encode())
+        held = True
         yield
     finally:
+        if held:
+            try:
+                # truncate while still holding the lock: an empty body
+                # means "released", so a later FOREIGN host's
+                # acquisition isn't false-positived by our completed
+                # write. Skipped when we bailed on a foreign lease —
+                # erasing a live foreign holder's body would strip the
+                # protection for the next acquirer.
+                os.ftruncate(fd, 0)
+            except OSError:
+                pass
         os.close(fd)  # closing the fd releases the flock
 
 

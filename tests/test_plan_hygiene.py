@@ -640,3 +640,57 @@ def test_rag_chunk_dedup_single_exchange(spark):
     fragment-length gate runs BEFORE it (no fragment rows shuffle)."""
     plan = _plan(Q["pipeline_rag_chunk_dedup"](spark, SF_SMOKE))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_fact_join(spark):
+    """VERDICT r5 item 5: exercise Spark's runtime-filter (Bloom)
+    pushdown — the scan-reduction lever for a selective dim->fact
+    join whose dim side is too big to broadcast. With broadcast off
+    (forcing the shuffle join the optimizer targets) and the
+    application-side size gate lowered to cover test data, the
+    optimizer must build a bloom_filter_agg over the dim's join key
+    and probe it with might_contain on the FACT side before the
+    shuffle — rows failing the filter never pay exchange cost. The
+    conf edits are restored afterward (the default 10 GiB
+    application-side threshold is the right production gate; only
+    demonstration data is below it), and the filtered plan's result
+    must equal the default-conf plan's result."""
+    import pyspark.sql.functions as F
+
+    sf = SF_SMOKE
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+
+    def q3_shape():
+        cust = spark.read.parquet(f"{sf}/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    want = sorted(tuple(r) for r in q3_shape().collect())
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q3_shape()
+        plan = _plan(df)
+        assert "bloom_filter_agg" in plan, plan  # creation side (dim key)
+        assert "might_contain" in plan, plan  # probe pushed to fact side
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        got = sorted(tuple(r) for r in df.collect())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert got == want  # the runtime filter is semantics-free

@@ -572,6 +572,43 @@ def test_merge_and_compact_lease_covers_read_phase(spark, tmp_path, monkeypatch)
     ]
 
 
+def test_cross_host_lease_fail_fast_and_release_truncation(spark, tmp_path):
+    """VERDICT r5 item 6: flock is host-local; if acquisition
+    SUCCEEDS while the lease body names a live writer on another host,
+    the filesystem provably isn't propagating locks and the write must
+    refuse (CrossHostWriterError). A body older than the TTL is a
+    crashed foreign holder -> proceed. And release must truncate the
+    body (under the lock) so a completed write never false-positives
+    a later foreign acquirer."""
+    import os
+    import time
+
+    import pitlapetl_spark.sinks as sinks
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+
+    # fresh foreign lease body -> refuse
+    with open(f"{path}__lock", "w") as fh:
+        fh.write(f"4242 {int(time.time())} some-other-host\n")
+    with pytest.raises(sinks.CrossHostWriterError, match="some-other-host"):
+        sinks.staged_swap(df, path)
+    # the foreign body must survive our bail-out (protection for the
+    # next acquirer is the foreign holder's, not ours, to erase)
+    assert "some-other-host" in open(f"{path}__lock").read()
+
+    # stale foreign body (beyond TTL) -> crashed holder, proceed
+    with open(f"{path}__lock", "w") as fh:
+        fh.write(
+            f"4242 {int(time.time()) - sinks.FOREIGN_LEASE_TTL_S - 1} "
+            f"some-other-host\n"
+        )
+    sinks.staged_swap(df, path)
+    assert spark.read.parquet(path).count() == 1
+    # release truncated the body
+    assert open(f"{path}__lock").read() == ""
+
+
 def test_dead_writer_lease_auto_releases(spark, tmp_path):
     """A crashed writer's flock is released by the KERNEL — a
     leftover lease file with a dead owner's pid (its flock died with

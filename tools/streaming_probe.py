@@ -130,12 +130,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
-    print("scoped upsert sink (each batch its own partition; table grows):")
-    for rows in (1_000, 10_000, 100_000):
-        print("  ", probe_scoped_upsert(spark, rows, n_batches=4))
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dedup-batches", type=int, default=4)
+    ap.add_argument("--dedup-only", action="store_true")
+    args = ap.parse_args()
+
+    if not args.dedup_only:
+        print("scoped upsert sink (each batch its own partition; table grows):")
+        for rows in (1_000, 10_000, 100_000):
+            print("  ", probe_scoped_upsert(spark, rows, n_batches=4))
     print("dedup ingest sink (store grows per batch):")
     for docs in (100, 500):
-        print("  ", probe_dedup_ingest(spark, docs, n_batches=4))
+        print("  ", probe_dedup_ingest(spark, docs, n_batches=args.dedup_batches))
 
 
 if __name__ == "__main__":
