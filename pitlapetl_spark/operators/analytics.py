@@ -573,3 +573,58 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@query(
+    "analytics_pareto_frontier",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (cheaper
+    price, larger size) — the classic multi-objective shortlist query
+    (cheapest part at every size level). The oracle states dominance
+    directly as NOT EXISTS (O(n²), fine for DuckDB at sf0.01); the
+    Spark plan is the SCALABLE reformulation — a point survives iff
+    (a) it carries its price level's max size (same-price dominance)
+    and (b) that level max strictly exceeds every strictly-cheaper
+    level's max (cross-price dominance, a running max over the
+    price-grain aggregate):
+
+    100-TB shape: the only per-row work is ONE hash aggregate to
+    price grain plus the join-back; the unpartitioned running-max
+    window runs on the price-LEVEL frame (distinct prices — catalog
+    dimension scale, not fact scale), the same discipline as
+    curriculum ordering's phase window. Exact duplicates of a
+    surviving point all survive, matching the strict-dominance oracle
+    semantics on both engines."""
+    from pyspark.sql import Window
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    level = parts.groupBy("p_retailprice").agg(F.max("p_size").alias("lv_max"))
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    survivors = (
+        level.withColumn("run_max", F.max("lv_max").over(w))
+        .filter(F.col("run_max").isNull() | (F.col("run_max") < F.col("lv_max")))
+        .select(
+            F.col("p_retailprice").alias("sv_price"),
+            F.col("lv_max").alias("sv_size"),
+        )
+    )
+    return parts.join(
+        F.broadcast(survivors),
+        (parts.p_retailprice == F.col("sv_price"))
+        & (parts.p_size == F.col("sv_size")),
+    ).select("p_partkey", "p_retailprice", "p_size")

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..sources import load_table
 from .pagerank import PAIRS_ORACLE_CTE, copurchase_edges_cached
 
 LPA_ROUNDS = 3
@@ -112,4 +113,135 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum((F.col("node") % 2 == 1).cast("long")).alias("n_parts"),
         F.sum((F.col("node") % 2 == 0).cast("long")).alias("n_customers"),
+    )
+
+
+TRI_TOP = 20
+TRI_BROADCAST_MAX_EDGES = 5_000_000  # ~80 MB of two longs; past this, shuffle-close
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM bk a JOIN bk b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs)
+        GROUP BY 1
+    ),
+    ori AS (
+        SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS u,
+               CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS v
+        FROM pairs
+        JOIN deg da ON pa = da.node
+        JOIN deg db ON pb = db.node
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ori e1
+        JOIN ori e2 ON e1.v = e2.u
+        JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY 1
+    ORDER BY n_triangles DESC, part_key ASC
+    LIMIT {TRI_TOP}
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top parts by TRIANGLE participation in the co-purchase
+    part-part graph (parts sharing an order) — the clustering-
+    coefficient ingredient behind community tightness and
+    recommendation quality metrics. The algorithm is the MapReduce-
+    classic degree-ordered orientation (Suri & Vassilvitskii's
+    node-iterator++): every undirected edge is directed from the
+    (degree, id)-SMALLER endpoint to the larger, which makes each
+    triangle countable exactly once as a wedge u->v, v->w closed by
+    u->w, and — the scale property — bounds per-node wedge fan-out by
+    the graph's arboricity: the out-degree of a heavy hub becomes
+    O(sqrt(E)) instead of its raw degree, so the wedge join never
+    explodes on the skewed nodes that dominate real co-purchase
+    graphs.
+
+    100-TB shape: pair generation is the basket-key co-partitioned
+    self-join (bounded by basket size, market_basket_pairs'
+    discipline); degrees are a part-cardinality aggregate BROADCAST
+    back onto the part key; the oriented edge frame is materialized
+    once (localCheckpoint) because three joins consume it; the wedge
+    join shuffles edge-sized frames only, and the closing join
+    broadcasts the edge set under the footer-count gate below (past
+    it: plain equi-join shuffle — the published MapReduce form).
+    Top-k is TakeOrderedAndProject. Nothing is all-pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bk = li.select("l_orderkey", "l_partkey").distinct()
+    a = bk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = bk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    lesser = F.struct("da", "pa") < F.struct("db", "pb")
+    # deg is part-cardinality (catalog dimension scale) -> broadcast;
+    # ori is consumed THREE times by the wedge/closing joins, so it is
+    # materialized once (localCheckpoint) instead of re-deriving the
+    # whole pairs+degree pipeline per consumer — measured 13.5 s -> a
+    # few s at sf0.01 from exactly this reuse
+    ori = (
+        pairs.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            F.when(lesser, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lesser, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = ori.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
+    e2 = ori.select(F.col("u").alias("t_b"), F.col("v").alias("t_c"))
+    e3 = ori.select(F.col("u").alias("t_a"), F.col("v").alias("t_c"))
+    # the wedge frame (sum of outdeg² rows) is the BIG intermediate;
+    # closing it against the edge SET must not shuffle it. The edge
+    # list is orders of magnitude smaller than the wedges — broadcast
+    # it under a size gate read for FREE from the lineitem parquet
+    # footer (edge count <= distinct (order, part) <= fact rows; the
+    # exact-count gate discipline of market_basket_pairs, no extra
+    # job); past the gate the closing join falls back to the plain
+    # equi-join shuffle, which is the published MapReduce form of the
+    # algorithm.
+    from ..sources import parquet_row_count
+
+    n_edges_bound = parquet_row_count(f"{sf_dir}/lineitem.parquet")
+    closing = F.broadcast(e3) if n_edges_bound <= TRI_BROADCAST_MAX_EDGES else e3
+    tri = e1.join(e2, "t_b").join(closing, ["t_a", "t_c"])
+    # ONE pass: explode each triangle into its three participants —
+    # a union of three projections of `tri` would re-derive the whole
+    # wedge pipeline per branch (measured 3x the wedge cost at sf0.1)
+    nodes = tri.select(
+        F.explode(F.array("t_a", "t_b", "t_c")).alias("node")
+    )
+    return (
+        nodes.groupBy(F.col("node").alias("part_key"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part_key"))
+        .limit(TRI_TOP)
     )

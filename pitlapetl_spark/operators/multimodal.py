@@ -217,3 +217,147 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("meta.width").alias("max_width"),
         )
     )
+
+
+PHASH_BITS = 32  # block-mean hash width (production: 64-256, see docstring)
+PHASH_BANDS = 4  # LSH bands over the hash; 8 bits each
+PHASH_HAM_MAX = 3  # report pairs at hamming <= 3 (pigeonhole-complete: 4 bands)
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+# chunk c's byte sum / count over an all-ASCII payload, DuckDB-side
+_PH_CHUNK_SUM = (
+    "COALESCE(list_sum(list_transform(range(1, cl + 1),"
+    " i -> ascii(substr(text, {c} * cl + i, 1)))), 0)"
+)
+
+
+def _phash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN ({_PH_CHUNK_SUM.format(c=c)}) * n > "
+        f"tot * greatest(0, least(cl, n - {c} * cl)) "
+        f"THEN CAST({1 << c} AS BIGINT) ELSE 0 END)"
+        for c in range(PHASH_BITS)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text, length(text) AS n,
+               CAST(ceil(length(text) / {PHASH_BITS}.0) AS BIGINT) AS cl,
+               COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, i, 1)))), 0) AS tot
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {bit_terms} AS phash FROM d)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_MAX}
+    """
+
+
+def phash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, phash): block-mean hash over the payload BYTES via
+    Arrow-batched mapInPandas — the decode-adjacent multimodal slow
+    path (a real deployment swaps the byte chunks for pixel blocks
+    after ``decode_media``; the hash arithmetic and everything
+    downstream is unchanged). Bit c is set iff chunk c's byte sum *
+    total_count exceeds total_sum * chunk_count — pure integer
+    arithmetic, so the DuckDB oracle replays it exactly with no
+    float-mean tie hazard."""
+    import numpy as np
+
+    mm = with_media_columns(docs).select("doc_id", "blob")
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["blob"]:
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                cl = -(-n // PHASH_BITS)  # ceil
+                tot = int(arr.sum())
+                h = 0
+                for c in range(PHASH_BITS):
+                    chunk = arr[c * cl : (c + 1) * cl]
+                    if int(chunk.sum()) * n > tot * len(chunk):
+                        h |= 1 << c
+                out.append(h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": out})
+
+    return mm.mapInPandas(hashes, _PHASH_SCHEMA)
+
+
+@query("mm_phash_hamming_near_dup", oracle=_phash_oracle())
+def mm_phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection in HAMMING space: the
+    media dedup pipeline (pHash/aHash family) expressed Spark-first.
+    Stage 1 computes a {PHASH_BITS}-bit block-mean hash per payload
+    (``phash_frame``); stage 2 generates candidates by LSH BANDING —
+    the hash split into {PHASH_BANDS} bands of 8 bits, docs equi-joined
+    per (band_id, band_value) bucket — and stage 3 verifies candidates
+    with exact hamming distance (xor + bit_count, JVM-side). Banding
+    is pigeonhole-COMPLETE for hamming <= {PHASH_HAM_MAX}: 3 differing
+    bits cannot touch all 4 bands, so one band always matches and the
+    banded plan returns exactly the brute-force pair set — which is
+    what the oracle computes (O(n²) NOT-EXISTS-style self-join, fine
+    at sf0.01; an independent formulation, not a replay of the
+    banding).
+
+    100-TB shape: candidates are an equi-join on band buckets, never
+    an all-pairs product; bucket population — and thus pair space —
+    is controlled by HASH WIDTH (the knob: 64-256-bit hashes give
+    2^16+-entry band values; this demo uses {PHASH_BITS} bits so the
+    sf corpus actually yields near-dup pairs), the same
+    band-structure-vs-width trade as MinHash LSH (dedup.py). The
+    verify stage touches candidates only. Hash extraction is the only
+    Python (Arrow-batched, byte-level); banding, bucket join, and
+    hamming verify are narrow JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = phash_frame(docs)
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "phash", "bd.band_id", "bd.band_val")
+    a = bands.select(
+        F.col("band_id").alias("bi"),
+        F.col("band_val").alias("bv"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+    )
+    b = bands.select(
+        F.col("band_id").alias("bi"),
+        F.col("band_val").alias("bv"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        .cast("int")
+        .alias("hamming"),
+    ).filter(F.col("hamming") <= PHASH_HAM_MAX)

@@ -653,3 +653,131 @@ def ml_linear_fit_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((syd - num / denx_nz * sxd) / F.col("n"), 6).alias("intercept"),
         F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
     )
+
+
+# ---------------------------------------- logistic regression by GD
+
+LOGREG_ITERS = 5
+LOGREG_LR = 0.5
+
+_LOGREG_FEATS_SQL = """
+    SELECT CAST(n_chars AS DOUBLE) / 100.0 AS x1,
+           (length(text) - length(replace(text, ' ', ''))) * 10.0
+               / n_chars AS x2,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+"""
+
+
+def _logreg_p_sql(w: str) -> str:
+    """round-9 sigmoid under weights CTE alias ``w`` — shared by the
+    gradient and accuracy CTEs so the expression trees are identical."""
+    return f"round(1.0 / (1.0 + exp(-({w}.a + {w}.b * x1 + {w}.c * x2))), 9)"
+
+
+def _logreg_oracle() -> str:
+    ctes = [
+        f"f AS ({_LOGREG_FEATS_SQL})",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)",
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b,"
+        " CAST(0.0 AS DOUBLE) AS c)",
+    ]
+    for i in range(LOGREG_ITERS):
+        p = _logreg_p_sql("w")
+        ctes.append(
+            f"""g{i} AS (
+                SELECT sum(CAST(({p} - y) AS DECIMAL(28,12))) AS s0,
+                       sum(CAST(({p} - y) * x1 AS DECIMAL(28,12))) AS s1,
+                       sum(CAST(({p} - y) * x2 AS DECIMAL(28,12))) AS s2
+                FROM f CROSS JOIN w{i} w)"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+                SELECT round(w.a - {LOGREG_LR} * CAST(g.s0 AS DOUBLE) / nn.n, 12) AS a,
+                       round(w.b - {LOGREG_LR} * CAST(g.s1 AS DOUBLE) / nn.n, 12) AS b,
+                       round(w.c - {LOGREG_LR} * CAST(g.s2 AS DOUBLE) / nn.n, 12) AS c
+                FROM w{i} w CROSS JOIN g{i} g CROSS JOIN nn)"""
+        )
+    p_final = _logreg_p_sql("w")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT w.a AS w0, w.b AS w1, w.c AS w2, nn.n AS n,
+           round(sum(CASE WHEN ({p_final} >= 0.5) = (y = 1.0)
+                          THEN 1 ELSE 0 END) * 1.0 / nn.n, 6) AS accuracy
+    FROM f CROSS JOIN w{LOGREG_ITERS} w CROSS JOIN nn
+    GROUP BY w.a, w.b, w.c, nn.n
+    """
+    )
+
+
+@query("ml_logreg_gradient_descent", oracle=_logreg_oracle())
+def ml_logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression trained by full-batch gradient
+    descent as pure DataFrame aggregates — the iterative-ML twin of
+    ``ml_linear_fit_closed_form`` for models with NO closed form.
+    Each of LOGREG_ITERS iterations is ONE aggregate pass: per-row
+    sigmoid under the current weights (narrow JVM expressions), the
+    three gradient components summed in EXACT DECIMAL
+    (order-independent — double accumulation would diverge between
+    engines and runs), and a driver-side scalar update of the three
+    weights (the same bounded-driver-data discipline as PageRank's
+    node count). Features: doc length and words-per-char; label:
+    lang = 'en'; output = final weights + train accuracy.
+
+    Cross-engine determinism: the sigmoid is round-9-ed before the
+    decimal cast (exp() may differ in the last ulp between libm and
+    DuckDB; 9 decimals absorbs it — the PMI/log precedent), weight
+    updates round-12 with the identical expression order, and the
+    oracle replays every iteration as an unrolled CTE chain.
+
+    100-TB shape: cost is ITERS scans x one map-side-combinable
+    aggregate — no shuffle of data rows at all (the aggregate is
+    global: partials per partition, one tiny final merge); the model
+    state crossing the driver is 3 doubles. Mini-batch/SGD variants
+    sample the scan; feature-wide models carry a weight VECTOR as a
+    one-row broadcast instead of literals. ITERS is fixed (not
+    convergence-tested) so the oracle can unroll."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        (F.col("n_chars").cast("double") / 100.0).alias("x1"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            * 10.0
+            / F.col("n_chars")
+        ).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    n = feats.count()
+    w = [0.0, 0.0, 0.0]
+    dec = "decimal(28,12)"
+    for _ in range(LOGREG_ITERS):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = F.round(1.0 / (1.0 + F.exp(-z)), 9)
+        row = feats.agg(
+            F.sum((p - F.col("y")).cast(dec)).alias("s0"),
+            F.sum(((p - F.col("y")) * F.col("x1")).cast(dec)).alias("s1"),
+            F.sum(((p - F.col("y")) * F.col("x2")).cast(dec)).alias("s2"),
+        ).collect()[0]
+        w = [
+            round(w[j] - LOGREG_LR * float(row[f"s{j}"]) / n, 12)
+            for j in range(3)
+        ]
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = F.round(1.0 / (1.0 + F.exp(-z)), 9)
+    acc = feats.agg(
+        F.round(
+            F.sum(F.when((p >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0))
+            * 1.0
+            / F.lit(n),
+            6,
+        ).alias("accuracy")
+    )
+    return acc.select(
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        F.lit(n).cast("long").alias("n"),
+        "accuracy",
+    )

@@ -703,3 +703,70 @@ def window_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap.cast("long").alias("gap_us"),
         F.coalesce(gap >= DEBOUNCE_US, F.lit(True)).alias("kept"),
     )
+
+
+@query(
+    "window_month_spine_densify",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate) AS mon,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tot
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (SELECT o_custkey, min(mon) AS mn, max(mon) AS mx FROM m GROUP BY 1),
+    spine AS (
+        SELECT o_custkey, unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS mon
+        FROM s
+    )
+    SELECT sp.o_custkey AS custkey, sp.mon AS month,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           round(COALESCE(m.tot, 0), 2) AS month_total
+    FROM spine sp
+    LEFT JOIN m ON sp.o_custkey = m.o_custkey AND sp.mon = m.mon
+    """,
+)
+def window_month_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine densification: every customer's order history
+    gap-filled to a contiguous MONTH grain between their first and
+    last order (zero rows for silent months) — the prerequisite for
+    any time-series model or rolling metric that assumes a dense
+    axis (a rolling-3-month average computed over sparse months is
+    silently wrong). The spine is generated per key with
+    sequence()+explode from the key's own [min, max] span — no global
+    calendar cross join, so output is Σ_key span_months, not
+    |keys| × |all months|.
+
+    100-TB shape: one hash aggregate to (key, month) grain, one tiny
+    per-key min/max aggregate, the sequence explode (narrow — no
+    shuffle), and a left join back on the SAME (key, month) grain the
+    first aggregate produced. Monetary sums are decimal-cast before
+    summing (order independent) and rounded identically on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        "o_totalprice",
+    )
+    monthly = o.groupBy("custkey", "mon").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("tot"),
+    )
+    spine = (
+        monthly.groupBy("custkey")
+        .agg(F.min("mon").alias("mn"), F.max("mon").alias("mx"))
+        .select(
+            "custkey",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 month"))
+            ).alias("mon"),
+        )
+    )
+    return spine.join(monthly, ["custkey", "mon"], "left").select(
+        "custkey",
+        F.col("mon").alias("month"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("tot", F.lit(0.0)), 2).alias("month_total"),
+    )

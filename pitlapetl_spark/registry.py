@@ -89,6 +89,11 @@ _loaded = False
 _PRIORITY: tuple[str, ...] = (
     # (a) new in round 6 — zero driver evidence by construction
     "dedup_cluster_components_fast",
+    "analytics_pareto_frontier",
+    "window_month_spine_densify",
+    "mm_phash_hamming_near_dup",
+    "ml_logreg_gradient_descent",
+    "graph_triangle_count",
     # (b) the r1-era spill from round 5 (registry ledger, r5 comment):
     # their only driver row is round 1, three data regenerations ago.
     "setop_unpivot",

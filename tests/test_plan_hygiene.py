@@ -694,3 +694,24 @@ def test_runtime_bloom_filter_injects_on_selective_dim_fact_join(spark):
             else:
                 spark.conf.set(k, v)
     assert got == want  # the runtime filter is semantics-free
+
+
+def test_triangle_closing_join_broadcasts_under_gate(spark):
+    """Below the footer-count gate the wedge frame must close against
+    a BROADCAST of the edge set — the wedge intermediate (the big
+    frame) never shuffles for the closing join. (The degree
+    join-backs broadcast too, but they sit behind the ori
+    localCheckpoint boundary, invisible to this final plan.)"""
+    plan = _plan(Q["graph_triangle_count"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin [t_a" in plan, plan
+    # the wedge join itself is the one edge-keyed exchange pair
+    assert "SortMergeJoin [t_b" in plan, plan
+
+
+def test_month_spine_reuses_monthly_grain_exchange(spark):
+    """The spine join lands back on the SAME (custkey, month) grain
+    the monthly aggregate produced — no cartesian calendar, and the
+    sequence explode stays narrow (no exchange of its own)."""
+    plan = _plan(Q["window_month_spine_densify"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan

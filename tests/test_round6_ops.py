@@ -1,0 +1,175 @@
+"""Semantic/property tests for the round-6 operators — the invariants
+the DuckDB hash-compare can't express: skyline soundness AND
+completeness, spine contiguity + mass conservation, LSH-banding
+completeness for the hamming near-dup, gradient-descent loss descent,
+and a brute-force triangle cross-check independent of the oracle's
+degree-ordered formulation."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from pitlapetl_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_pareto_frontier_sound_and_complete(spark):
+    """Soundness: no returned point is dominated by ANY part.
+    Completeness: every part not returned is dominated by some part
+    (strict dominance on (price<=, size>=))."""
+    from pitlapetl_spark.sources import load_table
+
+    parts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    frontier = {
+        r.p_partkey for r in Q["analytics_pareto_frontier"](spark, SF_SMOKE).collect()
+    }
+    assert frontier
+
+    def dominated(p, by):
+        return (
+            by[1] <= p[1]
+            and by[2] >= p[2]
+            and (by[1] < p[1] or by[2] > p[2])
+        )
+
+    for p in parts:
+        is_dom = any(dominated(p, q) for q in parts)
+        assert (p[0] in frontier) == (not is_dom), p
+
+
+def test_month_spine_contiguous_and_mass_conserving(spark):
+    """Per customer: the spine covers every month between first and
+    last exactly once (contiguity), endpoint months carry orders, and
+    the densified totals sum to the customer's raw order total (the
+    gap-fill invents no money)."""
+    import pandas as pd
+
+    from pitlapetl_spark.sources import load_table
+
+    dens = Q["window_month_spine_densify"](spark, SF_SMOKE).toPandas()
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_totalprice")
+        .toPandas()
+    )
+    for ck, g in dens.groupby("custkey"):
+        months = sorted(pd.to_datetime(m) for m in g["month"])
+        span = (
+            (months[-1].year - months[0].year) * 12
+            + months[-1].month
+            - months[0].month
+            + 1
+        )
+        assert len(months) == span == len(set(months)), ck
+        first = g.loc[g["month"] == g["month"].min(), "n_orders"].iloc[0]
+        last = g.loc[g["month"] == g["month"].max(), "n_orders"].iloc[0]
+        assert first > 0 and last > 0, ck
+    got = dens.groupby("custkey")["month_total"].sum().round(2)
+    want = orders.groupby("o_custkey")["o_totalprice"].sum().round(2)
+    for ck, total in want.items():
+        assert math.isclose(got[ck], total, rel_tol=0, abs_tol=0.05), ck
+
+
+def test_phash_banding_is_complete_for_ham_max(spark):
+    """Pigeonhole guarantee: the banded candidate pipeline must return
+    EXACTLY the brute-force hamming<=HAM_MAX pair set — banding may
+    only ever add candidates (removed by the verify), never lose a
+    pair within the radius."""
+    from itertools import combinations
+
+    from pitlapetl_spark.operators.multimodal import (
+        PHASH_HAM_MAX,
+        phash_frame,
+    )
+    from pitlapetl_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    hashes = {r.doc_id: r.phash for r in phash_frame(docs).collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= PHASH_HAM_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in Q["mm_phash_hamming_near_dup"](spark, SF_SMOKE).collect()
+    }
+    assert got == brute
+    assert brute  # the corpus must actually exercise the path
+
+
+def test_logreg_descends_the_loss(spark):
+    """Five GD steps from w=0 must not increase the training NLL —
+    replayed in pandas from the returned weights (the hash-compare
+    proves engine parity; this proves the optimizer actually
+    optimizes)."""
+    import numpy as np
+
+    from pitlapetl_spark.sources import load_table
+
+    row = Q["ml_logreg_gradient_descent"](spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").toPandas()
+    x1 = docs["n_chars"].astype(float) / 100.0
+    n_spaces = docs["text"].str.len() - docs["text"].str.replace(" ", "", regex=False).str.len()
+    x2 = n_spaces * 10.0 / docs["n_chars"]
+    y = (docs["lang"] == "en").astype(float)
+
+    def nll(w0, w1, w2):
+        z = w0 + w1 * x1 + w2 * x2
+        p = 1.0 / (1.0 + np.exp(-z))
+        eps = 1e-12
+        return float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean())
+
+    assert nll(row.w0, row.w1, row.w2) <= nll(0.0, 0.0, 0.0) + 1e-9
+    assert 0.0 <= row.accuracy <= 1.0
+
+
+def test_triangle_count_matches_bruteforce_enumeration(spark):
+    """The degree-ordered pipeline (and its same-trick oracle) vs a
+    formulation-independent brute force: enumerate unordered part
+    triples via three joins on the raw canonical pair list in DuckDB
+    and compare per-node participation for the query's top-k."""
+    sf = SF_SMOKE
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    brute = con.execute(
+        """
+        WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pr AS (
+            SELECT a.l_partkey AS x, b.l_partkey AS y
+            FROM bk a JOIN bk b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        tri AS (
+            SELECT p1.x AS a, p1.y AS b, p2.y AS c
+            FROM pr p1
+            JOIN pr p2 ON p2.x = p1.y
+            JOIN pr p3 ON p3.x = p1.x AND p3.y = p2.y
+        ),
+        nodes AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT node, count(*) AS n FROM nodes GROUP BY 1
+        ORDER BY n DESC, node ASC
+        """
+    ).fetchall()
+    want = {node: n for node, n in brute}
+    got = Q["graph_triangle_count"](spark, sf).collect()
+    assert got
+    for r in got:
+        assert want.get(r.part_key) == r.n_triangles, r
