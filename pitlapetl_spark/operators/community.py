@@ -120,6 +120,23 @@ TRI_TOP = 20
 TRI_BROADCAST_MAX_EDGES = 5_000_000  # ~80 MB of two longs; past this, shuffle-close
 
 
+def basket_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) distinct part-part co-purchase edges from
+    the basket-key co-partitioned self-join (market_basket_pairs'
+    bounded-pair-space discipline) — shared by triangle counting and
+    link prediction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bk = li.select("l_orderkey", "l_partkey").distinct()
+    a = bk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = bk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
@@ -183,16 +200,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the edge set under the footer-count gate below (past
     it: plain equi-join shuffle — the published MapReduce form).
     Top-k is TakeOrderedAndProject. Nothing is all-pairs."""
-    li = load_table(spark, sf_dir, "lineitem")
-    bk = li.select("l_orderkey", "l_partkey").distinct()
-    a = bk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = bk.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    pairs = basket_pair_edges(spark, sf_dir)
     deg = (
         pairs.select(F.col("pa").alias("node"))
         .unionByName(pairs.select(F.col("pb").alias("node")))

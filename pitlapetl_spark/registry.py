@@ -94,6 +94,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_phash_hamming_near_dup",
     "ml_logreg_gradient_descent",
     "graph_triangle_count",
+    "stream_ohlc_candles",
+    "text_zipf_fit",
     # (b) the r1-era spill from round 5 (registry ledger, r5 comment):
     # their only driver row is round 1, three data regenerations ago.
     "setop_unpivot",

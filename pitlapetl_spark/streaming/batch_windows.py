@@ -143,3 +143,77 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_ohlc_candles",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / {DAY_S}) AS BIGINT) AS bucket,
+               ts, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id, bucket
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY user_id, bucket
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT CAST(to_timestamp(bucket * {DAY_S}) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(bucket * {DAY_S} + {DAY_S}) AS TIMESTAMP) AS window_end,
+           user_id,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           max(value) AS high_v,
+           min(value) AS low_v,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS volume
+    FROM r
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle resampling: per (user, day) the opening value
+    (first by (ts, event_id)), closing value (last), high, low, event
+    count and summed volume — the financial/metrics downsampling
+    shape. The open/close are ARGMIN/ARGMAX via one struct min/max
+    ((ts, event_id, value): the unique (ts, event_id) prefix decides,
+    value rides along) — so the whole candle is ONE hash aggregate
+    with full map-side combine, no sort window and no per-day sort
+    anywhere; the oracle independently derives open/close with
+    row_number windows. F.window('1 day') is the same expression a
+    readStream plan uses, so this exact aggregation body runs
+    incrementally under a watermark (the module contract;
+    test_streaming runs it as a real stream and compares).
+
+    100-TB shape: one shuffle on (window, user) with candle-sized
+    payload per partial; struct argmin/argmax keeps first/last out of
+    the window-function path that would force a per-key sort."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).getField("value").alias("open_v"),
+            F.max(F.struct("ts", "event_id", "value")).getField("value").alias("close_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "open_v",
+            "close_v",
+            "high_v",
+            "low_v",
+            "n_events",
+            "volume",
+        )
+    )

@@ -73,6 +73,39 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     )
 
 
+def ohlc_candles(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Watermarked OHLC candles — identical aggregation body to the
+    oracle-checked batch query (batch_windows.py stream_ohlc_candles):
+    per (day window, user) the struct argmin/argmax open/close plus
+    high/low/count/volume, incrementally maintained. min/max over
+    structs are ordinary streaming-supported aggregates, so first/last
+    per key needs NO sort and no flatMapGroups state — the watermark
+    bounds window state as usual."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).getField("value").alias("open_v"),
+            F.max(F.struct("ts", "event_id", "value")).getField("value").alias("close_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "user_id",
+            "open_v",
+            "close_v",
+            "high_v",
+            "low_v",
+            "n_events",
+            "volume",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
     """Stateful streaming dedup on event_id:
     ``dropDuplicatesWithinWatermark`` keeps dedup state only within

@@ -173,3 +173,29 @@ def test_triangle_count_matches_bruteforce_enumeration(spark):
     assert got
     for r in got:
         assert want.get(r.part_key) == r.n_triangles, r
+
+
+def test_ohlc_candle_invariants(spark):
+    """Per candle: low <= open/close <= high, positive event count;
+    and the candles partition the events exactly (total n_events
+    equals the raw event count — no row lost to the windowing)."""
+    from pitlapetl_spark.sources import load_table
+
+    rows = Q["stream_ohlc_candles"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.low_v <= min(r.open_v, r.close_v) <= max(r.open_v, r.close_v) <= r.high_v
+        assert r.n_events >= 1
+        assert (r.window_end - r.window_start).total_seconds() == 86400
+    total = sum(r.n_events for r in rows)
+    assert total == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_zipf_fit_is_nonpositive_slope_over_rank(spark):
+    """Frequency is non-increasing in rank by construction, so the
+    log-log fitted slope can never be positive (Chebyshev's sum
+    inequality); r2 lives in [0, 1]; n_ranks is min(K, vocab)."""
+    row = Q["text_zipf_fit"](spark, SF_SMOKE).collect()[0]
+    assert row.slope <= 0
+    assert 0.0 <= row.r2 <= 1.0
+    assert 1 <= row.n_ranks <= 1000

@@ -47,6 +47,22 @@ def test_tumbling_stream_matches_batch(spark, events_stream):
     assert _rows(got, *cols) == _rows(want, *cols)
 
 
+def test_ohlc_stream_matches_batch(spark, events_stream):
+    """The streaming OHLC candle (struct argmin/argmax open/close)
+    must equal the oracle-checked batch twin — min/max over structs
+    are incrementally maintainable aggregates, so first/last per
+    window needs no sort and no custom state."""
+    q = runtime.run_to_memory(runtime.ohlc_candles(events_stream), "t_ohlc")
+    q.awaitTermination(120)
+    got = spark.table("t_ohlc")
+    want = registry.QUERIES["stream_ohlc_candles"](spark, SF_SMOKE)
+    cols = [
+        "window_start", "window_end", "user_id",
+        "open_v", "close_v", "high_v", "low_v", "n_events", "volume",
+    ]
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
 def test_dedup_stream_preserves_distinct_ids(spark, events_stream):
     q = runtime.run_to_memory(
         runtime.dedup_stream(events_stream), "t_dedup", output_mode="append"
