@@ -119,11 +119,13 @@ HEADLINE = (
     "graph_label_propagation",
     # round 6: triangle counting (the third iterative/graph bench
     # entry — wedge-join family), hamming-LSH perceptual-hash dedup
-    # (multimodal mapInPandas + banding), batch-GD logistic regression
-    # (multi-scan iterative ML next to kmeans), and the calendar-spine
+    # (multimodal mapInPandas + banding), PQ-ADC ANN (codes-scan
+    # search next to IVF), batch-GD logistic regression (multi-scan
+    # iterative ML next to kmeans), and the calendar-spine
     # densification (per-key sequence explode + grain join-back)
     "graph_triangle_count",
     "mm_phash_hamming_near_dup",
+    "sim_topk_pq_adc",
     "ml_logreg_gradient_descent",
     "window_month_spine_densify",
 )

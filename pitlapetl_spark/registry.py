@@ -58,6 +58,7 @@ _MODULES = (
     "pitlapetl_spark.operators.scd",
     "pitlapetl_spark.operators.incremental",
     "pitlapetl_spark.operators.kmeans",
+    "pitlapetl_spark.operators.pq",
     "pitlapetl_spark.operators.funnel",
     "pitlapetl_spark.operators.entity_resolution",
     "pitlapetl_spark.operators.reconcile",
@@ -96,6 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_count",
     "stream_ohlc_candles",
     "text_zipf_fit",
+    "sim_topk_pq_adc",
     # (b) the r1-era spill from round 5 (registry ledger, r5 comment):
     # their only driver row is round 1, three data regenerations ago.
     "setop_unpivot",

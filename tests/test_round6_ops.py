@@ -199,3 +199,60 @@ def test_zipf_fit_is_nonpositive_slope_over_rank(spark):
     assert row.slope <= 0
     assert 0.0 <= row.r2 <= 1.0
     assert 1 <= row.n_ranks <= 1000
+
+
+def test_pq_adc_codes_and_distance_floor(spark):
+    """PQ invariants: every vector carries exactly M codes in
+    [0, Ks); the ADC of every result is >= the structural floor
+    sum_s(min_cid dt[s][cid]) (the self-query distance); and the
+    returned top-k equals an independent pandas recomputation of ADC
+    from the codes + distance table (no join-path trust)."""
+    from pitlapetl_spark.operators import pq
+    from pitlapetl_spark.sources import load_table
+
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sub = pq._subvectors(emb)
+    cb = pq._codebook_init(sub)
+    for _ in range(pq.PQ_ITERS):
+        cb = pq._update_codebook(pq._assign_codes(sub, cb))
+    codes = {
+        (r.vec_id, r.s): r.cid
+        for r in pq._assign_codes(sub, cb).select("vec_id", "s", "cid").collect()
+    }
+    n_vec = emb.count()
+    assert len(codes) == n_vec * pq.PQ_M
+    assert all(0 <= c < pq.PQ_KS for c in codes.values())
+
+    rows = Q["sim_topk_pq_adc"](spark, SF_SMOKE).collect()
+    assert len(rows) == pq.PQ_TOP
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+
+    # independent ADC replay: distance table from the collected
+    # codebook vs the query subvectors, then sum per vector
+    qid = max(r.vec_id for r in emb.select("vec_id").collect())
+    qsub = {r.s: r.subv for r in sub.filter(F.col("vec_id") == qid).collect()}
+    dt = {}
+    for r in cb.collect():
+        dt[(r.s, r.cid)] = round(
+            sum((a - b) * (a - b) for a, b in zip(qsub[r.s], r.c)), 6
+        )
+    floor = sum(
+        min(dt[(s, c)] for c in range(pq.PQ_KS) if (s, c) in dt)
+        for s in range(pq.PQ_M)
+    )
+    assert all(d >= floor - 1e-9 for d in dists)
+    replay = {}
+    for vid in {v for v, _ in codes}:
+        if vid == qid:
+            continue
+        replay[vid] = round(
+            sum(dt[(s, codes[(vid, s)])] for s in range(pq.PQ_M)), 6
+        )
+    want = sorted(replay.items(), key=lambda kv: (kv[1], kv[0]))[: pq.PQ_TOP]
+    got = [(r.vec_id, round(r.adc_dist, 6)) for r in rows]
+    assert got == [(v, d) for v, d in want]
