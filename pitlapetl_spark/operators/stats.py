@@ -781,3 +781,160 @@ def ml_logreg_gradient_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("long").alias("n"),
         "accuracy",
     )
+
+
+# ------------------------------------------- Poisson bootstrap CIs
+
+BOOT_B = 32  # bootstrap replicates
+BOOT_SEED = "boot-1"
+_BOOT_DENOM = 16**15  # 15 hex digits -> 2^60 (the A-Res uniform device)
+# Poisson(1) CDF to 10 digits — IDENTICAL literals on both engines, so
+# the inverse-CDF CASE ladder can never disagree on a draw
+_POIS_CDF = (
+    "0.3678794412", "0.7357588823", "0.9196986029", "0.9810118431",
+    "0.9963401532", "0.9994058152", "0.9999167589", "0.9999897508",
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (
+        SELECT l_returnflag, l_extendedprice, r,
+               (CAST(('0x' || substr(md5('{BOOT_SEED}:'
+                    || CAST(l_orderkey AS VARCHAR) || ':'
+                    || CAST(l_linenumber AS VARCHAR) || ':'
+                    || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                   / {_BOOT_DENOM}.0 AS u
+        FROM lineitem, unnest(range(0, {BOOT_B})) AS t(r)
+    ),
+    draw AS (
+        SELECT l_returnflag, r,
+               {_pois_case_sql("u")} AS k,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS xd
+        FROM rep
+    ),
+    rm AS (
+        SELECT l_returnflag, r,
+               round(CAST(sum(k * xd) AS DOUBLE)
+                     / nullif(sum(k), 0), 6) AS m
+        FROM draw GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT l_returnflag, m,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY m, r) AS rn
+        FROM rm
+    ),
+    base AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    )
+    SELECT b.l_returnflag, b.n_rows,
+           round(CAST(sum(CAST(rk.m AS DECIMAL(18,6))) AS DOUBLE)
+                 / {BOOT_B}, 6) AS boot_mean,
+           max(CASE WHEN rk.rn = 2 THEN rk.m END) AS ci_lo,
+           max(CASE WHEN rk.rn = {BOOT_B - 1} THEN rk.m END) AS ci_hi
+    FROM rk JOIN base b ON b.l_returnflag = rk.l_returnflag
+    GROUP BY 1, 2
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-returnflag
+    mean extended price — error bars for pipeline metrics WITHOUT
+    resampling the dataset B times: each row independently draws a
+    Poisson(1) replication count per replicate (the Poisson bootstrap
+    — at scale the multinomial and Poisson resamples converge), so
+    one pass over rows x B computes all replicate means, and the CI
+    is order statistics over the B means (2nd / 31st of B=32 ≈ the
+    95% band, interpolation-free so both engines agree exactly).
+
+    Determinism: draws come from the seeded md5-hash uniform (the
+    A-Res device — no RNG state, repartition-proof) through an
+    inverse-CDF CASE ladder over 10-digit Poisson CDF literals shared
+    verbatim with the oracle; replicate sums accumulate k * price in
+    EXACT DECIMAL; the point estimate averages the 32 rounded means
+    in decimal.
+
+    100-TB shape: the explode is rows x B but every column after it
+    is narrow and the aggregate is map-side-combinable to (group,
+    replicate) grain — shuffle payload is B rows per group per task;
+    the order-statistics window runs over B rows per group. B scales
+    the cost linearly and independently of data size per replicate —
+    the whole point of the Poisson trick vs B physical resamples.
+    Cost honesty (10x probe: 4.9 s -> 43.9 s, linear in rows x B):
+    the md5-per-draw is this registry's cross-engine determinism tax,
+    same as the winnowing md5 twin — a production deployment that
+    doesn't need DuckDB replay swaps the uniform to xxhash64(row, r)
+    (JVM-side, ~10x cheaper) with the identical ladder and shape."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    rep = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(BOOT_SEED),
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(float(_BOOT_DENOM))
+    k = F.lit(len(_POIS_CDF))
+    for kk in range(len(_POIS_CDF) - 1, -1, -1):
+        k = F.when(u < float(_POIS_CDF[kk]), kk).otherwise(k)
+    draw = rep.select(
+        "l_returnflag",
+        "r",
+        k.alias("k"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("xd"),
+    )
+    from pyspark.sql import Window
+
+    rm = draw.groupBy("l_returnflag", "r").agg(
+        F.round(
+            F.sum(F.col("k") * F.col("xd")).cast("double")
+            / F.nullif(F.sum("k"), F.lit(0)),
+            6,
+        ).alias("m")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("m", "r")
+    rk = rm.withColumn("rn", F.row_number().over(w))
+    base = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        rk.join(base, "l_returnflag")
+        .groupBy("l_returnflag", "n_rows")
+        .agg(
+            F.round(
+                F.sum(F.col("m").cast("decimal(18,6)")).cast("double")
+                / F.lit(BOOT_B),
+                6,
+            ).alias("boot_mean"),
+            F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+        )
+    )

@@ -256,3 +256,63 @@ def test_pq_adc_codes_and_distance_floor(spark):
     want = sorted(replay.items(), key=lambda kv: (kv[1], kv[0]))[: pq.PQ_TOP]
     got = [(r.vec_id, round(r.adc_dist, 6)) for r in rows]
     assert got == [(v, d) for v, d in want]
+
+
+def test_bootstrap_ci_matches_pure_python_replay(spark):
+    """Full independence check: replay the Poisson bootstrap in plain
+    Python (hashlib md5 uniforms, the same CDF ladder, order-stat CI)
+    and compare every output column — no Spark or DuckDB machinery
+    trusted. Also: the plain sample mean must fall inside the CI."""
+    import hashlib as hl
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from pitlapetl_spark.operators.stats import (
+        BOOT_B,
+        BOOT_SEED,
+        _BOOT_DENOM,
+        _POIS_CDF,
+    )
+    from pitlapetl_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    cdf = [float(c) for c in _POIS_CDF]
+    sums = defaultdict(lambda: [Decimal(0)] * BOOT_B)
+    cnts = defaultdict(lambda: [0] * BOOT_B)
+    nrows = defaultdict(int)
+    for row in li:
+        nrows[row.l_returnflag] += 1
+        xd = Decimal(str(row.l_extendedprice)).quantize(Decimal("0.01"))
+        for r in range(BOOT_B):
+            s = f"{BOOT_SEED}:{row.l_orderkey}:{row.l_linenumber}:{r}"
+            u = (int(hl.md5(s.encode()).hexdigest()[:15], 16) + 1) / _BOOT_DENOM
+            k = next((i for i, c in enumerate(cdf) if u < c), len(cdf))
+            sums[row.l_returnflag][r] += k * xd
+            cnts[row.l_returnflag][r] += k
+    want = {}
+    for flag in sums:
+        means = sorted(
+            (round(float(sums[flag][r]) / cnts[flag][r], 6), r)
+            for r in range(BOOT_B)
+        )
+        boot_mean = round(
+            float(sum(Decimal(str(m)).quantize(Decimal("0.000001")) for m, _ in means))
+            / BOOT_B,
+            6,
+        )
+        want[flag] = (nrows[flag], boot_mean, means[1][0], means[BOOT_B - 2][0])
+
+    got = Q["stats_bootstrap_ci"](spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        wn, wm, wlo, whi = want[r.l_returnflag]
+        assert (r.n_rows, r.boot_mean, r.ci_lo, r.ci_hi) == (wn, wm, wlo, whi)
+        # sanity: the plain mean sits inside the band
+        plain = sum(
+            float(x.l_extendedprice) for x in li if x.l_returnflag == r.l_returnflag
+        ) / wn
+        assert r.ci_lo <= plain <= r.ci_hi
