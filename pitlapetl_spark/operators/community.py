@@ -118,6 +118,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRI_TOP = 20
 TRI_BROADCAST_MAX_EDGES = 5_000_000  # ~80 MB of two longs; past this, shuffle-close
+TRI_BROADCAST_MAX_NODES = 5_000_000  # degree-frame gate (one row per part)
 
 
 def basket_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +201,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the edge set under the footer-count gate below (past
     it: plain equi-join shuffle — the published MapReduce form).
     Top-k is TakeOrderedAndProject. Nothing is all-pairs."""
+    from ..sources import parquet_row_count
+
     pairs = basket_pair_edges(spark, sf_dir)
+    # both broadcast decisions below read their bounds for FREE from
+    # parquet footers (market_basket_pairs' gate discipline — no
+    # unconditional broadcast of a catalog-scale relation):
+    # deg has one row per distinct part <= |part|; the oriented edge
+    # set is <= distinct (order, part) <= |lineitem|
+    n_deg_bound = parquet_row_count(f"{sf_dir}/part.parquet")
+    n_edges_bound = parquet_row_count(f"{sf_dir}/lineitem.parquet")
+
+    def _maybe_bcast(df, bound, gate):
+        return F.broadcast(df) if bound <= gate else df
+
     deg = (
         pairs.select(F.col("pa").alias("node"))
         .unionByName(pairs.select(F.col("pb").alias("node")))
@@ -210,14 +224,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
     lesser = F.struct("da", "pa") < F.struct("db", "pb")
-    # deg is part-cardinality (catalog dimension scale) -> broadcast;
+    # deg is part-cardinality (catalog dimension scale) -> broadcast
+    # only under the footer gate above;
     # ori is consumed THREE times by the wedge/closing joins, so it is
     # materialized once (localCheckpoint) instead of re-deriving the
     # whole pairs+degree pipeline per consumer — measured 13.5 s -> a
     # few s at sf0.01 from exactly this reuse
     ori = (
-        pairs.join(F.broadcast(da), "pa")
-        .join(F.broadcast(db), "pb")
+        pairs.join(_maybe_bcast(da, n_deg_bound, TRI_BROADCAST_MAX_NODES), "pa")
+        .join(_maybe_bcast(db, n_deg_bound, TRI_BROADCAST_MAX_NODES), "pb")
         .select(
             F.when(lesser, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(lesser, F.col("pb")).otherwise(F.col("pa")).alias("v"),
@@ -236,9 +251,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job); past the gate the closing join falls back to the plain
     # equi-join shuffle, which is the published MapReduce form of the
     # algorithm.
-    from ..sources import parquet_row_count
-
-    n_edges_bound = parquet_row_count(f"{sf_dir}/lineitem.parquet")
     closing = F.broadcast(e3) if n_edges_bound <= TRI_BROADCAST_MAX_EDGES else e3
     tri = e1.join(e2, "t_b").join(closing, ["t_a", "t_c"])
     # ONE pass: explode each triangle into its three participants —

@@ -162,19 +162,25 @@ def copurchase_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     the read. The fingerprint (file sizes + mtimes) invalidates the
     memo if the source tables are rewritten mid-process, so
     registered-query semantics are unchanged — bit-identical edges,
-    same oracle CTE. Memory: two longs per directed edge; the memo
-    holds one entry per distinct (app, sf_dir) for process lifetime
-    (bounded; a library user can ``_EDGE_CACHE.clear()`` to drop the
-    blocks). SCALE.md round-6 notes carry the measured A/B."""
+    same oracle CTE. Memory: two longs per directed edge, ONE live
+    entry per (app, sf_dir): inserting a fresh fingerprint evicts the
+    superseded entry and best-effort unpersists its checkpoint blocks
+    (without eviction a process whose inputs are rewritten N times —
+    the very case the fingerprint exists for — would pin N stale edge
+    frames on executors). SCALE.md round-6 notes carry the measured
+    A/B."""
     import os
 
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        _source_fingerprint(sf_dir),
-    )
+    prefix = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    key = (*prefix, _source_fingerprint(sf_dir))
     df = _EDGE_CACHE.get(key)
     if df is None:
+        for stale in [k for k in _EDGE_CACHE if k[:2] == prefix and k != key]:
+            old_df = _EDGE_CACHE.pop(stale)
+            try:
+                old_df.unpersist()
+            except Exception:
+                pass  # blocks also die with the app; eviction is the point
         df = copurchase_edges(spark, sf_dir).localCheckpoint()
         _EDGE_CACHE[key] = df
     return df

@@ -830,7 +830,8 @@ def _pois_case_sql(u: str) -> str:
     rk AS (
         SELECT l_returnflag, m,
                row_number() OVER (
-                   PARTITION BY l_returnflag ORDER BY m, r) AS rn
+                   PARTITION BY l_returnflag
+                   ORDER BY m NULLS LAST, r) AS rn
         FROM rm
     ),
     base AS (
@@ -922,7 +923,14 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("m")
     )
-    w = Window.partitionBy("l_returnflag").orderBy("m", "r")
+    # explicit NULLS LAST: a replicate whose every draw is zero has
+    # an undefined (NULL) mean — possible only for near-empty groups,
+    # but Spark's default ASC is NULLS FIRST while DuckDB's is NULLS
+    # LAST, so without pinning it the order-statistic CI would diverge
+    # between engines on exactly that edge
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.asc_nulls_last("m"), "r"
+    )
     rk = rm.withColumn("rn", F.row_number().over(w))
     base = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
     return (

@@ -103,17 +103,24 @@ def _writer_lock(path: str):
     table format.
 
     Cross-host fail-fast (VERDICT r5 item 6): the lease body is
-    ``pid epoch hostname`` while held and is TRUNCATED on release
-    (still under the lock), so a non-empty body means a live or
-    crashed holder. If flock succeeds while the body names a
-    different host with a heartbeat fresher than
+    ``pid epoch machine-identity`` while held and is TRUNCATED on
+    release (still under the lock), so a non-empty body means a live
+    or crashed holder. If flock succeeds while the body names a
+    different MACHINE with a heartbeat fresher than
     ``FOREIGN_LEASE_TTL_S``, the locks are provably not propagating
-    between the hosts (a shared flock would have blocked us) —
-    ``CrossHostWriterError``. Bounds: a foreign write longer than the
-    TTL escapes detection (no heartbeat thread — documented trade),
-    and a foreign CRASH inside the TTL false-positives until the TTL
-    lapses, which errs on the safe side. Same-host decisions remain
-    purely flock's — the kernel is authoritative there."""
+    between the machines (a shared flock would have blocked us) —
+    ``CrossHostWriterError``. Machine identity is hostname PLUS the
+    kernel boot id (/proc/sys/kernel/random/boot_id): cloned VMs and
+    default container hostnames make bare hostnames collide — two
+    machines both named "localhost" would silently bypass a
+    hostname-only check — while boot ids are regenerated per kernel
+    boot, so they distinguish machines AND stay constant across
+    processes of one host (a crashed same-host holder therefore never
+    false-positives; flock stays authoritative there). Bounds: a
+    foreign write longer than the TTL escapes detection (no heartbeat
+    thread — documented trade), and a foreign CRASH inside the TTL
+    false-positives until the TTL lapses, which errs on the safe
+    side."""
     import fcntl
     import socket
 
@@ -140,7 +147,12 @@ def _writer_lock(path: str):
                 f"sink here is single-writer; serialize the writes or use "
                 f"a table format"
             ) from None
-        host = socket.gethostname()
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as fh:
+                boot = fh.read().strip()
+        except OSError:
+            boot = "noboot"
+        host = f"{socket.gethostname()}/{boot}"
         try:
             with open(lock) as fh:
                 prev = fh.read().split()
@@ -154,7 +166,7 @@ def _writer_lock(path: str):
             if age < FOREIGN_LEASE_TTL_S:
                 raise CrossHostWriterError(
                     f"acquired flock on {lock!r} while its lease body "
-                    f"names a writer on host {prev[2]!r} (pid {prev[0]}, "
+                    f"names a writer on machine {prev[2]!r} (pid {prev[0]}, "
                     f"heartbeat {age:.0f}s old < TTL "
                     f"{FOREIGN_LEASE_TTL_S}s) — this filesystem does not "
                     f"propagate flock between these hosts, so the "
@@ -406,16 +418,22 @@ def merge_upsert_partition_scoped(
             return vals
     # filter on the NATIVE partition column (directory pruning), then
     # realign column types to the updates schema — hive partition-type
-    # inference may read the partition column back as a different type
-    scoped = (
-        spark.read.parquet(path)
-        .filter(F.col(part_col).isin(vals))
-        .select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in updates.schema.fields]
-        )
-    )
-    merged = merge_upsert(scoped, updates, key_cols)
+    # inference may read the partition column back as a different type.
+    # The lease covers the READ too (ADVICE r5 #2, same as
+    # merge_upsert_write): spark.read.parquet resolves the file
+    # listing at analysis, and a concurrent writer swapping partitions
+    # between that listing and our rewrite would either kill this
+    # merge mid-stage with FileNotFound or base it on rows the winner
+    # already replaced.
     with _writer_lock(path):
+        scoped = (
+            spark.read.parquet(path)
+            .filter(F.col(part_col).isin(vals))
+            .select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in updates.schema.fields]
+            )
+        )
+        merged = merge_upsert(scoped, updates, key_cols)
         _staged_partition_rewrite(
             merged, path, part_col, part_strs, allow_vanished=False
         )
@@ -594,18 +612,20 @@ def delete_keys_partition_scoped(
             f"but {len(part_strs)} partition value(s) were requested for "
             f"erasure — refusing to report an erasure that did not happen"
         )
-    scoped = spark.read.parquet(path).filter(F.col(part_col).isin(vals))
-    join_cols = [*key_cols, part_col]
-    # align the keys frame's join-column types to the table's (hive
-    # partition-type inference may differ from the caller's frame)
-    sch = {f.name: f.dataType for f in scoped.schema.fields}
-    keyed = keys.select(
-        *[F.col(c).cast(sch[c]).alias(c) for c in join_cols]
-    ).distinct()
-    kept = scoped.join(F.broadcast(keyed), on=join_cols, how="left_anti").select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in scoped.schema.fields]
-    )
+    # lease covers the read phase too (ADVICE r5 #2; see the merge
+    # sibling above for the race this closes)
     with _writer_lock(path):
+        scoped = spark.read.parquet(path).filter(F.col(part_col).isin(vals))
+        join_cols = [*key_cols, part_col]
+        # align the keys frame's join-column types to the table's (hive
+        # partition-type inference may differ from the caller's frame)
+        sch = {f.name: f.dataType for f in scoped.schema.fields}
+        keyed = keys.select(
+            *[F.col(c).cast(sch[c]).alias(c) for c in join_cols]
+        ).distinct()
+        kept = scoped.join(F.broadcast(keyed), on=join_cols, how="left_anti").select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in scoped.schema.fields]
+        )
         _staged_partition_rewrite(kept, path, part_col, part_strs, allow_vanished=True)
     return vals
 

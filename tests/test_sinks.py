@@ -608,6 +608,21 @@ def test_cross_host_lease_fail_fast_and_release_truncation(spark, tmp_path):
     # release truncated the body
     assert open(f"{path}__lock").read() == ""
 
+    # a crashed SAME-machine holder (fresh body, our own identity)
+    # must NOT block — the kernel released its flock, and the machine
+    # identity (hostname + boot id) proves the body is not foreign
+    import socket
+
+    try:
+        boot = open("/proc/sys/kernel/random/boot_id").read().strip()
+    except OSError:
+        boot = "noboot"
+    me = f"{socket.gethostname()}/{boot}"
+    with open(f"{path}__lock", "w") as fh:
+        fh.write(f"4242 {int(time.time())} {me}\n")
+    sinks.staged_swap(df, path)
+    assert spark.read.parquet(path).count() == 1
+
 
 def test_dead_writer_lease_auto_releases(spark, tmp_path):
     """A crashed writer's flock is released by the KERNEL — a
