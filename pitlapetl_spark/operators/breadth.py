@@ -559,3 +559,64 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= RESERVOIR_K)
     )
+
+
+# ------------------------------------------ exact bitmap distinct
+
+BITMAP_WORD_BITS = 62  # DuckDB range-checks 1<<63; 62 is safe on both engines
+
+
+@query(
+    "agg_bitmap_distinct_users",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT CAST(NULL AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    """,
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per day plus the all-days total — computed
+    as ROARING-STYLE BITMAPS, not COUNT(DISTINCT): each user maps to
+    (word = id div 62, bit = id mod 62), a first hash aggregate ORs
+    the bit masks per (day, word), and the distinct count is the
+    popcount sum over words. The total row is the payoff: daily word
+    bitmaps OR-MERGE into the all-days bitmap — exact distinct counts
+    become algebraic/mergeable like HLL sketches but with zero error,
+    so rollups, incremental MVs, and re-aggregation to coarser grains
+    never re-touch raw rows (the bitmap index trick every warehouse
+    uses, restated as two Spark hash aggregates). The oracle is the
+    INDEPENDENT formulation — plain COUNT(DISTINCT) — so a green hash
+    proves the bitmap algebra, not a replay of it.
+
+    100-TB shape: shuffle payload after the first aggregate is one
+    long per (day, word) — for dense id spaces that is 62 users per
+    row, a ~60x reduction over distinct-shuffling raw (day, user)
+    pairs, and every later grain change is an OR + popcount over
+    word-rows. Sparse/huge id spaces want real roaring containers
+    (run-length + array pages); the word-bitmap layout here is the
+    dense page of that structure. 62-bit words because DuckDB
+    range-checks 1<<63 on BIGINT."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+    )
+    words = e.select(
+        "day",
+        (F.col("user_id") / BITMAP_WORD_BITS).cast("long").alias("word"),
+        F.expr(f"shiftleft(1L, int(user_id % {BITMAP_WORD_BITS}))").alias("mask"),
+    )
+    daily_words = words.groupBy("day", "word").agg(F.bit_or("mask").alias("bits"))
+    daily = daily_words.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_distinct")
+    )
+    total = (
+        daily_words.groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))  # the mergeability step
+        .agg(F.sum(F.bit_count("bits")).cast("long").alias("n_distinct"))
+        .select(F.lit(None).cast("timestamp").alias("day"), "n_distinct")
+    )
+    return daily.unionByName(total)

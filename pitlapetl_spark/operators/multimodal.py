@@ -292,6 +292,30 @@ def phash_frame(docs: DataFrame) -> DataFrame:
     return mm.mapInPandas(hashes, _PHASH_SCHEMA)
 
 
+def phash_band_rows(h: DataFrame) -> DataFrame:
+    """(doc_id, phash, band_id, band_val): the hash split into
+    PHASH_BANDS 8-bit LSH bands — one row per (doc, band). Shared by
+    the batch near-dup query and the streaming media-ingest sink so
+    the banding cannot drift between them."""
+    return h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "phash", "bd.band_id", "bd.band_val")
+
+
 @query("mm_phash_hamming_near_dup", oracle=_phash_oracle())
 def mm_phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection in HAMMING space: the
@@ -319,23 +343,7 @@ def mm_phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming verify are narrow JVM expressions."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     h = phash_frame(docs)
-    bands = h.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("phash"), 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .alias("band_val"),
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bd"),
-    ).select("doc_id", "phash", "bd.band_id", "bd.band_val")
+    bands = phash_band_rows(h)
     a = bands.select(
         F.col("band_id").alias("bi"),
         F.col("band_val").alias("bv"),

@@ -99,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_zipf_fit",
     "sim_topk_pq_adc",
     "stats_bootstrap_ci",
+    "agg_bitmap_distinct_users",
     # (b) the r1-era spill from round 5 (registry ledger, r5 comment):
     # their only driver row is round 1, three data regenerations ago.
     "setop_unpivot",

@@ -557,6 +557,114 @@ def run_dedup_ingest_sink(
     )
 
 
+# -------------------------------------- media phash ingest sink
+
+
+def run_media_phash_ingest_sink(
+    docs: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming MEDIA ingest with hamming-space near-dup dedup — the
+    multimodal twin of ``run_dedup_ingest_sink``: every micro-batch
+    (a) computes block-mean perceptual hashes for its payloads
+    (``phash_frame`` — the only Python, Arrow-batched), (b) dedups
+    within the batch (band self-join + exact hamming verify,
+    keep-lowest-doc_id), (c) probes the persisted BAND STORE with the
+    broadcast-small batch bands and drops docs whose hamming distance
+    to any stored hash is <= PHASH_HAM_MAX, then (d) writes survivors'
+    rows and band rows. Unlike the minhash sink the band rows CARRY
+    the full hash (32 bits rides free next to the band key), so there
+    is no separate signature table — the verify join reads the same
+    store rows the candidate join matched.
+
+    Exactly-once: the minhash sink's device verbatim — batch-scoped
+    overwrite partitions (``batch=<id>``), store reads exclude the
+    running batch's own partition, so a replay at ANY crash point
+    recomputes store-minus-self and overwrites to the first run's
+    exact result. Per-batch cost: O(batch) hashing + one band-store
+    scan (equi-join on the precomputed band key); the same
+    bucket-pruning / KV migration noted on the minhash sink applies
+    when the store scan dominates."""
+    import os as _os
+
+    from ..operators.multimodal import (
+        PHASH_HAM_MAX,
+        phash_band_rows,
+        phash_frame,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint(eager=True)
+        bands = phash_band_rows(
+            phash_frame(batch.select("doc_id", "text"))
+        ).localCheckpoint(eager=True)
+
+        def ham(a, b):
+            return F.bit_count(a.bitwiseXOR(b))
+
+        # (b) intra-batch dedup
+        a, b = bands.alias("a"), bands.alias("b")
+        in_dups = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .filter(ham(F.col("a.phash"), F.col("b.phash")) <= PHASH_HAM_MAX)
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        kept = bands.join(in_dups, "doc_id", "left_anti")
+
+        # (c) probe the persisted band store (minus self on replay)
+        if _os.path.exists(store_path):
+            store = spark.read.parquet(store_path).filter(
+                F.col("batch") != batch_id
+            )
+            dups = (
+                store.alias("c")
+                .join(
+                    F.broadcast(kept.alias("x")),
+                    (F.col("c.band_id") == F.col("x.band_id"))
+                    & (F.col("c.band_val") == F.col("x.band_val")),
+                )
+                .filter(
+                    ham(F.col("c.phash"), F.col("x.phash")) <= PHASH_HAM_MAX
+                )
+                .select(F.col("x.doc_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = kept.select("doc_id").distinct().join(
+                dups, "doc_id", "left_anti"
+            )
+        else:
+            survivors = kept.select("doc_id").distinct()
+        keep = F.broadcast(survivors.localCheckpoint(eager=True))
+
+        # (d) batch-scoped overwrite writes: replay-idempotent
+        sub = f"batch={batch_id}"
+        batch.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            f"{corpus_path}/{sub}"
+        )
+        bands.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            f"{store_path}/{sub}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(ingest_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ------------------------------------------------ CDC snapshot sink
 
 

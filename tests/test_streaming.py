@@ -828,3 +828,91 @@ def test_cms_sink_matches_batch_sketch_and_replays_exactly_once(spark, tmp_path)
         for r in read_cms_estimates(spark, f"{tmp_path}/store", keys).collect()
     }
     assert again == want
+
+
+def test_media_phash_ingest_dedups_across_batches_and_replays_exactly(
+    spark, tmp_path
+):
+    """The hamming-space media ingest sink: a batch-2 re-crawl of
+    batch-1 payloads (same bytes, new doc_ids -> phash hamming 0)
+    must be dropped against the band store while genuinely new
+    payloads survive; intra-batch twins keep only the lowest doc_id;
+    and a full replay on a fresh checkpoint converges to the
+    identical corpus (batch-scoped overwrite + store-minus-self)."""
+    import os
+    import shutil
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        read_documents_stream,
+        run_media_phash_ingest_sink,
+    )
+
+    base = load_table(spark, SF_SMOKE, "documents").limit(20).collect()
+    b0 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base]
+    # re-crawl of half of b0 under new ids + two genuinely new docs,
+    # plus an intra-batch twin pair (same new payload twice)
+    fresh1 = "zq xv jk wp md lr bn ct gh sy " * 12
+    fresh2 = "aa bb cc dd ee ff gg hh ii jj " * 12
+    b1 = (
+        [(d + 1_000_000, t, lg, s, n) for d, t, lg, s, n in b0[:10]]
+        + [(2_000_001, fresh1, "en", "probe", len(fresh1))]
+        + [(2_000_002, fresh2, "en", "probe", len(fresh2))]
+        + [(2_000_003, fresh2, "en", "probe", len(fresh2))]  # twin of _002
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # append part-files at the TOP level (file sources don't recurse);
+    # the pause keeps mtimes ordered so b0's batch precedes b1's
+    import time
+
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        q = run_media_phash_ingest_sink(
+            read_documents_stream(spark, src, max_files_per_trigger=1),
+            str(tmp_path / "store"),
+            str(tmp_path / "corpus"),
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+        return {
+            r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+        }
+
+    got = run("ckpt1")
+    # expected batch-1 survivors: intra-batch near-dups (hamming <=
+    # HAM_MAX to ANY lower-id doc) are dropped by the sink — replay
+    # the rule brute-force from the hashes
+    from pitlapetl_spark.operators.multimodal import PHASH_HAM_MAX, phash_frame
+
+    hashes = {
+        r.doc_id: r.phash
+        for r in phash_frame(
+            spark.createDataFrame(b0, schema).select("doc_id", "text")
+        ).collect()
+    }
+    expected_b0 = {
+        d
+        for d in hashes
+        if not any(
+            bin(hashes[d] ^ hashes[e]).count("1") <= PHASH_HAM_MAX
+            for e in hashes
+            if e < d
+        )
+    }
+    assert expected_b0 == {d for d in got if d < 1_000_000}
+    # every re-crawled copy dropped against the store
+    assert not any(d + 1_000_000 in got for d, *_ in b0[:10])
+    # genuinely new payloads survive; intra-batch twin keeps lowest id
+    assert 2_000_001 in got and 2_000_002 in got
+    assert 2_000_003 not in got
+
+    # replay from scratch (fresh checkpoint, stores left in place):
+    # batch-scoped overwrite + store-minus-self must converge to the
+    # identical corpus
+    again = run("ckpt2")
+    assert again == got
