@@ -268,3 +268,49 @@ def report_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_id,
+               event_id - row_number() OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS island
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT island) AS BIGINT) AS n_islands,
+           CAST(max(event_id) - min(event_id) + 1 - count(*) AS BIGINT)
+               AS n_missing
+    FROM r
+    GROUP BY 1
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit per user: islands of CONSECUTIVE
+    event_ids found with the classic id-minus-row_number device (the
+    difference is constant exactly within a consecutive run, so
+    islands fall out of one window + one distinct-count — no
+    self-join, no lag cascade), plus the total count of ids missing
+    from the user's [min, max] span. The data-loss detector every
+    at-least-once ingest pipeline runs: n_islands > 1 or n_missing >
+    0 localizes WHERE a sequence-numbered feed dropped records.
+    (Events interleave across users here, so gaps are expected and
+    nonzero — the arithmetic, not the verdict, is the operator.)
+
+    100-TB shape: one shuffle on the user key; the window and both
+    aggregates ride the same partitioning; output is user-grain."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    r = events.withColumn(
+        "island", F.col("event_id") - F.row_number().over(w)
+    )
+    return r.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("island").alias("n_islands"),
+        (F.max("event_id") - F.min("event_id") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_missing"),
+    )

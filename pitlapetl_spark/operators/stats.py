@@ -946,3 +946,109 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
         )
     )
+
+
+# --------------------------------------- 2-D Mahalanobis outliers
+
+MAHA_TOP = 20
+
+
+@query(
+    "anomaly_mahalanobis_2d",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               sum(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        FROM lineitem GROUP BY 1
+    ),
+    m AS (
+        SELECT l_returnflag, n,
+               CAST(sx AS DOUBLE) / n AS mx,
+               CAST(sy AS DOUBLE) / n AS my,
+               CAST(n * sxx - sx * sx AS DOUBLE) / n / n AS vxx,
+               CAST(n * sxy - sx * sy AS DOUBLE) / n / n AS vxy,
+               CAST(n * syy - sy * sy AS DOUBLE) / n / n AS vyy
+        FROM s
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round(((l.l_quantity - m.mx) * (l.l_quantity - m.mx) * m.vyy
+                  - 2.0 * (l.l_quantity - m.mx)
+                        * (l.l_extendedprice - m.my) * m.vxy
+                  + (l.l_extendedprice - m.my)
+                        * (l.l_extendedprice - m.my) * m.vxx)
+                 / (m.vxx * m.vyy - m.vxy * m.vxy), 6) AS d2
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+    ORDER BY d2 DESC, l.l_orderkey ASC, l.l_linenumber ASC
+    LIMIT {MAHA_TOP}
+    """,
+)
+def anomaly_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top multivariate outliers by squared Mahalanobis distance on
+    (quantity, price) per returnflag — the correlation-aware outlier
+    detector: a row can sit inside both univariate bands (IQR/zscore
+    would pass it) while being wildly off the group's quantity-price
+    RIDGE; Mahalanobis divides by the covariance structure, so
+    off-ridge rows surface. The 2x2 inverse is closed-form (adjugate
+    over determinant), so the whole operator is ONE moment-sums
+    aggregate (the linear-fit decimal-exact pass — five sums reused
+    shape-for-shape), a 3-row broadcast of the per-group model, one
+    narrow scoring pass, and a TakeOrderedAndProject top-k. Means,
+    variances, and d² use the identical expression trees on both
+    engines over exact-decimal sums (the determinism ladder of
+    ml_linear_fit_closed_form).
+
+    100-TB shape: two scans (moments, scoring — fusable to one with a
+    cached frame if the scan dominates), zero data shuffles beyond
+    the tiny moments aggregate; higher dimensions d keep the same
+    plan with a d×d matrix in the broadcast and a driver-side (or
+    breeze-side) inverse — the per-row cost stays O(d²) expressions."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity", "l_extendedprice",
+    )
+    dec = "decimal(18,2)"
+    xd = F.col("l_quantity").cast(dec)
+    yd = F.col("l_extendedprice").cast(dec)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    m = s.select(
+        "l_returnflag",
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+         / F.col("n") / F.col("n")).alias("vxx"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+         / F.col("n") / F.col("n")).alias("vxy"),
+        ((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+         / F.col("n") / F.col("n")).alias("vyy"),
+    )
+    dx = F.col("l_quantity") - F.col("mx")
+    dy = F.col("l_extendedprice") - F.col("my")
+    d2 = F.round(
+        (dx * dx * F.col("vyy") - 2.0 * dx * dy * F.col("vxy")
+         + dy * dy * F.col("vxx"))
+        / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy")),
+        6,
+    )
+    return (
+        li.join(F.broadcast(m), "l_returnflag")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag", d2.alias("d2")
+        )
+        .orderBy(F.desc("d2"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(MAHA_TOP)
+    )

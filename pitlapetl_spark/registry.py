@@ -100,6 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "sim_topk_pq_adc",
     "stats_bootstrap_ci",
     "agg_bitmap_distinct_users",
+    "dq_sequence_gaps",
+    "anomaly_mahalanobis_2d",
     # (b) the r1-era spill from round 5 (registry ledger, r5 comment):
     # their only driver row is round 1, three data regenerations ago.
     "setop_unpivot",

@@ -316,3 +316,71 @@ def test_bootstrap_ci_matches_pure_python_replay(spark):
             float(x.l_extendedprice) for x in li if x.l_returnflag == r.l_returnflag
         ) / wn
         assert r.ci_lo <= plain <= r.ci_hi
+
+
+def test_sequence_gaps_invariants_and_replay(spark):
+    """Islands arithmetic: n_missing == 0 iff n_islands == 1 for
+    every user, totals partition the table, and a pandas replay of
+    the id-minus-rownumber device matches exactly."""
+    from pitlapetl_spark.sources import load_table
+
+    rows = Q["dq_sequence_gaps"](spark, SF_SMOKE).collect()
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id")
+        .toPandas()
+    )
+    assert sum(r.n_events for r in rows) == len(ev)
+    byu = {u: sorted(g["event_id"]) for u, g in ev.groupby("user_id")}
+    for r in rows:
+        ids = byu[r.user_id]
+        islands = 1 + sum(1 for a, b in zip(ids, ids[1:]) if b != a + 1)
+        missing = ids[-1] - ids[0] + 1 - len(ids)
+        assert (r.n_events, r.n_islands, r.n_missing) == (
+            len(ids), islands, missing
+        ), r.user_id
+        assert (r.n_missing == 0) == (r.n_islands == 1)
+
+
+def test_mahalanobis_matches_numpy_replay(spark):
+    """Independent numpy replay: per-group mean/covariance and the
+    closed-form 2x2-inverse distance recomputed from raw rows must
+    reproduce the query's top-k (and every d2 is non-negative —
+    covariance matrices are PSD)."""
+    import numpy as np
+
+    from pitlapetl_spark.operators.stats import MAHA_TOP
+    from pitlapetl_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "l_extendedprice",
+        )
+        .toPandas()
+    )
+    scored = []
+    for flag, g in li.groupby("l_returnflag"):
+        x = g["l_quantity"].to_numpy(float)
+        y = g["l_extendedprice"].to_numpy(float)
+        mx, my = x.mean(), y.mean()
+        vxx, vxy, vyy = (
+            ((x - mx) ** 2).mean(),
+            ((x - mx) * (y - my)).mean(),
+            ((y - my) ** 2).mean(),
+        )
+        det = vxx * vyy - vxy * vxy
+        d2 = ((x - mx) ** 2 * vyy - 2 * (x - mx) * (y - my) * vxy
+              + (y - my) ** 2 * vxx) / det
+        scored += list(
+            zip(g["l_orderkey"], g["l_linenumber"], np.round(d2, 6))
+        )
+    want = sorted(scored, key=lambda t: (-t[2], t[0], t[1]))[:MAHA_TOP]
+    got = Q["anomaly_mahalanobis_2d"](spark, SF_SMOKE).collect()
+    assert [(r.l_orderkey, r.l_linenumber) for r in got] == [
+        (o, l) for o, l, _ in want
+    ]
+    for r, (_, _, wd2) in zip(got, want):
+        assert r.d2 >= 0
+        assert abs(r.d2 - wd2) < 1e-4  # numpy means vs decimal-exact sums
