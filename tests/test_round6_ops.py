@@ -384,3 +384,44 @@ def test_mahalanobis_matches_numpy_replay(spark):
     for r, (_, _, wd2) in zip(got, want):
         assert r.d2 >= 0
         assert abs(r.d2 - wd2) < 1e-4  # numpy means vs decimal-exact sums
+
+
+def test_bitmap_distinct_bitmaps_are_batching_invariant(spark):
+    """The mergeability claim, property-checked: folding the events in
+    2 arbitrary batches vs 4 via bit_or word-merges yields identical
+    word bitmaps — and their popcount equals the true distinct count
+    (exactness; the incremental-MV batching-invariance discipline
+    applied to bitmap state)."""
+    import pyspark.sql.functions as F
+
+    from pitlapetl_spark.operators.breadth import BITMAP_WORD_BITS
+    from pitlapetl_spark.sources import load_table
+
+    e = load_table(spark, SF_SMOKE, "events").select("user_id")
+
+    def bitmap(df):
+        return {
+            r.word: r.bits
+            for r in df.select(
+                (F.col("user_id") / BITMAP_WORD_BITS).cast("long").alias("word"),
+                F.expr(
+                    f"shiftleft(1L, int(user_id % {BITMAP_WORD_BITS}))"
+                ).alias("mask"),
+            )
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("bits"))
+            .collect()
+        }
+
+    def merge(maps):
+        out = {}
+        for m in maps:
+            for w, b in m.items():
+                out[w] = out.get(w, 0) | b
+        return out
+
+    two = merge([bitmap(e.filter(F.col("user_id") % 2 == i)) for i in range(2)])
+    four = merge([bitmap(e.filter(F.col("user_id") % 4 == i)) for i in range(4)])
+    assert two == four
+    truth = e.distinct().count()
+    assert sum(bin(b & ((1 << 62) - 1)).count("1") for b in two.values()) == truth
