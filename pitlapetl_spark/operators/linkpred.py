@@ -1,0 +1,120 @@
+"""Link prediction over the customer-part co-purchase bipartite graph:
+Adamic-Adar scoring of part pairs (Adamic & Adar 2003, "Friends and
+neighbors on the Web" — public). Two parts that share customers are
+candidate "links" in the part projection; each shared customer
+contributes 1/ln(degree) so that promiscuous buyers (who co-occur
+with everything) count less than selective ones. This is the
+recommender-adjacent graph operator the reference's surface lacks
+entirely (its graph story stops at flat lookups, SURVEY.md §2.5) and
+the fourth member of the graph family next to PageRank (centrality),
+LPA (communities), and triangle counting (cohesion).
+
+Plan shape: ONE distinct on the numeric (custkey, partkey) pair, a
+degree aggregate on the customer key, a DEGREE-CAPPED self-join
+co-partitioned on the customer key, and one pair-grain aggregate.
+The self-join is the same bounded-pair-space discipline as
+market_basket_pairs (basket key) and the DF-capped Jaccard dedup:
+expansion is at most AA_DEG_CAP² rows per customer, never
+corpus-quadratic. The cap is also the textbook semantic choice —
+a customer who buys the whole catalog carries ~zero signal
+(1/ln(deg) → 0) while costing deg² join rows, so dropping
+super-degree hubs removes the skew AND the noise in one move
+(the same hub-capping used in the winnowing/Jaccard DF caps).
+
+Determinism contract: per-customer contributions round(1/ln(deg), 12)
+are cast to DECIMAL(28,12) and summed EXACTLY (order-independent);
+the final score rounds to 6. Top-k ties break on the unique
+(part_a, part_b) key on both engines.
+
+100-TB notes: every shuffle keys on a uniform 8-byte long (custkey
+then the part pair); the degree frame joins back co-partitioned on
+custkey so the self-join and the degree filter share one exchange;
+output is top-k via TakeOrderedAndProject (per-partition heaps, K-row
+driver merge — no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+# Customers with more distinct parts than this are dropped from pair
+# generation: deg² join-row cost with ~zero 1/ln(deg) signal (docstring).
+# Chosen above the sf0.1 p99.9 customer degree so the cap is a skew
+# guard, not a result-shaping knob, at test scale.
+AA_DEG_CAP = 256
+# Degree-1 customers contribute no pairs; the >= 2 bound also keeps
+# ln(deg) strictly positive.
+AA_DEG_MIN = 2
+AA_TOP_K = 20
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (
+        SELECT c, CAST(count(*) AS BIGINT) AS d
+        FROM cp GROUP BY c
+        HAVING count(*) BETWEEN {AA_DEG_MIN} AND {AA_DEG_CAP}
+    ),
+    contrib AS (
+        SELECT cp.c, cp.p,
+               CAST(round(1.0 / ln(deg.d), 12) AS DECIMAL(28,12)) AS w
+        FROM cp JOIN deg ON cp.c = deg.c
+    )
+    SELECT a.p AS part_a, b.p AS part_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(CAST(sum(a.w) AS DOUBLE), 6) AS aa_score
+    FROM contrib a JOIN contrib b
+      ON a.c = b.c AND a.p < b.p
+    GROUP BY a.p, b.p
+    ORDER BY aa_score DESC, part_a ASC, part_b ASC
+    LIMIT {AA_TOP_K}
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k part pairs by Adamic-Adar score over shared customers.
+
+    The weight column rides the LEFT side of the self-join (a.w) so
+    the pair aggregate needs no extra join back to the degree frame —
+    both sides of the pair share the same customer, hence the same
+    1/ln(deg) contribution.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = (
+        cp.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d").between(AA_DEG_MIN, AA_DEG_CAP))
+    )
+    contrib = cp.join(deg, "c").select(
+        "c",
+        "p",
+        F.round(F.lit(1.0) / F.log(F.col("d")), 12)
+        .cast("decimal(28,12)")
+        .alias("w"),
+    )
+    a = contrib.alias("a")
+    b = contrib.select("c", "p").alias("b")
+    return (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.col("a.w")).cast("double"), 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), F.asc("part_a"), F.asc("part_b"))
+        .limit(AA_TOP_K)
+    )

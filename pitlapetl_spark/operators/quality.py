@@ -314,3 +314,148 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_missing"),
     )
+
+
+@query(
+    "dq_benford_digits",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+        WHERE round(o_totalprice * 100, 0) > 0
+    ),
+    d AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+    t AS (SELECT digit, n, sum(n) OVER () AS total FROM d)
+    SELECT digit, n,
+           round(n * 1.0 / total, 6) AS observed_frac,
+           round(log10(1 + 1.0 / digit), 6) AS expected_frac,
+           round(pow(n - total * log10(1 + 1.0 / digit), 2)
+                 / (total * log10(1 + 1.0 / digit)), 6) AS chi2_term
+    FROM t
+    """,
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals (Benford 1938;
+    Nigrini's fraud-audit standard — public): observed leading-digit
+    distribution vs the log10(1+1/d) law, with per-digit chi-square
+    terms so the auditor sees WHICH digit deviates, not just a global
+    stat. Synthetic TPC-H-ish prices are NOT Benford-distributed — the
+    deviation itself is the demo (a price generator is exactly the
+    kind of process Benford audits flag).
+
+    Digit extraction is integer-exact on both engines: cents =
+    round(price*100) as BIGINT, leading digit = first character of the
+    integer's decimal rendering — no float log10/pow floor that could
+    flip at a power-of-ten boundary.
+
+    100-TB shape: ONE map-side-combinable hash aggregate to digit
+    grain (9 rows); the total and chi-square terms run on those 9
+    rows. Nothing else shuffles."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    c = o.filter(cents > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    d = c.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = d.withColumn("total", F.sum("n").over(Window.partitionBy()))
+    e = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    return t.select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed_frac"),
+        F.round(e, 6).alias("expected_frac"),
+        F.round(
+            F.pow(F.col("n") - F.col("total") * e, F.lit(2))
+            / (F.col("total") * e),
+            6,
+        ).alias("chi2_term"),
+    )
+
+
+# (table, column) pairs profiled by dq_entropy_profile — the
+# categorical columns of the warehouse, across FOUR tables.
+_ENTROPY_COLS = (
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+)
+
+
+def _entropy_oracle_one(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{col}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(CAST(-sum(CAST(round(p * log2(p), 12) AS DECIMAL(28,12)))
+                      AS DOUBLE), 6) AS entropy_bits,
+           round(CAST(-sum(CAST(round(p * log2(p), 12) AS DECIMAL(28,12)))
+                      AS DOUBLE)
+                 / NULLIF(log2(count(*)), 0), 6) AS norm_entropy
+    FROM (
+        SELECT count(*) * 1.0 / sum(count(*)) OVER () AS p
+        FROM {table} WHERE {col} IS NOT NULL GROUP BY {col}
+    )
+    """
+
+
+@query(
+    "dq_entropy_profile",
+    oracle=" UNION ALL ".join(
+        _entropy_oracle_one(t, c) for t, c in _ENTROPY_COLS
+    ),
+)
+def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy profile of every categorical column in the
+    warehouse: bits per column plus entropy normalized by
+    log2(cardinality), so 1.0 = uniform and ~0 = near-constant. The
+    information-theoretic complement to dq_profile_lineitem's
+    null/distinct counts — a column whose entropy collapses between
+    loads signals an upstream default-value bug even when null rate
+    and cardinality look unchanged (the drift case KL-divergence
+    catches for distributions, applied table-wide as one scalar per
+    column).
+
+    Determinism: per-value terms p*log2(p) are rounded to 12 and
+    summed as exact DECIMAL; single-valued columns yield norm_entropy
+    NULL (log2(1)=0, NULLIF on both engines).
+
+    100-TB shape: one map-side-combinable value-grain aggregate per
+    column (categorical cardinality is small by definition), then a
+    one-row reduce each; the union is 7 rows. Columns of one table
+    could share a scan via grouping-sets if scan cost dominated;
+    kept one-agg-per-column so each column's aggregate stays
+    map-combinable at its own grain."""
+    parts = []
+    for table, col in _ENTROPY_COLS:
+        base = (
+            load_table(spark, sf_dir, table)
+            .filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("nv"))
+        )
+        p = (F.col("nv") * 1.0 / F.sum("nv").over(Window.partitionBy())).alias("p")
+        term = F.round(F.col("p") * F.log2(F.col("p")), 12).cast("decimal(28,12)")
+        parts.append(
+            base.select(p)
+            .agg(
+                F.count(F.lit(1)).alias("n_distinct"),
+                (-F.sum(term)).cast("double").alias("h"),
+            )
+            .select(
+                F.lit(table).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.round("h", 6).alias("entropy_bits"),
+                F.round(
+                    F.col("h") / F.nullif(F.log2(F.col("n_distinct")), F.lit(0.0)), 6
+                ).alias("norm_entropy"),
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out

@@ -1052,3 +1052,115 @@ def anomaly_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d2"), F.asc("l_orderkey"), F.asc("l_linenumber"))
         .limit(MAHA_TOP)
     )
+
+
+@query(
+    "anomaly_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(round(CAST(sum(CAST(round(value, 8) AS DECIMAL(18,8)))
+                               AS DOUBLE) / count(*), 8)
+                    AS DECIMAL(18,8)) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    cent AS (
+        SELECT event_type, day, m,
+               CAST(round(CAST(sum(m) OVER (PARTITION BY event_type)
+                               AS DOUBLE)
+                          / count(*) OVER (PARTITION BY event_type), 8)
+                    AS DECIMAL(18,8)) AS mu,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days
+        FROM daily
+    ),
+    cs AS (
+        SELECT event_type, day, n_days,
+               sum(m - mu) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cusum
+        FROM cent
+    )
+    SELECT event_type, day AS changepoint_day, n_days,
+           round(CAST(abs(cusum) AS DOUBLE), 6) AS max_abs_cusum
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY abs(cusum) DESC, day ASC) AS rn
+        FROM cs
+    )
+    WHERE rn = 1
+    """,
+)
+def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimation per event_type (Page 1954 — the
+    classic single-shift detector): cumulative sum of deviations of
+    the DAILY mean value from the series' grand mean; the day where
+    |CUSUM| peaks is the least-squares estimate of where the mean
+    shifted. The monitoring primitive behind "did this metric step up,
+    and when?" — complements anomaly_rolling_zscore (point outliers)
+    and anomaly_iqr_outliers (distribution fences) with LOCATION of a
+    persistent level change.
+
+    Determinism: daily means accumulate as exact DECIMAL sums of
+    round(value,8); the grand mean is rounded to 8 before centering;
+    the running CUSUM is an exact DECIMAL running sum, so the argmax
+    comparison is exact on both engines; argmax ties break on the
+    earliest day.
+
+    100-TB shape: the heavy step is ONE hash aggregate at
+    (event_type, day) grain — map-side combinable, uniform keys.
+    Everything after runs at day grain (years x types ~ thousands of
+    rows); the per-type windows are tiny by construction, the same
+    grain-collapse discipline as window_ewma_daily."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = (
+        events.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(F.round("value", 8).cast("decimal(18,8)")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("m")
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    cent = daily.select(
+        "event_type",
+        "day",
+        "m",
+        F.round(F.sum("m").over(wt).cast("double") / F.count(F.lit(1)).over(wt), 8)
+        .cast("decimal(18,8)")
+        .alias("mu"),
+        F.count(F.lit(1)).over(wt).alias("n_days"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = cent.select(
+        "event_type",
+        "day",
+        "n_days",
+        F.sum(F.col("m") - F.col("mu")).over(wc).alias("cusum"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            "n_days",
+            F.round(F.abs(F.col("cusum")).cast("double"), 6).alias("max_abs_cusum"),
+        )
+    )

@@ -770,3 +770,69 @@ def window_month_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.round(F.coalesce("tot", F.lit(0.0)), 2).alias("month_total"),
     )
+
+
+@query(
+    "window_twap_value",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               CAST(round(value, 8) AS DECIMAL(18,8)) AS v,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) - epoch_us(ts) AS dt
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(CAST(sum(v * dt) AS DOUBLE) / NULLIF(sum(dt), 0), 6)
+               AS twap,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value
+    FROM d
+    WHERE dt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def window_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the finance /
+    metering aggregate): each observation is weighted by how long it
+    stayed current, i.e. the microseconds until the user's NEXT event,
+    so a value held for an hour counts 3600x one held a second. The
+    plain arithmetic mean rides along to show the gap time-weighting
+    closes. Irregular event spacing is exactly the case where mean and
+    TWAP diverge — the reason billing and OHLC-adjacent systems never
+    use the plain mean.
+
+    Semantics: the last event of each user has no successor (no
+    holding period) and is excluded, the standard left-closed TWAP
+    convention; a user whose events all share one timestamp yields
+    NULL (zero total holding time, NULLIF on both engines).
+
+    Determinism: the lead() ordering breaks ts ties on event_id;
+    holding times are exact integer microseconds (unix_micros /
+    epoch_us); value*dt accumulates as exact DECIMAL, divided and
+    rounded once at the end on both engines.
+
+    100-TB shape: ONE shuffle on user_id; the lead window and the
+    final aggregate ride the same partitioning (Catalyst collapses
+    them into a single exchange); output is user-grain. No joins."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = events.select(
+        "user_id",
+        F.round("value", 8).cast("decimal(18,8)").alias("v"),
+        (F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))).alias(
+            "dt"
+        ),
+    ).filter(F.col("dt").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt")).cast("double")
+            / F.nullif(F.sum("dt"), F.lit(0)),
+            6,
+        ).alias("twap"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("mean_value"),
+    )

@@ -60,6 +60,7 @@ _MODULES = (
     "pitlapetl_spark.operators.kmeans",
     "pitlapetl_spark.operators.pq",
     "pitlapetl_spark.operators.funnel",
+    "pitlapetl_spark.operators.linkpred",
     "pitlapetl_spark.operators.entity_resolution",
     "pitlapetl_spark.operators.reconcile",
     "pitlapetl_spark.operators.quality",
@@ -89,6 +90,11 @@ _loaded = False
 # r1-era evidence and the r2 cohort is cleared except the spill tail.
 _PRIORITY: tuple[str, ...] = (
     # (a) new in round 6 — zero driver evidence by construction
+    "graph_adamic_adar",
+    "window_twap_value",
+    "anomaly_cusum_changepoint",
+    "dq_benford_digits",
+    "dq_entropy_profile",
     "dedup_cluster_components_fast",
     "analytics_pareto_frontier",
     "window_month_spine_densify",

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+from pyspark.sql import functions as F
 
 from pitlapetl_spark import registry
 from tests.conftest import SF_SMOKE
@@ -425,3 +426,171 @@ def test_bitmap_distinct_bitmaps_are_batching_invariant(spark):
     assert two == four
     truth = e.distinct().count()
     assert sum(bin(b & ((1 << 62) - 1)).count("1") for b in two.values()) == truth
+
+
+def test_adamic_adar_matches_bruteforce_replay(spark):
+    """Pure-Python replay: enumerate ALL part pairs sharing a
+    customer (within the degree band) at smoke scale, score them
+    1/ln(deg), and check the query's top-k is exactly the replay's
+    top-k under the same (score desc, part_a, part_b) tie-break."""
+    import itertools
+    from collections import defaultdict
+
+    from pitlapetl_spark.operators.linkpred import (
+        AA_DEG_CAP, AA_DEG_MIN, AA_TOP_K,
+    )
+    from pitlapetl_spark.sources import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    cp = {
+        (r.o_custkey, r.l_partkey)
+        for r in o.join(l, o.o_orderkey == l.l_orderkey).collect()
+    }
+    parts_by_cust = defaultdict(set)
+    for c, p in cp:
+        parts_by_cust[c].add(p)
+    scores = defaultdict(float)
+    common = defaultdict(int)
+    for c, ps in parts_by_cust.items():
+        d = len(ps)
+        if not (AA_DEG_MIN <= d <= AA_DEG_CAP):
+            continue
+        w = round(1.0 / math.log(d), 12)
+        for a, b in itertools.combinations(sorted(ps), 2):
+            scores[(a, b)] += w
+            common[(a, b)] += 1
+    expect = sorted(
+        ((round(s, 6), k) for k, s in scores.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:AA_TOP_K]
+    got = Q["graph_adamic_adar"](spark, SF_SMOKE).collect()
+    assert len(got) == AA_TOP_K
+    for r, (s, (a, b)) in zip(got, expect):
+        assert (r.part_a, r.part_b) == (a, b)
+        assert abs(r.aa_score - s) < 1e-6
+        assert r.n_common == common[(a, b)]
+
+
+def test_twap_matches_python_replay_and_bounds(spark):
+    """Replay the holding-time weighting per user from raw events;
+    TWAP and the plain mean must match, and TWAP must sit inside
+    [min, max] of the user's non-final values (it is a convex
+    combination of them)."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    byu = defaultdict(list)
+    for r in ev:
+        byu[r.user_id].append(r)
+    got = {r.user_id: r for r in Q["window_twap_value"](spark, SF_SMOKE).collect()}
+    checked = 0
+    for u, rows in byu.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        if len(rows) < 2:
+            assert u not in got
+            continue
+        num = den = 0
+        vals = []
+        for a, b in zip(rows, rows[1:]):
+            dt = int((b.ts - a.ts).total_seconds() * 1_000_000)
+            num += round(a.value, 8) * dt
+            den += dt
+            vals.append(round(a.value, 8))
+        r = got[u]
+        assert r.n_intervals == len(rows) - 1
+        if den == 0:
+            assert r.twap is None
+        else:
+            assert abs(r.twap - num / den) < 1e-5
+            assert min(vals) - 1e-9 <= r.twap <= max(vals) + 1e-9
+        assert abs(r.mean_value - sum(vals) / len(vals)) < 1e-6
+        checked += 1
+    assert checked > 0 and len(got) == checked
+
+
+def test_cusum_changepoint_matches_python_replay(spark):
+    """Replay the daily-mean CUSUM per event_type in pure Python
+    (same roundings) and check the argmax day and peak |CUSUM|."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"), "value")
+        .collect()
+    )
+    sums = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        sums[r.event_type][r.day].append(round(r.value, 8))
+    got = {
+        r.event_type: r
+        for r in Q["anomaly_cusum_changepoint"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(sums)
+    for et, days in sums.items():
+        m = {d: round(sum(vs) / len(vs), 8) for d, vs in days.items()}
+        mu = round(sum(m.values()) / len(m), 8)
+        best_day, best_abs, cs = None, -1.0, 0.0
+        for d in sorted(m):
+            cs += m[d] - mu
+            if abs(cs) > best_abs + 1e-12:
+                best_day, best_abs = d, abs(cs)
+        r = got[et]
+        assert r.n_days == len(m)
+        assert r.changepoint_day == best_day, et
+        assert abs(r.max_abs_cusum - best_abs) < 1e-5
+
+
+def test_benford_fracs_partition_and_law_sums_to_one(spark):
+    """Digits are 1..9; observed fractions sum to 1; the Benford
+    expected fractions sum to 1 (telescoping product — the law's own
+    sanity identity); counts partition the positive-price orders;
+    chi-square terms are non-negative."""
+    from pitlapetl_spark.sources import load_table
+
+    rows = Q["dq_benford_digits"](spark, SF_SMOKE).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_frac for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.expected_frac for r in rows) - 1.0) < 1e-5
+    n_pos = (
+        load_table(spark, SF_SMOKE, "orders")
+        .filter(F.round(F.col("o_totalprice") * 100, 0) > 0)
+        .count()
+    )
+    assert sum(r.n for r in rows) == n_pos
+    assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_entropy_profile_bounds_and_replay(spark):
+    """0 <= H <= log2(k) for every column (norm in [0,1]); exact
+    pure-Python replay of one column (events.event_type)."""
+    from collections import Counter
+
+    from pitlapetl_spark.sources import load_table
+
+    rows = Q["dq_entropy_profile"](spark, SF_SMOKE).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r.entropy_bits >= 0
+        if r.norm_entropy is not None:
+            assert -1e-9 <= r.norm_entropy <= 1 + 1e-9
+        assert r.entropy_bits <= math.log2(max(r.n_distinct, 2)) + 1e-6
+    ev = Counter(
+        r.event_type
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_type")
+        .collect()
+    )
+    n = sum(ev.values())
+    h = -sum(round((c / n) * math.log2(c / n), 12) for c in ev.values())
+    got = next(r for r in rows if r.column_name == "event_type")
+    assert got.n_distinct == len(ev)
+    assert abs(got.entropy_bits - h) < 1e-6
