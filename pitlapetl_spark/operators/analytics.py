@@ -27,7 +27,7 @@ keys on BOTH engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -628,3 +628,201 @@ def analytics_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (parts.p_retailprice == F.col("sv_price"))
         & (parts.p_size == F.col("sv_size")),
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+KM_CENSOR_DAYS = 90  # no order in the trailing window => censored
+KM_BUCKET_DAYS = 30  # lifetime discretized to ~months
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle=f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               min(o_orderdate) AS first_o, max(o_orderdate) AS last_o
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    life AS (
+        SELECT CAST(floor(date_diff('day', first_o, last_o)
+                          / {KM_BUCKET_DAYS}.0) AS BIGINT) AS t,
+               CASE WHEN date_diff('day', last_o, mxd) > {KM_CENSOR_DAYS}
+                    THEN 1 ELSE 0 END AS observed
+        FROM cust CROSS JOIN mx
+    ),
+    grid AS (
+        SELECT t, CAST(sum(observed) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n_at_t
+        FROM life GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST(sum(n_at_t) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_risk
+        FROM grid
+    ),
+    km AS (
+        SELECT t, d, n_risk,
+               sum(CASE WHEN d < n_risk THEN
+                       CAST(round(ln(1.0 - d * 1.0 / n_risk), 12)
+                            AS DECIMAL(28,12)) END)
+                   OVER (ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS logsum,
+               sum(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS absorbed
+        FROM risk
+    )
+    SELECT t AS duration_months, n_risk, d AS d_events,
+           CASE WHEN absorbed > 0 THEN 0.0
+                ELSE round(exp(CAST(coalesce(logsum, 0) AS DOUBLE)), 6)
+           END AS survival
+    FROM km
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of customer lifetime (Kaplan &
+    Meier 1958 — public): lifetime = first-to-last order span in
+    {KM_BUCKET_DAYS}-day buckets; a customer still ordering within
+    {KM_CENSOR_DAYS} days of the dataset's end is right-CENSORED (its
+    lifetime is a lower bound, so it leaves the risk set without
+    counting as an event) — the estimator retention/churn teams use
+    precisely because naive churn rates throw censored customers away.
+    S(t) = prod over event times <= t of (1 - d_i/n_i).
+
+    Determinism: the product is exp of an exact-DECIMAL sum of
+    round(ln(1 - d/n), 12) terms (order-independent, the PageRank
+    contribution trick applied to a product); a bucket where the whole
+    risk set dies (factor 0) sets survival to exactly 0 from there on
+    via an `absorbed` running flag instead of ln(0).
+
+    100-TB shape: the only fact-scale step is the customer-grain
+    min/max aggregate (one map-combinable shuffle); the KM curve
+    itself lives at duration grain (~tens of rows), where the
+    unpartitioned windows are free. The dataset-end scalar is a
+    one-row broadcast."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"), F.max("o_orderdate").alias("last_o")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    life = cust.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            F.datediff(F.col("last_o"), F.col("first_o")) / float(KM_BUCKET_DAYS)
+        ).alias("t"),
+        F.when(
+            F.datediff(F.col("mxd"), F.col("last_o")) > KM_CENSOR_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("observed"),
+    )
+    grid = life.groupBy("t").agg(
+        F.sum("observed").alias("d"), F.count(F.lit(1)).alias("n_at_t")
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select("t", "d", F.sum("n_at_t").over(w_desc).alias("n_risk"))
+    w_asc = Window.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - F.col("d") * 1.0 / F.col("n_risk")), 12).cast(
+            "decimal(28,12)"
+        ),
+    )
+    km = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.sum(term).over(w_asc).alias("logsum"),
+        F.sum(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0))
+        .over(w_asc)
+        .alias("absorbed"),
+    )
+    return km.select(
+        F.col("t").alias("duration_months"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.when(F.col("absorbed") > 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.coalesce(F.col("logsum"), F.lit(0)).cast("double")), 6)
+        )
+        .alias("survival"),
+    )
+
+
+@query(
+    "analytics_gini_spend",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT nationkey, x,
+               row_number() OVER (
+                   PARTITION BY nationkey ORDER BY x, custkey) AS i
+        FROM spend
+    )
+    SELECT nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(CAST(sum(x) AS DOUBLE), 2) AS total_spend,
+           round(2.0 * CAST(sum(i * x) AS DOUBLE)
+                 / (count(*) * CAST(sum(x) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM rk
+    GROUP BY nationkey
+    """,
+)
+def analytics_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the inequality
+    scalar (0 = everyone spends the same, ->1 = one whale) computed
+    with the closed-form rank identity G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over ascending-sorted spend. The concentration metric
+    behind "what fraction of revenue is the top 1%?" dashboards,
+    without materializing the Lorenz curve.
+
+    Determinism: spends are exact DECIMAL sums; rank ties (equal x)
+    break on custkey, and the identity is tie-assignment-invariant
+    anyway (equal x makes sum(i*x) independent of how equal-valued
+    rows share their rank range). i*x accumulates as exact DECIMAL;
+    the two divisions happen once, on exact totals, then round(6).
+
+    100-TB shape: one customer-grain aggregate (map-combinable), one
+    nation-key window (the rank) and the final nation-grain aggregate
+    ride a single exchange. Per-nation sort is the unavoidable cost of
+    exact Gini; at extreme scale swap in the binned approximation over
+    a fixed histogram (same discipline as approx percentiles) —
+    documented trade, exact here for oracle parity."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("x", "custkey")
+    rk = spend.select("nationkey", "x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return rk.groupBy("nationkey").agg(
+        n.alias("n_cust"),
+        F.round(F.sum("x").cast("double"), 2).alias("total_spend"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("x")).cast("double")
+            / (n * F.sum("x").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -1164,3 +1164,150 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("cusum")).cast("double"), 6).alias("max_abs_cusum"),
         )
     )
+
+
+@query(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cell AS (
+        SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT returnflag, linestatus, observed,
+               sum(observed) OVER (PARTITION BY returnflag) AS row_n,
+               sum(observed) OVER (PARTITION BY linestatus) AS col_n,
+               sum(observed) OVER () AS n
+        FROM cell
+    )
+    SELECT returnflag, linestatus, observed,
+           round(row_n * 1.0 * col_n / n, 6) AS expected,
+           round(pow(observed - row_n * 1.0 * col_n / n, 2)
+                 / (row_n * 1.0 * col_n / n), 6) AS chi2_term
+    FROM m
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns (returnflag x linestatus): per-cell observed counts vs the
+    marginal-product expectation, with per-cell chi-square terms so an
+    analyst sees WHICH combination drives the dependence (here the
+    flag/status correlation is structural — returned lines are
+    finished lines — so the terms are large by design). The
+    categorical counterpart to agg_stats_corr's numeric correlation.
+
+    Determinism: everything derives from exact integer counts; the
+    single double division and pow happen on those exact integers,
+    rounded once.
+
+    100-TB shape: ONE map-side-combinable aggregate to cell grain
+    (|flag| x |status| ~ 6 rows); the marginal windows run over those
+    6 rows. Nothing else touches the fact table."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    )
+    cell = li.groupBy("returnflag", "linestatus").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    m = cell.select(
+        "returnflag",
+        "linestatus",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("returnflag")).alias("row_n"),
+        F.sum("observed").over(Window.partitionBy("linestatus")).alias("col_n"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
+    exp_ = F.col("row_n") * 1.0 * F.col("col_n") / F.col("n")
+    return m.select(
+        "returnflag",
+        "linestatus",
+        "observed",
+        F.round(exp_, 6).alias("expected"),
+        F.round(F.pow(F.col("observed") - exp_, F.lit(2)) / exp_, 6).alias(
+            "chi2_term"
+        ),
+    )
+
+
+QN_BUCKETS = 20  # quantile-normalization resolution
+
+
+@query(
+    "stats_quantile_normalize",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               CAST(round(value, 8) AS DECIMAL(18,8)) AS v,
+               ntile({QN_BUCKETS}) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS bucket
+        FROM events
+    ),
+    tgt AS (
+        SELECT bucket,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS target_value
+        FROM b GROUP BY bucket
+    ),
+    grp AS (
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS raw_mean
+        FROM b GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.bucket, g.n, g.raw_mean, t.target_value,
+           round(t.target_value - g.raw_mean, 6) AS shift
+    FROM grp g JOIN tgt t USING (bucket)
+    """,
+)
+def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization fit (Bolstad et al. 2003, the microarray
+    /feature-preprocessing standard — public): align every
+    event_type's value distribution to the common cross-type
+    reference by quantile bucket. Output is the FIT artifact — per
+    (type, bucket): the type's own bucket mean, the cross-type target
+    for that bucket, and the shift applying the normalization; the
+    apply step is a broadcast join of this ~types x {QN_BUCKETS}
+    frame back onto rows (the same fit/apply split as
+    winsorize_group_values).
+
+    Determinism: ntile over (value, event_id) is tie-stable; bucket
+    sizing (first n%k buckets one larger) is the SQL-standard rule on
+    both engines; all means are exact DECIMAL sums divided once.
+
+    100-TB shape: one event_type-key window exchange (the heavy
+    step), then two tiny grain-collapsed aggregates and a
+    bucket-grain join (broadcast by size). For a type too hot for
+    one sorted partition, swap ntile for percent_rank binning over
+    approx quantile fences — documented trade, exact here for
+    parity."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = events.select(
+        "event_type",
+        F.round("value", 8).cast("decimal(18,8)").alias("v"),
+        F.ntile(QN_BUCKETS).over(w).alias("bucket"),
+    ).localCheckpoint(eager=False)  # one window pass, two consumers
+    tgt = b.groupBy("bucket").agg(
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias(
+            "target_value"
+        )
+    )
+    grp = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("raw_mean"),
+    )
+    return grp.join(F.broadcast(tgt), "bucket").select(
+        "event_type",
+        "bucket",
+        "n",
+        "raw_mean",
+        "target_value",
+        F.round(F.col("target_value") - F.col("raw_mean"), 6).alias("shift"),
+    )

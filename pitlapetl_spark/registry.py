@@ -91,6 +91,10 @@ _loaded = False
 _PRIORITY: tuple[str, ...] = (
     # (a) new in round 6 — zero driver evidence by construction
     "graph_adamic_adar",
+    "survival_kaplan_meier",
+    "analytics_gini_spend",
+    "stats_chi2_independence",
+    "stats_quantile_normalize",
     "window_twap_value",
     "anomaly_cusum_changepoint",
     "dq_benford_digits",

@@ -594,3 +594,144 @@ def test_entropy_profile_bounds_and_replay(spark):
     got = next(r for r in rows if r.column_name == "event_type")
     assert got.n_distinct == len(ev)
     assert abs(got.entropy_bits - h) < 1e-6
+
+
+def test_kaplan_meier_matches_python_replay(spark):
+    """Replay the KM estimator from raw orders: bucketed lifetimes,
+    censoring flags, reverse-cumulative risk sets, and the survival
+    product. Survival must be non-increasing and start <= 1; n_risk
+    must be strictly decreasing in t."""
+    from collections import Counter
+
+    from pitlapetl_spark.operators.analytics import (
+        KM_BUCKET_DAYS, KM_CENSOR_DAYS,
+    )
+    from pitlapetl_spark.sources import load_table
+
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", "o_orderdate")
+        .collect()
+    )
+    first, last = {}, {}
+    for r in o:
+        d = r.o_orderdate
+        first[r.o_custkey] = min(first.get(r.o_custkey, d), d)
+        last[r.o_custkey] = max(last.get(r.o_custkey, d), d)
+    mxd = max(last.values())
+    d_cnt, n_cnt = Counter(), Counter()
+    for c in first:
+        t = int((last[c] - first[c]).days // KM_BUCKET_DAYS)
+        n_cnt[t] += 1
+        if (mxd - last[c]).days > KM_CENSOR_DAYS:
+            d_cnt[t] += 1
+    ts = sorted(n_cnt)
+    at_risk, surv, expect = sum(n_cnt.values()), 1.0, {}
+    for t in ts:
+        if d_cnt[t] >= at_risk:
+            surv = 0.0
+        else:
+            surv *= 1.0 - d_cnt[t] / at_risk
+        expect[t] = (at_risk, d_cnt[t], surv)
+        at_risk -= n_cnt[t]
+    got = sorted(
+        Q["survival_kaplan_meier"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.duration_months,
+    )
+    assert [r.duration_months for r in got] == ts
+    prev = 1.0 + 1e-12
+    prev_risk = None
+    for r in got:
+        nr, d, s = expect[r.duration_months]
+        assert (r.n_risk, r.d_events) == (nr, d)
+        assert abs(r.survival - s) < 1e-5
+        assert r.survival <= prev
+        prev = r.survival
+        if prev_risk is not None:
+            assert r.n_risk < prev_risk
+        prev_risk = r.n_risk
+
+
+def test_gini_matches_python_replay_and_bounds(spark):
+    """Replay the rank identity per nation from raw orders+customer;
+    Gini must be in [0, 1)."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rows = o.join(c, o.o_custkey == c.c_custkey).collect()
+    spend = defaultdict(lambda: defaultdict(float))
+    for r in rows:
+        spend[r.c_nationkey][r.o_custkey] += round(r.o_totalprice, 2)
+    got = {r.nationkey: r for r in Q["analytics_gini_spend"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(spend)
+    for nk, by_c in spend.items():
+        xs = sorted(round(v, 2) for v in by_c.values())
+        n, tot = len(xs), sum(xs)
+        g = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+            n + 1.0
+        ) / n
+        r = got[nk]
+        assert r.n_cust == n
+        assert abs(r.gini - g) < 1e-6
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_chi2_independence_marginals_and_replay(spark):
+    """Cells partition the table; expected counts reproduce the
+    marginal product; chi-square terms match a pandas-crosstab
+    replay."""
+    from collections import Counter
+
+    from pitlapetl_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .collect()
+    )
+    obs = Counter((r.l_returnflag, r.l_linestatus) for r in li)
+    rown = Counter(r.l_returnflag for r in li)
+    coln = Counter(r.l_linestatus for r in li)
+    n = len(li)
+    rows = Q["stats_chi2_independence"](spark, SF_SMOKE).collect()
+    assert sum(r.observed for r in rows) == n
+    assert len(rows) == len(obs)
+    for r in rows:
+        e = rown[r.returnflag] * coln[r.linestatus] / n
+        assert r.observed == obs[(r.returnflag, r.linestatus)]
+        assert abs(r.expected - e) < 1e-4
+        assert abs(r.chi2_term - (r.observed - e) ** 2 / e) < 1e-3
+        assert r.chi2_term >= 0
+
+
+def test_quantile_normalize_target_identity_and_balance(spark):
+    """The cross-type target is the n-weighted mean of the per-type
+    bucket means (mass conservation of the fit); per type, ntile
+    bucket sizes differ by at most 1 and cover all buckets."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.operators.stats import QN_BUCKETS
+
+    rows = Q["stats_quantile_normalize"](spark, SF_SMOKE).collect()
+    by_bucket = defaultdict(list)
+    by_type = defaultdict(list)
+    for r in rows:
+        by_bucket[r.bucket].append(r)
+        by_type[r.event_type].append(r)
+        assert abs(r.shift - round(r.target_value - r.raw_mean, 6)) < 1e-9
+    for b, rs in by_bucket.items():
+        tot_n = sum(r.n for r in rs)
+        weighted = sum(r.n * r.raw_mean for r in rs) / tot_n
+        assert abs(rs[0].target_value - weighted) < 1e-4, b
+        assert all(r.target_value == rs[0].target_value for r in rs)
+    for t, rs in by_type.items():
+        assert sorted(r.bucket for r in rs) == list(range(1, QN_BUCKETS + 1))
+        sizes = [r.n for r in rs]
+        assert max(sizes) - min(sizes) <= 1, t
