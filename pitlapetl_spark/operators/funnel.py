@@ -239,3 +239,87 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_in_win"), F.col("_touch_ts")).alias("touch_ts"),
         )
     )
+
+
+@query(
+    "funnel_conversion_lag",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+        SELECT v.user_id,
+               min(epoch_us(e.ts) - epoch_us(v.t_view)) AS lag_us
+        FROM v JOIN events e ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(count(*) * 1.0 / (SELECT count(*) FROM v), 6)
+               AS conversion_rate,
+           round(quantile_cont(lag_us / 1e6, 0.25), 6) AS lag_p25_s,
+           round(quantile_cont(lag_us / 1e6, 0.5), 6) AS lag_p50_s,
+           round(quantile_cont(lag_us / 1e6, 0.75), 6) AS lag_p75_s,
+           round(quantile_cont(lag_us / 1e6, 0.9), 6) AS lag_p90_s
+    FROM p
+    """,
+)
+def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user, the lag from
+    FIRST view to the FIRST purchase strictly after it, summarized as
+    exact percentiles plus the conversion rate — the growth-team
+    complement to funnel_view_click_purchase (which counts stage
+    survivors; this measures how LONG the surviving path takes).
+
+    Determinism: lags are exact integer microseconds min-reduced per
+    user; percentiles interpolate over those exact integers (Spark
+    percentile == DuckDB quantile_cont) and round once.
+
+    100-TB shape: one user-grain min-aggregate per stage, a user-key
+    join (both sides shuffle once on the same key), and a single-row
+    reduce. Exact percentiles sort the converted-user grain (small by
+    funnel physics); approx_percentile is the drop-in at extreme
+    scale — documented trade, exact here for parity."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    e = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_p")
+    )
+    p = (
+        v.join(e, "user_id")
+        .filter(F.col("t_p") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("t_p")) - F.unix_micros(F.col("t_view"))
+            ).alias("lag_us")
+        )
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    return (
+        p.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.expr("percentile(lag_us / 1e6, 0.25)"), 6).alias("lag_p25_s"),
+            F.round(F.expr("percentile(lag_us / 1e6, 0.5)"), 6).alias("lag_p50_s"),
+            F.round(F.expr("percentile(lag_us / 1e6, 0.75)"), 6).alias("lag_p75_s"),
+            F.round(F.expr("percentile(lag_us / 1e6, 0.9)"), 6).alias("lag_p90_s"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.round(F.col("n_converted") * 1.0 / F.col("n_viewers"), 6).alias(
+                "conversion_rate"
+            ),
+            "lag_p25_s",
+            "lag_p50_s",
+            "lag_p75_s",
+            "lag_p90_s",
+        )
+    )

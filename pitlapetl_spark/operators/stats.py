@@ -1311,3 +1311,162 @@ def stats_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_value",
         F.round(F.col("target_value") - F.col("raw_mean"), 6).alias("shift"),
     )
+
+
+WMED_DEC = "decimal(18,2)"
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag AS returnflag,
+               l_extendedprice AS price,
+               CAST(round(l_quantity, 2) AS DECIMAL(18,2)) AS wgt,
+               sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cumw,
+               sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) OVER (
+                   PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT returnflag,
+           round(CAST(min(CASE WHEN cumw * 2 >= totw THEN price END)
+                      AS DOUBLE), 2) AS weighted_median,
+           round(CAST(max(totw) AS DOUBLE), 2) AS total_weight,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM s
+    GROUP BY returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median price per return flag, weighted by quantity —
+    the robust center for line items where a 50-unit line should pull
+    the median 50x harder than a 1-unit line (plain median treats them
+    equally; weighted mean lets whales dominate). Definition: smallest
+    price whose cumulative weight reaches half the group's total
+    (lower weighted median).
+
+    Determinism: weights accumulate as exact DECIMAL in a window
+    ordered by (price, orderkey, linenumber) — the unique key makes
+    the running sum reproducible even across equal prices — and the
+    half-total comparison is exact decimal arithmetic (cumw*2 >= totw
+    avoids any division).
+
+    100-TB shape: ONE exchange on the group key; the sort-window and
+    the final min-aggregate ride the same partitioning. Per-group
+    sort is the exact-median cost (same trade as agg_percentiles);
+    the approx path at extreme scale is weight-expanded
+    approx_percentile — documented, exact here for parity."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_extendedprice").alias("price"),
+        F.round("l_quantity", 2).cast(WMED_DEC).alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("returnflag")
+    s = li.select(
+        "returnflag",
+        "price",
+        F.sum("wgt").over(wc).alias("cumw"),
+        F.sum("wgt").over(wt).alias("totw"),
+    )
+    return s.groupBy("returnflag").agg(
+        F.round(
+            F.min(F.when(F.col("cumw") * 2 >= F.col("totw"), F.col("price"))).cast(
+                "double"
+            ),
+            2,
+        ).alias("weighted_median"),
+        F.round(F.max("totw").cast("double"), 2).alias("total_weight"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+MAD_K = 0.6745  # normal-consistency constant: MAD*1/0.6745 ~ sigma
+MAD_TOP = 20
+
+
+@query(
+    "anomaly_mad_robust_zscore",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 8) AS med
+        FROM events GROUP BY 1
+    ),
+    mad AS (
+        SELECT e.event_type,
+               round(quantile_cont(abs(e.value - m.med), 0.5), 8) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 6) AS value,
+           round({MAD_K} * (e.value - m.med) / d.mad, 6) AS robust_z
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    WHERE d.mad <> 0
+    ORDER BY abs(round({MAD_K} * (e.value - m.med) / d.mad, 6)) DESC,
+             e.event_id ASC
+    LIMIT {MAD_TOP}
+    """,
+)
+def anomaly_mad_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score outliers (Hampel's rule — public):
+    0.6745*(x - median)/MAD, top-|z| rows. The robust sibling of
+    anomaly_rolling_zscore: mean/std are themselves dragged by the
+    outliers they're meant to find (masking), while median and MAD
+    have 50% breakdown — the estimator survives until half the data
+    is corrupt.
+
+    Determinism: per-type median and MAD are exact interpolated
+    percentiles rounded to 8 before the scoring pass; the score is one
+    double expression rounded to 6, and the top-k RANKS ON THE ROUNDED
+    score (then event_id) so the boundary cannot flip on sub-rounding
+    noise between engines. An all-constant group (MAD 0) is excluded
+    — it has no outliers by its own estimator.
+
+    100-TB shape: two grain-collapsed percentile aggregates (type
+    grain) whose outputs BROADCAST back onto one scan each — the
+    two-pass median-of-deviations structure is irreducible for exact
+    MAD; the scoring pass is scan + TakeOrderedAndProject. At scale
+    swap exact percentiles for approx_percentile, plan unchanged."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 8).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 8).alias("mad")
+        )
+    )
+    z = F.round(
+        F.lit(MAD_K) * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad.filter(F.col("mad") != 0)), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            z.alias("robust_z"),
+        )
+        .orderBy(F.abs(F.col("robust_z")).desc(), F.col("event_id").asc())
+        .limit(MAD_TOP)
+    )

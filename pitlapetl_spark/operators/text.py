@@ -927,3 +927,82 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((syd - num / denx_nz * sxd) / F.col("n"), 6).alias("intercept"),
         F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
     )
+
+
+FLESCH_READABLE = 60.0  # "plain English" threshold on the Flesch scale
+
+
+@query(
+    "text_readability_flesch",
+    oracle="""
+    WITH d AS (
+        SELECT lang, source,
+               length(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+               greatest(length(regexp_extract_all(text, '[.!?]')), 1)
+                   AS sents,
+               length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS sylls
+        FROM documents
+    ),
+    f AS (
+        SELECT lang, source,
+               CAST(round(206.835 - 1.015 * (words * 1.0 / sents)
+                          - 84.6 * (sylls * 1.0 / words), 8)
+                    AS DECIMAL(18,8)) AS flesch
+        FROM d WHERE words > 0
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(flesch) AS DOUBLE) / count(*), 6) AS avg_flesch,
+           round(sum(CASE WHEN flesch >= 60.0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS frac_readable
+    FROM f
+    GROUP BY lang, source
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per (lang, source) slice (Flesch 1948 —
+    public): 206.835 - 1.015*(words/sentences) - 84.6*(syllables/
+    words), with the standard cheap proxies — words = lowercase alpha
+    runs, sentences = terminal-punctuation count floored at 1,
+    syllables = vowel-group runs. The readability axis of corpus
+    quality scoring, complementing text_quality_score's length/punct
+    ratios (a slice whose Flesch collapses is boilerplate or
+    run-on machine text even when its token counts look healthy).
+    The synthetic corpus has no sentence punctuation, so every doc is
+    one "sentence" and scores are deeply negative — the honest-alarm
+    framing of text_zipf_fit again; the regex plumbing is identical
+    for natural text.
+
+    Determinism: counts are exact integers from the same regexes on
+    both engines (Spark regexp_count == DuckDB
+    length(regexp_extract_all)); per-doc scores round(8) to DECIMAL
+    before the exact group sum, divided and rounded once.
+
+    100-TB shape: per-doc narrow expressions (regex counting inside
+    whole-stage codegen, no explode, no shuffle) into ONE
+    map-side-combinable aggregate at slice grain."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text")
+    lower = F.lower(F.col("text"))
+    words = F.regexp_count(lower, F.lit("[a-z]+"))
+    sents = F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1))
+    sylls = F.regexp_count(lower, F.lit("[aeiouy]+"))
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (words * 1.0 / sents)
+        - F.lit(84.6) * (sylls * 1.0 / words),
+        8,
+    ).cast("decimal(18,8)")
+    f = docs.filter(words > 0).select("lang", "source", flesch.alias("flesch"))
+    return f.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("flesch").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_flesch"
+        ),
+        F.round(
+            F.sum(F.when(F.col("flesch") >= FLESCH_READABLE, 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_readable"),
+    )

@@ -61,6 +61,7 @@ _MODULES = (
     "pitlapetl_spark.operators.pq",
     "pitlapetl_spark.operators.funnel",
     "pitlapetl_spark.operators.linkpred",
+    "pitlapetl_spark.operators.nbayes",
     "pitlapetl_spark.operators.entity_resolution",
     "pitlapetl_spark.operators.reconcile",
     "pitlapetl_spark.operators.quality",
@@ -95,6 +96,11 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_gini_spend",
     "stats_chi2_independence",
     "stats_quantile_normalize",
+    "ml_naive_bayes_langid",
+    "text_readability_flesch",
+    "funnel_conversion_lag",
+    "agg_weighted_median",
+    "anomaly_mad_robust_zscore",
     "window_twap_value",
     "anomaly_cusum_changepoint",
     "dq_benford_digits",

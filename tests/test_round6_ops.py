@@ -735,3 +735,207 @@ def test_quantile_normalize_target_identity_and_balance(spark):
         assert sorted(r.bucket for r in rs) == list(range(1, QN_BUCKETS + 1))
         sizes = [r.n for r in rs]
         assert max(sizes) - min(sizes) <= 1, t
+
+
+def test_naive_bayes_confusion_partitions_and_replay(spark):
+    """The confusion matrix partitions the test split exactly; fracs
+    sum to 1 per true class; and a pure-Python multinomial-NB replay
+    (same smoothing, same split, same tie-break) reproduces every
+    prediction."""
+    from collections import Counter, defaultdict
+
+    from pitlapetl_spark.operators.nbayes import NB_TEST_MOD
+    from pitlapetl_spark.functions.text import tokens
+    from pitlapetl_spark.sources import load_table
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .collect()
+    )
+    train = [r for r in docs if r.doc_id % NB_TEST_MOD != 0]
+    test = [r for r in docs if r.doc_id % NB_TEST_MOD == 0]
+    counts = defaultdict(Counter)
+    prior_n = Counter()
+    for r in train:
+        prior_n[r.lang] += 1
+        counts[r.lang].update(r.toks)
+    vocab = {w for c in counts.values() for w in c}
+    v = len(vocab)
+    langs = sorted(prior_n)
+    n_train = len(train)
+    ntok = {lg: sum(counts[lg].values()) for lg in langs}
+    confusion = Counter()
+    for r in test:
+        feats = Counter(w for w in r.toks if w in vocab)
+        best = None
+        for lg in langs:
+            s = round(math.log(prior_n[lg] / n_train), 12)
+            for w, cnt in feats.items():
+                s += cnt * round(
+                    math.log((counts[lg][w] + 1.0) / (ntok[lg] + v)), 12
+                )
+            # tie-break lang asc == first lang wins at strict-greater
+            if best is None or s > best[0] + 1e-12:
+                best = (s, lg)
+        confusion[(r.lang, best[1])] += 1
+    rows = Q["ml_naive_bayes_langid"](spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == len(test)
+    per_true = defaultdict(float)
+    for r in rows:
+        assert confusion[(r.true_lang, r.pred_lang)] == r.n, (
+            r.true_lang, r.pred_lang,
+        )
+        per_true[r.true_lang] += r.frac
+    for t, f in per_true.items():
+        assert abs(f - 1.0) < 1e-4, t
+
+
+def test_flesch_replay_one_slice(spark):
+    """Recompute the Flesch pipeline for one (lang, source) slice with
+    Python re and exact arithmetic."""
+    import re
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("lang", "source", "text")
+        .collect()
+    )
+    agg = defaultdict(list)
+    for r in docs:
+        lo = r.text.lower()
+        words = len(re.findall("[a-z]+", lo))
+        if words == 0:
+            continue
+        sents = max(len(re.findall("[.!?]", r.text)), 1)
+        sylls = len(re.findall("[aeiouy]+", lo))
+        agg[(r.lang, r.source)].append(
+            round(206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words), 8)
+        )
+    got = {
+        (r.lang, r.source): r
+        for r in Q["text_readability_flesch"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(agg)
+    for k, fs in agg.items():
+        r = got[k]
+        assert r.n_docs == len(fs)
+        assert abs(r.avg_flesch - sum(fs) / len(fs)) < 1e-5
+        assert abs(
+            r.frac_readable - sum(1 for f in fs if f >= 60.0) / len(fs)
+        ) < 1e-6
+
+
+def test_funnel_lag_replay(spark):
+    """Replay first-view -> first-subsequent-purchase lags per user;
+    counts and the interpolated median must match (numpy 'linear'
+    percentile == quantile_cont == Spark percentile)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    views, purchases = {}, defaultdict(list)
+    for r in ev:
+        if r.event_type == "view":
+            views[r.user_id] = min(views.get(r.user_id, r.ts), r.ts)
+        elif r.event_type == "purchase":
+            purchases[r.user_id].append(r.ts)
+    lags = []
+    for u, tv in views.items():
+        after = [t for t in purchases.get(u, []) if t > tv]
+        if after:
+            lags.append((min(after) - tv).total_seconds())
+    row = Q["funnel_conversion_lag"](spark, SF_SMOKE).collect()[0]
+    assert row.n_viewers == len(views)
+    assert row.n_converted == len(lags)
+    assert abs(row.conversion_rate - len(lags) / len(views)) < 1e-6
+    for q, col in ((25, "lag_p25_s"), (50, "lag_p50_s"), (90, "lag_p90_s")):
+        assert abs(getattr(row, col) - float(np.percentile(lags, q))) < 1e-4
+
+
+def test_weighted_median_replay_and_defining_property(spark):
+    """Replay the lower weighted median per flag; verify the defining
+    property directly: weight at-or-below the median is >= half the
+    total, and strictly-below is < half."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(
+            (r.l_extendedprice, round(r.l_quantity, 2))
+        )
+    got = {r.returnflag: r for r in Q["agg_weighted_median"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(groups)
+    for flag, rows in groups.items():
+        rows.sort()
+        tot = sum(w for _, w in rows)
+        cum, wm = 0.0, None
+        for p, w in rows:
+            cum += w
+            if cum * 2 >= tot:
+                wm = p
+                break
+        r = got[flag]
+        assert abs(r.weighted_median - round(wm, 2)) < 1e-9
+        assert abs(r.total_weight - round(tot, 2)) < 1e-6
+        at_or_below = sum(w for p, w in rows if p <= wm)
+        below = sum(w for p, w in rows if p < wm)
+        assert at_or_below * 2 >= tot - 1e-9
+        assert below * 2 < tot + 1e-9
+
+
+def test_mad_robust_z_replay(spark):
+    """Recompute per-type median and MAD with numpy and verify every
+    returned robust z; the returned set must be the global top-k by
+    |rounded z| with event_id tie-break."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from pitlapetl_spark.operators.stats import MAD_K, MAD_TOP
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    byt = defaultdict(list)
+    for r in ev:
+        byt[r.event_type].append(r)
+    med = {t: round(float(np.percentile([r.value for r in rs], 50)), 8) for t, rs in byt.items()}
+    mad = {
+        t: round(
+            float(np.percentile([abs(r.value - med[t]) for r in rs], 50)), 8
+        )
+        for t, rs in byt.items()
+    }
+    scored = sorted(
+        (
+            (-abs(round(MAD_K * (r.value - med[r.event_type]) / mad[r.event_type], 6)), r.event_id)
+            for r in ev
+            if mad[r.event_type] != 0
+        ),
+    )[:MAD_TOP]
+    got = Q["anomaly_mad_robust_zscore"](spark, SF_SMOKE).collect()
+    assert len(got) == MAD_TOP
+    assert [(-abs(r.robust_z), r.event_id) for r in got] == [
+        (s, i) for s, i in scored
+    ]
