@@ -128,6 +128,11 @@ HEADLINE = (
     "sim_topk_pq_adc",
     "ml_logreg_gradient_descent",
     "window_month_spine_densify",
+    # round 6 session 2: Adamic-Adar (the heaviest new shape — the
+    # degree-capped common-neighbor self-join) and sparse-scored
+    # Naive Bayes (train+score in one plan, the fourth ML entry)
+    "graph_adamic_adar",
+    "ml_naive_bayes_langid",
 )
 
 

@@ -1470,3 +1470,279 @@ def anomaly_mad_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("robust_z")).desc(), F.col("event_id").asc())
         .limit(MAD_TOP)
     )
+
+
+MW_A, MW_B = "view", "purchase"  # the two compared samples
+
+
+@query(
+    "stats_mann_whitney",
+    oracle=f"""
+    WITH v AS (
+        SELECT value AS x,
+               sum(CASE WHEN event_type = '{MW_A}' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN event_type = '{MW_B}' THEN 1 ELSE 0 END) AS c2
+        FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
+        GROUP BY value
+    ),
+    r AS (
+        SELECT c1, c2, c1 + c2 AS ct,
+               sum(c1 + c2) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (c1 + c2) AS cumbefore
+        FROM v
+    ),
+    agg AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(sum(c1 * (2 * cumbefore + ct + 1)) AS BIGINT) AS r1x2,
+               CAST(sum(ct * ct * ct - ct) AS BIGINT) AS ties
+        FROM r
+    )
+    SELECT n1, n2,
+           round((r1x2 - n1 * (n1 + 1.0)) / 2.0, 6) AS u1,
+           round(((r1x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * 1.0 * n2 / 12.0
+                        * ((n1 + n2 + 1.0)
+                           - ties * 1.0 / ((n1 + n2) * (n1 + n2 - 1.0)))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947 — public)
+    comparing the value distributions of two event types, with the
+    tie-corrected normal approximation — the nonparametric sibling of
+    ab_test_variant_zscore (which compares MEANS and assumes them;
+    this compares whole distributions through ranks and survives
+    heavy tails).
+
+    Rank arithmetic stays in INTEGERS until the final expression:
+    per distinct value, the doubled average rank is
+    2*cum_before + tie_count + 1 (exact), so 2*R1 is an exact integer
+    sum and U, the tie term sum(t^3 - t), and z are computed from
+    exact integers in one double expression rounded once.
+
+    100-TB shape: one map-combinable value-grain aggregate; the
+    prefix sum over distinct values is the classic two-pass
+    distributed prefix-sum at scale (per-partition totals + offsets) —
+    here a single small window; at extreme cardinality bin values
+    first (the histogram discipline), which is also the statistically
+    honest move for continuous data."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MW_A, MW_B)
+    )
+    v = events.groupBy(F.col("value").alias("x")).agg(
+        F.sum(F.when(F.col("event_type") == MW_A, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == MW_B, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ct = F.col("c1") + F.col("c2")
+    r = v.select(
+        "c1",
+        "c2",
+        ct.alias("ct"),
+        (F.sum(ct).over(w) - ct).alias("cumbefore"),
+    )
+    agg = r.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cumbefore") + F.col("ct") + 1)).alias(
+            "r1x2"
+        ),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")).alias("ties"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = (F.col("r1x2") - n1 * (n1 + F.lit(1.0))) / 2.0
+    sigma = F.sqrt(
+        n1 * 1.0 * n2 / 12.0
+        * (
+            (n1 + n2 + F.lit(1.0))
+            - F.col("ties") * 1.0 / ((n1 + n2) * (n1 + n2 - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 6).alias("u1"),
+        F.round((u1 - n1 * n2 / 2.0) / sigma, 6).alias("z"),
+    )
+
+
+KS_A, KS_B = "en", "de"  # compared document slices
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH v AS (
+        SELECT n_chars AS x,
+               sum(CASE WHEN lang = '{KS_A}' THEN 1 ELSE 0 END) AS c1,
+               sum(CASE WHEN lang = '{KS_B}' THEN 1 ELSE 0 END) AS c2
+        FROM documents WHERE lang IN ('{KS_A}', '{KS_B}')
+        GROUP BY n_chars
+    ),
+    c AS (
+        SELECT x,
+               CAST(sum(c1) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum1,
+               CAST(sum(c2) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum2,
+               CAST(sum(c1) OVER () AS BIGINT) AS n1,
+               CAST(sum(c2) OVER () AS BIGINT) AS n2
+        FROM v
+    )
+    SELECT n1, n2, x AS ks_at,
+           round(abs(cum1 * n2 - cum2 * n1) * 1.0 / (n1 * n2), 6) AS ks_stat,
+           round(sqrt(n1 * 1.0 * n2 / (n1 + n2))
+                 * (abs(cum1 * n2 - cum2 * n1) * 1.0 / (n1 * n2)), 6)
+               AS ks_scaled
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY abs(cum1 * n2 - cum2 * n1) DESC, x ASC) AS rn
+        FROM c
+    )
+    WHERE rn = 1
+    """,
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (Smirnov 1939 —
+    public) on document length between two language slices: the max
+    ECDF gap, its location, and the sqrt(n1*n2/(n1+n2))-scaled
+    statistic. The distribution-drift detector for NUMERIC columns,
+    complementing text_kl_domain_drift (token distributions) and
+    dq_entropy_profile (categorical collapse) — the trio covers the
+    three column classes a corpus monitor watches.
+
+    Exactness device: the ECDF gap is compared as the INTEGER
+    |cum1*n2 - cum2*n1| (cross-multiplied, no division), so the
+    argmax is exact on both engines; division and sqrt happen once on
+    the winning row. Argmax ties break on the smallest x.
+
+    100-TB shape: one value-grain aggregate + the same prefix-sum
+    note as stats_mann_whitney (two-pass at scale, binning for
+    continuous data)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(KS_A, KS_B)
+    )
+    v = docs.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("lang") == KS_A, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("lang") == KS_B, 1).otherwise(0)).alias("c2"),
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    c = v.select(
+        "x",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    gap = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    wr = Window.orderBy(gap.desc(), F.col("x").asc())
+    ks = gap * 1.0 / (F.col("n1") * F.col("n2"))
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n1",
+            "n2",
+            F.col("x").alias("ks_at"),
+            F.round(ks, 6).alias("ks_stat"),
+            F.round(
+                F.sqrt(F.col("n1") * 1.0 * F.col("n2") / (F.col("n1") + F.col("n2")))
+                * ks,
+                6,
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+XCORR_MAX_LAG = 7
+
+
+@query(
+    "stats_xcorr_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS dy,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT l, a.x, b.y
+        FROM daily a
+        CROSS JOIN (SELECT unnest(generate_series(0, {XCORR_MAX_LAG})) AS l)
+        JOIN daily b ON b.dy = a.dy + l * INTERVAL 1 DAY
+    ),
+    m AS (
+        SELECT l, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM lagged GROUP BY l
+    )
+    SELECT l AS lag_days, n AS n_days,
+           round((n * sxy - sx * sy * 1.0)
+                 / sqrt((n * sxx - sx * sx * 1.0)
+                        * (n * syy - sy * sy * 1.0)), 6) AS xcorr
+    FROM m
+    """,
+)
+def stats_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily view-count and
+    purchase-count series (lags 0..{XCORR_MAX_LAG} days): does today's
+    browsing predict purchases k days out? The lead-indicator scan
+    behind marketing-mix and capacity models — one Pearson correlation
+    per lag, all from exact integer moment sums (the linear-fit
+    moment discipline), so both engines divide identical integers
+    once.
+
+    100-TB shape: cost collapses at the first day-grain aggregate;
+    the lag expansion (x {XCORR_MAX_LAG + 1}) and the self-join run on
+    day-grain rows (~thousands), keyed on (day+lag) equi-join — no
+    window, no cartesian."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("dy"), "event_type"
+    )
+    daily = events.groupBy("dy").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    daily = daily.localCheckpoint(eager=False)  # both sides of the lag join
+    a = daily.select(
+        "dy", "x", F.explode(F.sequence(F.lit(0), F.lit(XCORR_MAX_LAG))).alias("l")
+    ).withColumn("target_dy", F.expr("timestampadd(DAY, l, dy)"))
+    lagged = a.join(
+        daily.select(F.col("dy").alias("target_dy"), "y"), "target_dy"
+    )
+    m = lagged.groupBy("l").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy * 1.0
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx * 1.0) * (n * F.col("syy") - sy * sy * 1.0)
+    )
+    return m.select(
+        F.col("l").alias("lag_days"),
+        F.col("n").alias("n_days"),
+        F.round(num / den, 6).alias("xcorr"),
+    )

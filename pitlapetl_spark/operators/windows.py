@@ -836,3 +836,136 @@ def window_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("mean_value"),
     )
+
+
+@query(
+    "window_interpolate_linear",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, event_type, date_trunc('day', ts) AS dy,
+               CAST(round(CAST(sum(CAST(round(value, 8) AS DECIMAL(18,8)))
+                               AS DOUBLE) / count(*), 8)
+                    AS DECIMAL(18,8)) AS m
+        FROM events GROUP BY 1, 2, 3
+    ),
+    spine AS (
+        SELECT user_id, event_type,
+               unnest(generate_series(min(dy), max(dy), INTERVAL 1 DAY))
+                   AS dy
+        FROM obs GROUP BY user_id, event_type
+    ),
+    j AS (
+        SELECT s.user_id, s.event_type, s.dy, o.m
+        FROM spine s LEFT JOIN obs o
+          ON o.user_id = s.user_id AND o.event_type = s.event_type
+         AND o.dy = s.dy
+    ),
+    f AS (
+        SELECT user_id, event_type, dy, m,
+               last_value(m IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN m IS NOT NULL THEN dy END IGNORE NULLS)
+                   OVER w_prev AS pd,
+               first_value(m IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN m IS NOT NULL THEN dy END IGNORE NULLS)
+                   OVER w_next AS nd
+        FROM j
+        WINDOW w_prev AS (PARTITION BY user_id, event_type ORDER BY dy
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY user_id, event_type ORDER BY dy
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, event_type, dy AS day,
+           (m IS NOT NULL) AS is_observed,
+           round(CASE WHEN m IS NOT NULL THEN CAST(m AS DOUBLE)
+                      ELSE CAST(pv AS DOUBLE)
+                           + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                             * date_diff('day', pd, dy) * 1.0
+                             / date_diff('day', pd, nd)
+                 END, 6) AS value
+    FROM f
+    """,
+)
+def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on a per-(user, event_type) daily
+    grid: densify each series between its first and last observed day,
+    then fill missing days by interpolating between the NEAREST
+    observed neighbors — the time-series repair step between
+    forward-fill (LOCF, window_forward_fill) and model-based
+    imputation, and the one a metering/sensor pipeline actually wants
+    when the quantity varies smoothly. Endpoints are observed by
+    spine construction, so every gap is interior and both neighbors
+    exist.
+
+    Determinism: observed daily means are exact DECIMAL sums rounded
+    to 8; the interpolation weight is an exact integer day-diff ratio;
+    the same double expression rounds once on both engines.
+
+    100-TB shape: one (user, type, day) aggregate, a per-series
+    min/max + sequence explode (the month-spine device at day grain),
+    a co-partitioned left join, and two frames over ONE
+    (user, type)-key exchange. Spine size is bounded by series span —
+    the explode multiplies rows by observed-range days, never by the
+    table."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("day", F.col("ts")).alias("dy"), "value"
+    )
+    obs = events.groupBy("user_id", "event_type", "dy").agg(
+        F.round(
+            F.sum(F.round("value", 8).cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("m")
+    )
+    obs = obs.localCheckpoint(eager=False)  # spine + join share one agg
+    spine = (
+        obs.groupBy("user_id", "event_type")
+        .agg(F.min("dy").alias("mn"), F.max("dy").alias("mx"))
+        .select(
+            "user_id",
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 day"))
+            ).alias("dy"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "event_type", "dy"], "left")
+    wp = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("dy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("dy")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("m").isNotNull(), F.col("dy"))
+    f = j.select(
+        "user_id",
+        "event_type",
+        "dy",
+        "m",
+        F.last("m", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("m", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.col("pv").cast("double") + (
+        F.col("nv").cast("double") - F.col("pv").cast("double")
+    ) * F.datediff(F.col("dy"), F.col("pd")) * 1.0 / F.datediff(
+        F.col("nd"), F.col("pd")
+    )
+    return f.select(
+        "user_id",
+        "event_type",
+        F.col("dy").alias("day"),
+        F.col("m").isNotNull().alias("is_observed"),
+        F.round(
+            F.when(F.col("m").isNotNull(), F.col("m").cast("double")).otherwise(
+                interp
+            ),
+            6,
+        ).alias("value"),
+    )

@@ -101,6 +101,10 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_conversion_lag",
     "agg_weighted_median",
     "anomaly_mad_robust_zscore",
+    "window_interpolate_linear",
+    "stats_mann_whitney",
+    "stats_ks_two_sample",
+    "stats_xcorr_daily",
     "window_twap_value",
     "anomaly_cusum_changepoint",
     "dq_benford_digits",

@@ -939,3 +939,168 @@ def test_mad_robust_z_replay(spark):
     assert [(-abs(r.robust_z), r.event_id) for r in got] == [
         (s, i) for s, i in scored
     ]
+
+
+def test_interpolation_gaps_and_replay(spark):
+    """Per series: observed days keep their exact daily mean, the
+    spine is contiguous, endpoints are observed, and every
+    interpolated value lies between its two neighbors (convexity) and
+    matches a pure-Python linear replay."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id", "event_type",
+            F.date_trunc("day", "ts").alias("dy"), "value",
+        )
+        .collect()
+    )
+    series = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        series[(r.user_id, r.event_type)][r.dy].append(round(r.value, 8))
+    rows = Q["window_interpolate_linear"](spark, SF_SMOKE).collect()
+    by_series = defaultdict(list)
+    for r in rows:
+        by_series[(r.user_id, r.event_type)].append(r)
+    assert set(by_series) == set(series)
+    n_gaps = 0
+    for key, rs in by_series.items():
+        rs.sort(key=lambda r: r.day)
+        obs = {d: round(sum(vs) / len(vs), 8) for d, vs in series[key].items()}
+        days = [r.day for r in rs]
+        assert days[0] == min(obs) and days[-1] == max(obs)
+        assert (days[-1] - days[0]).days + 1 == len(days)  # contiguous
+        assert rs[0].is_observed and rs[-1].is_observed
+        known = sorted(obs)
+        for r in rs:
+            if r.is_observed:
+                assert abs(r.value - obs[r.day]) < 1e-6
+            else:
+                n_gaps += 1
+                prev = max(d for d in known if d < r.day)
+                nxt = min(d for d in known if d > r.day)
+                frac = (r.day - prev).days / (nxt - prev).days
+                want = obs[prev] + (obs[nxt] - obs[prev]) * frac
+                assert abs(r.value - want) < 1e-5
+                lo, hi = sorted((obs[prev], obs[nxt]))
+                assert lo - 1e-6 <= r.value <= hi + 1e-6
+    assert n_gaps > 0  # the corpus actually exercises interpolation
+
+
+def test_mann_whitney_matches_scipy_free_replay(spark):
+    """Replay U and the tie-corrected z in pure Python from raw
+    values (midrank method), and check U against the direct
+    pair-counting definition on a subsample-free exact count."""
+    from collections import Counter
+
+    from pitlapetl_spark.operators.stats import MW_A, MW_B
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin(MW_A, MW_B))
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = sorted(r.value for r in ev)
+    ranks = {}
+    i = 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j] == xs[i]:
+            j += 1
+        ranks[xs[i]] = (i + 1 + j) / 2  # midrank, 1-based
+        i = j
+    a = [r.value for r in ev if r.event_type == MW_A]
+    b = [r.value for r in ev if r.event_type == MW_B]
+    n1, n2 = len(a), len(b)
+    r1 = sum(ranks[v] for v in a)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    tie = sum(c**3 - c for c in Counter(xs).values())
+    n = n1 + n2
+    sigma = math.sqrt(n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2) / sigma
+    row = Q["stats_mann_whitney"](spark, SF_SMOKE).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.u1 - u1) < 1e-6
+    assert abs(row.z - z) < 1e-5
+    # direct definition: U1 = #(a>b pairs) + 0.5*#(ties)
+    gt = sum(1 for va in a for vb in b if va > vb)
+    eq = sum(1 for va in a for vb in b if va == vb)
+    assert abs(u1 - (gt + 0.5 * eq)) < 1e-9
+
+
+def test_ks_two_sample_matches_ecdf_replay(spark):
+    """Replay both ECDFs in Python; the reported statistic must be
+    the exact max gap and its location the smallest maximizing x."""
+    from pitlapetl_spark.operators.stats import KS_A, KS_B
+    from pitlapetl_spark.sources import load_table
+
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("lang").isin(KS_A, KS_B))
+        .select("lang", "n_chars")
+        .collect()
+    )
+    a = sorted(r.n_chars for r in docs if r.lang == KS_A)
+    b = sorted(r.n_chars for r in docs if r.lang == KS_B)
+    n1, n2 = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    best = (-1, None)
+    for x in support:
+        c1 = sum(1 for v in a if v <= x)
+        c2 = sum(1 for v in b if v <= x)
+        gap = abs(c1 * n2 - c2 * n1)
+        if gap > best[0]:
+            best = (gap, x)
+    row = Q["stats_ks_two_sample"](spark, SF_SMOKE).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.ks_at == best[1]
+    assert abs(row.ks_stat - best[0] / (n1 * n2)) < 1e-6
+    assert abs(
+        row.ks_scaled - math.sqrt(n1 * n2 / (n1 + n2)) * best[0] / (n1 * n2)
+    ) < 1e-5
+
+
+def test_xcorr_daily_replay_and_lag_zero_bounds(spark):
+    """Replay every lag's Pearson correlation from the daily count
+    series; n_days shrinks by exactly one per unit lag on a contiguous
+    daily series; all correlations lie in [-1, 1]."""
+    from collections import Counter
+
+    from pitlapetl_spark.operators.stats import XCORR_MAX_LAG
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.date_trunc("day", "ts").alias("dy"), "event_type")
+        .collect()
+    )
+    x = Counter(r.dy for r in ev if r.event_type == "view")
+    y = Counter(r.dy for r in ev if r.event_type == "purchase")
+    days = sorted(set(r.dy for r in ev))
+    rows = {r.lag_days: r for r in Q["stats_xcorr_daily"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(XCORR_MAX_LAG + 1))
+    import datetime
+
+    for l, r in rows.items():
+        pairs = [
+            (x.get(d, 0), y.get(d + datetime.timedelta(days=l), 0))
+            for d in days
+            if d + datetime.timedelta(days=l) in set(days)
+        ]
+        n = len(pairs)
+        assert r.n_days == n
+        sx = sum(p[0] for p in pairs)
+        sy = sum(p[1] for p in pairs)
+        sxy = sum(p[0] * p[1] for p in pairs)
+        sxx = sum(p[0] ** 2 for p in pairs)
+        syy = sum(p[1] ** 2 for p in pairs)
+        want = (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert abs(r.xcorr - want) < 1e-6
+        assert -1.0 - 1e-9 <= r.xcorr <= 1.0 + 1e-9
