@@ -1113,8 +1113,6 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything after runs at day grain (years x types ~ thousands of
     rows); the per-type windows are tiny by construction, the same
     grain-collapse discipline as window_ewma_daily."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     daily = (
         events.groupBy(
@@ -1130,6 +1128,16 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m")
         )
     )
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM argmax over a (event_type, day, m DECIMAL(18,8)) daily
+    frame — shared by the batch query above and the streaming monitor
+    (streaming/runtime.py run_cusum_sink), so the stream-maintained
+    answer is BIT-EQUAL to the batch one by construction."""
+    from pyspark.sql import Window
+
     wt = Window.partitionBy("event_type")
     cent = daily.select(
         "event_type",

@@ -928,3 +928,75 @@ def read_cms_estimates(spark: SparkSession, store_path: str, keys: DataFrame) ->
             .alias("cms_est")
         )
     )
+
+
+# ------------------------------------------------ CUSUM level monitor
+
+
+def run_cusum_sink(
+    events: DataFrame, store_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming CUSUM change-point maintenance: every micro-batch
+    writes its (event_type, day) PARTIAL moments — exact DECIMAL
+    value-sum and row count — to a batch-scoped partition
+    (``batch=<id>``, overwrite). Daily means are NEVER computed per
+    batch: a day split across micro-batches must contribute one mean
+    computed from the MERGED sum/count, so the stored state is the
+    algebraic partial (the same sufficient-statistics discipline as
+    the sketch MVs), and ``read_cusum_changepoints`` below folds the
+    partitions and hands the merged daily frame to the SAME
+    ``cusum_from_daily`` tail the batch operator uses — bit-equal by
+    construction, not by tolerance.
+
+    Exactly-once: additive partials cannot be idempotently re-added,
+    so replay safety comes from the batch-scoped overwrite (the
+    run_cms_sink device) — a replayed batch rewrites its own
+    partition to the same bytes. Store size is O(batches x types x
+    days-touched-per-batch) tiny rows; compact by re-aggregating old
+    partitions into one when batch count grows."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.groupBy(
+                "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+            )
+            .agg(
+                F.sum(F.round("value", 8).cast("decimal(18,8)")).alias("sv"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+        partial.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cusum_changepoints(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the stream-maintained daily partials and run the shared
+    batch CUSUM tail: merge = decimal-sum of sums + sum of counts per
+    (event_type, day), mean = round(merged_sum/merged_cnt, 8) — the
+    identical expression the batch operator computes from raw rows."""
+    from ..operators.stats import cusum_from_daily
+
+    merged = (
+        spark.read.parquet(store_path)
+        .groupBy("event_type", "day")
+        .agg(F.sum("sv").alias("sv"), F.sum("cnt").alias("cnt"))
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("sv").cast("double") / F.col("cnt"), 8)
+            .cast("decimal(18,8)")
+            .alias("m"),
+        )
+    )
+    return cusum_from_daily(merged)
