@@ -750,3 +750,53 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+
+
+def test_adamic_adar_no_nested_loop_and_heap_topk(spark):
+    """The degree-capped pair self-join must plan as an equi join on
+    the customer key (never a nested loop), and the top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(Q["graph_adamic_adar"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "\nSort " not in plan  # no top-level global sort operator
+
+
+def test_naive_bayes_sparse_scoring_single_bnlj(spark):
+    """Sparse NB scoring: exactly ONE bounded broadcast-nested-loop
+    (the test-docs x 5-row model grid); the feature-likelihood path is
+    equi-joined, and the dense vocab x langs grid never appears."""
+    plan = _plan(Q["ml_naive_bayes_langid"](spark, SF_SMOKE))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_twap_single_exchange(spark):
+    """The lead window and the final aggregate must share ONE
+    user-key exchange (Catalyst collapses them)."""
+    plan = _plan(Q["window_twap_value"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_weighted_median_single_exchange(spark):
+    """Cumulative-weight window, total window, and the final
+    group-by all ride one returnflag exchange."""
+    plan = _plan(Q["agg_weighted_median"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mad_zscore_scoring_pass_broadcasts_fences(spark):
+    """The med/MAD frames must broadcast onto the scoring scan (a
+    shuffle join on the type key would re-exchange the whole fact),
+    and the top-k is a heap, not a sort."""
+    plan = _plan(Q["anomaly_mad_robust_zscore"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_benford_single_aggregate_to_digit_grain(spark):
+    """One exchange to the 9-digit grain; everything downstream is
+    grain-collapsed."""
+    plan = _plan(Q["dq_benford_digits"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
