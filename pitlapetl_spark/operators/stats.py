@@ -1536,7 +1536,11 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed prefix-sum at scale (per-partition totals + offsets) —
     here a single small window; at extreme cardinality bin values
     first (the histogram discipline), which is also the statistically
-    honest move for continuous data."""
+    honest move for continuous data. Int64 bound (the PMI-overflow
+    lesson, ADVICE r5): c1*(2*cumbefore+ct+1) grows as count x rank —
+    past ~3e9 rows per sample, compute 2*R1 in DOUBLE on both engines
+    (exact to 2^53, then identically rounded) or bin first; exact
+    integers kept here because the oracle comparison is the point."""
     from pyspark.sql import Window
 
     events = load_table(spark, sf_dir, "events").filter(
@@ -1633,7 +1637,11 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB shape: one value-grain aggregate + the same prefix-sum
     note as stats_mann_whitney (two-pass at scale, binning for
-    continuous data)."""
+    continuous data). Int64 bound: |cum1*n2 - cum2*n1| overflows past
+    n1*n2 ~ 9e18 (~3e9 rows per sample) — at that scale compare the
+    ECDF gap in DOUBLE on both engines or bin first (same trade as
+    the MW rank sum); exact cross-multiplication kept here for the
+    oracle-exact argmax."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -1753,4 +1761,124 @@ def stats_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l").alias("lag_days"),
         F.col("n").alias("n_days"),
         F.round(num / den, 6).alias("xcorr"),
+    )
+
+
+STL_HALF = 3  # centered moving-average half-width: 7-day trend window
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(round(CAST(sum(CAST(round(value, 8) AS DECIMAL(18,8)))
+                               AS DOUBLE) / count(*), 8)
+                    AS DECIMAL(18,8)) AS v
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT day, v,
+               CASE WHEN count(*) OVER w = {2 * STL_HALF + 1} THEN
+                   CAST(round(CAST(sum(v) OVER w AS DOUBLE)
+                              / {2 * STL_HALF + 1}, 8)
+                        AS DECIMAL(18,8)) END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY day
+            ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+    ),
+    s AS (
+        SELECT CAST(isodow(day) AS INT) AS dow,
+               CAST(round(CAST(sum(v - trend) AS DOUBLE) / count(*), 8)
+                    AS DECIMAL(18,8)) AS seasonal
+        FROM t WHERE trend IS NOT NULL GROUP BY 1
+    )
+    SELECT t.day, CAST(isodow(t.day) AS INT) AS dow,
+           round(CAST(t.v AS DOUBLE), 6) AS value,
+           round(CAST(t.trend AS DOUBLE), 6) AS trend,
+           round(CAST(s.seasonal AS DOUBLE), 6) AS seasonal,
+           round(CAST(t.v - t.trend - s.seasonal AS DOUBLE), 6) AS residual
+    FROM t LEFT JOIN s ON CAST(isodow(t.day) AS INT) = s.dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily value
+    series (the moving-average method behind STL's first pass —
+    Cleveland et al. 1990, public): value = trend (centered 7-day
+    moving average, defined only where the full window exists) +
+    day-of-week seasonal (mean of the detrended series per ISO
+    weekday) + residual. The monitoring decomposition that separates
+    "weekends are always low" from "something actually changed" —
+    the residual is what anomaly detectors should score, complementing
+    anomaly_cusum_changepoint (level shifts) and window_ewma_daily
+    (smoothing).
+
+    Determinism: daily means are exact-decimal; the trend window sums
+    decimals exactly and rounds to 8; seasonal means are exact-decimal
+    sums of (v - trend) differences; every output rounds once. Edge
+    days (incomplete trend window) carry NULL trend/residual on both
+    engines rather than a silently-shorter moving average.
+
+    100-TB shape: cost collapses at the day-grain aggregate (one
+    map-combinable exchange); the moving-average window, the
+    7-row seasonal aggregate, and the dow join all run on day-grain
+    rows — the same grain-collapse discipline as the CUSUM monitor.
+    Weekday alignment is pinned to ISO (Spark weekday()+1 == DuckDB
+    isodow) because the engines' default dayofweek disagree on
+    Sunday."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    daily = events.groupBy("day").agg(
+        F.round(
+            F.sum(F.round("value", 8).cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("v")
+    )
+    wma = Window.orderBy("day").rowsBetween(-STL_HALF, STL_HALF)
+    width = 2 * STL_HALF + 1
+    t = daily.select(
+        "day",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(wma) == width,
+            F.round(F.sum("v").over(wma).cast("double") / width, 8).cast(
+                "decimal(18,8)"
+            ),
+        ).alias("trend"),
+    )
+    t = t.localCheckpoint(eager=False)  # seasonal + output share one frame
+    dow = (F.weekday(F.col("day")) + 1).cast("int")
+    s = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy(dow.alias("dow"))
+        .agg(
+            F.round(
+                F.sum(F.col("v") - F.col("trend")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("seasonal")
+        )
+    )
+    return (
+        t.withColumn("dow", dow)
+        .join(F.broadcast(s), "dow", "left")
+        .select(
+            "day",
+            "dow",
+            F.round(F.col("v").cast("double"), 6).alias("value"),
+            F.round(F.col("trend").cast("double"), 6).alias("trend"),
+            F.round(F.col("seasonal").cast("double"), 6).alias("seasonal"),
+            F.round(
+                (F.col("v") - F.col("trend") - F.col("seasonal")).cast("double"),
+                6,
+            ).alias("residual"),
+        )
     )

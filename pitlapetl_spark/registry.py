@@ -109,6 +109,7 @@ _PRIORITY: tuple[str, ...] = (
     "stats_mann_whitney",
     "stats_ks_two_sample",
     "stats_xcorr_daily",
+    "ts_seasonal_decompose",
     "window_twap_value",
     "anomaly_cusum_changepoint",
     "dq_benford_digits",

@@ -1104,3 +1104,50 @@ def test_xcorr_daily_replay_and_lag_zero_bounds(spark):
         )
         assert abs(r.xcorr - want) < 1e-6
         assert -1.0 - 1e-9 <= r.xcorr <= 1.0 + 1e-9
+
+
+def test_seasonal_decompose_identity_and_replay(spark):
+    """value == trend + seasonal + residual exactly on every interior
+    day (additive identity, up to output rounding); edge days carry
+    NULL trend and residual; a pure-Python replay reproduces trend and
+    the per-dow seasonal."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.operators.stats import STL_HALF
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "value")
+        .collect()
+    )
+    by_day = defaultdict(list)
+    for r in ev:
+        by_day[r.day].append(round(r.value, 8))
+    days = sorted(by_day)
+    v = {d: round(sum(vs) / len(vs), 8) for d, vs in by_day.items()}
+    width = 2 * STL_HALF + 1
+    trend = {}
+    for i, d in enumerate(days):
+        if STL_HALF <= i < len(days) - STL_HALF:
+            win = days[i - STL_HALF : i + STL_HALF + 1]
+            trend[d] = round(sum(v[x] for x in win) / width, 8)
+    det = defaultdict(list)
+    for d, tr in trend.items():
+        det[d.isoweekday()].append(v[d] - tr)
+    seasonal = {k: round(sum(xs) / len(xs), 8) for k, xs in det.items()}
+    rows = Q["ts_seasonal_decompose"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(days)
+    for r in rows:
+        assert r.dow == r.day.isoweekday()
+        assert abs(r.value - v[r.day]) < 1e-6
+        if r.day in trend:
+            assert abs(r.trend - trend[r.day]) < 1e-6
+            assert abs(r.seasonal - seasonal[r.dow]) < 1e-6
+            assert abs(
+                r.residual - (v[r.day] - trend[r.day] - seasonal[r.dow])
+            ) < 1e-5
+            # additive identity on the query's own rounded outputs
+            assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 5e-6
+        else:
+            assert r.trend is None and r.residual is None
