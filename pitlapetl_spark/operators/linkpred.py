@@ -11,7 +11,9 @@ LPA (communities), and triangle counting (cohesion).
 
 Plan shape: ONE distinct on the numeric (custkey, partkey) pair, a
 degree aggregate on the customer key, a DEGREE-CAPPED self-join
-co-partitioned on the customer key, and one pair-grain aggregate.
+co-partitioned on the customer key (both sides read the SAME
+lineage-cut contribution frame — the fact-scale build runs once), and
+one pair-grain aggregate.
 The self-join is the same bounded-pair-space discipline as
 market_basket_pairs (basket key) and the DF-capped Jaccard dedup:
 expansion is at most AA_DEG_CAP² rows per customer, never
@@ -106,6 +108,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,12)")
         .alias("w"),
     )
+    # one fact-scale build shared by both self-join sides: without the
+    # lineage cut, each side re-ran the orders-lineitem join + distinct
+    # + degree pipeline (found by review; the xcorr self-join pattern)
+    contrib = contrib.localCheckpoint(eager=False)
     a = contrib.alias("a")
     b = contrib.select("c", "p").alias("b")
     return (

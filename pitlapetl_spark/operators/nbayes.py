@@ -187,8 +187,13 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(aux.select("lang", "n_tok", "v")), "lang")
         .groupBy("doc_id", "lang")
         .agg(
+            # cnt is cast to DECIMAL(9,0) so the product stays within
+            # precision 38 WITHOUT Spark's allowPrecisionLoss scale
+            # truncation (long x decimal(28,12) -> decimal(38,6),
+            # which would diverge from DuckDB's exact scale-12 product
+            # and break the exact-argmax contract; found by review)
             F.sum(
-                F.col("cnt")
+                F.col("cnt").cast("decimal(9,0)")
                 * F.round(
                     F.log((F.col("c") + 1.0) / (F.col("n_tok") + F.col("v"))), 12
                 ).cast(_DEC)
@@ -221,7 +226,7 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + (
                     F.coalesce(F.col("tot"), F.lit(0))
                     - F.coalesce(F.col("covered"), F.lit(0))
-                )
+                ).cast("decimal(9,0)")  # same precision-loss guard
                 * F.col("dflt")
             ).alias("score"),
         )

@@ -1054,6 +1054,24 @@ def anomaly_mahalanobis_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def decimal_mean8(value_col: str = "value"):
+    """The exact-decimal mean aggregate expression:
+    round(sum(round(v,8)::DECIMAL(18,8))::double / count, 8)::DECIMAL(18,8).
+    Shared by the CUSUM daily series (batch here + the streaming
+    monitor's merged-partial twin in streaming/runtime.py),
+    ts_seasonal_decompose, and window_interpolate_linear — the
+    bit-equality and oracle-parity contracts depend on every site
+    using THIS expression, so it exists exactly once."""
+    return (
+        F.round(
+            F.sum(F.round(value_col, 8).cast("decimal(18,8)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).cast("decimal(18,8)")
+    )
+
+
 @query(
     "anomaly_cusum_changepoint",
     oracle="""
@@ -1118,15 +1136,7 @@ def anomaly_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(
             "event_type", F.date_trunc("day", F.col("ts")).alias("day")
         )
-        .agg(
-            F.round(
-                F.sum(F.round("value", 8).cast("decimal(18,8)")).cast("double")
-                / F.count(F.lit(1)),
-                8,
-            )
-            .cast("decimal(18,8)")
-            .alias("m")
-        )
+        .agg(decimal_mean8("value").alias("m"))
     )
     return cusum_from_daily(daily)
 
@@ -1456,6 +1466,7 @@ def anomaly_mad_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = events.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 8).alias("med")
     )
+    med = med.localCheckpoint(eager=False)  # MAD branch + scoring share it
     mad = (
         events.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
@@ -1490,7 +1501,8 @@ MW_A, MW_B = "view", "purchase"  # the two compared samples
         SELECT value AS x,
                sum(CASE WHEN event_type = '{MW_A}' THEN 1 ELSE 0 END) AS c1,
                sum(CASE WHEN event_type = '{MW_B}' THEN 1 ELSE 0 END) AS c2
-        FROM events WHERE event_type IN ('{MW_A}', '{MW_B}')
+        FROM events
+        WHERE event_type IN ('{MW_A}', '{MW_B}') AND value IS NOT NULL
         GROUP BY value
     ),
     r AS (
@@ -1543,8 +1555,11 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers kept here because the oracle comparison is the point."""
     from pyspark.sql import Window
 
+    # NULL observations are excluded on BOTH engines: they carry no
+    # rank information, and Spark (NULLS FIRST) vs DuckDB (NULLS LAST)
+    # would shift every prefix sum differently (found by review)
     events = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin(MW_A, MW_B)
+        F.col("event_type").isin(MW_A, MW_B) & F.col("value").isNotNull()
     )
     v = events.groupBy(F.col("value").alias("x")).agg(
         F.sum(F.when(F.col("event_type") == MW_A, 1).otherwise(0)).alias("c1"),
@@ -1593,7 +1608,8 @@ KS_A, KS_B = "en", "de"  # compared document slices
         SELECT n_chars AS x,
                sum(CASE WHEN lang = '{KS_A}' THEN 1 ELSE 0 END) AS c1,
                sum(CASE WHEN lang = '{KS_B}' THEN 1 ELSE 0 END) AS c2
-        FROM documents WHERE lang IN ('{KS_A}', '{KS_B}')
+        FROM documents
+        WHERE lang IN ('{KS_A}', '{KS_B}') AND n_chars IS NOT NULL
         GROUP BY n_chars
     ),
     c AS (
@@ -1645,8 +1661,8 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("lang").isin(KS_A, KS_B)
-    )
+        F.col("lang").isin(KS_A, KS_B) & F.col("n_chars").isNotNull()
+    )  # same NULL-ordering guard as stats_mann_whitney
     v = docs.groupBy(F.col("n_chars").alias("x")).agg(
         F.sum(F.when(F.col("lang") == KS_A, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("lang") == KS_B, 1).otherwise(0)).alias("c2"),
@@ -1831,15 +1847,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("day"), "value"
     )
-    daily = events.groupBy("day").agg(
-        F.round(
-            F.sum(F.round("value", 8).cast("decimal(18,8)")).cast("double")
-            / F.count(F.lit(1)),
-            8,
-        )
-        .cast("decimal(18,8)")
-        .alias("v")
-    )
+    daily = events.groupBy("day").agg(decimal_mean8("value").alias("v"))
     wma = Window.orderBy("day").rowsBetween(-STL_HALF, STL_HALF)
     width = 2 * STL_HALF + 1
     t = daily.select(

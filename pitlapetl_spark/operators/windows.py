@@ -829,8 +829,11 @@ def window_twap_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dt").isNotNull())
     return d.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
+        # dt is cast to DECIMAL(18,0): decimal(18,8) x long would hit
+        # Spark's precision-loss scale truncation (-> scale 7) and
+        # diverge from DuckDB's exact scale-8 product (found by review)
         F.round(
-            F.sum(F.col("v") * F.col("dt")).cast("double")
+            F.sum(F.col("v") * F.col("dt").cast("decimal(18,0)")).cast("double")
             / F.nullif(F.sum("dt"), F.lit(0)),
             6,
         ).alias("twap"),
@@ -909,14 +912,10 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.date_trunc("day", F.col("ts")).alias("dy"), "value"
     )
+    from .stats import decimal_mean8
+
     obs = events.groupBy("user_id", "event_type", "dy").agg(
-        F.round(
-            F.sum(F.round("value", 8).cast("decimal(18,8)")).cast("double")
-            / F.count(F.lit(1)),
-            8,
-        )
-        .cast("decimal(18,8)")
-        .alias("m")
+        decimal_mean8("value").alias("m")
     )
     obs = obs.localCheckpoint(eager=False)  # spine + join share one agg
     spine = (

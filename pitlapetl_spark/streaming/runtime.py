@@ -994,6 +994,9 @@ def read_cusum_changepoints(spark: SparkSession, store_path: str) -> DataFrame:
         .select(
             "event_type",
             "day",
+            # the merged-partial form of stats.decimal_mean8: same
+            # round(sum/count, 8)::DECIMAL(18,8), with sum/count
+            # arriving pre-folded — keep in lockstep with that helper
             F.round(F.col("sv").cast("double") / F.col("cnt"), 8)
             .cast("decimal(18,8)")
             .alias("m"),
