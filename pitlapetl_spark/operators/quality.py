@@ -459,3 +459,93 @@ def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in parts[1:]:
         out = out.unionByName(q)
     return out
+
+
+# Candidate functional dependencies checked by dq_functional_dependency:
+# (table, determinant, dependent). The first two HOLD by construction
+# (order grain), the rest measure how far the data is from determinism —
+# the profiling signal (Papenbrock/Metanome-style FD validation, public).
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("events", "user_id", "event_type"),
+)
+
+
+def _fd_oracle_one(table: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name, '{det}' AS determinant,
+           '{dep}' AS dependent,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+           round(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS violation_rate,
+           (max(nv) = 1) AS holds
+    FROM (
+        SELECT {det}, count(DISTINCT {dep}) AS nv
+        FROM {table} WHERE {det} IS NOT NULL
+        GROUP BY {det}
+    )
+    """
+
+
+@query(
+    "dq_functional_dependency",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_one(t, a, b) for t, a, b in _FD_CANDIDATES
+    ),
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation (the Metanome/Papenbrock FD
+    discovery problem restricted to declared candidates — public):
+    for each candidate determinant -> dependent pair, does one
+    determinant value ever map to more than one dependent value, and
+    for what fraction of keys? `holds` is the hard contract (a
+    violated o_orderkey -> o_custkey would mean the order grain is
+    broken upstream); nonzero violation_rate on the soft candidates
+    (a part supplied by several suppliers, a user emitting several
+    event types) is the measured shape of the data, not an error.
+    The schema-level complement of dq_constraint_checks' row-level
+    rules: constraints police values, FDs police GRAIN.
+
+    100-TB shape: one map-combinable (determinant ->
+    count-distinct-dependent) aggregate per candidate, then a one-row
+    reduce each; the union is 5 rows. Exact count-distinct at key
+    grain is bounded by the dependent's per-key cardinality (tiny by
+    definition for a near-FD); a full FD *search* over all column
+    pairs would instead sample + sketch — documented trade, declared
+    candidates here."""
+    parts = []
+    for table, det, dep in _FD_CANDIDATES:
+        per_key = (
+            load_table(spark, sf_dir, table)
+            .filter(F.col(det).isNotNull())
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("nv"))
+        )
+        viol = F.sum(F.when(F.col("nv") > 1, 1).otherwise(0))
+        parts.append(
+            per_key.agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                viol.alias("n_violating_keys"),
+                F.round(viol * 1.0 / F.count(F.lit(1)), 6).alias(
+                    "violation_rate"
+                ),
+                (F.max("nv") == 1).alias("holds"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_keys",
+                "n_violating_keys",
+                "violation_rate",
+                "holds",
+            )
+        )
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionByName(q)
+    return out

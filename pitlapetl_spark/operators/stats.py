@@ -1890,3 +1890,159 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+TRIAGE_Z = 3.5  # Hampel alarm threshold on the residual robust z
+TRIAGE_TOP = 3  # ranked triage queue depth per event type
+
+
+@query(
+    "pipeline_anomaly_triage",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(round(CAST(sum(CAST(round(value, 8) AS DECIMAL(18,8)))
+                               AS DOUBLE) / count(*), 8)
+                    AS DECIMAL(18,8)) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, day, v,
+               CASE WHEN count(*) OVER w = {2 * STL_HALF + 1} THEN
+                   CAST(round(CAST(sum(v) OVER w AS DOUBLE)
+                              / {2 * STL_HALF + 1}, 8)
+                        AS DECIMAL(18,8)) END AS trend
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+    ),
+    r AS (
+        SELECT event_type, day, v, v - trend AS resid
+        FROM t WHERE trend IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, round(quantile_cont(CAST(resid AS DOUBLE), 0.5), 8)
+                   AS med
+        FROM r GROUP BY 1
+    ),
+    mad AS (
+        SELECT r.event_type,
+               round(quantile_cont(abs(CAST(r.resid AS DOUBLE) - m.med), 0.5),
+                     8) AS mad
+        FROM r JOIN med m USING (event_type)
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT r.event_type, r.day,
+               round(CAST(r.v AS DOUBLE), 6) AS value,
+               round(CAST(r.resid AS DOUBLE), 6) AS residual,
+               round({MAD_K} * (CAST(r.resid AS DOUBLE) - m.med) / d.mad, 6)
+                   AS robust_z
+        FROM r
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE d.mad <> 0
+    )
+    SELECT event_type, day, value, residual, robust_z,
+           (abs(robust_z) > {TRIAGE_Z}) AS is_alarm
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(robust_z) DESC, day ASC) AS rn
+        FROM scored
+    )
+    WHERE rn <= {TRIAGE_TOP}
+    """,
+)
+def pipeline_anomaly_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed anomaly triage in ONE Catalyst plan — the monitoring
+    pipeline the seasonal-decompose docstring prescribes, actually
+    wired: per-type daily means -> centered 7-day moving-average trend
+    -> residuals -> Hampel MAD fences ON THE RESIDUALS -> the top-3
+    days per type ranked by |robust z|, with is_alarm marking scores
+    past {TRIAGE_Z} (triage queues are RANKED, not thresholded — a
+    threshold-only report is empty on a healthy corpus, which is
+    exactly when an on-call wants the closest-to-alarm days).
+    De-trending first is the point: a
+    raw-value detector fires on every seasonal peak; scoring the
+    residual fires only on days that deviate from their own local
+    level (the composition of ts_seasonal_decompose's trend stage and
+    anomaly_mad_robust_zscore's scoring stage, sharing their exact
+    determinism devices — decimal_mean8 daily means, round-8 exact
+    percentiles, rounded-score threshold comparison).
+
+    100-TB shape: cost collapses at the (type, day) aggregate; the MA
+    window, both percentile reduces, and the flag filter all run at
+    day grain. One fact-scale exchange total."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    daily = events.groupBy("event_type", "day").agg(decimal_mean8("value").alias("v"))
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    width = 2 * STL_HALF + 1
+    t = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.when(
+            F.count(F.lit(1)).over(wma) == width,
+            F.round(F.sum("v").over(wma).cast("double") / width, 8).cast(
+                "decimal(18,8)"
+            ),
+        ).alias("trend"),
+    )
+    r = t.filter(F.col("trend").isNotNull()).select(
+        "event_type", "day", "v", (F.col("v") - F.col("trend")).alias("resid")
+    )
+    r = r.localCheckpoint(eager=False)  # med + mad + scoring share it
+    med = r.groupBy("event_type").agg(
+        F.round(F.expr("percentile(CAST(resid AS DOUBLE), 0.5)"), 8).alias("med")
+    )
+    med = med.localCheckpoint(eager=False)
+    mad = (
+        r.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(CAST(resid AS DOUBLE) - med), 0.5)"), 8
+            ).alias("mad")
+        )
+    )
+    z = F.round(
+        F.lit(MAD_K)
+        * (F.col("resid").cast("double") - F.col("med"))
+        / F.col("mad"),
+        6,
+    )
+    scored = (
+        r.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad.filter(F.col("mad") != 0)), "event_type")
+        .withColumn("robust_z", z)
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("v").cast("double"), 6).alias("value"),
+            F.round(F.col("resid").cast("double"), 6).alias("residual"),
+            "robust_z",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("robust_z")).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TRIAGE_TOP)
+        .select(
+            "event_type",
+            "day",
+            "value",
+            "residual",
+            "robust_z",
+            (F.abs(F.col("robust_z")) > TRIAGE_Z).alias("is_alarm"),
+        )
+    )

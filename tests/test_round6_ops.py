@@ -1151,3 +1151,87 @@ def test_seasonal_decompose_identity_and_replay(spark):
             assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 5e-6
         else:
             assert r.trend is None and r.residual is None
+
+
+def test_anomaly_triage_ranked_queue_replay(spark):
+    """Per type: exactly TRIAGE_TOP rows, ranked by |robust_z| desc
+    (day asc on ties), is_alarm consistent with the threshold, and a
+    pure-Python replay of the full compose (daily means -> MA trend
+    -> residual -> med/MAD -> score) reproduces the queue."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from pitlapetl_spark.operators.stats import (
+        MAD_K, STL_HALF, TRIAGE_TOP, TRIAGE_Z,
+    )
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"), "value")
+        .collect()
+    )
+    by = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        by[r.event_type][r.day].append(round(r.value, 8))
+    width = 2 * STL_HALF + 1
+    expect = {}
+    for et, dd in by.items():
+        days = sorted(dd)
+        v = {d: round(sum(xs) / len(xs), 8) for d, xs in dd.items()}
+        resid = {}
+        for i, d in enumerate(days):
+            if STL_HALF <= i < len(days) - STL_HALF:
+                tr = round(
+                    sum(v[x] for x in days[i - STL_HALF : i + STL_HALF + 1])
+                    / width,
+                    8,
+                )
+                resid[d] = v[d] - tr
+        med = round(float(np.percentile(list(resid.values()), 50)), 8)
+        mad = round(
+            float(np.percentile([abs(x - med) for x in resid.values()], 50)), 8
+        )
+        if mad == 0:
+            continue
+        scored = sorted(
+            ((-abs(round(MAD_K * (x - med) / mad, 6)), d) for d, x in resid.items()),
+        )[:TRIAGE_TOP]
+        expect[et] = scored
+    rows = Q["pipeline_anomaly_triage"](spark, SF_SMOKE).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r.event_type].append(r)
+        assert r.is_alarm == (abs(r.robust_z) > TRIAGE_Z)
+    assert set(got) == set(expect)
+    for et, rs in got.items():
+        assert len(rs) == TRIAGE_TOP
+        zs = [abs(r.robust_z) for r in rs]
+        assert zs == sorted(zs, reverse=True)
+        assert [( -abs(r.robust_z), r.day) for r in rs] == expect[et]
+
+
+def test_functional_dependency_replay(spark):
+    """Pandas replay of every declared FD candidate; the hard
+    order-grain FDs must hold, and violation counts must match."""
+    from pitlapetl_spark.operators.quality import _FD_CANDIDATES
+    from pitlapetl_spark.sources import load_table
+
+    got = {
+        (r.table_name, r.determinant, r.dependent): r
+        for r in Q["dq_functional_dependency"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(_FD_CANDIDATES)
+    for table, det, dep in _FD_CANDIDATES:
+        pdf = load_table(spark, SF_SMOKE, table).select(det, dep).toPandas()
+        pdf = pdf[pdf[det].notna()]
+        nv = pdf.groupby(det)[dep].nunique()
+        r = got[(table, det, dep)]
+        assert r.n_keys == len(nv)
+        assert r.n_violating_keys == int((nv > 1).sum())
+        assert r.holds == bool((nv == 1).all())
+        assert abs(r.violation_rate - (nv > 1).mean()) < 1e-6
+    # the order-grain contracts hold by construction
+    assert got[("orders", "o_orderkey", "o_custkey")].holds
+    assert got[("orders", "o_orderkey", "o_orderstatus")].holds
