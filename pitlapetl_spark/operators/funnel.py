@@ -323,3 +323,132 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_p90_s",
         )
     )
+
+
+TD_WINDOW_S = 7 * 86400  # touches within 7 days before the purchase
+TD_TAU_S = 2 * 86400  # exponential credit half-life scale (seconds)
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, event_id AS p_id, ts AS p_ts,
+               CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, event_type AS touch_type, ts AS t_ts
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pair AS (
+        SELECT p.p_id, p.v, t.touch_type,
+               CAST(round(exp(-(epoch_us(p.p_ts) - epoch_us(t.t_ts))
+                              / 1e6 / {TD_TAU_S}), 12)
+                    AS DECIMAL(18,12)) AS w
+        FROM p JOIN t ON p.user_id = t.user_id
+        WHERE t.t_ts < p.p_ts
+          AND epoch_us(p.p_ts) - epoch_us(t.t_ts) <= CAST({TD_WINDOW_S} AS BIGINT) * 1000000
+    ),
+    norm AS (
+        SELECT p_id, v, touch_type, w,
+               sum(w) OVER (PARTITION BY p_id) AS sw
+        FROM pair
+    ),
+    credit AS (
+        SELECT touch_type,
+               CAST(round(CAST(v AS DOUBLE)
+                          * (CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)), 8)
+                    AS DECIMAL(18,8)) AS c
+        FROM norm
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           round(CAST(sum(c) AS DOUBLE), 2) AS credited_value,
+           round(CAST(sum(c) AS DOUBLE)
+                 / CAST((SELECT sum(c) FROM credit) AS DOUBLE), 6) AS share
+    FROM credit
+    GROUP BY touch_type
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the fractional-credit twin
+    of attribution_last_touch: every view/click in the 7 days before a
+    purchase earns credit proportional to exp(-age/tau), normalized
+    per purchase so each purchase distributes exactly its own value.
+    Last-touch answers "what closed it"; time-decay answers "what
+    share of revenue does each channel actually drive" — the number a
+    marketing budget reallocates on.
+
+    Determinism: decay weights are round(exp(.), 12) DECIMALs from
+    exact integer microsecond ages; the per-purchase weight sum is an
+    exact decimal window; each credit is the same double expression
+    rounded to 8 and decimal-summed — order-independent end to end.
+
+    100-TB shape: one user-key equi join (both sides shuffle once on
+    the same key) with the time filter applied post-join — pair space
+    is purchases x touches PER USER within the window, bounded by
+    per-user activity, never corpus-quadratic (the market-basket
+    bound, keyed on user). The per-purchase normalization window rides
+    the purchase-id key; output is touch-type grain."""
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    t = events.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros(F.col("ts")).alias("t_us"),
+    )
+    age_s = (F.col("p_us") - F.col("t_us")) / 1e6
+    pair = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("p_us") - F.col("t_us") <= TD_WINDOW_S * 1_000_000)
+        )
+        .select(
+            "p_id",
+            "v",
+            "touch_type",
+            F.round(F.exp(-age_s / TD_TAU_S), 12)
+            .cast("decimal(18,12)")
+            .alias("w"),
+        )
+    )
+    from pyspark.sql import Window
+
+    sw = F.sum("w").over(Window.partitionBy("p_id"))
+    credit = pair.select(
+        "touch_type",
+        F.round(
+            F.col("v").cast("double")
+            * (F.col("w").cast("double") / sw.cast("double")),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("c"),
+    )
+    credit = credit.localCheckpoint(eager=False)  # grand total + per-type share it
+    tot = credit.agg(F.sum("c").alias("tc"))
+    return (
+        credit.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("c").alias("sc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "touch_type",
+            "n_touches",
+            F.round(F.col("sc").cast("double"), 2).alias("credited_value"),
+            F.round(
+                F.col("sc").cast("double") / F.col("tc").cast("double"), 6
+            ).alias("share"),
+        )
+    )

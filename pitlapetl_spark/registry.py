@@ -87,9 +87,9 @@ _loaded = False
 # same call as r4/r5), then (b) the 7 spilled r1-era queries, then
 # (c) the r2-era cohort, oldest first. Arithmetic: with N new r6
 # queries, the last N of cohort (c) spill to round 7's rotation.
-# Session 2 grew cohort (a) to 34 (13 session-1 + 21 session-2 new
-# queries), so a 50-slot budget covers (a) 34 + (b) 7 + the first 9
-# of (c); the remaining ~34 r2-era rows roll to round 7, where they
+# Session 2 grew cohort (a) to 35 (13 session-1 + 22 session-2 new
+# queries), so a 50-slot budget covers (a) 35 + (b) 7 + the first 8
+# of (c); the remaining ~35 r2-era rows roll to round 7, where they
 # lead the rotation (they will then be the oldest evidence on the
 # board). Done-state this round: no query carries r1-era evidence and
 # every new operator has a first driver row.
@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_seasonal_decompose",
     "pipeline_anomaly_triage",
     "dq_functional_dependency",
+    "attribution_time_decay",
     "window_twap_value",
     "anomaly_cusum_changepoint",
     "dq_benford_digits",

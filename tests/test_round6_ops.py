@@ -1235,3 +1235,55 @@ def test_functional_dependency_replay(spark):
     # the order-grain contracts hold by construction
     assert got[("orders", "o_orderkey", "o_custkey")].holds
     assert got[("orders", "o_orderkey", "o_orderstatus")].holds
+
+
+def test_time_decay_attribution_conserves_value_and_replay(spark):
+    """Credit conservation: total credited value equals the sum of
+    purchase values that HAVE at least one in-window touch (each such
+    purchase distributes exactly its own value); shares sum to 1; a
+    pure-Python replay reproduces per-type credit."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.operators.funnel import TD_TAU_S, TD_WINDOW_S
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .collect()
+    )
+    touches = defaultdict(list)
+    for r in ev:
+        if r.event_type in ("view", "click"):
+            touches[r.user_id].append((r.ts, r.event_type))
+    per_type = defaultdict(float)
+    n_type = defaultdict(int)
+    attributed_total = 0.0
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        cand = [
+            (t, ty)
+            for t, ty in touches[r.user_id]
+            if t < r.ts and (r.ts - t).total_seconds() <= TD_WINDOW_S
+        ]
+        if not cand:
+            continue
+        v = round(r.value, 2)
+        attributed_total += v
+        ws = [
+            (round(math.exp(-((r.ts - t).total_seconds()) / TD_TAU_S), 12), ty)
+            for t, ty in cand
+        ]
+        sw = sum(w for w, _ in ws)
+        for w, ty in ws:
+            per_type[ty] += round(v * (w / sw), 8)
+            n_type[ty] += 1
+    rows = Q["attribution_time_decay"](spark, SF_SMOKE).collect()
+    assert {r.touch_type for r in rows} == set(per_type)
+    got_total = sum(r.credited_value for r in rows)
+    assert abs(got_total - attributed_total) < 0.1
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.n_touches == n_type[r.touch_type]
+        assert abs(r.credited_value - per_type[r.touch_type]) < 0.05
