@@ -636,3 +636,105 @@ def curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase_pos",
         (F.col("phase_offset") + F.col("phase_pos")).cast("long").alias("global_pos"),
     )
+
+
+NEG_K = 4  # negative candidates drawn per anchor
+NEG_SEED = "negs-1"
+_NEG_DENOM = 16**15  # 15 md5 hex digits -> positive 60-bit int
+
+
+@query(
+    "training_negative_sampling",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    cand AS (
+        SELECT e.vec_id AS anchor_id, e.label AS anchor_label, t.j AS slot,
+               (CAST(('0x' || substr(md5('{NEG_SEED}:'
+                    || CAST(e.vec_id AS VARCHAR) || ':'
+                    || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                % nn.n) AS raw,
+               nn.n AS n
+        FROM embeddings e
+        CROSS JOIN n nn, unnest(range(0, {NEG_K})) AS t(j)
+    ),
+    fix AS (
+        SELECT anchor_id, anchor_label, slot,
+               CASE WHEN raw = anchor_id THEN (raw + 1) % n ELSE raw END
+                   AS neg_id
+        FROM cand
+    )
+    SELECT f.anchor_id, f.anchor_label, f.slot, f.neg_id,
+           e2.label AS neg_label
+    FROM fix f JOIN embeddings e2 ON e2.vec_id = f.neg_id
+    WHERE e2.label <> f.anchor_label
+    """,
+)
+def training_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training (the
+    word2vec / InfoNCE data-prep step — public): each anchor vector
+    draws {NEG_K} candidate negatives via seeded content hashes
+    (reproducible across engines, runs, and partitionings — the
+    sample_hash_systematic discipline, not RNG), self-collisions are
+    deterministically shifted to the next id, and candidates sharing
+    the anchor's LABEL are dropped (false-negative filtering — pairing
+    an anchor against its own class teaches the model to collapse the
+    class). Output is (anchor, slot, negative) grain, ready to join
+    embeddings for the loss computation.
+
+    The dense vec_id key (0..N-1, the IVF/PQ index convention used by
+    this embeddings table) makes hash-mod-N a direct key draw; for a
+    sparse id space, draw against a row_number index frame first —
+    one extra window, same plan.
+
+    100-TB shape: an {NEG_K}x row explode of the anchor table, one
+    scalar-count broadcast, and one equi-join back on the embedding
+    key for labels. No windows over the fact, no pair blowup — the
+    candidate count is anchors x {NEG_K} by construction."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    emb = emb.localCheckpoint(eager=False)  # anchors + label lookup share it
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        emb.crossJoin(F.broadcast(n))  # one-row scalar broadcast (bounded BNLJ)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.explode(F.sequence(F.lit(0), F.lit(NEG_K - 1))).alias("slot"),
+            "n",
+        )
+        .withColumn(
+            "raw",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(NEG_SEED),
+                            F.col("anchor_id").cast("string"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n"),
+        )
+    )
+    fix = cand.select(
+        "anchor_id",
+        "anchor_label",
+        "slot",
+        F.when(
+            F.col("raw") == F.col("anchor_id"), (F.col("raw") + 1) % F.col("n")
+        )
+        .otherwise(F.col("raw"))
+        .alias("neg_id"),
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return fix.join(labels, "neg_id").filter(
+        F.col("neg_label") != F.col("anchor_label")
+    ).select("anchor_id", "anchor_label", "slot", "neg_id", "neg_label")

@@ -1287,3 +1287,36 @@ def test_time_decay_attribution_conserves_value_and_replay(spark):
     for r in rows:
         assert r.n_touches == n_type[r.touch_type]
         assert abs(r.credited_value - per_type[r.touch_type]) < 0.05
+
+
+def test_negative_sampling_replay_and_exclusions(spark):
+    """Python md5 replay of every draw; no negative equals its anchor;
+    no negative shares the anchor's label; dropped slots are exactly
+    the same-label candidates."""
+    import hashlib
+
+    from pitlapetl_spark.operators.training_prep import NEG_K, NEG_SEED
+    from pitlapetl_spark.sources import load_table
+
+    emb = {
+        r.vec_id: r.label
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    n = len(emb)
+    expect = {}
+    for a, al in emb.items():
+        for j in range(NEG_K):
+            h = hashlib.md5(f"{NEG_SEED}:{a}:{j}".encode()).hexdigest()
+            raw = int(h[:15], 16) % n
+            neg = (raw + 1) % n if raw == a else raw
+            if emb[neg] != al:
+                expect[(a, j)] = (neg, emb[neg])
+    rows = Q["training_negative_sampling"](spark, SF_SMOKE).collect()
+    got = {(r.anchor_id, r.slot): (r.neg_id, r.neg_label) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r.neg_id != r.anchor_id
+        assert r.neg_label != r.anchor_label
+    assert len(expect) > 0.5 * n * NEG_K  # most draws survive the filter
