@@ -2046,3 +2046,128 @@ def pipeline_anomaly_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("robust_z")) > TRIAGE_Z).alias("is_alarm"),
         )
     )
+
+
+PSI_BINS = 10  # decile bins fit on the reference window
+PSI_EPS = 1e-6  # zero-bin smoothing, identical on both engines
+
+
+@query(
+    "stats_psi_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT value,
+               (2 * epoch_us(ts) <
+                (SELECT min(epoch_us(ts)) + max(epoch_us(ts)) FROM events
+                 WHERE value IS NOT NULL)) AS is_ref
+        FROM events WHERE value IS NOT NULL
+    ),
+    cuts AS (
+        SELECT generate_subscripts(cs, 1) AS bin,
+               round(unnest(cs), 8) AS hi
+        FROM (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+              FROM base WHERE is_ref)
+    ),
+    binned AS (
+        SELECT b.is_ref,
+               CAST(coalesce(min(c.bin), {PSI_BINS}) AS INT) AS bin
+        FROM (SELECT row_number() OVER () AS rid, * FROM base) b
+        LEFT JOIN cuts c ON b.value <= c.hi
+        GROUP BY b.rid, b.is_ref
+    ),
+    cnt AS (
+        SELECT bin,
+               sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+               sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc,
+               sum(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)) OVER () AS tr,
+               sum(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)) OVER () AS tc
+        FROM binned GROUP BY bin
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
+           round((nc * 1.0 / tc + {PSI_EPS}) - (nr * 1.0 / tr + {PSI_EPS}), 6)
+               AS frac_delta,
+           round(((nc * 1.0 / tc + {PSI_EPS}) - (nr * 1.0 / tr + {PSI_EPS}))
+                 * ln((nc * 1.0 / tc + {PSI_EPS})
+                      / (nr * 1.0 / tr + {PSI_EPS})), 6) AS psi_term
+    FROM cnt
+    """,
+)
+def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream (the model-monitoring standard — public):
+    decile cut points are FIT ON THE REFERENCE half only (the deployed
+    model's view of the world), both halves are binned against them,
+    and each bin contributes (p_cur - p_ref)*ln(p_cur/p_ref). PSI
+    completes the drift trio with a different question than KS
+    (max ECDF gap: is there ANY drift?) and KL-on-tokens (which
+    domain): PSI's per-bin terms say WHERE in the distribution the
+    mass moved, in the banded units (0.1/0.25) risk teams alert on.
+
+    Determinism: reference deciles are exact percentiles rounded to 8;
+    binning compares against those fixed cuts; fractions divide exact
+    integers; epsilon smoothing uses the identical literal on both
+    engines. Bin = count of cuts at-or-below the value (the
+    equi-depth-histogram device), so ties at a cut bind identically.
+
+    100-TB shape: one percentile reduce on the reference half (swap in
+    approx_percentile at scale, plan unchanged), the {PSI_BINS - 1}
+    cut rows broadcast onto one scan for binning, and a
+    {PSI_BINS}-row aggregate."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    # division-free midpoint test on exact integer microseconds: the
+    # same 2*t < min+max comparison on both engines (a seconds-granular
+    # cast vs DuckDB's exact timestamp midpoint mis-binned edge events)
+    us = F.unix_micros(F.col("ts"))
+    mid = events.agg(
+        (F.min(us) + F.max(us)).alias("mm")
+    )
+    base = events.crossJoin(F.broadcast(mid)).select(
+        "value", (2 * us < F.col("mm")).alias("is_ref")
+    )
+    base = base.localCheckpoint(eager=False)  # cuts + binning share it
+    ref = base.filter("is_ref")
+    fracs = ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS))
+    # the 9 reference deciles are a bounded driver-side scalar list
+    # (the PageRank node-count / NB vocab-size precedent): folding
+    # them in as literals makes the binning a pure row expression —
+    # bin = 1 + #(cuts strictly below value), identical to the
+    # oracle's min-matching-cut formulation including ties at a cut
+    cut_rows = (
+        ref.agg(F.expr(f"percentile(value, array({fracs}))").alias("cs"))
+        .select(F.posexplode("cs").alias("pos", "c"))
+        .select(F.round("c", 8).alias("hi"))
+        .collect()
+    )
+    bin_expr = F.lit(1)
+    for r in cut_rows:
+        bin_expr = bin_expr + F.when(F.col("value") > r.hi, 1).otherwise(0)
+    binned = base.select("is_ref", bin_expr.cast("int").alias("bin"))
+    wall = Window.partitionBy()
+    cnt = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("nc"),
+        )
+        .select(
+            "bin",
+            "nr",
+            "nc",
+            F.sum("nr").over(wall).alias("tr"),
+            F.sum("nc").over(wall).alias("tc"),
+        )
+    )
+    p_cur = F.col("nc") * 1.0 / F.col("tc") + PSI_EPS
+    p_ref = F.col("nr") * 1.0 / F.col("tr") + PSI_EPS
+    return cnt.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+        F.round(p_cur - p_ref, 6).alias("frac_delta"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

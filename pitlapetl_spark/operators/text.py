@@ -1006,3 +1006,139 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_readable"),
     )
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_ORACLE_TOKS} AS toks FROM documents
+    ),
+    dt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok FROM t),
+    words AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    firsts AS (SELECT w, min(doc_id) AS fd FROM words GROUP BY 1),
+    newv AS (
+        SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+        FROM firsts GROUP BY 1
+    ),
+    cum AS (
+        SELECT d.doc_id,
+               CAST(sum(d.ntok) OVER (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n,
+               CAST(sum(coalesce(v.nv, 0)) OVER (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS v
+        FROM dt d LEFT JOIN newv v ON v.doc_id = d.doc_id
+    ),
+    r AS (
+        SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+        FROM cum WHERE n > 0 AND v > 0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(x AS DECIMAL(28,12))) AS sx,
+               sum(CAST(y AS DECIMAL(28,12))) AS sy,
+               sum(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+               sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+               sum(CAST(y * y AS DECIMAL(28,12))) AS syy
+        FROM r
+    ),
+    d AS (
+        SELECT n,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+               CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s
+    ),
+    tot AS (
+        SELECT CAST(max(n) AS BIGINT) AS total_tokens,
+               CAST(max(v) AS BIGINT) AS total_vocab
+        FROM cum
+    )
+    SELECT d.n AS n_points,
+           round(num / nullif(denx, 0), 6) AS beta,
+           round((syd - num / nullif(denx, 0) * sxd) / d.n, 6) AS log_k,
+           round(num * num / nullif(denx * deny, 0), 6) AS r2,
+           tot.total_tokens, tot.total_vocab
+    FROM d CROSS JOIN tot
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps 1978 — public):
+    V(n) ~ K * n^beta over the corpus prefix in doc_id order — the
+    companion corpus-health diagnostic to text_zipf_fit (Zipf checks
+    the frequency CURVE, Heaps checks whether new text keeps bringing
+    new words; natural corpora fit beta ~ 0.4-0.6 with r2 near 1, a
+    looping generator saturates its vocabulary and beta collapses).
+    Same closed-form log-log least squares and the same
+    decimal-exact moment-sum discipline as the Zipf fit.
+
+    100-TB shape: token counts and per-doc first-occurrence counts are
+    map-combinable aggregates; the prefix sums run at DOC grain — at
+    corpus scale sample log-spaced checkpoint prefixes instead of
+    every doc (the fit needs ~dozens of (n, V) points, not millions)
+    and the prefix sum becomes the standard two-pass
+    per-partition-offsets pattern (stats_mann_whitney's note)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    t = t.localCheckpoint(eager=False)  # token counts + first-occurrences
+    dt = t.select("doc_id", F.size("toks").cast("long").alias("ntok"))
+    words = t.select("doc_id", F.explode("toks").alias("w"))
+    newv = (
+        words.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        dt.join(newv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("ntok").over(wc).alias("n"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(wc).alias("v"),
+        )
+    )
+    cum = cum.localCheckpoint(eager=False)  # fit points + totals
+    r = cum.filter((F.col("n") > 0) & (F.col("v") > 0)).select(
+        F.log(F.col("n").cast("double")).alias("x"),
+        F.log(F.col("v").cast("double")).alias("y"),
+    )
+    dec = "decimal(28,12)"
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    tot = cum.agg(
+        F.max("n").cast("long").alias("total_tokens"),
+        F.max("v").cast("long").alias("total_vocab"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / F.nullif(denx, F.lit(0.0))
+    return s.crossJoin(F.broadcast(tot)).select(
+        n.alias("n_points"),
+        F.round(slope, 6).alias("beta"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / n,
+            6,
+        ).alias("log_k"),
+        F.round(num * num / F.nullif(denx * deny, F.lit(0.0)), 6).alias("r2"),
+        "total_tokens",
+        "total_vocab",
+    )

@@ -1320,3 +1320,83 @@ def test_negative_sampling_replay_and_exclusions(spark):
         assert r.neg_id != r.anchor_id
         assert r.neg_label != r.anchor_label
     assert len(expect) > 0.5 * n * NEG_K  # most draws survive the filter
+
+
+def test_psi_drift_partitions_and_replay(spark):
+    """Bin counts partition both halves; the reference half is split
+    into near-equal deciles by its own cuts (the binning is fit on
+    ref); each psi_term matches a numpy replay."""
+    import numpy as np
+
+    from pitlapetl_spark.operators.stats import PSI_BINS, PSI_EPS
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("value").isNotNull())
+        .select("ts", "value")
+        .collect()
+    )
+    us = [int(r.ts.timestamp() * 1e6) for r in ev]
+    mm = min(us) + max(us)
+    ref = [r.value for r, u in zip(ev, us) if 2 * u < mm]
+    cur = [r.value for r, u in zip(ev, us) if 2 * u >= mm]
+    cuts = [
+        round(float(np.percentile(ref, 100 * i / PSI_BINS)), 8)
+        for i in range(1, PSI_BINS)
+    ]
+
+    def bin_of(v):
+        return 1 + sum(1 for c in cuts if v > c)
+
+    nr = {b: 0 for b in range(1, PSI_BINS + 1)}
+    nc = {b: 0 for b in range(1, PSI_BINS + 1)}
+    for v in ref:
+        nr[bin_of(v)] += 1
+    for v in cur:
+        nc[bin_of(v)] += 1
+    rows = {r.bin: r for r in Q["stats_psi_drift"](spark, SF_SMOKE).collect()}
+    assert sum(r.n_ref for r in rows.values()) == len(ref)
+    assert sum(r.n_cur for r in rows.values()) == len(cur)
+    for b, r in rows.items():
+        assert (r.n_ref, r.n_cur) == (nr[b], nc[b]), b
+        p = nc[b] / len(cur) + PSI_EPS
+        q = nr[b] / len(ref) + PSI_EPS
+        assert abs(r.psi_term - (p - q) * math.log(p / q)) < 1e-6
+        # ref deciles are near-equal by construction (ties may skew)
+        assert abs(r.n_ref - len(ref) / PSI_BINS) <= max(3, len(ref) * 0.05)
+
+
+def test_heaps_fit_monotone_growth_and_replay(spark):
+    """Vocabulary growth replayed in Python: cumulative token and
+    first-occurrence counts match, beta is in (0, 1] for any corpus
+    where vocabulary still grows, and the totals equal the corpus-wide
+    token/vocab counts."""
+    from pitlapetl_spark.functions.text import tokens
+    from pitlapetl_spark.sources import load_table
+
+    docs = sorted(
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    seen, pts, n = set(), [], 0
+    for r in docs:
+        n += len(r.toks)
+        seen.update(r.toks)
+        pts.append((n, len(seen)))
+    row = Q["text_heaps_law_fit"](spark, SF_SMOKE).collect()[0]
+    assert row.total_tokens == n
+    assert row.total_vocab == len(seen)
+    assert row.n_points == sum(1 for a, b in pts if a > 0 and b > 0)
+    xs = [math.log(a) for a, b in pts if a > 0 and b > 0]
+    ys = [math.log(b) for a, b in pts if a > 0 and b > 0]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert abs(row.beta - beta) < 1e-4
+    assert 0 < row.beta <= 1.0
+    assert 0.0 <= row.r2 <= 1.0
