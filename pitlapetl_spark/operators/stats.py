@@ -2171,3 +2171,168 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur - p_ref, 6).alias("frac_delta"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+@query(
+    "stats_spearman_rank_corr",
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS dy,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    r0 AS (
+        SELECT x, y,
+               CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS kx,
+               CAST(row_number() OVER (ORDER BY y) AS BIGINT) AS ky
+        FROM d
+    ),
+    r AS (
+        SELECT CAST(avg(kx) OVER (PARTITION BY x) AS DOUBLE) AS rx,
+               CAST(avg(ky) OVER (PARTITION BY y) AS DOUBLE) AS ry
+        FROM r0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(rx AS DECIMAL(28,12))) AS sx,
+               sum(CAST(ry AS DECIMAL(28,12))) AS sy,
+               sum(CAST(rx * ry AS DECIMAL(28,12))) AS sxy,
+               sum(CAST(rx * rx AS DECIMAL(28,12))) AS sxx,
+               sum(CAST(ry * ry AS DECIMAL(28,12))) AS syy
+        FROM r
+    )
+    SELECT n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS spearman_rho
+    FROM s
+    """,
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily view-count and
+    purchase-count series (Spearman 1904 — public): Pearson on
+    MIDRANKS, so one viral outlier day cannot manufacture correlation
+    the way it can in stats_xcorr_daily's raw Pearson (the robust
+    member of the correlation family, next to agg_stats_corr and the
+    lagged cross-correlation). Midranks handle count ties exactly
+    (row_number averaged per tie VALUE — the mean of the distinct
+    positions IS the midrank and is invariant to the arbitrary tie
+    order; rank()'s min-rank would NOT average to the midrank — the
+    same midrank semantics as stats_mann_whitney, via a per-value
+    window instead of a prefix sum).
+
+    Determinism: ranks are exact integers; midranks are exact
+    small-denominator rationals in double; moment sums follow the
+    zipf/linear-fit decimal discipline; one division at the end.
+
+    100-TB shape: cost collapses at the day-grain aggregate; the rank
+    windows run on day-grain rows (the CUSUM grain-collapse
+    discipline)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("dy"), "event_type"
+    )
+    d = events.groupBy("dy").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    r0 = d.select(
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("x")).cast("long").alias("kx"),
+        F.row_number().over(Window.orderBy("y")).cast("long").alias("ky"),
+    )
+    r = r0.select(
+        F.avg("kx").over(Window.partitionBy("x")).cast("double").alias("rx"),
+        F.avg("ky").over(Window.partitionBy("y")).cast("double").alias("ry"),
+    )
+    dec = "decimal(28,12)"
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx").cast(dec)).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(dec)).alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(dec)).alias("syy"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.alias("n_days"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "agg_pythagorean_means",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+                      AS DOUBLE) / count(*), 6) AS mean_arith,
+           round(exp(CAST(sum(CAST(round(ln(l_quantity), 12)
+                                   AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*)), 6) AS mean_geom,
+           round(count(*) / CAST(sum(CAST(round(1.0 / l_quantity, 12)
+                                          AS DECIMAL(28,12))) AS DOUBLE),
+                 6) AS mean_harm
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three Pythagorean means per group in ONE aggregate pass:
+    arithmetic (the default), geometric (the only correct way to
+    average RATIOS/growth rates — exp of the mean log, the PageRank
+    product-as-log-sum trick as an aggregate), and harmonic (the only
+    correct way to average RATES — F1 scores, price/earnings, items
+    per second). AM >= GM >= HM always; the gap measures spread.
+    Positive-domain guard on both engines (log/reciprocal).
+
+    Determinism: each mean's accumulator is an exact DECIMAL sum of
+    identically rounded terms (raw quantities, round-12 logs, round-12
+    reciprocals); divisions and exp happen once per group.
+
+    100-TB shape: one map-side-combinable hash aggregate, flag
+    grain. Nothing else."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round("l_quantity", 2).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_arith"),
+        F.round(
+            F.exp(
+                F.sum(
+                    F.round(F.log("l_quantity"), 12).cast("decimal(28,12)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("mean_geom"),
+        F.round(
+            F.count(F.lit(1))
+            / F.sum(
+                F.round(F.lit(1.0) / F.col("l_quantity"), 12).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("mean_harm"),
+    )

@@ -1400,3 +1400,75 @@ def test_heaps_fit_monotone_growth_and_replay(spark):
     assert abs(row.beta - beta) < 1e-4
     assert 0 < row.beta <= 1.0
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_spearman_matches_scipy_free_replay(spark):
+    """Midrank replay in pure Python; rho in [-1, 1]; and on this
+    positively-coupled pair (views drive purchases at lag 0) rho
+    should agree in sign with the raw Pearson of the same series."""
+    from collections import Counter, defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.date_trunc("day", "ts").alias("dy"), "event_type")
+        .collect()
+    )
+    x = Counter(r.dy for r in ev if r.event_type == "view")
+    y = Counter(r.dy for r in ev if r.event_type == "purchase")
+    days = sorted(set(r.dy for r in ev))
+    xs = [x.get(d, 0) for d in days]
+    ys = [y.get(d, 0) for d in days]
+
+    def midranks(vals):
+        order = sorted(vals)
+        pos = defaultdict(list)
+        for i, v in enumerate(order):
+            pos[v].append(i + 1)
+        return [sum(pos[v]) / len(pos[v]) for v in vals]
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(days)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    row = Q["stats_spearman_rank_corr"](spark, SF_SMOKE).collect()[0]
+    assert row.n_days == n
+    assert abs(row.spearman_rho - rho) < 1e-5
+    assert -1.0 <= row.spearman_rho <= 1.0
+
+
+def test_pythagorean_means_ordering_and_replay(spark):
+    """AM >= GM >= HM per group (the Pythagorean means inequality —
+    strict unless all values equal), each mean matching a pure-Python
+    replay."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select("l_returnflag", "l_quantity")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.l_returnflag].append(r.l_quantity)
+    got = {r.returnflag: r for r in Q["agg_pythagorean_means"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(groups)
+    for flag, vs in groups.items():
+        r = got[flag]
+        am = sum(round(v, 2) for v in vs) / len(vs)
+        gm = math.exp(sum(round(math.log(v), 12) for v in vs) / len(vs))
+        hm = len(vs) / sum(round(1.0 / v, 12) for v in vs)
+        assert r.n == len(vs)
+        assert abs(r.mean_arith - am) < 1e-5
+        assert abs(r.mean_geom - gm) < 1e-5
+        assert abs(r.mean_harm - hm) < 1e-5
+        assert r.mean_arith >= r.mean_geom >= r.mean_harm
