@@ -826,3 +826,154 @@ def analytics_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+ABC_A, ABC_B = 0.80, 0.95  # cumulative revenue-share class boundaries
+
+
+@query(
+    "analytics_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_partkey, r,
+               sum(r) OVER (ORDER BY r DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               sum(r) OVER () AS tot
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey, r,
+               CASE WHEN cum * 1.0 <= tot * {ABC_A} THEN 'A'
+                    WHEN cum * 1.0 <= tot * {ABC_B} THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM ranked
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(r) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(r) AS DOUBLE)
+                 / CAST((SELECT sum(r) FROM rev) AS DOUBLE), 6)
+               AS revenue_share
+    FROM classed
+    GROUP BY abc
+    """,
+)
+def analytics_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification (the Pareto-class cut every
+    supply-chain system runs — public): parts ranked by revenue,
+    class A = the head covering the first {ABC_A:.0%} of cumulative
+    revenue, B to {ABC_B:.0%}, C the tail. The classed result is what
+    cycle-count frequency, safety stock, and shelf placement key on;
+    the Gini query measures concentration, this one ACTS on it.
+
+    Determinism: revenues are exact decimal sums; the cumulative
+    window orders by (revenue desc, partkey) — unique key tiebreak —
+    and the class comparison is decimal-vs-decimal (cum <= tot*share
+    with exact cum/tot; the share multiplication happens once on the
+    exact total on both engines).
+
+    100-TB shape: one part-grain aggregate, then a single global
+    cumulative window over the part dimension — catalog-sized, the
+    documented single-sort trade (same as Gini; a 100M-SKU catalog
+    range-partitions the sort, Spark's default). Output is 3 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("r")
+    )
+    rev = rev.localCheckpoint(eager=False)  # window + grand total share it
+    wc = Window.orderBy(F.col("r").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    classed = rev.select(
+        "r",
+        F.sum("r").over(wc).alias("cum"),
+        F.sum("r").over(wall).alias("tot"),
+    ).select(
+        "r",
+        F.when(F.col("cum") * 1.0 <= F.col("tot") * ABC_A, "A")
+        .when(F.col("cum") * 1.0 <= F.col("tot") * ABC_B, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").alias("sr"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "n_parts",
+            F.round(F.col("sr").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.col("sr").cast("double") / F.col("t").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@query(
+    "window_growth_mom_yoy",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month,
+           round(CAST(rev AS DOUBLE), 2) AS revenue,
+           round((CAST(rev AS DOUBLE)
+                  / CAST(lag(rev, 1) OVER (ORDER BY month) AS DOUBLE) - 1)
+                 * 100, 6) AS mom_pct,
+           round((CAST(rev AS DOUBLE)
+                  / CAST(lag(rev, 12) OVER (ORDER BY month) AS DOUBLE) - 1)
+                 * 100, 6) AS yoy_pct
+    FROM m
+    """,
+)
+def window_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    board-deck numbers: monthly revenue with lag(1) and lag(12)
+    percentage deltas (YoY is the seasonally-honest one; MoM is the
+    fast one; publishing both next to each other is the standard
+    guard against mistaking seasonality for trend, the report-side
+    complement of ts_seasonal_decompose). First month's MoM and the
+    first year's YoY are NULL, not zero — there is no prior period,
+    and 0% would claim flatness.
+
+    Determinism: monthly revenue is an exact decimal sum; the lag
+    ratio is one double expression rounded once; month-grain output.
+
+    100-TB shape: cost collapses at the month-grain aggregate; the
+    lag window runs over ~tens of rows."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("month")
+    rev_d = F.col("rev").cast("double")
+    return m.select(
+        "month",
+        F.round(rev_d, 2).alias("revenue"),
+        F.round(
+            (rev_d / F.lag("rev", 1).over(w).cast("double") - 1) * 100, 6
+        ).alias("mom_pct"),
+        F.round(
+            (rev_d / F.lag("rev", 12).over(w).cast("double") - 1) * 100, 6
+        ).alias("yoy_pct"),
+    )

@@ -87,9 +87,9 @@ _loaded = False
 # same call as r4/r5), then (b) the 7 spilled r1-era queries, then
 # (c) the r2-era cohort, oldest first. Arithmetic: with N new r6
 # queries, the last N of cohort (c) spill to round 7's rotation.
-# Session 2 grew cohort (a) to 40 (13 session-1 + 27 session-2 new
-# queries), so a 50-slot budget covers (a) 40 + (b) 7 + the first 3
-# of (c); the remaining ~40 r2-era rows roll to round 7, where they
+# Session 2 grew cohort (a) to 42 (13 session-1 + 29 session-2 new
+# queries), so a 50-slot budget covers (a) 42 + (b) 7 + the first 1
+# of (c); the remaining ~42 r2-era rows roll to round 7, where they
 # lead the rotation (they will then be the oldest evidence on the
 # board). Done-state this round: no query carries r1-era evidence and
 # every new operator has a first driver row.
@@ -118,6 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_heaps_law_fit",
     "stats_spearman_rank_corr",
     "agg_pythagorean_means",
+    "analytics_abc_classification",
+    "window_growth_mom_yoy",
     "window_twap_value",
     "anomaly_cusum_changepoint",
     "dq_benford_digits",

@@ -1472,3 +1472,63 @@ def test_pythagorean_means_ordering_and_replay(spark):
         assert abs(r.mean_geom - gm) < 1e-5
         assert abs(r.mean_harm - hm) < 1e-5
         assert r.mean_arith >= r.mean_geom >= r.mean_harm
+
+
+def test_abc_classification_pareto_invariants(spark):
+    """Classes partition the part set; cumulative shares respect the
+    80/95 boundaries (A's share <= 80% + one part's share; A+B <=
+    95% + one part's share); class revenue ordering A >= B >= C per
+    part on average; total shares sum to 1."""
+    from pitlapetl_spark.operators.analytics import ABC_A, ABC_B
+    from pitlapetl_spark.sources import load_table
+
+    rows = {r.abc: r for r in Q["analytics_abc_classification"](spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    n_parts = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-4
+    assert rows["A"].revenue_share <= ABC_A + 0.05
+    assert rows["A"].revenue_share + rows["B"].revenue_share <= ABC_B + 0.05
+    # per-part average revenue strictly decreases down the classes
+    avg = {k: r.revenue / r.n_parts for k, r in rows.items()}
+    assert avg["A"] > avg["B"] > avg["C"]
+
+
+def test_growth_mom_yoy_replay_and_null_edges(spark):
+    """First month's MoM and the first 12 months' YoY are NULL;
+    every other delta matches a pandas replay."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("m"), "o_totalprice"
+        )
+        .collect()
+    )
+    rev = defaultdict(float)
+    for r in o:
+        rev[r.m] += round(r.o_totalprice, 2)
+    months = sorted(rev)
+    rows = {r.month: r for r in Q["window_growth_mom_yoy"](spark, SF_SMOKE).collect()}
+    assert sorted(rows) == months
+    for i, m in enumerate(months):
+        r = rows[m]
+        assert abs(r.revenue - rev[m]) < 0.02
+        if i == 0:
+            assert r.mom_pct is None
+        else:
+            want = (rev[m] / rev[months[i - 1]] - 1) * 100
+            assert abs(r.mom_pct - want) < 1e-4
+        if i < 12:
+            assert r.yoy_pct is None
+        else:
+            want = (rev[m] / rev[months[i - 12]] - 1) * 100
+            assert abs(r.yoy_pct - want) < 1e-4
