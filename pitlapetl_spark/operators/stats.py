@@ -2131,40 +2131,62 @@ def stats_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = base.localCheckpoint(eager=False)  # cuts + binning share it
     ref = base.filter("is_ref")
-    fracs = ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS))
     # the 9 reference deciles are a bounded driver-side scalar list
     # (the PageRank node-count / NB vocab-size precedent): folding
     # them in as literals makes the binning a pure row expression —
     # bin = 1 + #(cuts strictly below value), identical to the
     # oracle's min-matching-cut formulation including ties at a cut
-    cut_rows = (
+    binned = base.select(
+        "is_ref", psi_bin_expr(psi_decile_cuts(ref)).alias("bin")
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("nc"),
+    )
+    return psi_from_bin_counts(cnt)
+
+
+def psi_decile_cuts(ref: DataFrame) -> list:
+    """The PSI_BINS-1 reference decile cuts as a bounded driver-side
+    list (round-8, the literal-fold device) — shared by the batch
+    query above and the streaming monitor (streaming/runtime.py
+    run_psi_sink) so both bin against identical fences."""
+    fracs = ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS))
+    rows = (
         ref.agg(F.expr(f"percentile(value, array({fracs}))").alias("cs"))
         .select(F.posexplode("cs").alias("pos", "c"))
         .select(F.round("c", 8).alias("hi"))
         .collect()
     )
-    bin_expr = F.lit(1)
-    for r in cut_rows:
-        bin_expr = bin_expr + F.when(F.col("value") > r.hi, 1).otherwise(0)
-    binned = base.select("is_ref", bin_expr.cast("int").alias("bin"))
+    return [r.hi for r in rows]
+
+
+def psi_bin_expr(cuts: list):
+    """bin = 1 + #(cuts strictly below value) over literal fences —
+    identical tie behavior to the oracle's min-matching-cut form."""
+    e = F.lit(1)
+    for hi in cuts:
+        e = e + F.when(F.col("value") > hi, 1).otherwise(0)
+    return e.cast("int")
+
+
+def psi_from_bin_counts(cnt: DataFrame) -> DataFrame:
+    """PSI output columns from a (bin, nr, nc) frame — the shared tail
+    of the batch query and the streaming monitor's read side, so the
+    smoothing/rounding expressions cannot drift between them."""
+    from pyspark.sql import Window
+
     wall = Window.partitionBy()
-    cnt = (
-        binned.groupBy("bin")
-        .agg(
-            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
-            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("nc"),
-        )
-        .select(
-            "bin",
-            "nr",
-            "nc",
-            F.sum("nr").over(wall).alias("tr"),
-            F.sum("nc").over(wall).alias("tc"),
-        )
+    t = cnt.select(
+        "bin",
+        "nr",
+        "nc",
+        F.sum("nr").over(wall).alias("tr"),
+        F.sum("nc").over(wall).alias("tc"),
     )
     p_cur = F.col("nc") * 1.0 / F.col("tc") + PSI_EPS
     p_ref = F.col("nr") * 1.0 / F.col("tr") + PSI_EPS
-    return cnt.select(
+    return t.select(
         F.col("bin").cast("int").alias("bin"),
         F.col("nr").cast("long").alias("n_ref"),
         F.col("nc").cast("long").alias("n_cur"),

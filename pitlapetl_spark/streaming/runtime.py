@@ -1003,3 +1003,91 @@ def read_cusum_changepoints(spark: SparkSession, store_path: str) -> DataFrame:
         )
     )
     return cusum_from_daily(merged)
+
+
+# ------------------------------------------------ PSI drift monitor
+
+
+def run_psi_sink(
+    events: DataFrame,
+    ref: DataFrame,
+    store_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming PSI drift monitor: the reference frame's decile
+    fences and bin counts are FIXED at sink creation (the deployed
+    model's view of the world — exactly the batch operator's
+    fit-on-reference-only rule, made explicit by the API), written
+    once to ``<store>/ref``; every micro-batch then bins its values
+    against those fences and writes its (bin, n) PARTIAL counts to a
+    batch-scoped overwrite partition under ``<store>/cur``. Bin counts
+    are additive sufficient statistics, so the live current
+    distribution is the fold over batch partitions — the
+    run_cusum_sink discipline applied to the drift family.
+
+    ``read_psi_drift`` folds the partitions and hands (bin, nr, nc)
+    to the SAME ``psi_from_bin_counts`` tail the batch query uses:
+    feeding the sink ref = first half / stream = second half of a
+    table reproduces ``stats_psi_drift`` on that table BIT-EQUALLY
+    (pinned in test_streaming). Replay safety: batch-scoped overwrite,
+    never merge-add."""
+    from ..operators.stats import psi_bin_expr, psi_decile_cuts
+
+    cuts = psi_decile_cuts(ref.filter(F.col("value").isNotNull()))
+    ref_cnt = (
+        ref.filter(F.col("value").isNotNull())
+        .select(psi_bin_expr(cuts).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ref_cnt.coalesce(1).write.mode("overwrite").parquet(f"{store_path}/ref")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cells = (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(psi_bin_expr(cuts).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cells.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/cur/batch={batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_psi_drift(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the stream-maintained bin partials against the frozen
+    reference counts and emit the batch operator's exact output
+    columns (shared psi_from_bin_counts tail). Bins seen by only one
+    side appear with a zero on the other (full outer + coalesce),
+    matching the batch query's bins-with-any-row semantics."""
+    from ..operators.stats import psi_from_bin_counts
+
+    ref_cnt = (
+        spark.read.parquet(f"{store_path}/ref")
+        .groupBy("bin")
+        .agg(F.sum("n").alias("nr"))
+    )
+    cur_cnt = (
+        spark.read.parquet(f"{store_path}/cur")
+        .groupBy("bin")
+        .agg(F.sum("n").alias("nc"))
+    )
+    cnt = (
+        ref_cnt.join(cur_cnt, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    return psi_from_bin_counts(cnt)

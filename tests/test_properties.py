@@ -552,3 +552,38 @@ def test_linear_fit_matches_numpy_lstsq(pts):
         # constant y: r^2 is 0/0 — the operator must return NULL,
         # not raise or fabricate a number (the case hypothesis found)
         assert row.r2 is None
+
+
+@settings(deadline=None, max_examples=30)
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=40),
+)
+def test_decimal_mean_partials_merge_exactly(values, split):
+    """The streaming-CUSUM merge lemma as a property: for ANY value
+    list and ANY micro-batch split point, summing per-batch DECIMAL
+    partials (sum, count) and dividing once equals computing the mean
+    over the whole list — exactly, in Decimal arithmetic, because
+    decimal addition is associative. This is the algebraic fact
+    run_cusum_sink's bit-equality rests on (stats.decimal_mean8 and
+    streaming/runtime.read_cusum_changepoints are the two sides)."""
+    from decimal import Decimal
+
+    split = min(split, len(values))
+    dec = [Decimal(str(round(v, 8))) for v in values]
+    whole_sum = sum(dec)
+    a, b = dec[:split], dec[split:]
+    merged_sum = sum(a, Decimal(0)) + sum(b, Decimal(0))
+    assert merged_sum == whole_sum  # EXACT, not approximate
+    assert (len(a) + len(b)) == len(dec)
+    # and the final mean expression sees identical inputs either way
+    assert round(float(merged_sum) / len(dec), 8) == round(
+        float(whole_sum) / len(dec), 8
+    )

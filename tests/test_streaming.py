@@ -970,3 +970,50 @@ def test_cusum_sink_bit_equal_to_batch_and_replays_exactly_once(spark, tmp_path)
     run("ckpt2")
     again = canon(read_cusum_changepoints(spark, f"{tmp_path}/store").collect())
     assert again == want
+
+
+def test_psi_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
+    """Feeding the sink ref = first-half events and streaming the
+    second half in 3 micro-batches must reproduce stats_psi_drift on
+    the whole table BIT-EQUALLY (shared fences + shared
+    psi_from_bin_counts tail); a fresh-checkpoint replay must not
+    double-add."""
+    import os
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import read_psi_drift, run_psi_sink
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("value").isNotNull()
+    )
+    mm = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))).alias("mm")
+    ).collect()[0].mm
+    ref = ev.filter(2 * F.unix_micros("ts") < F.lit(mm))
+    cur = ev.filter(2 * F.unix_micros("ts") >= F.lit(mm))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        cur.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+
+    def run(ckpt):
+        q = run_psi_sink(stream, ref, f"{tmp_path}/store", f"{tmp_path}/{ckpt}")
+        q.awaitTermination(180)
+
+    run("ckpt")
+    canon = lambda rows: sorted(
+        (r.bin, r.n_ref, r.n_cur, r.frac_delta, r.psi_term) for r in rows
+    )
+    got = canon(read_psi_drift(spark, f"{tmp_path}/store").collect())
+    want = canon(registry.QUERIES["stats_psi_drift"](spark, SF_SMOKE).collect())
+    assert got == want
+    run("ckpt2")
+    again = canon(read_psi_drift(spark, f"{tmp_path}/store").collect())
+    assert again == want
