@@ -800,3 +800,46 @@ def test_benford_single_aggregate_to_digit_grain(spark):
     grain-collapsed."""
     plan = _plan(Q["dq_benford_digits"](spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gini_single_exchange_and_abc_three_rows_shape(spark):
+    """Gini: the rank window and the nation-grain aggregate ride ONE
+    exchange beyond the customer-grain agg (2 total). ABC: heap-free
+    output (3 rows, no global sort operator at top level)."""
+    plan = _plan(Q["analytics_gini_spend"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    plan2 = _plan(Q["analytics_abc_classification"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan2
+
+
+def test_kaplan_meier_fact_scale_is_one_aggregate(spark):
+    """The only FACT-scale exchange is the customer-grain min/max
+    aggregate (keyed on o_custkey); the second hash exchange is the
+    duration-grain grid (tens of rows) and the KM windows themselves
+    run single-partition."""
+    plan = _plan(Q["survival_kaplan_meier"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_cusum_collapses_before_windows(spark):
+    """The CUSUM operator must aggregate to day grain BEFORE any
+    window (a HashAggregate sits between the parquet scan and every
+    Window in the bottom-up dump): no window may run over raw fact
+    rows. (ts_seasonal_decompose shares the tail via cusum_from_daily
+    but lineage-cuts its daily frame, so its plan dump hides the
+    subtree — the shared-code path is the guarantee there.)"""
+    plan = _plan(Q["anomaly_cusum_changepoint"](spark, SF_SMOKE))
+    first_window = plan.find("Window")
+    scan = plan.rfind("Scan parquet")
+    agg = plan.rfind("HashAggregate")
+    assert first_window != -1 and scan != -1
+    assert first_window < agg < scan
+
+
+def test_negative_sampling_single_bnlj_and_key_join(spark):
+    """One bounded scalar BNLJ (the N broadcast); the label lookup is
+    an equi join, never a nested loop."""
+    plan = _plan(Q["training_negative_sampling"](spark, SF_SMOKE))
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan

@@ -587,3 +587,26 @@ def test_decimal_mean_partials_merge_exactly(values, split):
     assert round(float(merged_sum) / len(dec), 8) == round(
         float(whole_sum) / len(dec), 8
     )
+
+
+@settings(deadline=None, max_examples=50)
+@given(
+    cuts=st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=9, unique=True,
+    ),
+    v=st.floats(min_value=-150, max_value=150,
+                allow_nan=False, allow_infinity=False),
+)
+def test_psi_bin_formulations_agree(cuts, v):
+    """The literal-fold binning (1 + #cuts strictly below v) must
+    equal the oracle's min-matching-cut formulation (smallest bin with
+    v <= cut, else n_cuts+1) for ANY cut fences and value — including
+    exact ties at a cut. This is the identity the Spark/DuckDB PSI
+    pair (and the streaming monitor's frozen fences) rests on."""
+    fences = sorted(round(c, 8) for c in cuts)
+    fold = 1 + sum(1 for c in fences if v > c)
+    matching = [i + 1 for i, c in enumerate(fences) if v <= c]
+    min_cut = matching[0] if matching else len(fences) + 1
+    assert fold == min_cut
