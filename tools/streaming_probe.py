@@ -122,6 +122,57 @@ def probe_dedup_ingest(spark, docs_per_batch: int, n_batches: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+
+
+def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) -> dict:
+    """CUSUM / PSI monitor sinks: per-batch partials are fixed-size
+    (types x days-touched, resp. bins), so per-batch wall should be
+    FLAT in batch index and near-flat in batch size — the evidence
+    behind their O(batch) claims."""
+    from pitlapetl_spark.streaming.runtime import (
+        read_events_stream, run_cusum_sink, run_psi_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_mprobe_")
+    try:
+        src = f"{tmp}/src"
+        for b in range(n_batches):
+            (spark.range(rows_per_batch)
+             .select(
+                 (F.col("id") + b * rows_per_batch).alias("event_id"),
+                 F.timestamp_micros(
+                     (F.lit(1_700_000_000_000_000)
+                      + (F.col("id") % 30) * 86_400_000_000
+                      + F.col("id") * 1_000)
+                 ).alias("ts"),
+                 (F.col("id") % 100).alias("user_id"),
+                 F.element_at(
+                     F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                     (F.col("id") % 3 + 1).cast("int"),
+                 ).alias("event_type"),
+                 (F.col("id") % 997 * 1.01).alias("value"),
+                 F.lit("{}").alias("props"),
+             )
+             .coalesce(1).write.parquet(f"{src}/b{b}"))
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double, props string")
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+        t0 = time.perf_counter()
+        if kind == "cusum":
+            q = run_cusum_sink(stream, f"{tmp}/store", f"{tmp}/ckpt")
+        else:
+            ref = spark.read.parquet(f"{src}/b0")
+            q = run_psi_sink(stream, ref, f"{tmp}/store", f"{tmp}/ckpt")
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        return {"sink": kind, "rows_per_batch": rows_per_batch,
+                "n_batches": n_batches,
+                "per_batch_s": round(wall / n_batches, 2)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(
         app_name="pitlapetl_streaming_probe",
@@ -141,6 +192,10 @@ def main() -> None:
         print("scoped upsert sink (each batch its own partition; table grows):")
         for rows in (1_000, 10_000, 100_000):
             print("  ", probe_scoped_upsert(spark, rows, n_batches=4))
+    print("monitor sinks (fixed-size partials; expect flat):")
+    for kind in ("cusum", "psi"):
+        for rows in (10_000, 100_000):
+            print("  ", probe_monitor_sink(spark, kind, rows, n_batches=4))
     print("dedup ingest sink (store grows per batch):")
     for docs in (100, 500):
         print("  ", probe_dedup_ingest(spark, docs, n_batches=args.dedup_batches))
