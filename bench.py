@@ -133,6 +133,11 @@ HEADLINE = (
     # Naive Bayes (train+score in one plan, the fourth ML entry)
     "graph_adamic_adar",
     "ml_naive_bayes_langid",
+    # round 6 session 3: the spatial-join family head (grid-cell
+    # cover join) and the fourth iterative-graph member (k-core
+    # peeling over the shared co-purchase edge frame)
+    "geo_cell_radius_join",
+    "graph_kcore_decomposition",
 )
 
 

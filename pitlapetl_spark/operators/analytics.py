@@ -977,3 +977,200 @@ def window_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rev_d / F.lag("rev", 12).over(w).cast("double") - 1) * 100, 6
         ).alias("yoy_pct"),
     )
+
+
+@query(
+    "analytics_herfindahl_market",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS r
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, sum(r) AS t, count(*) AS n_suppliers FROM rev GROUP BY 1)
+    SELECT r.nation,
+           CAST(max(t.n_suppliers) AS BIGINT) AS n_suppliers,
+           round(sum(round(
+               CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE)
+               * CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE) * 10000, 8)), 6) AS hhi
+    FROM rev r JOIN tot t ON r.nation = t.nation
+    GROUP BY r.nation
+    ORDER BY r.nation
+    """,
+)
+def analytics_herfindahl_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per nation market —
+    sum of squared supplier revenue shares on the 0-10000 scale (the
+    antitrust convention; >2500 = highly concentrated). Completes the
+    concentration family next to analytics_gini_spend (inequality of
+    a distribution) and analytics_abc_classification (cumulative
+    rank tiers): HHI is the single-number market-power summary.
+
+    Plan: one fact-grain (nation, supplier) aggregate on broadcast
+    dims, then a nation-grain reduce — both map-side combinable; no
+    window needed (unlike Gini's rank sort): shares square-sum
+    directly. Scales as a pure two-level aggregation tree.
+    Determinism: revenue sums are exact decimals; each share² term is
+    rounded(8) before the final sum, which re-sums identically-
+    rounded doubles — made order-safe by the outer round(6) at the
+    1e-8-vs-1e-6 precision gap (the PSI/ABC precedent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum((_revenue()).cast(REV_DEC)).alias("r"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    return (
+        rev.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(F.sum(F.round(share * share * 10000, 8)), 6).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ----------------------------------------------- Theil decomposition
+# Gini (above) measures inequality but does not DECOMPOSE: you cannot
+# say how much of total spend inequality is between nations vs within
+# them. The Theil-T index is the standard additively-decomposable
+# alternative (Theil 1967): T_total = T_between + sum_g share_g *
+# T_within_g. The training-data analog is corpus-mix auditing:
+# how much token-count inequality is between sources vs within one.
+#
+# Plan: customer-grain spend (one fact agg), a 25-row nation model
+# frame and a 1-row global frame broadcast back over the spend frame;
+# every ln() term is computed per customer row, rounded(10), and
+# decimal-summed (order-independent); the three decomposition scalars
+# and the per-nation within terms are unioned into one (component,
+# value) frame. Scales as two aggregation trees over the spend grain.
+
+_THEIL_SPEND_CTE = """spend AS (
+        SELECT c.c_nationkey AS nationkey, o.o_custkey AS custkey,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )"""
+
+
+@query(
+    "analytics_theil_decomposition",
+    oracle=f"""
+    WITH {_THEIL_SPEND_CTE},
+    g AS (
+        SELECT nationkey, count(*) AS ng, sum(x) AS tg
+        FROM spend GROUP BY 1
+    ),
+    gstats AS (SELECT sum(ng) AS n, sum(tg) AS t FROM g),
+    tot AS (
+        SELECT round(CAST(sum(CAST(round(
+                   CAST(s.x AS DOUBLE) / (CAST(gl.t AS DOUBLE) / gl.n)
+                   * ln(CAST(s.x AS DOUBLE) / (CAST(gl.t AS DOUBLE) / gl.n)),
+               10) AS DECIMAL(28,10))) AS DOUBLE) / max(gl.n), 6) AS v
+        FROM spend s CROSS JOIN gstats gl
+    ),
+    wg AS (
+        SELECT s.nationkey,
+               round(CAST(sum(CAST(round(
+                   CAST(s.x AS DOUBLE) / (CAST(g.tg AS DOUBLE) / g.ng)
+                   * ln(CAST(s.x AS DOUBLE) / (CAST(g.tg AS DOUBLE) / g.ng)),
+               10) AS DECIMAL(28,10))) AS DOUBLE) / max(g.ng), 10) AS tw,
+               round(CAST(max(g.tg) AS DOUBLE) / CAST(max(gl.t) AS DOUBLE), 10) AS share
+        FROM spend s
+        JOIN g ON s.nationkey = g.nationkey
+        CROSS JOIN gstats gl
+        GROUP BY s.nationkey
+    ),
+    btw AS (
+        SELECT round(CAST(sum(CAST(round(
+                   CAST(g.tg AS DOUBLE) / CAST(gl.t AS DOUBLE)
+                   * ln((CAST(g.tg AS DOUBLE) / CAST(gl.t AS DOUBLE))
+                        / (CAST(g.ng AS DOUBLE) / gl.n)),
+               10) AS DECIMAL(28,10))) AS DOUBLE), 6) AS v
+        FROM g CROSS JOIN gstats gl
+    ),
+    wsum AS (
+        SELECT round(CAST(sum(CAST(round(share * tw, 10)
+                   AS DECIMAL(28,10))) AS DOUBLE), 6) AS v
+        FROM wg
+    )
+    SELECT 'total' AS component, v AS value FROM tot
+    UNION ALL SELECT 'between', v FROM btw
+    UNION ALL SELECT 'within', v FROM wsum
+    UNION ALL SELECT 'within_nation_' || CAST(nationkey AS VARCHAR), round(tw, 6) FROM wg
+    ORDER BY component
+    """,
+)
+def analytics_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of customer spend, decomposed into between-
+    nation and within-nation components plus each nation's within
+    index (block comment above)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("x"))
+    )
+    # The nation frame fans out to four consumers, and only it and the
+    # spend frame are ever re-scanned — materialize the 25-row model
+    # once (the minhash/winnowing fan-out discipline).
+    g = (
+        spend.groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("ng"), F.sum("x").alias("tg"))
+        .localCheckpoint(eager=True)
+    )
+    # Global N and T are two driver-side scalars off the 25-row model
+    # frame (the pagerank node-count pattern) — folding them in as
+    # literals instead of 1-row crossJoins keeps the plan free of
+    # per-branch broadcast nested loops (plan-lint cap).
+    grow = g.agg(F.sum("ng").alias("n"), F.sum("tg").alias("t")).collect()[0]
+    n_glob = F.lit(int(grow["n"]))
+    # float(Decimal) and DuckDB's CAST(dec AS DOUBLE) both round the
+    # exact decimal to nearest double — identical values
+    t_glob = F.lit(float(grow["t"]))
+
+    def _dsum10(term: F.Column) -> F.Column:
+        return F.sum(F.round(term, 10).cast("decimal(28,10)")).cast("double")
+
+    xd = F.col("x").cast("double")
+    mu_glob = t_glob / n_glob
+    tot = spend.agg(
+        (F.round(_dsum10(xd / mu_glob * F.log(xd / mu_glob)) / n_glob, 6)).alias("value")
+    ).select(F.lit("total").alias("component"), "value")
+    mu_g = F.col("tg").cast("double") / F.col("ng")
+    wg = (
+        spend.join(F.broadcast(g), "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.round(_dsum10(xd / mu_g * F.log(xd / mu_g)) / F.max("ng"), 10).alias("tw"),
+            F.round(F.max("tg").cast("double") / t_glob, 10).alias("share"),
+        )
+        .localCheckpoint(eager=True)  # two consumers below
+    )
+    share_g = F.col("tg").cast("double") / t_glob
+    btw = g.agg(
+        F.round(
+            _dsum10(share_g * F.log(share_g / (F.col("ng").cast("double") / n_glob))), 6
+        ).alias("value")
+    ).select(F.lit("between").alias("component"), "value")
+    wsum = wg.agg(F.round(_dsum10(F.col("share") * F.col("tw")), 6).alias("value")).select(
+        F.lit("within").alias("component"), "value"
+    )
+    per_nation = wg.select(
+        F.concat(F.lit("within_nation_"), F.col("nationkey").cast("string")).alias("component"),
+        F.round(F.col("tw"), 6).alias("value"),
+    )
+    return tot.unionByName(btw).unionByName(wsum).unionByName(per_nation).orderBy("component")

@@ -620,3 +620,133 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(None).cast("timestamp").alias("day"), "n_distinct")
     )
     return daily.unionByName(total)
+
+
+# ---------------------------------------- Neyman-optimal stratified sampling
+# sample_stratified_topn above allocates UNIFORMLY per stratum;
+# sample_reservoir_per_group weights WITHIN a group. The survey-
+# sampling optimum for a fixed total budget allocates n_h
+# PROPORTIONAL TO N_h * S_h (stratum size x stratum stddev — Neyman
+# 1934): high-variance strata get more of the budget, near-constant
+# strata almost none, minimizing the variance of the stratified mean
+# estimator. The training-data use is quota sampling for eval sets:
+# spend labeling budget where the metric varies.
+#
+# Scale + determinism design: stratum moments come from ONE
+# map-side-combinable aggregate using EXACT decimal sums (sum x,
+# sum x^2 — order-independent, so both engines derive bit-identical
+# doubles for S_h; a plain double stddev would differ in the last ulp
+# by accumulation order and could flip a floor() at an allocation
+# boundary). The 3-row allocation table is a bounded broadcast; the
+# per-stratum draw is the md5-ranked systematic sample (the
+# sample_hash_systematic device) — reproducible across engines, runs
+# and partitionings. One sort-window per stratum is the cost; at
+# 100 TB swap rank-by-hash for a per-stratum hash-threshold filter
+# (n_h/N_h quantile of the hash space — no sort), the documented
+# constant-factor upgrade.
+
+SAMPLE_N = 300
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sx,
+               -- DECIMAL(19,4) forces hugeint storage so the product
+               -- doesn't overflow int64; Spark computes the same exact
+               -- value as (18,4)x(18,4) -> (37,8), both cast (38,8)
+               sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                   * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sxx
+        FROM lineitem GROUP BY 1
+    ),
+    w AS (
+        SELECT l_returnflag, n,
+               CAST(round(n * sqrt((CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                          / (n - 1)), 6) AS DECIMAL(28,6)) AS wh
+        FROM m
+    ),
+    alloc AS (
+        SELECT l_returnflag,
+               CAST(floor({SAMPLE_N} * CAST(wh AS DOUBLE)
+                    / CAST((SELECT sum(wh) FROM w) AS DOUBLE)) AS BIGINT) AS nh
+        FROM w
+    ),
+    ranked AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                || CAST(l_linenumber AS VARCHAR)),
+                            l_orderkey, l_linenumber, l_extendedprice) AS rn
+        FROM lineitem
+    )
+    SELECT r.l_returnflag AS returnflag, r.l_orderkey AS orderkey,
+           r.l_linenumber AS linenumber, r.l_extendedprice AS price
+    FROM ranked r JOIN alloc a ON r.l_returnflag = a.l_returnflag
+    WHERE r.rn <= a.nh
+    ORDER BY returnflag, orderkey, linenumber
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample of SAMPLE_N lineitem rows with the Neyman
+    allocation (block comment above): n_h ∝ N_h * S_h over
+    l_returnflag strata, drawn by md5-systematic rank."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pdec = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pdec).alias("sx"),
+        F.sum((pdec * pdec).cast("decimal(38,8)")).alias("sxx"),
+    )
+    s2 = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    w = m.select(
+        "l_returnflag",
+        F.round(F.col("n") * F.sqrt(s2), 6).cast("decimal(28,6)").alias("wh"),
+    )
+    tot = w.agg(F.sum("wh").alias("tw"))  # one-row scalar broadcast
+    alloc = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "l_returnflag",
+            F.floor(
+                F.lit(SAMPLE_N) * F.col("wh").cast("double") / F.col("tw").cast("double")
+            )
+            .cast("long")
+            .alias("nh"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+        )
+    )
+    ranked = li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).withColumn("rn", rn)
+    return (
+        ranked.join(F.broadcast(alloc), "l_returnflag")
+        .filter(F.col("rn") <= F.col("nh"))
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .orderBy("returnflag", "orderkey", "linenumber")
+    )

@@ -1523,3 +1523,77 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("bloom_fp"),
     )
     return verified.unionByName(misses)
+
+
+# ----------------------------------------------- shingle containment
+# Jaccard misses the QUOTE/INCLUSION shape: a 50-shingle doc fully
+# embedded in a 5000-shingle doc has Jaccard ~0.01 but containment
+# C(A in B) = |sh(A) n sh(B)| / |sh(A)| = 1.0. Containment is the
+# metric crawl dedup actually wants for "this page is that page plus
+# boilerplate" (Broder's original resemblance/containment pair), and
+# it is ASYMMETRIC — both directions are computed from ONE
+# intersection pass. Same bounded-pair-space machinery as the capped
+# Jaccard: DF-capped shingles bound every shingle's pair contribution,
+# and the intersection counts come from the identical inverted-index
+# self-join (one shuffle on the shingle key), so at 100 TB this costs
+# exactly what dedup_ngram_jaccard_capped costs plus a doubled
+# (tiny) result projection.
+
+CONTAINMENT_T = 0.9
+
+_CONTAINMENT_SQL = f"""
+    WITH sh_all AS ({oracle_shingles_cte(SHINGLE_K)}),
+    rare AS (
+        SELECT s FROM sh_all GROUP BY s
+        HAVING count(DISTINCT doc_id) <= {DF_CAP}
+    ),
+    sh AS (SELECT doc_id, s FROM sh_all WHERE s IN (SELECT s FROM rare)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dirs AS (
+        SELECT doc_a AS doc_contained, doc_b AS doc_container, i FROM inter
+        UNION ALL
+        SELECT doc_b, doc_a, i FROM inter
+    )
+    SELECT doc_contained, doc_container,
+           round(i * 1.0 / s.n, 6) AS containment
+    FROM dirs JOIN sizes s ON s.doc_id = doc_contained
+    WHERE round(i * 1.0 / s.n, 6) >= {CONTAINMENT_T}
+    ORDER BY doc_contained, doc_container
+"""
+
+
+@query("dedup_containment_capped", oracle=_CONTAINMENT_SQL)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(contained, container) pairs with shingle containment >=
+    CONTAINMENT_T over DF-capped shingle sets (block comment above).
+    One intersection pass serves both directions."""
+    sh = capped_shingle_rows(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    dirs = inter.select(
+        F.col("doc_a").alias("doc_contained"), F.col("doc_b").alias("doc_container"), "i"
+    ).unionByName(
+        inter.select(
+            F.col("doc_b").alias("doc_contained"), F.col("doc_a").alias("doc_container"), "i"
+        )
+    )
+    return (
+        dirs.join(sizes.withColumnRenamed("doc_id", "doc_contained"), "doc_contained")
+        .select(
+            "doc_contained",
+            "doc_container",
+            F.round(F.col("i") / F.col("n"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_T)
+        .orderBy("doc_contained", "doc_container")
+    )

@@ -232,3 +232,92 @@ def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(PQ_TOP)
     )
+
+
+# ------------------------------------------- scalar (int8) quantization
+# The OTHER standard embedding-compression scheme next to PQ: keep the
+# dimensionality, shrink each coordinate to one byte. 4x smaller than
+# float32 at D=64 (PQ above is ~64x but lossier); the usual first step
+# when an ANN index must fit executor memory. Per-dimension affine
+# codec: code = round((x - min_d) / (max_d - min_d) * 255), decode
+# x^ = min_d + code/255 * (max_d - min_d).
+#
+# Spark-first: per-dim min/max is ONE tiny aggregate (D rows — the
+# "model" relation), broadcast back over a posexplode of the corpus;
+# encode/decode/error are narrow codegen expressions; the per-vector
+# error metrics re-group on vec_id — the same exchange the explode
+# created, so AQE plans a single shuffle. At 100 TB the stats pass is
+# a map-side-combinable agg to D rows and everything else is
+# scan-shaped; nothing holds state bigger than the D-row codec.
+#
+# Determinism: min/max are order-independent; code uses
+# floor(v + 0.5) on BOTH engines (no round-half-mode ambiguity);
+# per-row err^2 is rounded then summed as DECIMAL (exact, any order);
+# flat dimensions (max == min) encode to 0 and decode to min_d
+# exactly, guarded by the same CASE on both engines.
+
+SQ_LEVELS = 255
+
+
+@query(
+    "sim_quantize_int8",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos
+    ),
+    coded AS (
+        SELECT d.vec_id, d.x,
+               CASE WHEN s.mx > s.mn
+                    THEN s.mn + floor((d.x - s.mn) / (s.mx - s.mn) * {SQ_LEVELS} + 0.5)
+                         / {SQ_LEVELS} * (s.mx - s.mn)
+                    ELSE s.mn END AS recon
+        FROM dims d JOIN stats s ON d.pos = s.pos
+    )
+    SELECT vec_id,
+           round(CAST(sum(CAST(round((x - recon) * (x - recon), 14) AS DECIMAL(30,14)))
+                      AS DOUBLE) / count(*), 12) AS mse_q8,
+           max(round(abs(x - recon), 12)) AS max_abs_err_q8
+    FROM coded
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar-quantization reconstruction error over
+    the corpus codec (block comment above): mse and max-abs error of
+    the decode, the numbers that decide whether the compressed index
+    is usable for a given recall target."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    stats = dims.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    lv = F.lit(float(SQ_LEVELS))
+    recon = F.when(
+        F.col("mx") > F.col("mn"),
+        F.col("mn")
+        + F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * lv + 0.5)
+        / lv
+        * (F.col("mx") - F.col("mn")),
+    ).otherwise(F.col("mn"))
+    err = F.col("x") - F.col("recon")
+    return (
+        dims.join(F.broadcast(stats), "pos")
+        .withColumn("recon", recon)
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.round(err * err, 14).cast("decimal(30,14)")).cast("double")
+                / F.count(F.lit(1)),
+                12,
+            ).alias("mse_q8"),
+            F.max(F.round(F.abs(err), 12)).alias("max_abs_err_q8"),
+        )
+        .orderBy("vec_id")
+    )

@@ -549,3 +549,62 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in parts[1:]:
         out = out.unionByName(q)
     return out
+
+
+# ------------------------------------------------------- privacy audits
+# Training-data releases carry re-identification duties; the standard
+# table-level audit is k-anonymity (Sweeney 2002): every combination
+# of quasi-identifier values must be shared by >= k rows, else the
+# rare combination singles someone out. l-diversity (Machanavajjhala
+# et al. 2007) adds that the SENSITIVE attribute must take >= l distinct
+# values inside each group (a k-anonymous group that is 100% one
+# sensitive value still leaks it).
+#
+# Spark shape: ONE hash aggregate on the QI key computing group size
+# and sensitive-value diversity together — map-side combinable, scales
+# as a pure groupBy; auditing a 100 TB table is exactly this plan.
+# The sensitive attribute here is the account-balance band (coarse
+# bucketing is itself the standard generalization move).
+
+K_ANON = 5
+L_DIVERSE = 3
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT floor(c_acctbal / 2000)) AS BIGINT) AS l_sensitive,
+           count(*) >= {K_ANON} AS k_anonymous,
+           count(DISTINCT floor(c_acctbal / 2000)) >= {L_DIVERSE} AS l_diverse
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY nationkey, mktsegment
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the
+    (nationkey, mktsegment) quasi-identifier with banded acctbal as
+    the sensitive attribute (block comment above)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000)
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct(band).cast("long").alias("l_sensitive"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "group_size",
+            "l_sensitive",
+            (F.col("group_size") >= K_ANON).alias("k_anonymous"),
+            (F.col("l_sensitive") >= L_DIVERSE).alias("l_diverse"),
+        )
+        .orderBy("nationkey", "mktsegment")
+    )

@@ -1142,3 +1142,104 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "total_vocab",
     )
+
+
+# ------------------------------------------------------------ BM25 search
+# The engine's IR gap: text_tfidf_top_term characterizes documents,
+# but nothing SCORES documents against a query. BM25 (Robertson's
+# Okapi formulation — the default ranking function of every
+# production search engine) is the missing primitive: a training-data
+# pipeline uses exactly this shape for targeted corpus slicing
+# ("pull the top-k docs about X for seed/eval curation").
+#
+# Spark-first: the query is a bounded literal term list (isin filter
+# folded into the token explode — only query-term rows survive the
+# explode, so the per-(doc, term) tf aggregate is O(docs x |query|),
+# not O(corpus tokens)); df and avgdl are tiny model frames broadcast
+# back; top-k is TakeOrderedAndProject. At 100 TB with a standing
+# query workload you'd materialize the (term, doc, tf) inverted index
+# once (the incremental-MV family) and this query becomes a pure
+# index probe — the plan below is the index-BUILD + probe fused.
+#
+# Determinism: per-term scores round(8) then decimal-sum (<= |query|
+# terms per doc — order-independent), final round(6); idf/dl
+# arithmetic derives from exact integer counts.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("vector", "stream", "hash")
+BM25_TOP = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+_BM25_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl
+    ),
+    tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks
+        WHERE w IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+    ),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(round(
+                   ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                   * t.tf * ({BM25_K1} + 1)
+                   / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)),
+               8) AS DECIMAL(28,8)) AS term_score
+        FROM tf t
+        JOIN df f ON t.w = f.w
+        JOIN dl d ON t.doc_id = d.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {BM25_TOP}
+"""
+
+
+@query("text_bm25_search", oracle=_BM25_SQL)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_TOP documents for the literal query BM25_QUERY
+    (block comment above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    avgdl = dl.agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    stats = n_docs.crossJoin(avgdl)  # one-row scalar broadcast
+    tf = (
+        toks.filter(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    term_score = F.round(
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        8,
+    ).cast("decimal(28,8)")
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score").cast("double"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )

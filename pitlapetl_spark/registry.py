@@ -65,6 +65,8 @@ _MODULES = (
     "pitlapetl_spark.operators.entity_resolution",
     "pitlapetl_spark.operators.reconcile",
     "pitlapetl_spark.operators.quality",
+    "pitlapetl_spark.operators.spatial",
+    "pitlapetl_spark.operators.kcore",
     "pitlapetl_spark.plans.jobs",
     "pitlapetl_spark.streaming.batch_windows",
     "pitlapetl_spark.sources.paged_api",
@@ -139,6 +141,9 @@ _PRIORITY: tuple[str, ...] = (
     "anomaly_mahalanobis_2d",
     # (b) the r1-era spill from round 5 (registry ledger, r5 comment):
     # their only driver row is round 1, three data regenerations ago.
+    # These come BEFORE the session-3 new queries: the r5 verdict
+    # explicitly ordered this cohort cleared in round 6, and 42+7
+    # still fits the 50-slot window.
     "setop_unpivot",
     "topk_global",
     "window_standings_rank",
@@ -146,6 +151,21 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_lead_gap",
     "window_running_total",
     "window_rolling_frame",
+    # (a') new in round-6 session 3 — never-verified, but queued
+    # after cohort (b) so the verdict-ordered r1-era clearance is not
+    # displaced. Slot arithmetic: 42 + 7 = 49, so exactly ONE of
+    # these gets a round-6 driver row (the most novel family member,
+    # the spatial join) and the remaining eight lead round 7's
+    # rotation, ahead of the ~42 r2-era rows.
+    "geo_cell_radius_join",
+    "graph_kcore_decomposition",
+    "sim_quantize_int8",
+    "dedup_containment_capped",
+    "sample_neyman_allocation",
+    "analytics_herfindahl_market",
+    "text_bm25_search",
+    "privacy_k_anonymity",
+    "analytics_theil_decomposition",
     # (c) the r2-evidence cohort, in the order the r5 ledger queued it.
     "job_race_results",
     "job_qualifying_results",

@@ -1,0 +1,269 @@
+"""Semantic/property tests for the round-6 session-3 operators — the
+invariants the DuckDB hash-compare can't express: grid-cover
+completeness of the spatial cell join (every within-radius pair is
+found by the 3x3 ring), k-core defining property (every member's
+in-core degree >= K, maximality via a python peel replay), int8
+quantization error bounds (per-dim error <= half a quantization
+step), containment's asymmetry vs Jaccard, and Neyman allocation
+arithmetic replayed in python.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from pitlapetl_spark import registry
+from pitlapetl_spark.sources import load_table
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def _coords(key: int) -> tuple[float, float]:
+    return (-45.0 + key * 7919 % 9000 / 100.0, -20.0 + key * 104729 % 4000 / 100.0)
+
+
+def _haversine(lat1, lon1, lat2, lon2) -> float:
+    r = math.radians
+    a = (
+        math.sin(r(lat2 - lat1) / 2) ** 2
+        + math.cos(r(lat1)) * math.cos(r(lat2)) * math.sin(r(lon2 - lon1) / 2) ** 2
+    )
+    return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+
+def test_cell_join_equals_bruteforce_radius_search(spark):
+    """The grid-cell ring join returns EXACTLY the brute-force
+    within-radius pair set — i.e. the 3x3 cover misses nothing at the
+    worst latitude in range (the _CELL_DEG derivation) and the cell
+    pre-filter admits nothing outside the radius after the exact
+    haversine."""
+    from pitlapetl_spark.operators.spatial import RADIUS_KM
+
+    custs = [r.c_custkey for r in load_table(spark, SF_SMOKE, "customer").collect()]
+    supps = [r.s_suppkey for r in load_table(spark, SF_SMOKE, "supplier").collect()]
+    expect = set()
+    for c in custs:
+        clat, clon = _coords(c)
+        for s in supps:
+            slat, slon = _coords(s)
+            if round(_haversine(clat, clon, slat, slon), 6) <= RADIUS_KM:
+                expect.add((c, s))
+    got = {(r.custkey, r.suppkey) for r in Q["geo_cell_radius_join"](spark, SF_SMOKE).collect()}
+    assert got == expect
+    assert got  # non-vacuous at smoke scale
+
+
+def test_kcore_defining_property_and_python_peel_replay(spark):
+    """Every returned node's stated core_deg counts only edges to
+    other returned nodes and is >= K; and the returned set equals an
+    independent python peel to fixpoint (maximality: nothing outside
+    the set could have survived)."""
+    from pitlapetl_spark.operators.kcore import KCORE_K
+    from pitlapetl_spark.operators.pagerank import copurchase_edges
+
+    edges = [(r.src, r.dst) for r in copurchase_edges(spark, SF_SMOKE).collect()]
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    alive = set(adj)
+    while True:
+        nxt = {n for n in alive if sum(1 for m in adj[n] if m in alive) >= KCORE_K}
+        if nxt == alive:
+            break
+        alive = nxt
+
+    rows = Q["graph_kcore_decomposition"](spark, SF_SMOKE).collect()
+    got = {
+        (2 * r.entity_key if r.entity == "customer" else 2 * r.entity_key + 1): r.core_deg
+        for r in rows
+    }
+    assert set(got) == alive
+    for n, deg in got.items():
+        true_deg = sum(1 for m in adj[n] if m in alive)
+        assert deg == true_deg and deg >= KCORE_K
+
+
+def test_int8_quantization_error_is_bounded_by_half_step(spark):
+    """Scalar quantization guarantees |x - decode(encode(x))| <=
+    scale_d / (2*255) per dimension — so each vector's max_abs_err
+    must respect the WORST dimension's bound, and mse <= max_abs^2."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").collect()
+    dims = defaultdict(list)
+    for r in emb:
+        for i, x in enumerate(r.embedding):
+            dims[i].append(float(x))
+    worst_step = max((max(v) - min(v)) / 255.0 for v in dims.values())
+    out = Q["sim_quantize_int8"](spark, SF_SMOKE).collect()
+    assert len(out) == len(emb)
+    for r in out:
+        assert 0.0 <= r.max_abs_err_q8 <= worst_step / 2 + 1e-9
+        assert 0.0 <= r.mse_q8 <= r.max_abs_err_q8**2 + 1e-12
+
+
+def test_containment_bounds_and_relation_to_jaccard(spark):
+    """Containment is in (0, 1]; for any emitted (a in b) pair the
+    SAME pair's Jaccard over the capped sets is <= its containment
+    (J = i/(na+nb-i) <= i/na always); and a full-containment pair of
+    different sizes would NOT reach the Jaccard threshold — the
+    asymmetric metric exists because the symmetric one misses these."""
+    from pitlapetl_spark.operators.dedup import capped_shingle_rows
+
+    sh = defaultdict(set)
+    for r in capped_shingle_rows(load_table(spark, SF_SMOKE, "documents")).collect():
+        sh[r.doc_id].add(r.s)
+    out = Q["dedup_containment_capped"](spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        a, b = sh[r.doc_contained], sh[r.doc_container]
+        i = len(a & b)
+        assert 0.0 < r.containment <= 1.0
+        assert abs(r.containment - round(i / len(a), 6)) < 1e-9
+        jac = i / (len(a) + len(b) - i)
+        assert round(jac, 6) <= r.containment + 1e-9
+
+
+def test_neyman_allocation_replay(spark):
+    """Replay the allocation arithmetic in python from the raw rows:
+    per-stratum counts must equal floor(SAMPLE_N * N_h*S_h / sum), and
+    the drawn rows must be the md5-rank prefix of each stratum."""
+    import hashlib
+
+    from pitlapetl_spark.operators.breadth import SAMPLE_N
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect()
+    )
+    strata = defaultdict(list)
+    for r in li:
+        strata[r.l_returnflag].append(r)
+    w = {}
+    for f, rows in strata.items():
+        n = len(rows)
+        sx = sum(round(r.l_extendedprice, 4) for r in rows)
+        sxx = sum(round(r.l_extendedprice, 4) ** 2 for r in rows)
+        s = math.sqrt((sxx - sx * sx / n) / (n - 1))
+        w[f] = round(n * s, 6)
+    tot = sum(w.values())
+    alloc = {f: math.floor(SAMPLE_N * wh / tot) for f, wh in w.items()}
+
+    out = Q["sample_neyman_allocation"](spark, SF_SMOKE).collect()
+    got_counts = defaultdict(int)
+    got_keys = defaultdict(set)
+    for r in out:
+        got_counts[r.returnflag] += 1
+        got_keys[r.returnflag].add((r.orderkey, r.linenumber, r.price))
+    assert dict(got_counts) == {f: n for f, n in alloc.items() if n > 0}
+    for f, rows in strata.items():
+        ranked = sorted(
+            rows,
+            key=lambda r: (
+                hashlib.md5(f"{r.l_orderkey}-{r.l_linenumber}".encode()).hexdigest(),
+                r.l_orderkey,
+                r.l_linenumber,
+                r.l_extendedprice,
+            ),
+        )
+        expect = {
+            (r.l_orderkey, r.l_linenumber, r.l_extendedprice) for r in ranked[: alloc[f]]
+        }
+        assert got_keys[f] == expect
+
+
+def test_herfindahl_bounds_and_replay(spark):
+    """HHI in (10000/n, 10000]; replay one nation's index from raw
+    revenue shares."""
+    out = {r.nation: r for r in Q["analytics_herfindahl_market"](spark, SF_SMOKE).collect()}
+    assert out
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    supp = load_table(spark, SF_SMOKE, "supplier")
+    nat = load_table(spark, SF_SMOKE, "nation")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")).alias("r"))
+        .collect()
+    )
+    by_nation = defaultdict(list)
+    for r in rev:
+        by_nation[r.n_name].append(float(r.r))
+    for nation, vals in by_nation.items():
+        t = sum(vals)
+        hhi = sum(round((v / t) * (v / t) * 10000, 8) for v in vals)
+        row = out[nation]
+        assert row.n_suppliers == len(vals)
+        assert abs(row.hhi - round(hhi, 6)) < 1e-4
+        assert 10000.0 / len(vals) - 1e-6 <= row.hhi <= 10000.0 + 1e-6
+
+
+def test_bm25_python_replay(spark):
+    """Full BM25 replay from raw tokens — idf/tf/length-norm
+    arithmetic and the top-k cut."""
+    from pitlapetl_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.lower().split() for r in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {
+        q: sum(1 for t in toks.values() if q in t)
+        for q in BM25_QUERY
+    }
+    scores = {}
+    for d, t in toks.items():
+        s = 0.0
+        for q in BM25_QUERY:
+            tf = t.count(q)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += round(
+                idf * tf * (BM25_K1 + 1) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * len(t) / avgdl)),
+                8,
+            )
+        if s:
+            scores[d] = round(s, 6)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOP]
+    got = [(r.doc_id, r.bm25) for r in Q["text_bm25_search"](spark, SF_SMOKE).collect()]
+    assert got == expect
+
+
+def test_k_anonymity_partitions_and_flags(spark):
+    """Group sizes partition the table; flags are consistent with the
+    stated thresholds; at least one group on each side of the k cut
+    at smoke scale (the audit is non-degenerate)."""
+    from pitlapetl_spark.operators.quality import K_ANON, L_DIVERSE
+
+    rows = Q["privacy_k_anonymity"](spark, SF_SMOKE).collect()
+    total = load_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r.group_size for r in rows) == total
+    for r in rows:
+        assert r.k_anonymous == (r.group_size >= K_ANON)
+        assert r.l_diverse == (r.l_sensitive >= L_DIVERSE)
+        assert 1 <= r.l_sensitive <= r.group_size
+    assert any(r.k_anonymous for r in rows)
+
+
+def test_theil_decomposition_identity_and_bounds(spark):
+    """Theil-T is additively decomposable: total = between + sum of
+    share-weighted within terms (to rounding tolerance); between and
+    total are non-negative (Jensen)."""
+    rows = {r.component: r.value for r in Q["analytics_theil_decomposition"](spark, SF_SMOKE).collect()}
+    assert {"total", "between", "within"} <= set(rows)
+    assert rows["total"] >= -1e-9
+    assert rows["between"] >= -1e-9
+    assert abs(rows["total"] - (rows["between"] + rows["within"])) < 1e-4
+    nation_terms = [v for k, v in rows.items() if k.startswith("within_nation_")]
+    assert nation_terms and all(v >= -1e-9 for v in nation_terms)
