@@ -843,3 +843,39 @@ def test_negative_sampling_single_bnlj_and_key_join(spark):
     plan = _plan(Q["training_negative_sampling"](spark, SF_SMOKE))
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_geo_cell_join_is_equi_join_not_cartesian(spark):
+    """The radius search must plan as a hash equi-join on the cell
+    ints (broadcast here — the supplier side is tiny; shuffled on
+    cell keys at scale) with zero cartesian/nested-loop nodes, and
+    the haversine predicate stays a post-join Filter."""
+    plan = _plan(Q["geo_cell_radius_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bm25_query_filter_reaches_the_token_explode(spark):
+    """The query-term isin must filter BEFORE the tf aggregate (the
+    explode emits corpus tokens, but only query-term rows reach the
+    shuffle) and the top-k is a heap."""
+    plan = _plan(Q["text_bm25_search"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    # the term filter appears as an IN-list condition on the exploded
+    # token column, below the first aggregate
+    assert plan.count("Generate explode") >= 1
+    assert " IN (" in plan or "INSET" in plan.upper()
+
+
+def test_kanonymity_is_one_aggregate_tree(spark):
+    """The audit must be a pure aggregation tree on the QI key: no
+    join, no window, and exactly the TWO hash exchanges exact
+    count-distinct costs (distinct-grain (QI, band) partial, then the
+    QI-grain final — Spark's standard two-phase distinct plan; an
+    approx_count_distinct swap would drop it to one at the price of
+    sketch error, documented at the operator)."""
+    plan = _plan(Q["privacy_k_anonymity"](spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
