@@ -570,6 +570,43 @@ K_ANON = 5
 L_DIVERSE = 3
 
 
+def kanonymity_band_counts(cust: DataFrame) -> DataFrame:
+    """(nationkey, mktsegment, band, cnt) — the algebraic partial the
+    audit is computed FROM: counts merge by addition and distinct
+    bands are rows at this grain, so a streaming monitor can maintain
+    these per batch and fold them (streaming/runtime.run_kanonymity_
+    sink), bit-equal to the batch audit by construction."""
+    band = F.floor(F.col("c_acctbal") / 2000)
+    return cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        band.alias("band"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def kanonymity_from_band_counts(bc: DataFrame) -> DataFrame:
+    """Shared audit tail over the band-count grain: group_size is the
+    count sum, l_sensitive the number of band rows (== distinct
+    bands). Kept in lockstep with the oracle's COUNT(*) /
+    COUNT(DISTINCT ...) formulation."""
+    return (
+        bc.groupBy("nationkey", "mktsegment")
+        .agg(
+            F.sum("cnt").cast("long").alias("group_size"),
+            F.count(F.lit(1)).cast("long").alias("l_sensitive"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "group_size",
+            "l_sensitive",
+            (F.col("group_size") >= K_ANON).alias("k_anonymous"),
+            (F.col("l_sensitive") >= L_DIVERSE).alias("l_diverse"),
+        )
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
 @query(
     "privacy_k_anonymity",
     oracle=f"""
@@ -588,23 +625,4 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nationkey, mktsegment) quasi-identifier with banded acctbal as
     the sensitive attribute (block comment above)."""
     cust = load_table(spark, sf_dir, "customer")
-    band = F.floor(F.col("c_acctbal") / 2000)
-    return (
-        cust.groupBy(
-            F.col("c_nationkey").alias("nationkey"),
-            F.col("c_mktsegment").alias("mktsegment"),
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("group_size"),
-            F.countDistinct(band).cast("long").alias("l_sensitive"),
-        )
-        .select(
-            "nationkey",
-            "mktsegment",
-            "group_size",
-            "l_sensitive",
-            (F.col("group_size") >= K_ANON).alias("k_anonymous"),
-            (F.col("l_sensitive") >= L_DIVERSE).alias("l_diverse"),
-        )
-        .orderBy("nationkey", "mktsegment")
-    )
+    return kanonymity_from_band_counts(kanonymity_band_counts(cust))

@@ -1091,3 +1091,61 @@ def read_psi_drift(spark: SparkSession, store_path: str) -> DataFrame:
         )
     )
     return psi_from_bin_counts(cnt)
+
+
+# -------------------------------------------- k-anonymity release gate
+
+
+def run_kanonymity_sink(
+    customers: DataFrame, store_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming privacy-audit maintenance: an ingest stream of
+    customer-shaped rows keeps the k-anonymity/l-diversity state
+    current so a release gate can be checked at any time without
+    re-scanning the accumulated corpus. Every micro-batch writes its
+    (nationkey, mktsegment, band) PARTIAL counts — the algebraic
+    grain ``kanonymity_band_counts`` defines — to a batch-scoped
+    overwrite partition: counts merge by addition and distinct
+    sensitive bands are rows at the stored grain, so the audit is a
+    pure fold (the run_cusum_sink sufficient-statistics discipline
+    applied to the privacy family).
+
+    ``read_kanonymity_audit`` folds the partitions through the SAME
+    ``kanonymity_from_band_counts`` tail the batch operator uses —
+    streaming a table in any batch slicing reproduces
+    ``privacy_k_anonymity`` on that table bit-equally (pinned in
+    test_streaming). Replay safety: batch-scoped overwrite, never
+    merge-add. Store size: O(batches x QI-groups x bands touched per
+    batch); compact old partitions by re-aggregation when batch count
+    grows (the dedup-ingest store note)."""
+    from ..operators.quality import kanonymity_band_counts
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kanonymity_band_counts(batch_df).coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
+
+    return (
+        customers.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kanonymity_audit(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the stream-maintained band-count partials and run the
+    shared audit tail: merged cnt per (QI, band), then group_size /
+    l_sensitive / threshold flags — identical expressions to the
+    batch query's."""
+    from ..operators.quality import kanonymity_from_band_counts
+
+    merged = (
+        spark.read.parquet(store_path)
+        .groupBy("nationkey", "mktsegment", "band")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return kanonymity_from_band_counts(merged)

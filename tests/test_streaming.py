@@ -1017,3 +1017,61 @@ def test_psi_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
     run("ckpt2")
     again = canon(read_psi_drift(spark, f"{tmp_path}/store").collect())
     assert again == want
+
+
+def test_kanonymity_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
+    """Streaming the customer table in 4 interleaved micro-batches
+    must reproduce privacy_k_anonymity on the whole table exactly —
+    group sizes AND the distinct-band l-diversity fold across the
+    batch split — and a fresh-checkpoint replay must not double-add."""
+    import os
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        read_kanonymity_audit,
+        run_kanonymity_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cust = load_table(spark, SF_SMOKE, "customer")
+    # custkey % 4 slicing interleaves every QI group across all four
+    # micro-batches — group sizes and band sets must MERGE, a
+    # per-batch audit could not
+    for i in range(4):
+        cust.filter(F.col("c_custkey") % 4 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+
+    def run(ckpt):
+        q = run_kanonymity_sink(stream, f"{tmp_path}/store", f"{tmp_path}/{ckpt}")
+        q.awaitTermination(180)
+
+    run("ckpt")
+    canon = lambda rows: sorted(
+        (
+            r.nationkey,
+            r.mktsegment,
+            r.group_size,
+            r.l_sensitive,
+            r.k_anonymous,
+            r.l_diverse,
+        )
+        for r in rows
+    )
+    got = canon(read_kanonymity_audit(spark, f"{tmp_path}/store").collect())
+    want = canon(registry.QUERIES["privacy_k_anonymity"](spark, SF_SMOKE).collect())
+    assert got == want
+    # the store holds PARTIALS at the (QI, band) grain — never the
+    # audit itself (a per-batch count-distinct could not merge)
+    one = spark.read.parquet(f"{tmp_path}/store/batch=0")
+    assert set(one.columns) == {"nationkey", "mktsegment", "band", "cnt"}
+    # replay from a fresh checkpoint: overwrite, never double-add
+    run("ckpt2")
+    again = canon(read_kanonymity_audit(spark, f"{tmp_path}/store").collect())
+    assert again == want
