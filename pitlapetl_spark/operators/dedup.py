@@ -1597,3 +1597,65 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAINMENT_T)
         .orderBy("doc_contained", "doc_container")
     )
+
+
+# --------------------------------------------- prefix-filtered jaccard
+# The DF cap (dedup_ngram_jaccard_capped) bounds the pair space by
+# CHANGING the semantics (Jaccard over capped sets). Prefix filtering
+# (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008 PPJoin) bounds it
+# while keeping the EXACT threshold semantics: order each doc's
+# shingles by global rarity (df asc, shingle asc — one canonical
+# order for the whole corpus) and index only the first
+# p = n - ceil(t*n) + 1 of them. The prefix-filter lemma: two sets
+# with J >= t must overlap in more than (1-t) of either set, so they
+# MUST share at least one of each other's rarest (1-t)-fraction —
+# any pair sharing NO prefix shingle is provably below threshold.
+# Candidates therefore come from an inverted-index join over prefix
+# rows only (rare shingles -> tiny postings lists), and the exact
+# Jaccard verify runs on candidates alone.
+#
+# This is the third bounded-pair-space device in the dedup family
+# (DF cap: changes semantics; LSH: probabilistic; prefix filter:
+# exact and lossless) — the right default when the EXACT threshold
+# result is required at corpus scale. Registered with the SAME
+# oracle as dedup_ngram_jaccard: identical result set, scalable plan.
+# Cost: one df aggregate + one per-doc rank window (doc-bounded) on
+# top of the verify join; the win is the candidate count — measured
+# A/B in SCALE.md.
+
+
+@query("dedup_jaccard_prefix_filter", oracle=_PAIR_JACCARD_SQL)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.8 pairs via prefix-filtered
+    candidate generation (block comment above) — bit-identical to
+    ``dedup_ngram_jaccard``, pair space bounded by rare-prefix
+    postings instead of the full inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    # one materialization: the shingle relation feeds the df
+    # aggregate, the prefix ranking, AND the verify join — without
+    # the cut each consumer re-runs the scan+explode (the r2
+    # ReuseExchange lesson)
+    sh = sh.localCheckpoint(eager=True)
+    df_tbl = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        sh.join(df_tbl, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n")) + 1
+    ).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(sh, candidates=cand, sizes=sizes)

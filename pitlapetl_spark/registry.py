@@ -166,6 +166,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bm25_search",
     "privacy_k_anonymity",
     "analytics_theil_decomposition",
+    "dedup_jaccard_prefix_filter",
     # (c) the r2-evidence cohort, in the order the r5 ledger queued it.
     "job_race_results",
     "job_qualifying_results",
