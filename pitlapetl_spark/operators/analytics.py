@@ -1174,3 +1174,100 @@ def analytics_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("tw"), 6).alias("value"),
     )
     return tot.unionByName(btw).unionByName(wsum).unionByName(per_nation).orderBy("component")
+
+
+# ------------------------------------- item-item collaborative filtering
+
+CF_TOP_K = 5
+CF_MIN_PAIR = 2
+
+
+@query(
+    "rec_item_item_cosine",
+    oracle=f"""
+    WITH bk AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM bk GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM bk a JOIN bk b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT p.part_a AS item, p.part_b AS neighbor, p.n_pair,
+               round(p.n_pair / sqrt(ia.n_item * ib.n_item), 6) AS cosine
+        FROM pairs p
+        JOIN items ia ON p.part_a = ia.l_partkey
+        JOIN items ib ON p.part_b = ib.l_partkey
+        WHERE p.n_pair >= {CF_MIN_PAIR}
+    ),
+    ranked AS (
+        SELECT item, neighbor, n_pair, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY item
+                   ORDER BY cosine DESC, neighbor ASC) AS INT) AS rnk
+        FROM scored
+    )
+    SELECT item, neighbor, n_pair, cosine, rnk
+    FROM ranked WHERE rnk <= {CF_TOP_K}
+    ORDER BY item, rnk
+    """,
+)
+def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-CF_TOP_K neighbors per
+    part by co-purchase cosine n_ij / sqrt(n_i * n_j) — the classic
+    Amazon-style "customers also bought" memory-based recommender
+    (Sarwar et al. 2001), the RANKING twin of market_basket_pairs'
+    global lift shortlist.
+
+    Scale shape: same bounded machinery as the basket query — the
+    pair space is co-partitioned on the basket key and bounded by
+    max-basket-size² per order; DIRECTED pairs (a <> b, not a < b)
+    because each item ranks its own neighbor list. The per-item top-k
+    window runs at pair grain (already bounded); item counts join
+    with the same footer-gated broadcast. Cosine from exact integer
+    counts — no float drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bk = li.select("l_orderkey", "l_partkey").distinct()
+    items = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("item"),
+            F.col("b.l_partkey").alias("neighbor"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= CF_MIN_PAIR)
+    )
+    ia = items.select(F.col("l_partkey").alias("item"), F.col("n_item").alias("n_a"))
+    ib = items.select(F.col("l_partkey").alias("neighbor"), F.col("n_item").alias("n_b"))
+    if parquet_row_count(f"{sf_dir}/part.parquet") <= BASKET_BROADCAST_MAX_ITEMS:
+        ia, ib = F.broadcast(ia), F.broadcast(ib)
+    scored = (
+        pairs.join(ia, "item")
+        .join(ib, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair") / F.sqrt(F.col("n_a") * F.col("n_b")), 6).alias("cosine"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= CF_TOP_K)
+        .orderBy("item", "rnk")
+    )

@@ -2358,3 +2358,253 @@ def agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_harm"),
     )
+
+
+# ----------------------------------------- Theil-Sen robust trend
+# The robust-statistics family (MAD z-scores, IQR fences, weighted
+# median) lacked its REGRESSION member: OLS slopes (the closed-form
+# linear fit above) are pulled arbitrarily far by one bad day, while
+# the Theil-Sen estimator — median of all pairwise slopes — has a 29%
+# breakdown point. Both slopes are emitted side by side; divergence
+# IS the outlier diagnostic.
+#
+# Scale shape: the series collapses to DAY grain first (the CUSUM
+# discipline), so the pairwise slope space is O(days²) per type —
+# bounded by the time range (3650 days of history = 6.6M pairs),
+# NEVER by data volume; the pair join is co-partitioned on the type
+# key. Determinism: daily means are the shared decimal_mean8; slopes
+# are rounded(8) so both engines sort identical values and the median
+# of an even count averages the two middle values exactly.
+
+
+def _median_expr(val: str, rn: str, n: str) -> str:
+    """SQL median over a (value, row_number, count) ranked relation —
+    avg of the two middle values (equal for odd counts)."""
+    return (
+        f"CAST(round(avg(CASE WHEN {rn} IN (({n} + 1) // 2, ({n} + 2) // 2) "
+        f"THEN {val} END), 8) AS DOUBLE)"
+    )
+
+
+@query(
+    "ml_theil_sen_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(round(CAST(sum(CAST(round(value, 8) AS DECIMAL(18,8)))
+                               AS DOUBLE) / count(*), 8)
+                    AS DECIMAL(18,8)) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, m,
+               date_diff('day',
+                         min(day) OVER (PARTITION BY event_type), day) AS t
+        FROM daily
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               round((CAST(b.m AS DOUBLE) - CAST(a.m AS DOUBLE))
+                     / (b.t - a.t), 8) AS s
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type AND a.t < b.t
+    ),
+    ranked AS (
+        SELECT event_type, s,
+               row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM slopes
+    ),
+    ts_med AS (
+        SELECT event_type,
+               {_median_expr("s", "rn", "n")} AS theil_sen_slope,
+               CAST(max(n) AS BIGINT) AS n_pairs
+        FROM ranked GROUP BY event_type
+    ),
+    ols AS (
+        SELECT event_type,
+               round((count(*) * sum(t * CAST(m AS DOUBLE))
+                      - sum(t) * sum(CAST(m AS DOUBLE)))
+                     / (count(*) * sum(t * t) - sum(t) * sum(t)), 8)
+                   AS ols_slope
+        FROM idx GROUP BY event_type
+    )
+    SELECT t.event_type, t.theil_sen_slope, o.ols_slope, t.n_pairs
+    FROM ts_med t JOIN ols o ON t.event_type = o.event_type
+    ORDER BY t.event_type
+    """,
+)
+def ml_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen (median-of-pairwise-slopes) daily trend per event
+    type, with the OLS slope alongside (block comment above)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(decimal_mean8("value").alias("m"))
+    idx = daily.select(
+        "event_type",
+        "m",
+        F.datediff(
+            F.col("day"), F.min("day").over(Window.partitionBy("event_type"))
+        ).alias("t"),
+    )
+    a, b = idx.alias("a"), idx.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.t") < F.col("b.t")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.m").cast("double") - F.col("a.m").cast("double"))
+            / (F.col("b.t") - F.col("a.t")),
+            8,
+        ).alias("s"),
+    )
+    w = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(w.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    ts_med = (
+        ranked.groupBy("event_type")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(
+                        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+                        | (F.col("rn") == F.floor((F.col("n") + 2) / 2)),
+                        F.col("s"),
+                    )
+                ),
+                8,
+            )
+            .cast("double")
+            .alias("theil_sen_slope"),
+            F.max("n").cast("long").alias("n_pairs"),
+        )
+    )
+    md = F.col("m").cast("double")
+    ols = idx.groupBy("event_type").agg(
+        F.round(
+            (F.count(F.lit(1)) * F.sum(F.col("t") * md) - F.sum("t") * F.sum(md))
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("t") * F.col("t"))
+                - F.sum("t") * F.sum("t")
+            ),
+            8,
+        ).alias("ols_slope")
+    )
+    return (
+        ts_med.join(ols, "event_type")
+        .select("event_type", "theil_sen_slope", "ols_slope", "n_pairs")
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------- forecast backtest (MASE)
+# ts_seasonal_decompose DESCRIBES a series; nothing yet EVALUATES a
+# forecast on it. The standard baseline + metric pair: seasonal-naive
+# forecast (y^(t) = y(t-7), the forecast every model must beat) scored
+# by MASE (Hyndman-Koehler 2006) — test MAE scaled by the TRAIN
+# seasonal-naive MAE, so it is unit-free and defined even when the
+# series touches zero (unlike MAPE). MASE < 1 = beats the baseline
+# ON TRAIN difficulty; the seasonal-naive forecast itself scoring
+# near 1 is the sanity anchor.
+#
+# Scale shape: day-grain collapse, then one 7-day date-shift
+# self-join per split (gap-robust: joins on day = day - 7 DATES, not
+# row lags). Everything after the collapse is O(days). Split: the
+# last FC_H days per type are test, the rest train.
+
+FC_H = 7
+FC_SEASON = 7
+
+
+@query(
+    "ts_forecast_baseline_mase",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(round(CAST(sum(CAST(round(value, 8) AS DECIMAL(18,8)))
+                               AS DOUBLE) / count(*), 8)
+                    AS DECIMAL(18,8)) AS m
+        FROM events GROUP BY 1, 2
+    ),
+    lim AS (
+        SELECT event_type, day, m,
+               max(day) OVER (PARTITION BY event_type) AS mx
+        FROM daily
+    ),
+    nav AS (
+        SELECT c.event_type, c.day, c.m, p.m AS yhat, c.mx
+        FROM lim c JOIN lim p
+          ON c.event_type = p.event_type
+         AND p.day = c.day - INTERVAL 7 DAY
+    ),
+    scored AS (
+        SELECT event_type,
+               day > mx - INTERVAL {FC_H} DAY AS is_test,
+               -- exact-decimal absolute errors: averages below are
+               -- decimal-sum / count, order-independent cross-engine
+               CAST(round(abs(CAST(m AS DOUBLE) - CAST(yhat AS DOUBLE)), 8)
+                    AS DECIMAL(18,8)) AS ae
+        FROM nav
+    )
+    SELECT event_type,
+           round((CAST(sum(CASE WHEN is_test THEN ae END) AS DOUBLE)
+                  / sum(CASE WHEN is_test THEN 1 ELSE 0 END))
+                 / (CAST(sum(CASE WHEN NOT is_test THEN ae END) AS DOUBLE)
+                    / sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END)), 6) AS mase,
+           round(CAST(sum(CASE WHEN is_test THEN ae END) AS DOUBLE)
+                 / sum(CASE WHEN is_test THEN 1 ELSE 0 END), 6) AS mae_test,
+           CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_forecast_baseline_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type, scored by
+    MASE (block comment above)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(decimal_mean8("value").alias("m"))
+    lim = daily.withColumn(
+        "mx", F.max("day").over(Window.partitionBy("event_type"))
+    )
+    c, p = lim.alias("c"), lim.alias("p")
+    nav = c.join(
+        p,
+        (F.col("c.event_type") == F.col("p.event_type"))
+        & (F.col("p.day") == F.col("c.day") - F.expr(f"INTERVAL {FC_SEASON} DAY")),
+    ).select(
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.day").alias("day"),
+        F.col("c.mx").alias("mx"),
+        (F.col("c.day") > F.col("c.mx") - F.expr(f"INTERVAL {FC_H} DAY")).alias("is_test"),
+        F.round(
+            F.abs(F.col("c.m").cast("double") - F.col("p.m").cast("double")), 8
+        )
+        .cast("decimal(18,8)")
+        .alias("ae"),
+    )
+    n_test = F.sum(F.when(F.col("is_test"), 1).otherwise(0))
+    n_train = F.sum(F.when(~F.col("is_test"), 1).otherwise(0))
+    t_ae = F.sum(F.when(F.col("is_test"), F.col("ae"))).cast("double") / n_test
+    r_ae = F.sum(F.when(~F.col("is_test"), F.col("ae"))).cast("double") / n_train
+    return (
+        nav.groupBy("event_type")
+        .agg(
+            F.round(t_ae / r_ae, 6).alias("mase"),
+            F.round(t_ae, 6).alias("mae_test"),
+            n_test.cast("long").alias("n_test"),
+        )
+        .orderBy("event_type")
+    )

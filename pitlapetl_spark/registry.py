@@ -167,6 +167,9 @@ _PRIORITY: tuple[str, ...] = (
     "privacy_k_anonymity",
     "analytics_theil_decomposition",
     "dedup_jaccard_prefix_filter",
+    "ml_theil_sen_trend",
+    "ts_forecast_baseline_mase",
+    "rec_item_item_cosine",
     # (c) the r2-evidence cohort, in the order the r5 ledger queued it.
     "job_race_results",
     "job_qualifying_results",

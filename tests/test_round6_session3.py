@@ -326,3 +326,122 @@ def test_prefix_filter_lemma_and_result_identity(spark):
     for a, b, _ in exact:
         assert (a, b) in cand, "prefix-filter lemma violated"
     assert len(cand) < full_pairs
+
+
+def test_theil_sen_python_replay_and_robustness_shape(spark):
+    """Replay both slopes per type from raw rows: Theil-Sen = median
+    of pairwise slopes over the daily means, OLS from moment sums."""
+    import statistics
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"), "value")
+        .collect()
+    )
+    agg = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        agg[r.event_type][r.day].append(r.value)
+    out = {r.event_type: r for r in Q["ml_theil_sen_trend"](spark, SF_SMOKE).collect()}
+    for et, days in agg.items():
+        series = sorted(days.items())
+        t0 = series[0][0]
+        pts = [
+            ((d - t0).days, round(sum(round(v, 8) for v in vs) / len(vs), 8))
+            for d, vs in series
+        ]
+        slopes = [
+            round((m2 - m1) / (t2 - t1), 8)
+            for i, (t1, m1) in enumerate(pts)
+            for (t2, m2) in pts[i + 1 :]
+        ]
+        if not slopes:
+            assert et not in out
+            continue
+        ts = round(statistics.median(slopes), 8)
+        n = len(pts)
+        sx = sum(t for t, _ in pts)
+        sy = sum(m for _, m in pts)
+        sxy = sum(t * m for t, m in pts)
+        sxx = sum(t * t for t, _ in pts)
+        ols = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8)
+        r = out[et]
+        assert abs(r.theil_sen_slope - ts) < 1e-6, et
+        assert abs(r.ols_slope - ols) < 1e-6, et
+        assert r.n_pairs == len(slopes)
+
+
+def test_mase_seasonal_naive_replay(spark):
+    """Replay MASE per type: seasonal-naive errors joined on the
+    DATE shift (gap-robust), last-7-days test split."""
+    import datetime
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"), "value")
+        .collect()
+    )
+    agg = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        agg[r.event_type][r.day].append(r.value)
+    out = {r.event_type: r for r in Q["ts_forecast_baseline_mase"](spark, SF_SMOKE).collect()}
+    for et, days in agg.items():
+        m = {
+            d: round(sum(round(v, 8) for v in vs) / len(vs), 8)
+            for d, vs in days.items()
+        }
+        mx = max(m)
+        test_ae, train_ae = [], []
+        for d, v in m.items():
+            prev = d - datetime.timedelta(days=7)
+            if prev not in m:
+                continue
+            ae = round(abs(v - m[prev]), 8)
+            (test_ae if d > mx - datetime.timedelta(days=7) else train_ae).append(ae)
+        if not test_ae or not train_ae:
+            assert et not in out
+            continue
+        mae_t = sum(test_ae) / len(test_ae)
+        mase = round(mae_t / (sum(train_ae) / len(train_ae)), 6)
+        r = out[et]
+        assert r.n_test == len(test_ae)
+        assert abs(r.mase - mase) < 1e-5, et
+        assert abs(r.mae_test - round(mae_t, 6)) < 1e-5, et
+
+
+def test_item_item_cosine_replay_and_topk(spark):
+    """Replay the full neighbor ranking from raw baskets; verify the
+    cosine formula, the min-pair floor, and the per-item top-k cut."""
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from pitlapetl_spark.operators.analytics import CF_MIN_PAIR, CF_TOP_K
+
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    n_item = defaultdict(int)
+    n_pair = defaultdict(int)
+    for parts in baskets.values():
+        for p in parts:
+            n_item[p] += 1
+        for p in parts:
+            for q in parts:
+                if p != q:
+                    n_pair[(p, q)] += 1
+    per_item = defaultdict(list)
+    for (p, q), c in n_pair.items():
+        if c >= CF_MIN_PAIR:
+            cos = round(c / math.sqrt(n_item[p] * n_item[q]), 6)
+            per_item[p].append((-cos, q, c))
+    expect = {}
+    for p, lst in per_item.items():
+        for rk, (negcos, q, c) in enumerate(sorted(lst)[:CF_TOP_K], 1):
+            expect[(p, rk)] = (q, c, -negcos)
+    got = {
+        (r.item, r.rnk): (r.neighbor, r.n_pair, r.cosine)
+        for r in Q["rec_item_item_cosine"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and got
