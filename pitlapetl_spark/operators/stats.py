@@ -2608,3 +2608,302 @@ def ts_forecast_baseline_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- CUPED variance reduction
+# ab_test_variant_zscore (above) tests a difference in means; CUPED
+# (Deng et al. 2013, "Improving the Sensitivity of Online Controlled
+# Experiments") is how real experimentation platforms SHRINK the
+# variance of that test before it runs: adjust each user's
+# experiment-period metric by their PRE-period metric,
+# y' = y - theta*(x - mean(x)) with theta = cov(x,y)/var(x); the
+# adjusted metric has variance var(y)(1 - rho²) — often a 30-50% cut,
+# i.e. the same power from half the traffic. This operator measures
+# theta and the achieved reduction per event type over a
+# first-half/second-half time split.
+#
+# Scale + determinism: one (type, user) aggregate with conditional
+# decimal sums builds the (pre, post) pairs; all second moments are
+# exact decimal products (18,8)x(18,8) -> (37,16), summed exactly;
+# the theta/variance ratios are then identical doubles on both
+# engines. A zero-variance pre-period NULLs theta via the shared
+# nullif guard rather than dividing by zero.
+
+CUPED_SPLIT_DAYS = 15
+
+
+@query(
+    "ab_cuped_adjustment",
+    oracle=f"""
+    WITH lim AS (
+        SELECT event_type, user_id, value,
+               date_trunc('day', ts) AS day,
+               min(date_trunc('day', ts)) OVER (PARTITION BY event_type)
+                   AS d0
+        FROM events
+    ),
+    per_user AS (
+        SELECT event_type, user_id,
+               sum(CASE WHEN day < d0 + INTERVAL {CUPED_SPLIT_DAYS} DAY
+                        THEN CAST(round(value, 8) AS DECIMAL(18,8))
+                        ELSE CAST(0 AS DECIMAL(18,8)) END) AS x,
+               sum(CASE WHEN day >= d0 + INTERVAL {CUPED_SPLIT_DAYS} DAY
+                        THEN CAST(round(value, 8) AS DECIMAL(18,8))
+                        ELSE CAST(0 AS DECIMAL(18,8)) END) AS y
+        FROM lim GROUP BY 1, 2
+    ),
+    mo AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,16))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,16))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y * y AS DECIMAL(38,16))) AS DOUBLE) AS syy
+        FROM per_user GROUP BY 1
+    )
+    SELECT event_type, n AS n_users,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 8)
+               AS theta,
+           round((n * syy - sy * sy) / (CAST(n AS DOUBLE) * (n - 1)), 6)
+               AS var_post,
+           round(((n * syy - sy * sy)
+                  - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                    / nullif(n * sxx - sx * sx, 0))
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS var_cuped,
+           round(100.0 * ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 4)
+               AS var_reduction_pct
+    FROM mo
+    ORDER BY event_type
+    """,
+)
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED theta and achieved variance reduction per event type
+    (block comment above)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    lim = events.select(
+        "event_type",
+        "user_id",
+        "value",
+        F.date_trunc("day", "ts").alias("day"),
+    ).withColumn("d0", F.min("day").over(Window.partitionBy("event_type")))
+    cut = F.col("d0") + F.expr(f"INTERVAL {CUPED_SPLIT_DAYS} DAY")
+    vdec = F.round("value", 8).cast("decimal(18,8)")
+    zero = F.lit(0).cast("decimal(18,8)")
+    per_user = lim.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(F.col("day") < cut, vdec).otherwise(zero)).alias("x"),
+        F.sum(F.when(F.col("day") >= cut, vdec).otherwise(zero)).alias("y"),
+    )
+    mo = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,16)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,16)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,16)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    return mo.select(
+        "event_type",
+        n.alias("n_users"),
+        F.round(cov_n / F.nullif(varx_n, F.lit(0)), 8).alias("theta"),
+        F.round(vary_n / (n.cast("double") * (n - 1)), 6).alias("var_post"),
+        F.round(
+            (vary_n - cov_n * cov_n / F.nullif(varx_n, F.lit(0)))
+            / (n.cast("double") * (n - 1)),
+            6,
+        ).alias("var_cuped"),
+        F.round(
+            100.0 * (cov_n * cov_n) / F.nullif(varx_n * vary_n, F.lit(0)), 4
+        ).alias("var_reduction_pct"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------- split-conformal intervals
+# The linear fit (ml_linear_fit_closed_form) gives a point estimate;
+# split conformal prediction (Papadopoulos et al. 2002, Lei et al.
+# 2018) wraps ANY point model in a distribution-free interval with
+# finite-sample coverage >= 1-alpha, assuming only exchangeability:
+# fit on a train split, take the ceil((n_cal+1)(1-alpha))-th smallest
+# absolute residual on a CALIBRATION split as the half-width q, and
+# |y - y^| <= q then covers >= 1-alpha on fresh data. The operator
+# emits q and the measured held-out coverage — the ML-eval primitive
+# for "how wrong can this model be, with a guarantee".
+#
+# Scale + determinism: the 3-way split is the md5-systematic device
+# (reproducible, repartition-proof); the OLS coefficients come from
+# exact decimal moments and are rounded(8) before EITHER engine
+# scores a residual; q is an order statistic picked by rank over
+# rounded residuals (ties carry equal values — rank choice can't
+# change the value); per-flag model frames broadcast onto the
+# scoring scans. Everything is one fact pass per split.
+
+CONF_ALPHA = 0.1
+
+
+@query(
+    "ml_conformal_interval",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS DOUBLE) AS x,
+               CAST(l_extendedprice AS DOUBLE) AS y,
+               substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                          || CAST(l_linenumber AS VARCHAR)), 1, 1) AS h,
+               md5(CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR)) AS hk
+        FROM lineitem
+    ),
+    mo AS (
+        SELECT flag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,4))
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+        FROM base WHERE h BETWEEN '0' AND '7'
+        GROUP BY flag
+    ),
+    model AS (
+        SELECT flag, n AS n_train,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+               round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8)
+                      * sx) / n, 8) AS icept
+        FROM mo
+    ),
+    cal AS (
+        SELECT b.flag,
+               round(abs(b.y - (m.slope * b.x + m.icept)), 6) AS r,
+               b.hk
+        FROM base b JOIN model m ON b.flag = m.flag
+        WHERE b.h BETWEEN '8' AND 'b'
+    ),
+    calr AS (
+        SELECT flag, r,
+               row_number() OVER (PARTITION BY flag ORDER BY r, hk) AS rn,
+               count(*) OVER (PARTITION BY flag) AS nc
+        FROM cal
+    ),
+    q AS (
+        SELECT flag, CAST(max(nc) AS BIGINT) AS n_cal,
+               max(CASE WHEN rn = least(CAST(ceil((nc + 1) * {1 - CONF_ALPHA})
+                                             AS BIGINT), nc)
+                        THEN r END) AS q90
+        FROM calr GROUP BY flag
+    ),
+    test AS (
+        SELECT b.flag,
+               CASE WHEN round(abs(b.y - (m.slope * b.x + m.icept)), 6)
+                         <= q.q90 THEN 1 ELSE 0 END AS hit
+        FROM base b
+        JOIN model m ON b.flag = m.flag
+        JOIN q ON b.flag = q.flag
+        WHERE b.h > 'b'
+    ),
+    cov AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS n_test,
+               round(sum(hit) * 1.0 / count(*), 6) AS coverage
+        FROM test GROUP BY flag
+    )
+    SELECT m.flag AS returnflag, m.slope, m.icept, q.q90,
+           c.coverage, m.n_train, q.n_cal, c.n_test
+    FROM model m JOIN q ON m.flag = q.flag JOIN cov c ON m.flag = c.flag
+    ORDER BY returnflag
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval around the per-returnflag
+    price~quantity OLS fit, with measured held-out coverage (block
+    comment above)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hk = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        hk.alias("hk"),
+        F.substring(hk, 1, 1).alias("h"),
+    )
+    xd = F.col("x").cast("decimal(18,2)")
+    yd = F.col("y").cast("decimal(18,4)")
+    mo = (
+        base.filter(F.col("h").between("0", "7"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xd).cast("double").alias("sx"),
+            F.sum(yd).cast("double").alias("sy"),
+            F.sum((xd * yd).cast("decimal(38,6)")).cast("double").alias("sxy"),
+            F.sum((xd * xd).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = F.round((n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx), 8)
+    model = mo.select(
+        "flag",
+        n.alias("n_train"),
+        slope.alias("slope"),
+        F.round((sy - slope * sx) / n, 8).alias("icept"),
+    )
+    resid = F.round(F.abs(F.col("y") - (F.col("slope") * F.col("x") + F.col("icept"))), 6)
+    cal = (
+        base.filter(F.col("h").between("8", "b"))
+        .join(F.broadcast(model), "flag")
+        .select("flag", resid.alias("r"), "hk")
+    )
+    w = Window.partitionBy("flag")
+    calr = cal.select(
+        "flag",
+        "r",
+        F.row_number().over(w.orderBy("r", "hk")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("nc"),
+    )
+    q_rank = F.least(
+        F.ceil((F.col("nc") + 1) * F.lit(1 - CONF_ALPHA)).cast("long"), F.col("nc")
+    )
+    q = calr.groupBy("flag").agg(
+        F.max("nc").cast("long").alias("n_cal"),
+        F.max(F.when(F.col("rn") == q_rank, F.col("r"))).alias("q90"),
+    )
+    test = (
+        base.filter(F.col("h") > "b")
+        .join(F.broadcast(model), "flag")
+        .join(F.broadcast(q), "flag")
+        .select("flag", F.when(resid <= F.col("q90"), 1).otherwise(0).alias("hit"))
+    )
+    cov = test.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("coverage"),
+    )
+    return (
+        model.join(q, "flag")
+        .join(cov, "flag")
+        .select(
+            F.col("flag").alias("returnflag"),
+            "slope",
+            "icept",
+            "q90",
+            "coverage",
+            "n_train",
+            "n_cal",
+            "n_test",
+        )
+        .orderBy("returnflag")
+    )

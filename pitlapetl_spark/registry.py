@@ -170,6 +170,8 @@ _PRIORITY: tuple[str, ...] = (
     "ml_theil_sen_trend",
     "ts_forecast_baseline_mase",
     "rec_item_item_cosine",
+    "ab_cuped_adjustment",
+    "ml_conformal_interval",
     # (c) the r2-evidence cohort, in the order the r5 ledger queued it.
     "job_race_results",
     "job_qualifying_results",

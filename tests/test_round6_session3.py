@@ -445,3 +445,89 @@ def test_item_item_cosine_replay_and_topk(spark):
         for r in Q["rec_item_item_cosine"](spark, SF_SMOKE).collect()
     }
     assert got == expect and got
+
+
+def test_cuped_replay_and_variance_never_worse(spark):
+    """Replay theta/variances per type from raw rows; at the optimal
+    theta the adjusted variance can never exceed the raw variance."""
+    import datetime
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "user_id", F.date_trunc("day", "ts").alias("day"), "value")
+        .collect()
+    )
+    from pitlapetl_spark.operators.stats import CUPED_SPLIT_DAYS
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    out = {r.event_type: r for r in Q["ab_cuped_adjustment"](spark, SF_SMOKE).collect()}
+    for et, rs in by_type.items():
+        d0 = min(r.day for r in rs)
+        cut = d0 + datetime.timedelta(days=CUPED_SPLIT_DAYS)
+        per = defaultdict(lambda: [0.0, 0.0])
+        for r in rs:
+            per[r.user_id][0 if r.day < cut else 1] += round(r.value, 8)
+        xs = [v[0] for v in per.values()]
+        ys = [v[1] for v in per.values()]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        cov_n = n * sxy - sx * sy
+        varx_n = n * sxx - sx * sx
+        vary_n = n * syy - sy * sy
+        r = out[et]
+        assert r.n_users == n
+        assert abs(r.theta - round(cov_n / varx_n, 8)) < 1e-5
+        assert abs(r.var_post - round(vary_n / (n * (n - 1)), 6)) < 1e-3
+        assert r.var_cuped <= r.var_post + 1e-9
+        assert 0.0 <= r.var_reduction_pct <= 100.0 + 1e-9
+
+
+def test_conformal_full_python_replay_and_coverage(spark):
+    """Full replay: hash split, decimal-moment OLS, calibration order
+    statistic, held-out coverage — plus the conformal sanity band
+    around 1-alpha."""
+    import hashlib
+
+    from pitlapetl_spark.operators.stats import CONF_ALPHA
+
+    rows = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    splits = defaultdict(lambda: ([], [], []))  # train, cal, test
+    for r in rows:
+        hk = hashlib.md5(f"{r.l_orderkey}-{r.l_linenumber}".encode()).hexdigest()
+        tup = (r.l_quantity, r.l_extendedprice, hk)
+        tr, ca, te = splits[r.l_returnflag]
+        (tr if hk[0] <= "7" else ca if hk[0] <= "b" else te).append(tup)
+    out = {r.returnflag: r for r in Q["ml_conformal_interval"](spark, SF_SMOKE).collect()}
+    for flag, (tr, ca, te) in splits.items():
+        n = len(tr)
+        sx = sum(round(x, 2) for x, _, _ in tr)
+        sy = sum(round(y, 4) for _, y, _ in tr)
+        sxy = sum(round(x, 2) * round(y, 4) for x, y, _ in tr)
+        sxx = sum(round(x, 2) ** 2 for x, _, _ in tr)
+        slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8)
+        icept = round((sy - slope * sx) / n, 8)
+        cal_r = sorted(
+            (round(abs(y - (slope * x + icept)), 6), hk) for x, y, hk in ca
+        )
+        k = min(math.ceil((len(ca) + 1) * (1 - CONF_ALPHA)), len(ca))
+        q90 = cal_r[k - 1][0]
+        hits = sum(
+            1 for x, y, _ in te if round(abs(y - (slope * x + icept)), 6) <= q90
+        )
+        r = out[flag]
+        assert (r.n_train, r.n_cal, r.n_test) == (n, len(ca), len(te))
+        assert abs(r.slope - slope) < 1e-6 and abs(r.icept - icept) < 1e-4
+        assert abs(r.q90 - q90) < 1e-6
+        assert abs(r.coverage - round(hits / len(te), 6)) < 1e-6
+        # distribution-free guarantee is in expectation; allow finite-
+        # sample slack around 1-alpha
+        assert r.coverage >= 1 - CONF_ALPHA - 0.08
