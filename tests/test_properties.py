@@ -610,3 +610,41 @@ def test_psi_bin_formulations_agree(cuts, v):
     matching = [i + 1 for i, c in enumerate(fences) if v <= c]
     min_cut = matching[0] if matching else len(fences) + 1
     assert fold == min_cut
+
+
+# ------------------------- spatial grid-cover derivation (pure math)
+# The _CELL_DEG=2.0 sizing claims: ANY two points within RADIUS_KM,
+# with latitudes in the derived [-45, 45) range, land in the same or
+# 8-neighboring cells. This tests the DERIVATION itself over random
+# coordinates (not just the fixed key-derived ones the registered
+# query uses) — pure python haversine, no Spark session.
+
+
+@given(
+    lat1=st.floats(min_value=-45.0, max_value=44.99),
+    lon1=st.floats(min_value=-20.0, max_value=19.99),
+    lat2=st.floats(min_value=-45.0, max_value=44.99),
+    lon2=st.floats(min_value=-20.0, max_value=19.99),
+)
+@settings(max_examples=500, deadline=None)
+def test_cell_ring_covers_every_within_radius_pair(lat1, lon1, lat2, lon2):
+    import math
+
+    from pitlapetl_spark.operators.spatial import (
+        _CELL_DEG,
+        EARTH_R_KM,
+        RADIUS_KM,
+    )
+
+    r = math.radians
+    a = (
+        math.sin(r(lat2 - lat1) / 2) ** 2
+        + math.cos(r(lat1)) * math.cos(r(lat2)) * math.sin(r(lon2 - lon1) / 2) ** 2
+    )
+    dist = 2 * EARTH_R_KM * math.asin(math.sqrt(min(1.0, a)))
+    if dist <= RADIUS_KM:
+        cx1, cy1 = math.floor(lat1 / _CELL_DEG), math.floor(lon1 / _CELL_DEG)
+        cx2, cy2 = math.floor(lat2 / _CELL_DEG), math.floor(lon2 / _CELL_DEG)
+        assert abs(cx1 - cx2) <= 1 and abs(cy1 - cy2) <= 1, (
+            f"cover miss at dist={dist:.3f}km: ({lat1},{lon1}) vs ({lat2},{lon2})"
+        )
