@@ -20,7 +20,7 @@ special-casing needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -451,4 +451,92 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sc").cast("double") / F.col("tc").cast("double"), 6
             ).alias("share"),
         )
+    )
+
+
+# ------------------------------------- Markov next-event baseline
+# The sequence family (trigrams, funnels, sessionization) lacked a
+# PREDICTIVE eval: the first-order Markov argmax — "after event X,
+# the most common next event is Y" — is the baseline every sequence
+# model (and every "next action" product feature) must beat, exactly
+# as seasonal-naive is the forecasting floor (stats.ts_forecast_
+# baseline_mase). Train on even user_ids' consecutive event pairs,
+# predict the per-state argmax, score top-1 accuracy on odd users.
+#
+# Shape: one lead() window per user (the sessionize exchange), one
+# count aggregate to the (cur, next) grain (|event types|² rows — a
+# model-sized frame at any corpus scale), argmax via one more tiny
+# window, broadcast back onto the held-out pairs. Deterministic:
+# integer counts, argmax ties broken by next-event name.
+
+
+@query(
+    "seq_markov_next_event",
+    oracle="""
+    WITH pairs AS (
+        SELECT user_id, event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    train AS (
+        SELECT cur, nxt, count(*) AS c FROM pairs
+        WHERE user_id % 2 = 0 AND nxt IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    model AS (
+        SELECT cur, nxt AS predicted FROM (
+            SELECT cur, nxt,
+                   row_number() OVER (
+                       PARTITION BY cur ORDER BY c DESC, nxt ASC) AS rk
+            FROM train
+        ) WHERE rk = 1
+    )
+    SELECT p.cur AS event_type,
+           m.predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(sum(CASE WHEN p.nxt = m.predicted THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS top1_accuracy
+    FROM pairs p JOIN model m ON p.cur = m.cur
+    WHERE p.user_id % 2 = 1 AND p.nxt IS NOT NULL
+    GROUP BY p.cur, m.predicted
+    ORDER BY event_type
+    """,
+)
+def seq_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event baseline with held-out top-1
+    accuracy per current event type (block comment above)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    train = (
+        pairs.filter(F.col("user_id") % 2 == 0)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cur").orderBy(F.desc("c"), F.asc("nxt"))
+    )
+    model = (
+        train.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    return (
+        pairs.filter(F.col("user_id") % 2 == 1)
+        .join(F.broadcast(model), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("top1_accuracy"),
+        )
+        .orderBy("event_type")
     )

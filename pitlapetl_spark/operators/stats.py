@@ -2907,3 +2907,100 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# ------------------------------------------- difference-in-differences
+# The causal member of the experiment family: when assignment isn't
+# randomized per event but a change lands at a known TIME, the
+# two-group x two-period contrast (Card-Krueger style DiD) removes
+# both the stable group difference and the common time trend:
+# DiD = (T_post - T_pre) - (C_post - C_pre). Groups here are the
+# hash-assignment convention shared with ab_test_variant_zscore
+# (user_id % 2), the period cut is the CUPED split day — so the three
+# experiment operators (z-test, CUPED, DiD) read the same synthetic
+# experiment three ways.
+#
+# One map-combinable aggregate to the (type, variant, period) grain
+# (12 cells), pivoted by conditional decimal sums — scan-shaped at
+# any scale. Exact-decimal means, round(6) on every emitted cell.
+
+
+@query(
+    "stats_diff_in_diff",
+    oracle=f"""
+    WITH lim AS (
+        SELECT event_type,
+               CAST(user_id % 2 AS INT) AS treated,
+               CASE WHEN date_trunc('day', ts)
+                         >= min(date_trunc('day', ts))
+                                OVER (PARTITION BY event_type)
+                            + INTERVAL {CUPED_SPLIT_DAYS} DAY
+                    THEN 1 ELSE 0 END AS post,
+               CAST(round(value, 8) AS DECIMAL(18,8)) AS v
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN treated = 1 AND post = 1 THEN 1 END) AS t_post,
+               CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN treated = 1 AND post = 0 THEN 1 END) AS t_pre,
+               CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN treated = 0 AND post = 1 THEN 1 END) AS c_post,
+               CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN v END) AS DOUBLE)
+                   / sum(CASE WHEN treated = 0 AND post = 0 THEN 1 END) AS c_pre,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lim GROUP BY event_type
+    )
+    SELECT event_type,
+           round(t_pre, 6) AS mean_treat_pre,
+           round(t_post, 6) AS mean_treat_post,
+           round(c_pre, 6) AS mean_control_pre,
+           round(c_post, 6) AS mean_control_post,
+           round((t_post - t_pre) - (c_post - c_pre), 6) AS did,
+           n_rows
+    FROM cells
+    ORDER BY event_type
+    """,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group two-period difference-in-differences per event type
+    (block comment above)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    cut = F.min(day).over(Window.partitionBy("event_type")) + F.expr(
+        f"INTERVAL {CUPED_SPLIT_DAYS} DAY"
+    )
+    lim = events.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        F.when(day >= cut, 1).otherwise(0).alias("post"),
+        F.round("value", 8).cast("decimal(18,8)").alias("v"),
+    )
+
+    def cell(t: int, p: int) -> F.Column:
+        m = (F.col("treated") == t) & (F.col("post") == p)
+        return F.sum(F.when(m, F.col("v"))).cast("double") / F.sum(
+            F.when(m, 1)
+        )
+
+    cells = lim.groupBy("event_type").agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return cells.select(
+        "event_type",
+        F.round("t_pre", 6).alias("mean_treat_pre"),
+        F.round("t_post", 6).alias("mean_treat_post"),
+        F.round("c_pre", 6).alias("mean_control_pre"),
+        F.round("c_post", 6).alias("mean_control_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")), 6
+        ).alias("did"),
+        "n_rows",
+    ).orderBy("event_type")

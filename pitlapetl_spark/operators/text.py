@@ -1243,3 +1243,82 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
+
+
+# ------------------------------------------------------- OOV audit
+# Every tokenizer/vocab decision is eventually audited with one
+# number: what fraction of fresh text falls OUT of vocabulary. The
+# operator derives a top-K frequency vocabulary from the TRAIN half
+# of the corpus (even doc_ids — the deterministic split convention)
+# and scores the held-out half per document. High-OOV documents are
+# the ones a fixed tokenizer will shred into bytes — the standard
+# pre-training triage signal next to the quality gates.
+#
+# Shape: one token-grain count on the train half; the vocabulary is a
+# top-K TakeOrderedAndProject (K rows, broadcast); held-out docs pay
+# one explode + one broadcast LEFT join + per-doc aggregate. At
+# 100 TB the vocab stays K rows regardless of corpus size, so the
+# scoring pass is scan-shaped with a model-sized build side.
+
+OOV_VOCAB_K = 400
+
+
+@query(
+    "text_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*) AS c FROM toks
+            WHERE doc_id % 2 = 0 GROUP BY w
+            ORDER BY c DESC, w ASC LIMIT {OOV_VOCAB_K}
+        )
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    WHERE t.doc_id % 2 = 1
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate of the held-out corpus
+    half against a train-half top-K vocabulary (block comment
+    above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(OOV_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

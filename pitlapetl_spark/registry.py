@@ -174,6 +174,9 @@ _PRIORITY: tuple[str, ...] = (
     "rec_item_item_cosine",
     "ab_cuped_adjustment",
     "ml_conformal_interval",
+    "stats_diff_in_diff",
+    "text_oov_rate",
+    "seq_markov_next_event",
     # (c) the r2-evidence cohort, in the order the r5 ledger queued it.
     "job_race_results",
     "job_qualifying_results",

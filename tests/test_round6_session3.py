@@ -531,3 +531,101 @@ def test_conformal_full_python_replay_and_coverage(spark):
         # distribution-free guarantee is in expectation; allow finite-
         # sample slack around 1-alpha
         assert r.coverage >= 1 - CONF_ALPHA - 0.08
+
+
+def test_diff_in_diff_replay_and_cell_identity(spark):
+    """Replay all four cell means and the DiD contrast per type; the
+    contrast must equal the double difference of the emitted cells."""
+    import datetime
+
+    from pitlapetl_spark.operators.stats import CUPED_SPLIT_DAYS
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "user_id", F.date_trunc("day", "ts").alias("day"), "value")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    out = {r.event_type: r for r in Q["stats_diff_in_diff"](spark, SF_SMOKE).collect()}
+    for et, rs in by_type.items():
+        d0 = min(r.day for r in rs)
+        cut = d0 + datetime.timedelta(days=CUPED_SPLIT_DAYS)
+        cells = defaultdict(list)
+        for r in rs:
+            cells[(r.user_id % 2, 1 if r.day >= cut else 0)].append(round(r.value, 8))
+        mean = {k: sum(v) / len(v) for k, v in cells.items()}
+        o = out[et]
+        assert abs(o.mean_treat_post - round(mean[(1, 1)], 6)) < 1e-4
+        assert abs(o.mean_control_pre - round(mean[(0, 0)], 6)) < 1e-4
+        did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+        assert abs(o.did - round(did, 6)) < 1e-4
+        assert o.n_rows == len(rs)
+
+
+def test_oov_rate_replay_and_split_hygiene(spark):
+    """Replay the vocab build and per-doc OOV scoring; only held-out
+    (odd) docs appear, and every rate is n_oov/n_tokens."""
+    from pitlapetl_spark.operators.text import OOV_VOCAB_K
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    counts = defaultdict(int)
+    for r in docs:
+        if r.doc_id % 2 == 0:
+            for w in r.text.lower().split():
+                counts[w] += 1
+    vocab = {
+        w for w, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:OOV_VOCAB_K]
+    }
+    out = {r.doc_id: r for r in Q["text_oov_rate"](spark, SF_SMOKE).collect()}
+    assert all(d % 2 == 1 for d in out)
+    for r in docs:
+        if r.doc_id % 2 == 0:
+            assert r.doc_id not in out
+            continue
+        toks = r.text.lower().split()
+        oov = sum(1 for w in toks if w not in vocab)
+        o = out[r.doc_id]
+        assert (o.n_tokens, o.n_oov) == (len(toks), oov)
+        assert abs(o.oov_rate - round(oov / len(toks), 6)) < 1e-9
+
+
+def test_markov_baseline_replay(spark):
+    """Replay the transition model from even users and the held-out
+    accuracy from odd users, including the argmax tiebreak."""
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = defaultdict(int)
+    test_pairs = []
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, cur), (_, _, nxt) in zip(evs, evs[1:]):
+            if u % 2 == 0:
+                trans[(cur, nxt)] += 1
+            else:
+                test_pairs.append((cur, nxt))
+    states = {c for c, _ in trans}
+    model = {
+        c: min((n for (cc, n) in trans if cc == c), key=lambda n: (-trans[(c, n)], n))
+        for c in states
+    }
+    expect = {}
+    per_state = defaultdict(lambda: [0, 0])
+    for cur, nxt in test_pairs:
+        if cur in model:
+            per_state[cur][0] += 1
+            per_state[cur][1] += 1 if nxt == model[cur] else 0
+    for c, (n, hits) in per_state.items():
+        expect[c] = (model[c], n, round(hits / n, 6))
+    got = {
+        r.event_type: (r.predicted, r.n_test, r.top1_accuracy)
+        for r in Q["seq_markov_next_event"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect and got
