@@ -155,9 +155,9 @@ _PRIORITY: tuple[str, ...] = (
     # after cohort (b) so the verdict-ordered r1-era clearance is not
     # displaced. Slot arithmetic: 42 + 7 = 49, so exactly ONE of
     # these gets a round-6 driver row (the most novel family member,
-    # the spatial join) and the remaining FOURTEEN lead round 7's
-    # rotation, ahead of the ~42 r2-era rows (round-7 window: 14
-    # never-verified + the first 36 r2-era rows; the rest spill to
+    # the spatial join) and the remaining SEVENTEEN lead round 7's
+    # rotation, ahead of the ~42 r2-era rows (round-7 window: 17
+    # never-verified + the first 33 r2-era rows; the rest spill to
     # round 8).
     "geo_cell_radius_join",
     "graph_kcore_decomposition",
