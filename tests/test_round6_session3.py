@@ -629,3 +629,43 @@ def test_markov_baseline_replay(spark):
         for r in Q["seq_markov_next_event"](spark, SF_SMOKE).collect()
     }
     assert got == expect and got
+
+
+def test_hits_python_replay(spark):
+    """Replay HITS_ITERS normalized rounds in python with the same
+    rounding schedule; the top-k authorities must match exactly, and
+    the full authority vector must be L1-normalized."""
+    from pitlapetl_spark.operators.hits import HITS_ITERS, HITS_TOP
+
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    edges = [(r.o_custkey, r.l_partkey) for r in rows]
+    hubs = {c: 1.0 for c, _ in edges}
+    auth = {}
+    for _ in range(HITS_ITERS):
+        auth = defaultdict(float)
+        for c, p in edges:
+            auth[p] += round(hubs[c], 12)
+        s = sum(round(a, 12) for a in auth.values())
+        auth = {p: round(a / s, 12) for p, a in auth.items()}
+        hubs = defaultdict(float)
+        for c, p in edges:
+            hubs[c] += round(auth[p], 12)
+        s = sum(round(h, 12) for h in hubs.values())
+        hubs = {c: round(h / s, 12) for c, h in hubs.items()}
+    expect = sorted(auth.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOP]
+    got = [
+        (r.partkey, r.authority)
+        for r in Q["graph_hits_authorities"](spark, SF_SMOKE).collect()
+    ]
+    for (ep, ea), (gp, ga) in zip(expect, got):
+        assert ep == gp and abs(ea - ga) < 1e-9
+    assert abs(sum(auth.values()) - 1.0) < 1e-6
