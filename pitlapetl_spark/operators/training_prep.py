@@ -738,3 +738,129 @@ def training_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix.join(labels, "neg_id").filter(
         F.col("neg_label") != F.col("anchor_label")
     ).select("anchor_id", "anchor_label", "slot", "neg_id", "neg_label")
+
+
+# ------------------------------------------- release waterfall
+# pipeline_pretrain_filter emits FLAT per-rule booleans; a release
+# review wants the WATERFALL: each document's FIRST failing stage, in
+# the order the pipeline applies them, so the stage-loss counts read
+# directly off the status column. This composition also adds the
+# stage the flat gate cannot express — PAIR-BASED near-dup removal
+# (shingle containment, dedup.py): a doc is dropped when >= 90% of
+# its shingles appear in another doc (quotes/boilerplate-inclusion),
+# with mutual containments keeping the lower doc_id (the keep-first
+# convention).
+#
+# ONE Catalyst plan: the gate's fp window + the containment family's
+# DF-capped inverted-index join; the contained-doc set is a left join
+# flag. Stage order (first failure wins): exact_dup -> lang ->
+# quality -> near_dup -> released. Oracle composes the SHARED gate
+# CTEs (text_filters.GATE_ORACLE_CTES) with the containment pair SQL
+# built from dedup.py's constants, so neither side can drift from the
+# standalone operators.
+
+def _release_oracle() -> str:
+    from .dedup import CONTAINMENT_T, DF_CAP
+
+    return (
+        GATE_ORACLE_CTES
+        + f""",
+    sh_all AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                 ELSE [] END)) AS s
+        FROM t
+    ),
+    rare AS (
+        SELECT s FROM sh_all GROUP BY s
+        HAVING count(DISTINCT doc_id) <= {DF_CAP}
+    ),
+    shc AS (SELECT doc_id, s FROM sh_all WHERE s IN (SELECT s FROM rare)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cont AS (
+        SELECT doc_a AS doc_contained, doc_b AS doc_container,
+               round(i * 1.0 / sa.n, 6) AS c_ab,
+               round(i * 1.0 / sb.n, 6) AS c_ba
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    dropped AS (
+        SELECT DISTINCT doc_contained AS doc_id FROM cont
+        WHERE c_ab >= {CONTAINMENT_T} AND (c_ba < {CONTAINMENT_T} OR doc_container < doc_contained)
+        UNION
+        SELECT DISTINCT doc_container FROM cont
+        WHERE c_ba >= {CONTAINMENT_T} AND (c_ab < {CONTAINMENT_T} OR doc_contained < doc_container)
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id <> d.keeper THEN 'exact_dup'
+                WHEN d.lang <> 'en' THEN 'lang'
+                WHEN d.quality_score < {QUALITY_KEEP_THRESHOLD} THEN 'quality'
+                WHEN dr.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'released' END AS status,
+           d.quality_score
+    FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    ORDER BY d.doc_id
+    """
+    )
+
+
+@query("pipeline_release_waterfall", oracle=_release_oracle())
+def pipeline_release_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document release status: the first failing stage of
+    exact_dup -> lang -> quality -> near_dup, else 'released' (block
+    comment above)."""
+    from .dedup import CONTAINMENT_T, capped_shingle_rows
+    from .text_filters import gate_scored
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = gate_scored(docs)
+    sh = capped_shingle_rows(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / F.col("na"), 6).alias("c_ab"),
+            F.round(F.col("i") / F.col("nb"), 6).alias("c_ba"),
+        )
+    )
+    t = F.lit(CONTAINMENT_T)
+    dropped = (
+        cont.filter((F.col("c_ab") >= t) & ((F.col("c_ba") < t) | (F.col("doc_b") < F.col("doc_a"))))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            cont.filter(
+                (F.col("c_ba") >= t) & ((F.col("c_ab") < t) | (F.col("doc_a") < F.col("doc_b")))
+            ).select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    status = (
+        F.when(F.col("doc_id") != F.col("keeper"), F.lit("exact_dup"))
+        .when(F.col("lang") != "en", F.lit("lang"))
+        .when(F.col("quality_score") < QUALITY_KEEP_THRESHOLD, F.lit("quality"))
+        .when(F.col("near_dup").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("released"))
+    )
+    return (
+        d.join(dropped, "doc_id", "left")
+        .select("doc_id", status.alias("status"), "quality_score")
+        .orderBy("doc_id")
+    )

@@ -156,9 +156,9 @@ _PRIORITY: tuple[str, ...] = (
     # after cohort (b) so the verdict-ordered r1-era clearance is not
     # displaced. Slot arithmetic: 42 + 7 = 49, so exactly ONE of
     # these gets a round-6 driver row (the most novel family member,
-    # the spatial join) and the remaining EIGHTEEN lead round 7's
-    # rotation, ahead of the ~42 r2-era rows (round-7 window: 18
-    # never-verified + the first 32 r2-era rows; the rest spill to
+    # the spatial join) and the remaining NINETEEN lead round 7's
+    # rotation, ahead of the ~42 r2-era rows (round-7 window: 19
+    # never-verified + the first 31 r2-era rows; the rest spill to
     # round 8).
     "geo_cell_radius_join",
     "graph_kcore_decomposition",
@@ -179,6 +179,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_oov_rate",
     "seq_markov_next_event",
     "graph_hits_authorities",
+    "pipeline_release_waterfall",
     # (c) the r2-evidence cohort, in the order the r5 ledger queued it.
     "job_race_results",
     "job_qualifying_results",

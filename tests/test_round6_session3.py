@@ -669,3 +669,37 @@ def test_hits_python_replay(spark):
     for (ep, ea), (gp, ga) in zip(expect, got):
         assert ep == gp and abs(ea - ga) < 1e-9
     assert abs(sum(auth.values()) - 1.0) < 1e-6
+
+
+def test_release_waterfall_composition_consistency(spark):
+    """The waterfall must agree with the standalone operators it
+    composes: exact_dup rows = pretrain_filter's is_dup; near_dup
+    rows are a subset of docs appearing as a contained side in
+    dedup_containment_capped (or the mutual lower-id rule); every
+    released doc passes all four stages; statuses partition the
+    corpus."""
+    wf = {r.doc_id: r.status for r in Q["pipeline_release_waterfall"](spark, SF_SMOKE).collect()}
+    flat = {r.doc_id: r for r in Q["pipeline_pretrain_filter"](spark, SF_SMOKE).collect()}
+    contained_pairs = [
+        (r.doc_contained, r.doc_container)
+        for r in Q["dedup_containment_capped"](spark, SF_SMOKE).collect()
+    ]
+    assert set(wf) == set(flat)
+    contained_docs = {a for a, _ in contained_pairs}
+    mutual = {(a, b) for a, b in contained_pairs if (b, a) in contained_pairs}
+    for doc, status in wf.items():
+        f = flat[doc]
+        if f.is_dup:
+            assert status == "exact_dup"
+        elif not f.lang_ok:
+            assert status == "lang"
+        elif status == "near_dup":
+            # dropped by the containment stage: either one-way
+            # contained, or mutual with the lower-id partner kept
+            assert doc in contained_docs or any(
+                b == doc and a < b for a, b in mutual
+            ) or any(a == doc and b < a for a, b in mutual)
+        elif status == "released":
+            assert f.keep or not f.is_dup  # released implies gate-passing
+            assert f.lang_ok and not f.is_dup
+    assert "released" in set(wf.values()) and len(set(wf.values())) >= 3
