@@ -993,9 +993,10 @@ def window_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT nation, sum(r) AS t, count(*) AS n_suppliers FROM rev GROUP BY 1)
     SELECT r.nation,
            CAST(max(t.n_suppliers) AS BIGINT) AS n_suppliers,
-           round(sum(round(
+           round(CAST(sum(CAST(round(
                CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE)
-               * CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE) * 10000, 8)), 6) AS hhi
+               * CAST(r.r AS DOUBLE) / CAST(t.t AS DOUBLE) * 10000, 8)
+               AS DECIMAL(28,8))) AS DOUBLE), 6) AS hhi
     FROM rev r JOIN tot t ON r.nation = t.nation
     GROUP BY r.nation
     ORDER BY r.nation
@@ -1014,9 +1015,8 @@ def analytics_herfindahl_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     window needed (unlike Gini's rank sort): shares square-sum
     directly. Scales as a pure two-level aggregation tree.
     Determinism: revenue sums are exact decimals; each share² term is
-    rounded(8) before the final sum, which re-sums identically-
-    rounded doubles — made order-safe by the outer round(6) at the
-    1e-8-vs-1e-6 precision gap (the PSI/ABC precedent)."""
+    rounded(8) and decimal-cast before the final sum (exact, any
+    accumulation order), then round(6) — the _dsum discipline."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -1035,7 +1035,12 @@ def analytics_herfindahl_market(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation")
         .agg(
             F.max("n_suppliers").cast("long").alias("n_suppliers"),
-            F.round(F.sum(F.round(share * share * 10000, 8)), 6).alias("hhi"),
+            F.round(
+                F.sum(F.round(share * share * 10000, 8).cast("decimal(28,8)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("hhi"),
         )
         .orderBy("nation")
     )

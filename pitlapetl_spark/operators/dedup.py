@@ -1541,28 +1541,72 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAINMENT_T = 0.9
 
-_CONTAINMENT_SQL = f"""
-    WITH sh_all AS ({oracle_shingles_cte(SHINGLE_K)}),
+
+def containment_pairs(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, c_ab, c_ba) with doc_a < doc_b — BOTH
+    containment directions from ONE inverted-index intersection pass
+    over a shingle frame. Pass a MATERIALIZED frame (localCheckpoint):
+    it is consumed three times (sizes + both self-join sides) and the
+    pruned subtrees stop being canonically equal, so without the cut
+    each consumer re-runs the scan+explode (the r2 ReuseExchange
+    lesson). Shared by ``dedup_containment_capped`` and the release
+    waterfall (training_prep) so the two cannot drift."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / F.col("na"), 6).alias("c_ab"),
+            F.round(F.col("i") / F.col("nb"), 6).alias("c_ba"),
+        )
+    )
+
+
+def containment_oracle_ctes(sh_all_body: str) -> str:
+    """The DuckDB twin of ``containment_pairs`` as a CTE-chain
+    fragment (``sh_all`` through ``cont``), parameterized by the
+    shingle-source CTE body so both the standalone query (shingles
+    from ``documents``) and the release waterfall (shingles from the
+    gate's ``t`` relation) compose the SAME machinery."""
+    return f"""sh_all AS ({sh_all_body}),
     rare AS (
         SELECT s FROM sh_all GROUP BY s
         HAVING count(DISTINCT doc_id) <= {DF_CAP}
     ),
-    sh AS (SELECT doc_id, s FROM sh_all WHERE s IN (SELECT s FROM rare)),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    shc AS (SELECT doc_id, s FROM sh_all WHERE s IN (SELECT s FROM rare)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    dirs AS (
-        SELECT doc_a AS doc_contained, doc_b AS doc_container, i FROM inter
+    cont AS (
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / sa.n, 6) AS c_ab,
+               round(i * 1.0 / sb.n, 6) AS c_ba
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    )"""
+
+
+_CONTAINMENT_SQL = f"""
+    WITH {containment_oracle_ctes(oracle_shingles_cte(SHINGLE_K))}
+    SELECT doc_contained, doc_container, containment
+    FROM (
+        SELECT doc_a AS doc_contained, doc_b AS doc_container, c_ab AS containment FROM cont
         UNION ALL
-        SELECT doc_b, doc_a, i FROM inter
+        SELECT doc_b, doc_a, c_ba FROM cont
     )
-    SELECT doc_contained, doc_container,
-           round(i * 1.0 / s.n, 6) AS containment
-    FROM dirs JOIN sizes s ON s.doc_id = doc_contained
-    WHERE round(i * 1.0 / s.n, 6) >= {CONTAINMENT_T}
+    WHERE containment >= {CONTAINMENT_T}
     ORDER BY doc_contained, doc_container
 """
 
@@ -1572,30 +1616,25 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(contained, container) pairs with shingle containment >=
     CONTAINMENT_T over DF-capped shingle sets (block comment above).
     One intersection pass serves both directions."""
-    sh = capped_shingle_rows(load_table(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    sh = capped_shingle_rows(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
     )
-    dirs = inter.select(
-        F.col("doc_a").alias("doc_contained"), F.col("doc_b").alias("doc_container"), "i"
+    # cont is consumed twice (both direction projections) — cut it
+    # too; it is pair-count-sized
+    cont = containment_pairs(sh).localCheckpoint(eager=True)
+    dirs = cont.select(
+        F.col("doc_a").alias("doc_contained"),
+        F.col("doc_b").alias("doc_container"),
+        F.col("c_ab").alias("containment"),
     ).unionByName(
-        inter.select(
-            F.col("doc_b").alias("doc_contained"), F.col("doc_a").alias("doc_container"), "i"
+        cont.select(
+            F.col("doc_b").alias("doc_contained"),
+            F.col("doc_a").alias("doc_container"),
+            F.col("c_ba").alias("containment"),
         )
     )
-    return (
-        dirs.join(sizes.withColumnRenamed("doc_id", "doc_contained"), "doc_contained")
-        .select(
-            "doc_contained",
-            "doc_container",
-            F.round(F.col("i") / F.col("n"), 6).alias("containment"),
-        )
-        .filter(F.col("containment") >= CONTAINMENT_T)
-        .orderBy("doc_contained", "doc_container")
+    return dirs.filter(F.col("containment") >= CONTAINMENT_T).orderBy(
+        "doc_contained", "doc_container"
     )
 
 

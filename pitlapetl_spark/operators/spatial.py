@@ -131,9 +131,13 @@ def cell_radius_join(
     dist = haversine_km(F.col("p_lat"), F.col("p_lon"), F.col("b_lat"), F.col("b_lon"))
     return (
         p.join(b, ["jx", "jy"])
-        .withColumn("dist_km", F.round(dist, 6))
-        .filter(F.col("dist_km") <= radius_km)
-        .select("p_key", "b_key", F.round(F.col("dist_km"), 3).alias("dist_km"))
+        .withColumn("_raw", dist)
+        # filter on round(6) (the shared boundary fence) but emit
+        # round(raw, 3) — rounding the RAW value once, exactly as the
+        # oracle does; round(round(raw,6),3) would double-round and
+        # diverge at 3-decimal half boundaries (review finding)
+        .filter(F.round(F.col("_raw"), 6) <= radius_km)
+        .select("p_key", "b_key", F.round(F.col("_raw"), 3).alias("dist_km"))
     )
 
 

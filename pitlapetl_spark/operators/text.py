@@ -1212,7 +1212,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-BM25_TOP documents for the literal query BM25_QUERY
     (block comment above)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    # materialized once: the token frame feeds dl AND tf — without
+    # the cut both branches re-run the corpus scan+explode (review
+    # finding; the prefix-filter discipline)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w")).localCheckpoint(
+        eager=True
+    )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n"))
     avgdl = dl.agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))

@@ -760,44 +760,30 @@ def training_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standalone operators.
 
 def _release_oracle() -> str:
-    from .dedup import CONTAINMENT_T, DF_CAP
+    from .dedup import CONTAINMENT_T, containment_oracle_ctes
 
-    return (
-        GATE_ORACLE_CTES
-        + f""",
-    sh_all AS (
+    # shingles built from the gate's ``t`` relation (same tokens the
+    # quality score saw); the rare/shc/sizes/inter/cont chain is the
+    # SHARED fragment dedup_containment_capped's oracle composes
+    sh_body = """
         SELECT doc_id, unnest(list_distinct(
             CASE WHEN len(toks) >= 3
                  THEN list_transform(range(1, len(toks) - 1),
                                      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
                  ELSE [] END)) AS s
         FROM t
-    ),
-    rare AS (
-        SELECT s FROM sh_all GROUP BY s
-        HAVING count(DISTINCT doc_id) <= {DF_CAP}
-    ),
-    shc AS (SELECT doc_id, s FROM sh_all WHERE s IN (SELECT s FROM rare)),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    cont AS (
-        SELECT doc_a AS doc_contained, doc_b AS doc_container,
-               round(i * 1.0 / sa.n, 6) AS c_ab,
-               round(i * 1.0 / sb.n, 6) AS c_ba
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-    ),
+    """
+    return (
+        GATE_ORACLE_CTES
+        + ",\n    "
+        + containment_oracle_ctes(sh_body)
+        + f""",
     dropped AS (
-        SELECT DISTINCT doc_contained AS doc_id FROM cont
-        WHERE c_ab >= {CONTAINMENT_T} AND (c_ba < {CONTAINMENT_T} OR doc_container < doc_contained)
+        SELECT DISTINCT doc_a AS doc_id FROM cont
+        WHERE c_ab >= {CONTAINMENT_T} AND (c_ba < {CONTAINMENT_T} OR doc_b < doc_a)
         UNION
-        SELECT DISTINCT doc_container FROM cont
-        WHERE c_ba >= {CONTAINMENT_T} AND (c_ab < {CONTAINMENT_T} OR doc_contained < doc_container)
+        SELECT DISTINCT doc_b FROM cont
+        WHERE c_ba >= {CONTAINMENT_T} AND (c_ab < {CONTAINMENT_T} OR doc_a < doc_b)
     )
     SELECT d.doc_id,
            CASE WHEN d.doc_id <> d.keeper THEN 'exact_dup'
@@ -817,29 +803,16 @@ def pipeline_release_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document release status: the first failing stage of
     exact_dup -> lang -> quality -> near_dup, else 'released' (block
     comment above)."""
-    from .dedup import CONTAINMENT_T, capped_shingle_rows
+    from .dedup import CONTAINMENT_T, capped_shingle_rows, containment_pairs
     from .text_filters import gate_scored
 
     docs = load_table(spark, sf_dir, "documents")
     d = gate_scored(docs)
-    sh = capped_shingle_rows(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    cont = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("i") / F.col("na"), 6).alias("c_ab"),
-            F.round(F.col("i") / F.col("nb"), 6).alias("c_ba"),
-        )
-    )
+    # materialized: the containment machinery consumes it three times
+    sh = capped_shingle_rows(docs).localCheckpoint(eager=True)
+    # shared with dedup_containment_capped — the Spark twin of the
+    # shared oracle fragment; consumed twice below, so cut
+    cont = containment_pairs(sh).localCheckpoint(eager=True)
     t = F.lit(CONTAINMENT_T)
     dropped = (
         cont.filter((F.col("c_ab") >= t) & ((F.col("c_ba") < t) | (F.col("doc_b") < F.col("doc_a"))))

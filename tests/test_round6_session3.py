@@ -666,6 +666,8 @@ def test_hits_python_replay(spark):
         (r.partkey, r.authority)
         for r in Q["graph_hits_authorities"](spark, SF_SMOKE).collect()
     ]
+    # length first — a zip over an empty result would pass vacuously
+    assert [p for p, _ in got] == [p for p, _ in expect]
     for (ep, ea), (gp, ga) in zip(expect, got):
         assert ep == gp and abs(ea - ga) < 1e-9
     assert abs(sum(auth.values()) - 1.0) < 1e-6
