@@ -1149,3 +1149,76 @@ def read_kanonymity_audit(spark: SparkSession, store_path: str) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     return kanonymity_from_band_counts(merged)
+
+
+# ---------------------------------------------- OOV drift monitor
+
+
+def run_oov_sink(
+    docs: DataFrame, vocab_src: DataFrame, store_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming out-of-vocabulary drift monitor: the vocabulary is
+    FROZEN at sink creation from the reference corpus (the deployed
+    tokenizer's world view — the run_psi_sink fit-on-reference rule
+    applied to text), written once to ``<store>/vocab``; every
+    micro-batch of incoming documents then writes its (in_vocab,
+    token_count) PARTIAL sums to a batch-scoped overwrite partition.
+    Token counts are additive sufficient statistics, so the live OOV
+    rate is a pure fold — when it climbs, the fixed tokenizer is
+    shredding fresh text into bytes and the vocab (or the upstream
+    filter) needs attention.
+
+    ``read_oov_rate`` folds the partitions into the corpus-level
+    (n_tokens, n_oov, oov_rate); replay safety is the batch-scoped
+    overwrite (never merge-add). Store: O(batches) two-long rows."""
+    from ..operators.text import OOV_VOCAB_K
+    from ..functions.text import tokens as _tokens
+
+    vocab = (
+        vocab_src.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(OOV_VOCAB_K)
+        .select("w")
+    )
+    vocab.coalesce(1).write.mode("overwrite").parquet(f"{store_path}/vocab")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        v = spark.read.parquet(f"{store_path}/vocab").withColumn(
+            "in_vocab", F.lit(True)
+        )
+        toks = batch_df.select(F.explode(_tokens(F.col("text"))).alias("w"))
+        partial = toks.join(F.broadcast(v), "w", "left").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        partial.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/cur/batch={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_oov_rate(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the stream-maintained token partials into the corpus OOV
+    rate — same n_oov/n_tokens expression as the batch operator's
+    per-doc column, at corpus grain."""
+    return (
+        spark.read.parquet(f"{store_path}/cur")
+        .agg(F.sum("n_tokens").alias("n_tokens"), F.sum("n_oov").alias("n_oov"))
+        .select(
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

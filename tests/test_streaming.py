@@ -1075,3 +1075,45 @@ def test_kanonymity_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
     run("ckpt2")
     again = canon(read_kanonymity_audit(spark, f"{tmp_path}/store").collect())
     assert again == want
+
+
+def test_oov_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
+    """Feeding the sink vocab = even docs and streaming the odd docs
+    in 3 micro-batches must reproduce text_oov_rate's corpus totals
+    (sum of its per-doc counts) exactly; fresh-checkpoint replay must
+    not double-add."""
+    import os
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import read_oov_rate, run_oov_sink
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        cur.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+
+    def run(ckpt):
+        q = run_oov_sink(stream, ref, f"{tmp_path}/store", f"{tmp_path}/{ckpt}")
+        q.awaitTermination(180)
+
+    run("ckpt")
+    got = read_oov_rate(spark, f"{tmp_path}/store").collect()[0]
+    batch = registry.QUERIES["text_oov_rate"](spark, SF_SMOKE).collect()
+    n_tok = sum(r.n_tokens for r in batch)
+    n_oov = sum(r.n_oov for r in batch)
+    assert (got.n_tokens, got.n_oov) == (n_tok, n_oov)
+    assert abs(got.oov_rate - round(n_oov / n_tok, 6)) < 1e-9
+    # partials, never rates, in the store
+    one = spark.read.parquet(f"{tmp_path}/store/cur/batch=0")
+    assert set(one.columns) == {"n_tokens", "n_oov"}
+    run("ckpt2")
+    again = read_oov_rate(spark, f"{tmp_path}/store").collect()[0]
+    assert (again.n_tokens, again.n_oov) == (n_tok, n_oov)
