@@ -125,13 +125,19 @@ def probe_dedup_ingest(spark, docs_per_batch: int, n_batches: int) -> dict:
 
 
 def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) -> dict:
-    """CUSUM / PSI monitor sinks: per-batch partials are fixed-size
-    (types x days-touched, resp. bins), so per-batch wall should be
-    FLAT in batch index and near-flat in batch size — the evidence
-    behind their O(batch) claims."""
+    """Monitor sinks (CUSUM / PSI / k-anonymity / OOV): per-batch
+    partials are fixed-size (types x days-touched, bins, QI x bands,
+    resp. one row), so per-batch wall should be FLAT in batch index
+    and near-flat in batch size — the evidence behind their O(batch)
+    claims. The kanon/oov kinds synthesize customer-/document-shaped
+    batches instead of events."""
     from pitlapetl_spark.streaming.runtime import (
-        read_events_stream, run_cusum_sink, run_psi_sink,
+        read_events_stream, run_cusum_sink, run_kanonymity_sink,
+        run_oov_sink, run_psi_sink,
     )
+
+    if kind in ("kanon", "oov"):
+        return _probe_monitor_docs(spark, kind, rows_per_batch, n_batches)
 
     tmp = tempfile.mkdtemp(prefix="pitlap_mprobe_")
     try:
@@ -173,6 +179,64 @@ def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) ->
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _probe_monitor_docs(spark, kind: str, rows_per_batch: int, n_batches: int) -> dict:
+    from pitlapetl_spark.streaming.runtime import run_kanonymity_sink, run_oov_sink
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_mprobe_")
+    try:
+        src = f"{tmp}/src"
+        for b in range(n_batches):
+            base = spark.range(rows_per_batch).select(
+                (F.col("id") + b * rows_per_batch).alias("k")
+            )
+            if kind == "kanon":
+                df = base.select(
+                    F.col("k").alias("c_custkey"),
+                    F.concat(F.lit("cust#"), F.col("k").cast("string")).alias("c_name"),
+                    (F.col("k") % 25).cast("int").alias("c_nationkey"),
+                    ((F.col("k") % 2000) * 5.5 - 900).alias("c_acctbal"),
+                    F.element_at(
+                        F.array(*[F.lit(x) for x in
+                                  ("AUTOMOBILE", "BUILDING", "FURNITURE",
+                                   "HOUSEHOLD", "MACHINERY")]),
+                        (F.col("k") % 5 + 1).cast("int"),
+                    ).alias("c_mktsegment"),
+                )
+            else:
+                words = F.array(*[F.lit(w) for w in
+                                  ("alpha", "beta", "gamma", "delta", "epsilon",
+                                   "zeta", "eta", "theta")])
+                df = base.select(
+                    F.col("k").alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(words, (F.col("k") % 8 + 1).cast("int")),
+                        F.element_at(words, (F.col("k") % 7 + 1).cast("int")),
+                        F.concat(F.lit("tok"), (F.col("k") % 5000).cast("string")),
+                    ).alias("text"),
+                    F.lit("en").alias("lang"),
+                    F.lit("crawl").alias("source"),
+                    F.lit(32).cast("long").alias("n_chars"),
+                )
+            df.coalesce(1).write.parquet(f"{src}/b{b}")
+        schema = spark.read.parquet(f"{src}/b0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+        t0 = time.perf_counter()
+        if kind == "kanon":
+            q = run_kanonymity_sink(stream, f"{tmp}/store", f"{tmp}/ckpt")
+        else:
+            ref = spark.read.parquet(f"{src}/b0")
+            q = run_oov_sink(stream, ref, f"{tmp}/store", f"{tmp}/ckpt")
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        return {"sink": kind, "rows_per_batch": rows_per_batch,
+                "n_batches": n_batches,
+                "per_batch_s": round(wall / n_batches, 2)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(
         app_name="pitlapetl_streaming_probe",
@@ -193,7 +257,7 @@ def main() -> None:
         for rows in (1_000, 10_000, 100_000):
             print("  ", probe_scoped_upsert(spark, rows, n_batches=4))
     print("monitor sinks (fixed-size partials; expect flat):")
-    for kind in ("cusum", "psi"):
+    for kind in ("cusum", "psi", "kanon", "oov"):
         for rows in (10_000, 100_000):
             print("  ", probe_monitor_sink(spark, kind, rows, n_batches=4))
     print("dedup ingest sink (store grows per batch):")
