@@ -48,3 +48,23 @@ def test_registry_size_and_oracle_coverage():
     assert not missing, f"queries without oracle or waiver: {sorted(missing)}"
     stale = set(oracles) - set(queries)
     assert not stale, f"oracles without queries: {sorted(stale)}"
+
+
+def test_round6_rotation_window_composition():
+    """The round-6 driver window (first 50 names) must be exactly the
+    ledger's plan: the 42 session-1/2 new queries, then the 7 r1-era
+    spill, then the spatial join as the single session-3
+    representative — an accidental reorder or insertion would
+    silently spend verification slots differently than the documented
+    policy."""
+    first50 = list(registry.all_queries())[:50]
+    assert first50[42:49] == [
+        "setop_unpivot",
+        "topk_global",
+        "window_standings_rank",
+        "window_topk_per_group",
+        "window_lag_lead_gap",
+        "window_running_total",
+        "window_rolling_frame",
+    ]
+    assert first50[49] == "geo_cell_radius_join"
