@@ -540,3 +540,101 @@ def seq_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ cohort LTV curve
+# cohort_retention_matrix counts WHO comes back; the LTV curve
+# measures what they're WORTH as they age: cumulative spend per
+# signup cohort, normalized per cohort member — the curve a
+# subscription/marketplace business reads to decide acquisition
+# spend (the payback-period chart). Monetary sibling of retention:
+# same (cohort, age) grain, decimal-exact revenue instead of
+# distinct-user counts, cumulative across age.
+#
+# Scale: customers collapse to a cohort dimension (one orders-grain
+# min-agg); revenue collapses to (cohort, age) — both
+# map-combinable; the cumulative window runs at the (cohort, age)
+# grain (months x months rows, time-range-bounded like Theil-Sen's
+# pair space). Determinism: decimal revenue sums; the running total
+# is a window over EXACT decimals, divided once per row by the
+# cohort's fixed member count, round(4).
+
+
+@query(
+    "analytics_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey AS custkey,
+               min(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_month, CAST(count(*) AS BIGINT) AS n_members
+        FROM firsts GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_month,
+               CAST(date_diff('month', f.cohort_month,
+                              date_trunc('month', o.o_orderdate)) AS INT)
+                   AS age_months,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders o JOIN firsts f ON o.o_custkey = f.custkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_month, age_months,
+               sum(r) OVER (PARTITION BY cohort_month ORDER BY age_months)
+                   AS cum_rev
+        FROM rev
+    )
+    SELECT strftime(c.cohort_month, '%Y-%m') AS cohort_month,
+           c.age_months,
+           s.n_members,
+           round(CAST(c.cum_rev AS DOUBLE) / s.n_members, 4)
+               AS cum_ltv_per_member
+    FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
+    ORDER BY cohort_month, age_months
+    """,
+)
+def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per cohort member by cohort age in
+    months (block comment above)."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    rev = (
+        orders.join(firsts, orders.o_custkey == firsts.custkey)
+        .groupBy(
+            "cohort_month",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort_month")
+            )
+            .cast("int")
+            .alias("age_months"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    cum = rev.withColumn(
+        "cum_rev",
+        F.sum("r").over(
+            Window.partitionBy("cohort_month")
+            .orderBy("age_months")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+            "age_months",
+            "n_members",
+            F.round(F.col("cum_rev").cast("double") / F.col("n_members"), 4).alias(
+                "cum_ltv_per_member"
+            ),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

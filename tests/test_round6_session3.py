@@ -705,3 +705,44 @@ def test_release_waterfall_composition_consistency(spark):
             assert f.keep or not f.is_dup  # released implies gate-passing
             assert f.lang_ok and not f.is_dup
     assert "released" in set(wf.values()) and len(set(wf.values())) >= 3
+
+
+def test_ltv_curve_replay_and_monotonicity(spark):
+    """Replay cohort assignment, member counts, and the cumulative
+    per-member LTV; the curve must be non-decreasing in age within
+    each cohort."""
+    rows = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_custkey", F.date_trunc("month", "o_orderdate").alias("m"), "o_totalprice")
+        .collect()
+    )
+    first = {}
+    for r in rows:
+        if r.o_custkey not in first or r.m < first[r.o_custkey]:
+            first[r.o_custkey] = r.m
+    sizes = defaultdict(int)
+    for m in first.values():
+        sizes[m] += 1
+    rev = defaultdict(float)
+    for r in rows:
+        c = first[r.o_custkey]
+        age = (r.m.year - c.year) * 12 + (r.m.month - c.month)
+        rev[(c, age)] += round(r.o_totalprice, 2)
+    out = Q["analytics_cohort_ltv_curve"](spark, SF_SMOKE).collect()
+    assert out
+    got = {(r.cohort_month, r.age_months): r for r in out}
+    by_cohort = defaultdict(list)
+    for (c, age), v in rev.items():
+        by_cohort[c].append((age, v))
+    for c, pairs in by_cohort.items():
+        cum = 0.0
+        key = c.strftime("%Y-%m")
+        prev = -1.0
+        for age, v in sorted(pairs):
+            cum += v
+            r = got[(key, age)]
+            assert r.n_members == sizes[c]
+            expect = round(cum / sizes[c], 4)
+            assert abs(r.cum_ltv_per_member - expect) < 1e-3, (c, age)
+            assert r.cum_ltv_per_member >= prev - 1e-9
+            prev = r.cum_ltv_per_member
