@@ -556,8 +556,13 @@ def seq_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-combinable; the cumulative window runs at the (cohort, age)
 # grain (months x months rows, time-range-bounded like Theil-Sen's
 # pair space). Determinism: decimal revenue sums; the running total
-# is a window over EXACT decimals, divided once per row by the
-# cohort's fixed member count, round(4).
+# is a window over EXACT decimals. The per-member division is the
+# one hazard: cum_rev/n lands exactly on .00005 boundaries for small
+# cohorts (first local parity run caught 4/1845 rows flipping between
+# Spark's HALF_UP-on-double and DuckDB's decimal-string rounding), so
+# BOTH sides compute round_half_up(cum_rev/n, 4) in exact integer
+# arithmetic — floor((2*cum_rev*10^4 + n) / (2*n)) / 10^4 — with no
+# floating-point rounding step anywhere.
 
 
 @query(
@@ -590,7 +595,8 @@ def seq_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(c.cohort_month, '%Y-%m') AS cohort_month,
            c.age_months,
            s.n_members,
-           round(CAST(c.cum_rev AS DOUBLE) / s.n_members, 4)
+           CAST((CAST(c.cum_rev * 20000 AS HUGEINT) + s.n_members)
+                // (2 * s.n_members) AS DOUBLE) / 10000.0
                AS cum_ltv_per_member
     FROM cum c JOIN sizes s ON c.cohort_month = s.cohort_month
     ORDER BY cohort_month, age_months
@@ -626,15 +632,19 @@ def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # exact round-half-up at 4 decimals: T = 2*cum_rev*10^4 + n is an
+    # exact integer (cum_rev has scale 2), floor(T / 2n) done via exact
+    # decimal pmod — the only double produced is the final scaled value
+    t = (F.col("cum_rev") * F.lit(20000)).cast("decimal(38,0)") + F.col("n_members")
+    d = (F.col("n_members") * F.lit(2)).cast("decimal(38,0)")
+    scaled = ((t - t % d) / d).cast("decimal(38,0)")
     return (
         cum.join(F.broadcast(sizes), "cohort_month")
         .select(
             F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
             "age_months",
             "n_members",
-            F.round(F.col("cum_rev").cast("double") / F.col("n_members"), 4).alias(
-                "cum_ltv_per_member"
-            ),
+            (scaled.cast("double") / F.lit(10000.0)).alias("cum_ltv_per_member"),
         )
         .orderBy("cohort_month", "age_months")
     )

@@ -81,86 +81,24 @@ _loaded = False
 # are yielded FIRST, in this order; everything else follows in
 # registration order.
 #
-# Round-6 policy (VERDICT.md r5 "Next round" item 1): after round 5 no
-# query is never-verified and the evidence ledger reads — 7 queries
-# r1-era (the cohort that spilled from the r5 window: setop_unpivot,
-# topk_global, five window_*), ~43 r2-era, everything else r3+.
-# The 50 slots therefore go: (a) queries NEW in round 6 (zero driver
-# evidence by construction — never-verified outranks stale-verified,
-# same call as r4/r5), then (b) the 7 spilled r1-era queries, then
-# (c) the r2-era cohort, oldest first. Arithmetic: with N new r6
-# queries, the last N of cohort (c) spill to round 7's rotation.
-# Session 2 grew cohort (a) to 42 (13 session-1 + 29 session-2 new
-# queries), so a 50-slot budget covers (a) 42 + (b) 7 + the first 1
-# of (c); the remaining ~42 r2-era rows roll to round 7, where they
-# lead the rotation (they will then be the oldest evidence on the
-# board). Done-state this round: no query carries r1-era evidence and
-# every new operator has a first driver row.
+# Round-7 policy (VERDICT.md r6 "Next round" item 1, and the pinned
+# ledger written at the end of round 6): after round 6 the evidence
+# board reads — 19 session-3 queries NEVER driver-verified (their only
+# evidence is local value-level parity), ~42 queries r2-era, everything
+# else r3+. The 50 slots therefore go: (a) the 19 never-verified
+# session-3 queries (never-verified outranks stale-verified, the
+# standing call since r4), then (b) queries NEW in round 7 (also
+# never-verified; queued after (a) because (a) is older debt and was
+# explicitly pinned by the r6 ledger to lead), then (c) the r2-era
+# cohort in ledger order, oldest evidence first. Arithmetic: with
+# N_new round-7 queries, the window covers (a) 19 + (b) N_new +
+# (c) the first 31 - N_new r2-era rows; the remaining ~11 + N_new
+# r2-era rows spill to round 8, where they lead. Done-state this
+# round: zero never-verified queries from rounds <= 6, and every new
+# round-7 operator has a first driver row.
 _PRIORITY: tuple[str, ...] = (
-    # (a) new in round 6 — zero driver evidence by construction
-    "graph_adamic_adar",
-    "survival_kaplan_meier",
-    "analytics_gini_spend",
-    "stats_chi2_independence",
-    "stats_quantile_normalize",
-    "ml_naive_bayes_langid",
-    "text_readability_flesch",
-    "funnel_conversion_lag",
-    "agg_weighted_median",
-    "anomaly_mad_robust_zscore",
-    "window_interpolate_linear",
-    "stats_mann_whitney",
-    "stats_ks_two_sample",
-    "stats_xcorr_daily",
-    "ts_seasonal_decompose",
-    "pipeline_anomaly_triage",
-    "dq_functional_dependency",
-    "attribution_time_decay",
-    "training_negative_sampling",
-    "stats_psi_drift",
-    "text_heaps_law_fit",
-    "stats_spearman_rank_corr",
-    "agg_pythagorean_means",
-    "analytics_abc_classification",
-    "window_growth_mom_yoy",
-    "window_twap_value",
-    "anomaly_cusum_changepoint",
-    "dq_benford_digits",
-    "dq_entropy_profile",
-    "dedup_cluster_components_fast",
-    "analytics_pareto_frontier",
-    "window_month_spine_densify",
-    "mm_phash_hamming_near_dup",
-    "ml_logreg_gradient_descent",
-    "graph_triangle_count",
-    "stream_ohlc_candles",
-    "text_zipf_fit",
-    "sim_topk_pq_adc",
-    "stats_bootstrap_ci",
-    "agg_bitmap_distinct_users",
-    "dq_sequence_gaps",
-    "anomaly_mahalanobis_2d",
-    # (b) the r1-era spill from round 5 (registry ledger, r5 comment):
-    # their only driver row is round 1, three data regenerations ago.
-    # These come BEFORE the session-3 new queries: the r5 verdict
-    # explicitly ordered this cohort cleared in round 6, and 42+7
-    # still fits the 50-slot window.
-    "setop_unpivot",
-    "topk_global",
-    "window_standings_rank",
-    "window_topk_per_group",
-    "window_lag_lead_gap",
-    "window_running_total",
-    "window_rolling_frame",
-    # (a') new in round-6 session 3 — never-verified, but queued
-    # after cohort (b) so the verdict-ordered r1-era clearance is not
-    # displaced. Slot arithmetic: 42 + 7 = 49, so exactly ONE of
-    # these gets a round-6 driver row (the most novel family member,
-    # the spatial join) and the remaining NINETEEN lead round 7's
-    # rotation, ahead of the ~42 r2-era rows (round-7 window: 19
-    # never-verified + the first 31 r2-era rows; the rest spill to
-    # round 8).
-    "geo_cell_radius_join",
+    # (a) session-3 (round 6) queries with no driver row yet — the
+    # r6 ledger pinned these 19 to lead round 7 (VERDICT r6 item 1)
     "graph_kcore_decomposition",
     "sim_quantize_int8",
     "dedup_containment_capped",
@@ -180,7 +118,15 @@ _PRIORITY: tuple[str, ...] = (
     "seq_markov_next_event",
     "graph_hits_authorities",
     "pipeline_release_waterfall",
-    # (c) the r2-evidence cohort, in the order the r5 ledger queued it.
+    # (b) never-verified stragglers + new in round 7 — zero driver
+    # evidence by construction. (grown in place as round-7 sessions
+    # add operators)
+    "analytics_cohort_ltv_curve",  # registered late in r6, missed the
+    # last parity run; its .00005 rounding-boundary defect was caught
+    # and fixed first thing in round 7 (funnel.py block comment)
+    # (c) the r2-era cohort, in the order the r5/r6 ledger queued it.
+    # The first 31 - len(b) fit the 50-slot window; the rest spill
+    # to round 8 and will lead its rotation.
     "job_race_results",
     "job_qualifying_results",
     "job_practice_laps",

@@ -50,21 +50,95 @@ def test_registry_size_and_oracle_coverage():
     assert not stale, f"oracles without queries: {sorted(stale)}"
 
 
-def test_round6_rotation_window_composition():
-    """The round-6 driver window (first 50 names) must be exactly the
-    ledger's plan: the 42 session-1/2 new queries, then the 7 r1-era
-    spill, then the spatial join as the single session-3
-    representative — an accidental reorder or insertion would
+def test_round7_rotation_window_composition():
+    """The round-7 driver window (first 50 names) must follow the
+    pinned ledger (registry._PRIORITY comment): the 19 never-verified
+    session-3 queries lead, any new round-7 queries follow, and the
+    r2-era cohort (oldest driver evidence on the board) fills the
+    window in ledger order — an accidental reorder or insertion would
     silently spend verification slots differently than the documented
     policy."""
     first50 = list(registry.all_queries())[:50]
-    assert first50[42:49] == [
-        "setop_unpivot",
-        "topk_global",
-        "window_standings_rank",
-        "window_topk_per_group",
-        "window_lag_lead_gap",
-        "window_running_total",
-        "window_rolling_frame",
+    # cohort (a): the 19 session-3 queries, exactly and in order
+    assert first50[:19] == [
+        "graph_kcore_decomposition",
+        "sim_quantize_int8",
+        "dedup_containment_capped",
+        "sample_neyman_allocation",
+        "analytics_herfindahl_market",
+        "text_bm25_search",
+        "privacy_k_anonymity",
+        "analytics_theil_decomposition",
+        "dedup_jaccard_prefix_filter",
+        "ml_theil_sen_trend",
+        "ts_forecast_baseline_mase",
+        "rec_item_item_cosine",
+        "ab_cuped_adjustment",
+        "ml_conformal_interval",
+        "stats_diff_in_diff",
+        "text_oov_rate",
+        "seq_markov_next_event",
+        "graph_hits_authorities",
+        "pipeline_release_waterfall",
     ]
-    assert first50[49] == "geo_cell_radius_join"
+    # cohorts (b)+(c) fill the rest of the window: every remaining
+    # slot is either a round-7-new query (no driver row by
+    # construction) or drawn from the r2-era ledger in order
+    r2_era_ledger = [
+        "job_race_results",
+        "job_qualifying_results",
+        "job_practice_laps",
+        "job_schedule",
+        "job_driver_standings",
+        "job_constructor_standings",
+        "rest_driver_standings",
+        "json_corrupt_quarantine",
+        "pipeline_pretrain_filter",
+        "dedup_embedding_cosine",
+        "dedup_ngram_jaccard_capped",
+        "dedup_cluster_components",
+        "sim_topk_bruteforce",
+        "sim_topk_lsh",
+        "sim_label_centroid_knn",
+        "pandas_udf_normalize",
+        "apply_in_pandas_zscore",
+        "mm_binary_features",
+        "mm_frame_sample",
+        "mm_metadata_stats",
+        "agg_collect_set_ordered",
+        "agg_grouping_sets",
+        "agg_percentiles",
+        "agg_salted_group_max",
+        "agg_stats_corr",
+        "dq_constraint_checks",
+        "dq_profile_lineitem",
+        "join_right_outer",
+        "sample_hash_systematic",
+        "sample_stratified_topn",
+        "scalar_array_ops",
+        "subquery_exists_semi",
+        "text_bigram_lm_score",
+        "text_fingerprint",
+        "text_gopher_rules",
+        "text_lang_id",
+        "text_pii_scrub",
+        "text_quality_score",
+        "text_repetition_ratios",
+        "text_tfidf_top_term",
+        "text_token_stats",
+        "window_ntile_distribution",
+    ]
+    tail = first50[19:]
+    r2_in_window = [n for n in tail if n in r2_era_ledger]
+    # r2-era names appear in ledger order, as a prefix of the ledger
+    assert r2_in_window == r2_era_ledger[: len(r2_in_window)]
+    # and everything else in the window is a round-7 cohort-(b) entry,
+    # i.e. listed in _PRIORITY between the two pinned cohorts
+    cohort_b = [
+        n
+        for n in tail
+        if n not in r2_era_ledger
+    ]
+    pri = list(registry._PRIORITY)
+    for name in cohort_b:
+        assert 19 <= pri.index(name) < pri.index("job_race_results"), name
