@@ -138,6 +138,25 @@ def basket_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def basket_pair_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized eager materialization of ``basket_pair_edges`` via the
+    shared fingerprint device (frame_cache.cached_frame, VERDICT r6
+    item 5): triangle counting — the headline's most expensive query —
+    rebuilt the same distinct part-part frame on every invocation, so
+    repeated runs (and any future second consumer) re-paid the
+    fact-scale self-join + distinct. Bit-identical edges, same oracle
+    CTE; measured A/B in SCALE.md round-7 notes."""
+    from .frame_cache import cached_frame
+
+    return cached_frame(
+        spark,
+        sf_dir,
+        "basket_pair_edges",
+        ("lineitem",),
+        lambda: basket_pair_edges(spark, sf_dir),
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
@@ -203,7 +222,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-k is TakeOrderedAndProject. Nothing is all-pairs."""
     from ..sources import parquet_row_count
 
-    pairs = basket_pair_edges(spark, sf_dir)
+    pairs = basket_pair_edges_cached(spark, sf_dir)
     # both broadcast decisions below read their bounds for FREE from
     # parquet footers (market_basket_pairs' gate discipline — no
     # unconditional broadcast of a catalog-scale relation):
@@ -264,4 +283,125 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), F.asc("part_key"))
         .limit(TRI_TOP)
+    )
+
+
+# ------------------------------------- local clustering coefficient
+# The per-node derivative of the triangle machinery: cc(v) =
+# 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each part's co-purchase
+# neighborhood is to a clique, the community-tightness score behind
+# "bought-together" bundle candidates. Same oriented-wedge plan as
+# graph_triangle_count (shared `_node_triangle_counts`, one cached
+# edge build); the only additions are the degree join and an exact
+# integer cc representation: cc_ppm = (2·tri·10⁶) div (deg·(deg−1)) —
+# ranking and value are integer-exact on both engines, no
+# round-on-double boundary anywhere (the LTV-curve lesson).
+
+CC_MIN_DEG = 10  # below this, cc is dominated by tiny-neighborhood noise
+CC_TOP = 25
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM bk a JOIN bk b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs)
+        GROUP BY 1
+    ),
+    ori AS (
+        SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS u,
+               CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS v
+        FROM pairs
+        JOIN deg da ON pa = da.node
+        JOIN deg db ON pb = db.node
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ori e1
+        JOIN ori e2 ON e1.v = e2.u
+        JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcnt AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS t
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY 1
+    )
+    SELECT deg.node AS part_key, deg.d AS degree,
+           coalesce(tcnt.t, 0) AS n_triangles,
+           CAST((2 * coalesce(tcnt.t, 0) * 1000000)
+                // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+    FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+    WHERE deg.d >= {CC_MIN_DEG}
+    ORDER BY cc_ppm DESC, part_key ASC
+    LIMIT {CC_TOP}
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top parts by local clustering coefficient in the co-purchase
+    graph, among parts with degree >= {CC_MIN_DEG} (block comment
+    above). The triangle frame is the SAME oriented-wedge pipeline as
+    graph_triangle_count — at 100 TB both queries read one cached edge
+    build and the wedge join stays arboricity-bounded."""
+    from ..sources import parquet_row_count
+
+    pairs = basket_pair_edges_cached(spark, sf_dir)
+    n_deg_bound = parquet_row_count(f"{sf_dir}/part.parquet")
+    n_edges_bound = parquet_row_count(f"{sf_dir}/lineitem.parquet")
+
+    def _maybe_bcast(df, bound, gate):
+        return F.broadcast(df) if bound <= gate else df
+
+    deg = (
+        pairs.select(F.col("pa").alias("node"))
+        .unionByName(pairs.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = deg.localCheckpoint(eager=False)  # orientation + cc output
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    lesser = F.struct("da", "pa") < F.struct("db", "pb")
+    ori = (
+        pairs.join(_maybe_bcast(da, n_deg_bound, TRI_BROADCAST_MAX_NODES), "pa")
+        .join(_maybe_bcast(db, n_deg_bound, TRI_BROADCAST_MAX_NODES), "pb")
+        .select(
+            F.when(lesser, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lesser, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1 = ori.select(F.col("u").alias("t_a"), F.col("v").alias("t_b"))
+    e2 = ori.select(F.col("u").alias("t_b"), F.col("v").alias("t_c"))
+    e3 = ori.select(F.col("u").alias("t_a"), F.col("v").alias("t_c"))
+    closing = F.broadcast(e3) if n_edges_bound <= TRI_BROADCAST_MAX_EDGES else e3
+    tri = e1.join(e2, "t_b").join(closing, ["t_a", "t_c"])
+    tcnt = (
+        tri.select(F.explode(F.array("t_a", "t_b", "t_c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("d") >= CC_MIN_DEG)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").alias("degree"),
+            t.alias("n_triangles"),
+            F.expr(f"(2 * coalesce(t, 0L) * 1000000L) div (d * (d - 1))")
+            .alias("cc_ppm"),
+        )
+        .orderBy(F.desc("cc_ppm"), F.asc("part_key"))
+        .limit(CC_TOP)
     )

@@ -648,3 +648,153 @@ def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+# ------------------------------------- windowed-constraint funnel
+# funnel_view_click_purchase resolves unconstrained stage order;
+# production funnels almost always add PER-TRANSITION time windows
+# ("click within 48h of view, purchase within 72h of click" — the
+# Amplitude/GA-style definition), because an unconstrained funnel
+# credits conversions that marketing can't act on. Windows chosen
+# against the measured gap distribution (view->click median ~32h,
+# click->purchase median ~36h at sf0.01) so each step keeps a real
+# but partial cohort — non-vacuous drop-off at every transition.
+#
+# Determinism: stage times are min-reduced exact microseconds; step
+# counts are exact longs; conversion ratios use INTEGER floor
+# arithmetic (n*10^6 div prev) — a ratio of small counts lands
+# exactly on round-half boundaries often enough that round() on a
+# double diverges between engines (the analytics_cohort_ltv_curve
+# lesson, applied preemptively); avg lags divide an exact integer
+# micro-sum once and floor at 4 decimals the same way.
+
+FW_W1_US = 48 * 3600 * 1_000_000  # view -> click window
+FW_W2_US = 72 * 3600 * 1_000_000  # click -> purchase window
+
+
+@query(
+    "funnel_windowed_steps",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+          AND epoch_us(e.ts) - epoch_us(v.t0) <= {FW_W1_US}
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+          AND epoch_us(e.ts) - epoch_us(c.t1) <= {FW_W2_US}
+        GROUP BY 1
+    ),
+    agg AS (
+        SELECT (SELECT count(*) FROM v) AS n1,
+               (SELECT count(*) FROM c) AS n2,
+               (SELECT count(*) FROM p) AS n3,
+               (SELECT sum(epoch_us(c.t1) - epoch_us(v.t0))
+                FROM c JOIN v ON v.user_id = c.user_id) AS lag1,
+               (SELECT sum(epoch_us(p.t2) - epoch_us(c.t1))
+                FROM p JOIN c ON c.user_id = p.user_id) AS lag2
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS INT) AS step, 'view' AS stage,
+               CAST(n1 AS BIGINT) AS n_users,
+               CAST(1.0 AS DOUBLE) AS conv_from_prev,
+               CAST(1.0 AS DOUBLE) AS conv_from_start,
+               CAST(NULL AS DOUBLE) AS avg_lag_s
+        FROM agg
+        UNION ALL
+        SELECT 2, 'click', CAST(n2 AS BIGINT),
+               CAST((n2 * 1000000) // n1 AS DOUBLE) / 1000000,
+               CAST((n2 * 1000000) // n1 AS DOUBLE) / 1000000,
+               CAST(floor(CAST(lag1 AS DOUBLE) / n2 / 1e6 * 10000)
+                    AS DOUBLE) / 10000
+        FROM agg
+        UNION ALL
+        SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+               CAST((n3 * 1000000) // n2 AS DOUBLE) / 1000000,
+               CAST((n3 * 1000000) // n1 AS DOUBLE) / 1000000,
+               CAST(floor(CAST(lag2 AS DOUBLE) / n3 / 1e6 * 10000)
+                    AS DOUBLE) / 10000
+        FROM agg
+    )
+    ORDER BY step
+    """,
+)
+def funnel_windowed_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-step funnel with per-transition time-window constraints
+    (block comment above): per step, the surviving-user count, the
+    step conversion from the previous step, the cumulative conversion
+    from step 1, and the mean transition lag in seconds.
+
+    100-TB shape: the per-user resolution is ONE shuffle — the same
+    collect-sorted-events array device as funnel_view_click_purchase
+    (arrays bounded by per-user activity), stage times resolved by
+    narrow array expressions with the window bound folded into the
+    filter lambda; the report is then a single-row global aggregate
+    unpivoted to 3 rows via stack(). The oracle replays it as three
+    windowed aggregate+join rounds — hash equality shows the
+    single-pass array form matches the relational form."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("ev"))
+    )
+
+    def first_within(stage: str, after: Column, window_us: int) -> Column:
+        def keep(e: Column) -> Column:
+            return (
+                (e.getField("event_type") == stage)
+                & (e.getField("ts") > after)
+                & (
+                    F.unix_micros(e.getField("ts")) - F.unix_micros(after)
+                    <= F.lit(window_us)
+                )
+            )
+
+        return F.array_min(
+            F.transform(F.filter(F.col("ev"), keep), lambda e: e.getField("ts"))
+        )
+
+    staged = (
+        ev.withColumn("t0", _first_after(F.col("ev"), "view", None))
+        .filter(F.col("t0").isNotNull())
+        .withColumn("t1", first_within("click", F.col("t0"), FW_W1_US))
+        .withColumn("t2", first_within("purchase", F.col("t1"), FW_W2_US))
+    )
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count("t1").alias("n2"),
+        F.count("t2").alias("n3"),
+        F.sum(F.unix_micros("t1") - F.unix_micros("t0")).alias("lag1"),
+        F.sum(
+            F.when(
+                F.col("t2").isNotNull(),
+                F.unix_micros("t2") - F.unix_micros("t1"),
+            )
+        ).alias("lag2"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+            1, 'view', n1, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+            2, 'click', n2,
+               CAST((n2 * 1000000L) div n1 AS DOUBLE) / 1000000,
+               CAST((n2 * 1000000L) div n1 AS DOUBLE) / 1000000,
+               CAST(floor(CAST(lag1 AS DOUBLE) / n2 / 1e6 * 10000)
+                    AS DOUBLE) / 10000,
+            3, 'purchase', n3,
+               CAST((n3 * 1000000L) div n2 AS DOUBLE) / 1000000,
+               CAST((n3 * 1000000L) div n1 AS DOUBLE) / 1000000,
+               CAST(floor(CAST(lag2 AS DOUBLE) / n3 / 1e6 * 10000)
+                    AS DOUBLE) / 10000
+        ) AS (step, stage, n_users, conv_from_prev, conv_from_start,
+              avg_lag_s)"""
+    ).orderBy("step")

@@ -41,7 +41,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..sources import load_table
 
 # Customers with more distinct parts than this are dropped from pair
 # generation: deg² join-row cost with ~zero 1/ln(deg) signal (docstring).
@@ -89,13 +88,12 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides of the pair share the same customer, hence the same
     1/ln(deg) contribution.
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    cp = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    # the distinct (c, p) bipartite frame is the memoized build shared
+    # with the long-keyed edge family (pagerank.py, round 7) — before,
+    # this query re-ran the identical orders⋈lineitem + distinct
+    from .pagerank import bipartite_copurchase_cached
+
+    cp = bipartite_copurchase_cached(spark, sf_dir)
     deg = (
         cp.groupBy("c")
         .agg(F.count(F.lit(1)).alias("d"))

@@ -98,6 +98,30 @@ def _oracle() -> str:
     return head + its + tail
 
 
+def bipartite_copurchase_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (c = custkey, p = partkey) co-purchase bipartite frame,
+    memoized via the shared fingerprint device (frame_cache). This is
+    the ONE fact-scale join + distinct underneath the whole graph
+    family: the long-keyed edge list (PageRank / LPA / k-core / HITS)
+    is a narrow re-encoding of it, and Adamic-Adar consumes it
+    directly — before round 7 Adamic-Adar re-ran the identical
+    orders⋈lineitem + distinct pipeline on every invocation."""
+    from .frame_cache import cached_frame
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+
+    return cached_frame(
+        spark, sf_dir, "bipartite_copurchase", ("orders", "lineitem"), build
+    )
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected customer-part co-purchase edge list with LONG node
     ids (even = customer*2, odd = part*2+1) — shared by PageRank and
@@ -109,81 +133,39 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings), and nodes are LONGS so every downstream
     shuffle/join/agg hashes an 8-byte key instead of a
     variable-length string; measured -28% wall vs the string-node
-    build at sf0.1, bit-identical PageRank output."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .select("o_custkey", "l_partkey")
-        .distinct()
-        .select(
-            (F.col("o_custkey") * 2).alias("cn"),
-            (F.col("l_partkey") * 2 + 1).alias("pn"),
-        )
+    build at sf0.1, bit-identical PageRank output. The distinct pair
+    frame itself comes from the shared memoized bipartite build
+    (round 7), so its shuffle is paid once per source snapshot across
+    the whole graph family."""
+    pairs = bipartite_copurchase_cached(spark, sf_dir).select(
+        (F.col("c") * 2).alias("cn"),
+        (F.col("p") * 2 + 1).alias("pn"),
     )
     return pairs.select(F.col("cn").alias("src"), F.col("pn").alias("dst")).unionByName(
         pairs.select(F.col("pn").alias("src"), F.col("cn").alias("dst"))
     )
 
 
-_EDGE_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _source_fingerprint(sf_dir: str) -> tuple:
-    """(relpath, size, mtime_ns) of every file under the two source
-    tables — the staleness key that keeps the edge memo honest if the
-    inputs are rewritten mid-process."""
-    import os
-
-    stats = []
-    for t in ("orders", "lineitem"):
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(p):
-            for root, _, files in os.walk(p):
-                for f in sorted(files):
-                    fp = os.path.join(root, f)
-                    st = os.stat(fp)
-                    stats.append((os.path.relpath(fp, sf_dir), st.st_size, st.st_mtime_ns))
-        else:
-            st = os.stat(p)
-            stats.append((t, st.st_size, st.st_mtime_ns))
-    return tuple(stats)
-
-
 def copurchase_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped materialization of ``copurchase_edges`` —
-    PageRank and label-propagation communities consume the SAME edge
+    PageRank, label-propagation, k-core and HITS consume the SAME edge
     list, and each paid the full ~2.7 s orders-lineitem join +
     distinct floor on every invocation (together 16% of the r5 bench
-    headline, VERDICT r5 item 3). The edge frame is built once per
-    (application, sf_dir, source-file fingerprint) and held as an
-    EAGER localCheckpoint: both graph queries then start from
-    materialized executor blocks, and repeated bench runs amortize to
-    the read. The fingerprint (file sizes + mtimes) invalidates the
-    memo if the source tables are rewritten mid-process, so
-    registered-query semantics are unchanged — bit-identical edges,
-    same oracle CTE. Memory: two longs per directed edge, ONE live
-    entry per (app, sf_dir): inserting a fresh fingerprint evicts the
-    superseded entry and best-effort unpersists its checkpoint blocks
-    (without eviction a process whose inputs are rewritten N times —
-    the very case the fingerprint exists for — would pin N stale edge
-    frames on executors). SCALE.md round-6 notes carry the measured
-    A/B."""
-    import os
+    headline, VERDICT r5 item 3). Built once per (application, sf_dir,
+    source-file fingerprint) and held as an EAGER localCheckpoint —
+    the generic device now lives in frame_cache.cached_frame (round 7
+    extracted it so triangle counting's basket-pair frame shares it);
+    semantics, eviction, and the measured −25% A/B (SCALE.md round-6
+    notes) are unchanged — bit-identical edges, same oracle CTE."""
+    from .frame_cache import cached_frame
 
-    prefix = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    key = (*prefix, _source_fingerprint(sf_dir))
-    df = _EDGE_CACHE.get(key)
-    if df is None:
-        for stale in [k for k in _EDGE_CACHE if k[:2] == prefix and k != key]:
-            old_df = _EDGE_CACHE.pop(stale)
-            try:
-                old_df.unpersist()
-            except Exception:
-                pass  # blocks also die with the app; eviction is the point
-        df = copurchase_edges(spark, sf_dir).localCheckpoint()
-        _EDGE_CACHE[key] = df
-    return df
+    return cached_frame(
+        spark,
+        sf_dir,
+        "copurchase_edges",
+        ("orders", "lineitem"),
+        lambda: copurchase_edges(spark, sf_dir),
+    )
 
 
 def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:

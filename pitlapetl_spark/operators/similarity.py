@@ -367,7 +367,12 @@ def sim_label_centroid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- IVF search + SemDeDup
 
-NPROBE = 3  # centroid lists probed per query (IVF-flat search)
+# Centroid lists probed per query (IVF-flat search). Re-chosen in
+# round 7 from the measured recall dial at sf0.1 (SCALE.md "ANN recall
+# ladder"): nprobe 1/2/3/5/8 of K=10 lists measures recall@5
+# 0.36/0.46/0.58/0.78/0.96 at indistinguishable wall on this corpus —
+# 5 is the knee before "probe nearly everything".
+NPROBE = 5
 # Semantic-dup threshold. Production SemDeDup (Abbas et al. 2023,
 # arXiv:2303.09540) uses ~0.95+ on real text embeddings; the synthetic
 # vectors are near-random (within-cluster max cosine ~0.49 at sf0.01),

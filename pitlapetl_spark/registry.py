@@ -66,6 +66,7 @@ _MODULES = (
     "pitlapetl_spark.operators.reconcile",
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.operators.spatial",
+    "pitlapetl_spark.operators.breadth7",
     "pitlapetl_spark.operators.kcore",
     "pitlapetl_spark.operators.hits",
     "pitlapetl_spark.plans.jobs",
@@ -124,6 +125,22 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_cohort_ltv_curve",  # registered late in r6, missed the
     # last parity run; its .00005 rounding-boundary defect was caught
     # and fixed first thing in round 7 (funnel.py block comment)
+    "funnel_windowed_steps",  # new r7: per-transition time-window
+    # funnel (VERDICT r6 item 7)
+    # new r7 breadth (breadth7.py + community.py):
+    "stats_kendall_tau",
+    "stats_anova_oneway",
+    "ts_autocorrelation_acf",
+    "window_rolling_distinct_users",
+    "graph_clustering_coefficient",
+    "privacy_l_diversity",
+    "mix_temperature_sampling",
+    "sample_balanced_class_downsample",
+    "ts_exp_smoothing",
+    "window_dau_mau_stickiness",
+    "dedup_lsh_scurve_planner",
+    "analytics_tier_migration",
+    "window_streak_active_days",
     # (c) the r2-era cohort, in the order the r5/r6 ledger queued it.
     # The first 31 - len(b) fit the 50-slot window; the rest spill
     # to round 8 and will lead its rotation.

@@ -9,6 +9,7 @@ import tempfile
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from pitlapetl_spark import registry, sources
 from pitlapetl_spark.streaming import runtime
@@ -108,18 +109,106 @@ def test_stateful_user_totals_matches_batch(spark, events_stream):
     )
     q.awaitTermination(120)
     # update mode emits one row per user per batch; the LAST row per
-    # user is the final state — with availableNow there is one batch
+    # user is the final state — with availableNow there is one batch,
+    # so no key can time out (timeouts fire in a LATER batch) and all
+    # rows are live (is_final = false)
     got = spark.table("t_stateful")
+    assert got.filter(F.col("is_final")).count() == 0
     want = (
         spark.read.parquet(f"{SF_SMOKE}/events.parquet")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("ts").alias("last_event_ts"),
         )
     )
-    cols = ["user_id", "n_events", "total_value"]
+    cols = ["user_id", "n_events", "total_value", "last_event_ts"]
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_stateful_user_totals_expires_and_finalizes_segments(spark, tmp_path):
+    """The bounded-state contract (VERDICT r6 #1 fix): with a small
+    idle TTL and event-time-ordered micro-batches, idle keys must be
+    EVICTED — their segment emitted as an ``is_final`` row — and the
+    union of finalized segments plus each user's live segment must
+    still reconstruct the exact batch totals (emit-on-expiry loses
+    nothing). Mirrors debounce's across-batch harness: three
+    event-time slices -> three batches, so the watermark advances
+    between batches and the timeout path actually fires."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    from pitlapetl_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    q1, q2 = (
+        ev.select(F.unix_micros("ts").alias("us"))
+        .approxQuantile("us", [0.33, 0.66], 0.0)
+    )
+    us = F.unix_micros(F.col("ts"))
+    slices = [
+        ev.filter(us <= q1),
+        ev.filter((us > q1) & (us <= q2)),
+        ev.filter(us > q2),
+    ]
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    # tight watermark + 1h TTL so keys idle across a slice boundary
+    # get finalized when the next slice advances the watermark
+    q = runtime.run_to_memory(
+        runtime.stateful_user_totals(
+            stream, watermark="1 minute", idle_ttl_ms=3600 * 1000
+        ),
+        "t_stateful_ttl",
+        output_mode="update",
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_stateful_ttl")
+    finals = got.filter(F.col("is_final"))
+    assert finals.count() > 0  # the eviction path must actually fire
+    # segment reconstruction: finalized segments + the live segment
+    # (the non-final row with the latest last_event_ts AFTER the last
+    # final, i.e. max n_events among rows newer than every final) must
+    # sum to the batch totals per user
+    w = W.partitionBy("user_id")
+    final_ts = (
+        finals.groupBy("user_id")
+        .agg(F.max("last_event_ts").alias("final_ts"))
+        .withColumnRenamed("user_id", "f_user")
+    )
+    live = (
+        got.filter(~F.col("is_final"))
+        .join(final_ts, F.col("user_id") == F.col("f_user"), "left")
+        .filter(
+            F.col("final_ts").isNull()
+            | (F.col("last_event_ts") > F.col("final_ts"))
+        )
+        .withColumn("rk", F.row_number().over(w.orderBy(F.desc("n_events"))))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    recon = (
+        finals.select("user_id", "n_events", "total_value")
+        .unionByName(live)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 3).alias("total_value"),
+        )
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(recon, *cols) == _rows(want, *cols)
 
 
 def test_stream_static_enrich_matches_batch(spark, events_stream):

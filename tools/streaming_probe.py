@@ -237,6 +237,104 @@ def _probe_monitor_docs(spark, kind: str, rows_per_batch: int, n_batches: int) -
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _synth_monitor_batch(spark, kind: str, rows_per_batch: int, b: int):
+    """One batch-worth of rows shaped for the given monitor sink
+    (events for cusum/psi, customers for kanon, documents for oov) —
+    the same synthesis as the flat probes above, factored out for the
+    growth probe."""
+    base = spark.range(rows_per_batch).select(
+        (F.col("id") + b * rows_per_batch).alias("k")
+    )
+    if kind in ("cusum", "psi"):
+        return base.select(
+            F.col("k").alias("event_id"),
+            F.timestamp_micros(
+                (F.lit(1_700_000_000_000_000)
+                 + (F.col("k") % 30) * 86_400_000_000
+                 + F.col("k") * 1_000)
+            ).alias("ts"),
+            (F.col("k") % 100).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.col("k") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.col("k") % 997 * 1.01).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    if kind == "kanon":
+        return base.select(
+            F.col("k").alias("c_custkey"),
+            F.concat(F.lit("cust#"), F.col("k").cast("string")).alias("c_name"),
+            (F.col("k") % 25).cast("int").alias("c_nationkey"),
+            ((F.col("k") % 2000) * 5.5 - 900).alias("c_acctbal"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in
+                          ("AUTOMOBILE", "BUILDING", "FURNITURE",
+                           "HOUSEHOLD", "MACHINERY")]),
+                (F.col("k") % 5 + 1).cast("int"),
+            ).alias("c_mktsegment"),
+        )
+    words = F.array(*[F.lit(w) for w in
+                      ("alpha", "beta", "gamma", "delta", "epsilon",
+                       "zeta", "eta", "theta")])
+    return base.select(
+        F.col("k").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.element_at(words, (F.col("k") % 8 + 1).cast("int")),
+            F.element_at(words, (F.col("k") % 7 + 1).cast("int")),
+            F.concat(F.lit("tok"), (F.col("k") % 5000).cast("string")),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("crawl").alias("source"),
+        F.lit(32).cast("long").alias("n_chars"),
+    )
+
+
+def probe_monitor_growth(
+    spark, kind: str, rows_per_batch: int, n_batches: int
+) -> dict:
+    """Per-batch wall across N batches for the psi/kanon/oov monitor
+    sinks (VERDICT r6 item 6 — the 4-batch probe shows the fixed-size
+    partial, this one makes the O(store) growth term visible): each
+    iteration appends one source file and re-runs the availableNow
+    sink, timing the restart+batch like the dedup store-scan probe.
+    The store gains one fixed-size partition per batch, so any upward
+    trend in the tail isolates the store-side component (file listing
+    + partition append), separating it from the flat batch cost."""
+    from pitlapetl_spark.streaming.runtime import (
+        run_kanonymity_sink, run_oov_sink, run_psi_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_gprobe_")
+    try:
+        src = f"{tmp}/src"
+        ref = _synth_monitor_batch(spark, kind, rows_per_batch, 0)
+        per_batch = []
+        for b in range(n_batches):
+            (_synth_monitor_batch(spark, kind, rows_per_batch, b)
+             .coalesce(1).write.mode("append").parquet(src))
+            schema = spark.read.parquet(src).schema
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src))
+            t0 = time.perf_counter()
+            if kind == "psi":
+                q = run_psi_sink(stream, ref, f"{tmp}/store", f"{tmp}/ckpt")
+            elif kind == "kanon":
+                q = run_kanonymity_sink(stream, f"{tmp}/store", f"{tmp}/ckpt")
+            else:
+                q = run_oov_sink(stream, ref, f"{tmp}/store", f"{tmp}/ckpt")
+            q.awaitTermination(600)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        return {
+            "sink": kind,
+            "rows_per_batch": rows_per_batch,
+            "per_batch_sec": per_batch,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(
         app_name="pitlapetl_streaming_probe",
@@ -250,7 +348,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dedup-batches", type=int, default=4)
     ap.add_argument("--dedup-only", action="store_true")
+    ap.add_argument("--monitor-growth", type=int, default=0,
+                    help="run the psi/kanon/oov growth probe to N batches")
     args = ap.parse_args()
+
+    if args.monitor_growth:
+        print(f"monitor-sink growth probe ({args.monitor_growth} batches):")
+        for kind in ("psi", "kanon", "oov"):
+            print("  ", probe_monitor_growth(
+                spark, kind, 10_000, args.monitor_growth))
+        return
 
     if not args.dedup_only:
         print("scoped upsert sink (each batch its own partition; table grows):")
