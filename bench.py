@@ -138,6 +138,19 @@ HEADLINE = (
     # peeling over the shared co-purchase edge frame)
     "geo_cell_radius_join",
     "graph_kcore_decomposition",
+    # round 7: local clustering coefficient (fifth graph member —
+    # shares the memoized basket-edge build with triangle counting,
+    # so its marginal cost IS the memo story), the windowed funnel
+    # (array-resolution family), Kendall tau-b (keyed day-pair
+    # concordance join), the gaps-and-islands streak window, the
+    # double-rolling-distinct stickiness metric, and the two-period
+    # tier-migration matrix (two quantile-cut passes + full outer)
+    "graph_clustering_coefficient",
+    "funnel_windowed_steps",
+    "stats_kendall_tau",
+    "window_streak_active_days",
+    "window_dau_mau_stickiness",
+    "analytics_tier_migration",
 )
 
 

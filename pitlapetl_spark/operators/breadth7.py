@@ -243,7 +243,13 @@ ACF_MAX_LAG = 14
                CAST(count(*) AS BIGINT) AS n
         FROM daily
     ),
-    dev AS (SELECT dy, v - (SELECT mu FROM m) AS d FROM daily),
+    dev AS (
+        -- DECIMAL(19,8): force DuckDB's INT128 multiply path — the
+        -- (18,8)x(18,8) product overflows its INT64 storage on
+        -- larger deviations (the ALS portability trap, SCALE.md)
+        SELECT dy, CAST(v - (SELECT mu FROM m) AS DECIMAL(19,8)) AS d
+        FROM daily
+    ),
     c0 AS (SELECT sum(d * d) AS c FROM dev),
     lags AS (
         SELECT l, sum(a.d * b.d) AS cl
@@ -1074,3 +1080,423 @@ def window_streak_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(STREAK_TOP)
     )
+
+
+# ------------------------------------------------- Cramér's V
+# stats_chi2_independence reports per-cell terms; Cramér's V is the
+# EFFECT SIZE the analyst actually compares across tables — chi²
+# normalized to [0, 1] by n·min(r−1, c−1). Measured on a different
+# categorical pair (order priority x order status) so the two queries
+# jointly cover both association questions. Per-cell terms are
+# rounded then DECIMAL-summed (cell order cannot flip the hash); the
+# final sqrt/division runs once on exact inputs.
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH cell AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT pri, st, o,
+               sum(o) OVER (PARTITION BY pri) AS rn,
+               sum(o) OVER (PARTITION BY st) AS cn,
+               sum(o) OVER () AS n
+        FROM cell
+    ),
+    agg AS (
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(count(DISTINCT pri) AS BIGINT) AS r,
+               CAST(count(DISTINCT st) AS BIGINT) AS c,
+               CAST(sum(CAST(round(
+                   pow(o - rn * 1.0 * cn / n, 2) / (rn * 1.0 * cn / n), 8)
+                   AS DECIMAL(38,8))) AS DOUBLE) AS chi2
+        FROM m
+    )
+    SELECT n AS n_rows, r AS n_priorities, c AS n_statuses,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM agg
+    """,
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between order priority and
+    order status (block comment above)."""
+    o = load_table(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cell.select(
+        "pri",
+        "st",
+        "o",
+        F.sum("o").over(Window.partitionBy("pri")).alias("rn"),
+        F.sum("o").over(Window.partitionBy("st")).alias("cn"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("rn") * 1.0 * F.col("cn") / F.col("n")
+    agg = m.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("pri").alias("r"),
+        F.countDistinct("st").alias("c"),
+        F.sum(
+            F.round(F.pow(F.col("o") - e, 2) / e, 8).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("chi2"),
+    )
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("n_priorities"),
+        F.col("c").alias("n_statuses"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --------------------------------------- WOE / information value
+# The credit-scoring feature evaluator (weight of evidence +
+# information value): how well do order-value deciles separate urgent
+# from non-urgent orders? Bins come from the broadcast-cuts device
+# (RFM's); WOE = ln(pos_share/neg_share) per bin; IV = Σ (ps−ns)·WOE.
+# Counts are exact; each bin's shares divide identical integers; the
+# 10-term IV fold goes round-then-DECIMAL through a window.
+
+WOE_BINS = 10
+
+
+@query(
+    "analytics_woe_iv",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    cuts AS (
+        SELECT {", ".join(
+            f"round(quantile_cont(v, {k / WOE_BINS}), 6) AS c{k}"
+            for k in range(1, WOE_BINS)
+        )}
+        FROM base
+    ),
+    binned AS (
+        SELECT y,
+               CASE {" ".join(
+                   f"WHEN v <= c{k} THEN {k}" for k in range(1, WOE_BINS)
+               )} ELSE {WOE_BINS} END AS bin
+        FROM base CROSS JOIN cuts
+    ),
+    b AS (
+        SELECT bin, CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+        FROM binned GROUP BY 1
+    ),
+    t AS (
+        SELECT bin, n_pos, n_neg,
+               sum(n_pos) OVER () AS tp, sum(n_neg) OVER () AS tn
+        FROM b
+    ),
+    w AS (
+        SELECT bin, n_pos, n_neg,
+               round(ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)), 6) AS woe,
+               CAST(round((n_pos * 1.0 / tp - n_neg * 1.0 / tn)
+                          * ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)), 8)
+                    AS DECIMAL(38,8)) AS ivt
+        FROM t
+    )
+    SELECT CAST(bin AS INT) AS bin, n_pos, n_neg, woe,
+           round(CAST(ivt AS DOUBLE), 6) AS iv_term,
+           round(CAST(sum(ivt) OVER () AS DOUBLE), 6) AS iv_total
+    FROM w
+    ORDER BY bin
+    """,
+)
+def analytics_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence and information value of order-value deciles
+    against the urgent-priority label (block comment above).
+
+    100-TB shape: one pass for the cuts (exact percentiles at this
+    scale; approx_percentile past it), one binning pass with the
+    broadcast cut row, a {WOE_BINS}-row aggregate, and window folds on
+    those {WOE_BINS} rows."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    base = base.localCheckpoint(eager=False)  # cuts + binning share it
+    cuts = F.broadcast(
+        base.agg(
+            *[
+                F.round(F.expr(f"percentile(v, {k / WOE_BINS})"), 6).alias(
+                    f"c{k}"
+                )
+                for k in range(1, WOE_BINS)
+            ]
+        )
+    )
+    bin_col = F.when(F.col("v") <= F.col("c1"), 1)
+    for k in range(2, WOE_BINS):
+        bin_col = bin_col.when(F.col("v") <= F.col(f"c{k}"), k)
+    bin_col = bin_col.otherwise(WOE_BINS)
+    b = (
+        base.crossJoin(cuts)  # one-row scalar broadcast
+        .select("y", bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum("y").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+        )
+    )
+    wall = Window.partitionBy()
+    t = b.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.sum("n_pos").over(wall).alias("tp"),
+        F.sum("n_neg").over(wall).alias("tn"),
+    )
+    ps = F.col("n_pos") * 1.0 / F.col("tp")
+    ns = F.col("n_neg") * 1.0 / F.col("tn")
+    w = t.select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(ps / ns), 6).alias("woe"),
+        F.round((ps - ns) * F.log(ps / ns), 8)
+        .cast("decimal(38,8)")
+        .alias("ivt"),
+    )
+    return w.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_pos",
+        "n_neg",
+        "woe",
+        F.round(F.col("ivt").cast("double"), 6).alias("iv_term"),
+        F.round(F.sum("ivt").over(wall).cast("double"), 6).alias("iv_total"),
+    ).orderBy("bin")
+
+
+# --------------------------------------------- audience overlap
+# The audience-analysis primitive: for every pair of event types, how
+# many distinct users do both (intersection, Jaccard)? One distinct
+# (user, type) frame; the pair space is the user-keyed self-join —
+# co-partitioned on user_id, bounded by |types|² per user. Ratios in
+# integer div arithmetic (the round-boundary rule).
+
+
+@query(
+    "analytics_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, ta.n AS n_a, tb.n AS n_b, i.n_both,
+           CAST((i.n_both * 1000000) // (ta.n + tb.n - i.n_both)
+                AS DOUBLE) / 1000000 AS jaccard
+    FROM inter i
+    JOIN tot ta ON ta.event_type = i.type_a
+    JOIN tot tb ON tb.event_type = i.type_b
+    ORDER BY i.type_a, i.type_b
+    """,
+)
+def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience intersection + Jaccard across event types
+    (block comment above)."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    ut = ut.localCheckpoint(eager=False)  # totals + both pair sides
+    tot = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.expr("(n_both * 1000000L) div (n_a + n_b - n_both)").cast(
+                    "double"
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------- decision stump (Gini)
+# The simplest trainable classifier the ML family lacked: a one-split
+# decision stump on order value against the urgent label, trained by
+# exhaustive Gini search over the decile cut candidates (the WOE
+# query's broadcast cuts, reused as the candidate grid — the standard
+# histogram-split approximation every distributed GBDT uses). Each
+# candidate's impurity derives from 4 exact integers; the weighted
+# Gini is the identical double expression on both engines, so ranking
+# candidates is deterministic without any rounding fence.
+
+
+@query(
+    "ml_decision_stump_gini",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    cuts AS (
+        SELECT unnest([{", ".join(str(k) for k in range(1, 10))}]) AS k,
+               unnest([{", ".join(
+                   f"round(quantile_cont(v, {k / 10.0}), 6)"
+                   for k in range(1, 10)
+               )}]) AS cut
+        FROM base
+    ),
+    split AS (
+        SELECT c.k, c.cut,
+               CAST(sum(CASE WHEN v <= cut THEN y ELSE 0 END) AS BIGINT) AS lp,
+               CAST(sum(CASE WHEN v <= cut THEN 1 - y ELSE 0 END) AS BIGINT) AS ln,
+               CAST(sum(CASE WHEN v > cut THEN y ELSE 0 END) AS BIGINT) AS rp,
+               CAST(sum(CASE WHEN v > cut THEN 1 - y ELSE 0 END) AS BIGINT) AS rn
+        FROM base CROSS JOIN cuts c
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT k, cut, lp, ln, rp, rn,
+               round(
+                   (1.0 - (lp * 1.0 / (lp + ln)) * (lp * 1.0 / (lp + ln))
+                        - (ln * 1.0 / (lp + ln)) * (ln * 1.0 / (lp + ln)))
+                   * (lp + ln) / (lp + ln + rp + rn)
+                 + (1.0 - (rp * 1.0 / (rp + rn)) * (rp * 1.0 / (rp + rn))
+                        - (rn * 1.0 / (rp + rn)) * (rn * 1.0 / (rp + rn)))
+                   * (rp + rn) / (lp + ln + rp + rn), 9) AS gini
+        FROM split
+    )
+    SELECT CAST(k AS INT) AS cut_idx, cut AS cut_value,
+           lp AS n_left_pos, ln AS n_left_neg,
+           rp AS n_right_pos, rn AS n_right_neg,
+           gini,
+           CAST(row_number() OVER (ORDER BY gini, k) = 1 AS BOOLEAN)
+               AS chosen
+    FROM scored
+    ORDER BY cut_idx
+    """,
+)
+def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision stump on order value vs the urgent label: every decile
+    candidate's split counts + weighted Gini, with the chosen split
+    flagged (block comment above). 100-TB shape: candidate evaluation
+    is ONE conditional-sum aggregate per cut over a single fact scan
+    (9 cuts x 4 sums — the histogram trick); nothing iterates."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    base = base.localCheckpoint(eager=False)  # cuts + split share it
+    cuts = F.broadcast(
+        base.agg(
+            *[
+                F.round(F.expr(f"percentile(v, {k / 10.0})"), 6).alias(f"c{k}")
+                for k in range(1, 10)
+            ]
+        )
+    )
+    # one pass: per row, emit (k, side, y) for all 9 cuts via a
+    # 9-element explode — keeps the fact scan single even though the
+    # oracle's cross-join form reads more naturally
+    exploded = (
+        base.crossJoin(cuts)  # one-row scalar broadcast
+        .select(
+            "v",
+            "y",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"), F.col(f"c{k}").alias("cut")
+                        )
+                        for k in range(1, 10)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("v", "y", F.col("c.k").alias("k"), F.col("c.cut").alias("cut"))
+    )
+    split = exploded.groupBy("k", "cut").agg(
+        F.sum(F.when(F.col("v") <= F.col("cut"), F.col("y")).otherwise(0)).alias("lp"),
+        F.sum(F.when(F.col("v") <= F.col("cut"), 1 - F.col("y")).otherwise(0)).alias("ln"),
+        F.sum(F.when(F.col("v") > F.col("cut"), F.col("y")).otherwise(0)).alias("rp"),
+        F.sum(F.when(F.col("v") > F.col("cut"), 1 - F.col("y")).otherwise(0)).alias("rn"),
+    )
+    lt = F.col("lp") + F.col("ln")
+    rt = F.col("rp") + F.col("rn")
+    n = lt + rt
+    gl = (
+        F.lit(1.0)
+        - (F.col("lp") * 1.0 / lt) * (F.col("lp") * 1.0 / lt)
+        - (F.col("ln") * 1.0 / lt) * (F.col("ln") * 1.0 / lt)
+    )
+    gr = (
+        F.lit(1.0)
+        - (F.col("rp") * 1.0 / rt) * (F.col("rp") * 1.0 / rt)
+        - (F.col("rn") * 1.0 / rt) * (F.col("rn") * 1.0 / rt)
+    )
+    scored = split.select(
+        "k",
+        "cut",
+        "lp",
+        "ln",
+        "rp",
+        "rn",
+        F.round(gl * lt / n + gr * rt / n, 9).alias("gini"),
+    )
+    w = Window.orderBy("gini", "k")
+    return scored.select(
+        F.col("k").cast("int").alias("cut_idx"),
+        F.col("cut").alias("cut_value"),
+        F.col("lp").alias("n_left_pos"),
+        F.col("ln").alias("n_left_neg"),
+        F.col("rp").alias("n_right_pos"),
+        F.col("rn").alias("n_right_neg"),
+        "gini",
+        (F.row_number().over(w) == 1).alias("chosen"),
+    ).orderBy("cut_idx")

@@ -613,3 +613,95 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.filter(F.col("cosine") >= SEMDEDUP_TAU)
+
+
+# ----------------------------------------- bucketed kNN-graph build
+# The batch sibling of the IVF SEARCH path: construct the k-nearest-
+# neighbor GRAPH over the whole corpus (every vector, not a query
+# set) by restricting candidate pairs to each vector's coarse-
+# quantizer list — the standard first step of graph-based dedup /
+# clustering / label-propagation over embeddings at scale. Pair space
+# is Σ |list|² (bucket-bounded, never corpus²); within-list scoring
+# is the exact cosine; per-node top-k is a bounded window. Recall
+# caveat inherited from IVF (SCALE.md recall ladder): edges crossing
+# list boundaries are missed — the accepted trade that bounds the
+# join.
+
+KNNG_K = 3
+
+
+@query(
+    "sim_knn_graph_bucketed",
+    oracle=f"""
+    WITH {_ORACLE_VECS},
+    {_ORACLE_CRANK},
+    assign AS (SELECT vec_id, label FROM crank WHERE crk = 1),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM assign a JOIN assign b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT cand.src, cand.dst,
+               round(sum(x.x * y.x)
+                     / (ns.nrm * nd.nrm), 6) AS cosine
+        FROM cand
+        JOIN u x ON x.vec_id = cand.src
+        JOIN u y ON y.vec_id = cand.dst AND y.i = x.i
+        JOIN norms ns ON ns.vec_id = cand.src
+        JOIN norms nd ON nd.vec_id = cand.dst
+        GROUP BY 1, 2, ns.nrm, nd.nrm
+    )
+    SELECT src, dst, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src ORDER BY cosine DESC, dst) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {KNNG_K}
+    ORDER BY src, rank
+    """,
+)
+def sim_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-bounded kNN graph: every vector's top-{KNNG_K} cosine
+    neighbors WITHIN its nearest-centroid list (block comment above).
+
+    100-TB shape: the centroid assignment is one broadcast-scored
+    pass (K-row quantizer); the within-list self-join co-partitions
+    on the list label, so shuffle volume is list-sized; scoring is
+    JVM array arithmetic; per-node top-k is a label-local window. For
+    production K lists, grow K ∝ √N so Σ|list|² stays ~N^1.5."""
+    ranked = _centroid_ranked(spark, sf_dir).localCheckpoint(eager=False)
+    assign = ranked.filter(F.col("crk") == 1).select("vec_id", "label")
+    vecs = _vectors(spark, sf_dir)
+    a = assign.select(F.col("vec_id").alias("src"), "label")
+    b = assign.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb"))
+    cand = a.join(b, (F.col("label") == F.col("lb")) & (F.col("src") != F.col("dst")))
+    q = vecs.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = (
+        cand.join(q, cand.src == F.col("q_id"))
+        .join(c, cand.dst == F.col("c_id"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D,"
+                    " (acc, x) -> acc + x)"
+                )
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= KNNG_K)
+        .orderBy("src", "rank")
+    )

@@ -182,3 +182,58 @@ def geo_cell_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "suppkey")
     )
+
+
+@query(
+    "geo_nearest_supplier",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey,
+               round({_oracle_haversine(_CLAT, _CLON, _SLAT, _SLON)}, 3)
+                   AS dist_km
+        FROM customer c CROSS JOIN supplier s
+        WHERE round({_oracle_haversine(_CLAT, _CLON, _SLAT, _SLON)}, 6)
+              <= {RADIUS_KM}
+    )
+    SELECT custkey, suppkey, dist_km
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY custkey ORDER BY dist_km, suppkey) AS rk
+        FROM pairs
+    )
+    WHERE rk = 1
+    ORDER BY custkey
+    """,
+)
+def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial NEAREST-neighbor join: each customer's closest supplier
+    within RADIUS_KM (the grid-cell cover makes the candidate set
+    complete for that radius; customers with no supplier in range are
+    absent — the documented bounded-search trade). Same cell
+    machinery as the radius join plus one per-customer window;
+    ordering fences on the 3-decimal distance with the supplier key
+    as the total-order tiebreak, identical on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("p_key"),
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("b_key"),
+        _lat(F.col("s_suppkey")).alias("lat"),
+        _lon(F.col("s_suppkey")).alias("lon"),
+    )
+    from pyspark.sql import Window
+
+    pairs = cell_radius_join(cust, supp)
+    w = Window.partitionBy("p_key").orderBy("dist_km", "b_key")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("p_key").alias("custkey"),
+            F.col("b_key").alias("suppkey"),
+            "dist_km",
+        )
+        .orderBy("custkey")
+    )

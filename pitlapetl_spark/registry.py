@@ -67,6 +67,8 @@ _MODULES = (
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.operators.spatial",
     "pitlapetl_spark.operators.breadth7",
+    "pitlapetl_spark.operators.bpe_train",
+    "pitlapetl_spark.operators.als",
     "pitlapetl_spark.operators.kcore",
     "pitlapetl_spark.operators.hits",
     "pitlapetl_spark.plans.jobs",
@@ -97,6 +99,12 @@ _loaded = False
 # r2-era rows spill to round 8, where they lead. Done-state this
 # round: zero never-verified queries from rounds <= 6, and every new
 # round-7 operator has a first driver row.
+#
+# Session-1 final arithmetic: cohort (b) grew to 23 (1 late-r6
+# straggler + 22 new operators), so the 50-slot window = 19 + 23 +
+# the first 8 r2-era rows (job_race_results .. json_corrupt_
+# quarantine); the remaining 34 r2-era rows spill to round 8 and
+# lead its rotation per the standing oldest-evidence-first policy.
 _PRIORITY: tuple[str, ...] = (
     # (a) session-3 (round 6) queries with no driver row yet — the
     # r6 ledger pinned these 19 to lead round 7 (VERDICT r6 item 1)
@@ -141,6 +149,14 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_lsh_scurve_planner",
     "analytics_tier_migration",
     "window_streak_active_days",
+    "sim_knn_graph_bucketed",
+    "stats_cramers_v",
+    "analytics_woe_iv",
+    "text_bpe_train_merges",
+    "rec_als_factorization",
+    "geo_nearest_supplier",
+    "analytics_audience_overlap",
+    "ml_decision_stump_gini",
     # (c) the r2-era cohort, in the order the r5/r6 ledger queued it.
     # The first 31 - len(b) fit the 50-slot window; the rest spill
     # to round 8 and will lead its rotation.

@@ -172,3 +172,92 @@ def test_rolling_distinct_dominates_dau(spark):
         assert r.mau >= r.dau
         assert 0 < r.stickiness <= 1.0
         assert wau[r.day] >= r.dau
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    """The declarative BPE trainer must reproduce an independent
+    plain-Python implementation of the same algorithm (word-type
+    weighted, self-pairs excluded, greedy non-overlapping apply) —
+    merge-for-merge, count-for-count."""
+    from collections import Counter
+
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_freq)
+        for r in Q["text_bpe_train_merges"](spark, SF_SMOKE).collect()
+    ]
+    words: Counter = Counter()
+    for (t,) in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        for w in t.split():
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    want = []
+    for k in range(len(got)):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            f = words[w]
+            for a, b in zip(syms, syms[1:]):
+                if a != b:
+                    pc[(a, b)] += f
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((k + 1, a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == want
+
+
+def test_als_regularized_objective_nonincreasing(spark):
+    """ALS guarantee: each exact half-step solve cannot increase the
+    regularized objective SSE + λ(Σ|p|² + Σ|q|²). The 1e-8 factor
+    rounding between steps allows only negligible slack."""
+    from pitlapetl_spark.operators.als import ALS_LAMBDA, als_factors
+
+    ratings, stages = als_factors(spark, SF_SMOKE)
+    ratings = ratings.cache()
+
+    def objective(p, q) -> float:
+        pu = p.select(F.col("e").alias("u"), F.col("f1").alias("pf1"),
+                      F.col("f2").alias("pf2"))
+        qi = q.select(F.col("e").alias("i"), F.col("f1").alias("qf1"),
+                      F.col("f2").alias("qf2"))
+        sse = (
+            ratings.join(pu, "u").join(qi, "i")
+            .select(
+                (
+                    F.col("r").cast("double")
+                    - (F.col("pf1") * F.col("qf1")
+                       + F.col("pf2") * F.col("qf2")).cast("double")
+                ).alias("err")
+            )
+            .agg(F.sum(F.col("err") * F.col("err")))
+            .collect()[0][0]
+        )
+        reg = 0.0
+        for f in (p, q):
+            reg += (
+                f.select(
+                    (F.col("f1") * F.col("f1")
+                     + F.col("f2") * F.col("f2")).cast("double").alias("n2")
+                )
+                .agg(F.sum("n2"))
+                .collect()[0][0]
+            )
+        return sse + ALS_LAMBDA * reg
+
+    objs = [objective(p, q) for p, q in stages]
+    for a, b in zip(objs, objs[1:]):
+        assert b <= a * (1 + 1e-9) + 1e-6, objs
+    # and training actually helped: final strictly below first
+    assert objs[-1] < objs[0]

@@ -701,11 +701,20 @@ def test_triangle_closing_join_broadcasts_under_gate(spark):
     a BROADCAST of the edge set — the wedge intermediate (the big
     frame) never shuffles for the closing join. (The degree
     join-backs broadcast too, but they sit behind the ori
-    localCheckpoint boundary, invisible to this final plan.)"""
-    plan = _plan(Q["graph_triangle_count"](spark, SF_SMOKE))
+    localCheckpoint boundary, invisible to this final plan.)
+    Round 7 memoized the counted frame (triangle_node_counts_cached),
+    so the registered query's plan is a scan of the checkpoint; the
+    shape assertions target the BUILDER pipeline, which is what
+    actually executes once per source snapshot."""
+    from pitlapetl_spark.operators.community import _triangle_node_counts
+
+    plan = _plan(_triangle_node_counts(spark, SF_SMOKE))
     assert "BroadcastHashJoin [t_a" in plan, plan
     # the wedge join itself is the one edge-keyed exchange pair
     assert "SortMergeJoin [t_b" in plan, plan
+    # and the registered consumers both read the memoized frame
+    tri_plan = _plan(Q["graph_triangle_count"](spark, SF_SMOKE))
+    assert "Scan ExistingRDD" in tri_plan or "LocalTableScan" in tri_plan, tri_plan
 
 
 def test_month_spine_reuses_monthly_grain_exchange(spark):
