@@ -1500,3 +1500,200 @@ def ml_decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gini",
         (F.row_number().over(w) == 1).alias("chosen"),
     ).orderBy("cut_idx")
+
+
+# ----------------------------------------- fulfillment latency trend
+# The ops dashboard metric: order-to-ship latency percentiles by
+# order month. One fact join co-partitioned on the order key, one
+# month-grain aggregate with exact percentiles over integer day lags
+# (Spark percentile == DuckDB quantile_cont on exact integers — the
+# funnel_conversion_lag device at a coarser grain).
+
+
+@query(
+    "ops_ship_latency_trend",
+    oracle="""
+    SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                               0.5), 6) AS lat_p50_days,
+           round(quantile_cont(date_diff('day', o.o_orderdate, l.l_shipdate),
+                               0.9), 6) AS lat_p90_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    ORDER BY month
+    """,
+)
+def ops_ship_latency_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency p50/p90 per order month (block comment
+    above)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.expr("percentile(datediff(l_shipdate, o_orderdate), 0.5)"), 6
+            ).alias("lat_p50_days"),
+            F.round(
+                F.expr("percentile(datediff(l_shipdate, o_orderdate), 0.9)"), 6
+            ).alias("lat_p90_days"),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------- data freshness audit
+# The missing DQ member: is each event stream CURRENT, and does it
+# have silent gaps? Per event type: last event time, staleness days
+# vs the global high-water mark, observed active days vs the type's
+# own calendar span (missing days = cadence violations). All exact
+# integers off one (type, day) distinct.
+
+
+@query(
+    "dq_freshness_audit",
+    oracle="""
+    WITH td AS (
+        SELECT DISTINCT event_type, date_trunc('day', ts) AS dy FROM events
+    ),
+    g AS (SELECT max(dy) AS hwm FROM td),
+    per AS (
+        SELECT event_type,
+               min(dy) AS first_day, max(dy) AS last_day,
+               CAST(count(*) AS BIGINT) AS active_days
+        FROM td GROUP BY 1
+    )
+    SELECT event_type,
+           strftime(last_day, '%Y-%m-%d') AS last_day,
+           CAST(date_diff('day', last_day, (SELECT hwm FROM g)) AS BIGINT)
+               AS staleness_days,
+           active_days,
+           CAST(date_diff('day', first_day, last_day) + 1 - active_days
+                AS BIGINT) AS missing_days
+    FROM per
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness + gap audit (block comment above)."""
+    events = load_table(spark, sf_dir, "events")
+    td = events.select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("dy")
+    ).distinct()
+    td = td.localCheckpoint(eager=False)  # hwm + per-type share it
+    g = td.agg(F.max("dy").alias("hwm"))
+    per = td.groupBy("event_type").agg(
+        F.min("dy").alias("first_day"),
+        F.max("dy").alias("last_day"),
+        F.count(F.lit(1)).alias("active_days"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))  # one-row scalar broadcast
+        .select(
+            "event_type",
+            F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+            F.datediff(F.col("hwm"), F.col("last_day"))
+            .cast("long")
+            .alias("staleness_days"),
+            "active_days",
+            (
+                F.datediff(F.col("last_day"), F.col("first_day"))
+                + 1
+                - F.col("active_days")
+            )
+            .cast("long")
+            .alias("missing_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------- QQ decile table
+# The distribution-comparison diagnostic between two segments:
+# decile-by-decile quantiles of order value for urgent vs non-urgent
+# orders, with the ratio — what an analyst plots as a QQ chart to see
+# WHERE two distributions diverge (the KS statistic says only THAT
+# they do). Exact percentiles per group; ratios on round(6)-fenced
+# cuts divide identical doubles.
+
+
+@query(
+    "stats_qq_deciles",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    q AS (
+        SELECT unnest([{", ".join(str(k) for k in range(1, 10))}]) AS decile,
+               unnest([{", ".join(
+                   f"round(quantile_cont(v, {k / 10.0})"
+                   f" FILTER (WHERE y = 1), 6)" for k in range(1, 10)
+               )}]) AS q_urgent,
+               unnest([{", ".join(
+                   f"round(quantile_cont(v, {k / 10.0})"
+                   f" FILTER (WHERE y = 0), 6)" for k in range(1, 10)
+               )}]) AS q_other
+        FROM base
+    )
+    SELECT CAST(decile AS INT) AS decile, q_urgent, q_other,
+           round(q_urgent / q_other, 6) AS qq_ratio
+    FROM q
+    ORDER BY decile
+    """,
+)
+def stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-vs-other order-value QQ decile table (block comment
+    above)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    agg = base.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(CASE WHEN y = 1 THEN v END, {k / 10.0})"), 6
+            ).alias(f"u{k}")
+            for k in range(1, 10)
+        ],
+        *[
+            F.round(
+                F.expr(f"percentile(CASE WHEN y = 0 THEN v END, {k / 10.0})"), 6
+            ).alias(f"o{k}")
+            for k in range(1, 10)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("decile"),
+                F.col(f"u{k}").alias("q_urgent"),
+                F.col(f"o{k}").alias("q_other"),
+            )
+            for k in range(1, 10)
+        ]
+    )
+    return (
+        agg.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.decile").cast("int").alias("decile"),
+            F.col("p.q_urgent").alias("q_urgent"),
+            F.col("p.q_other").alias("q_other"),
+            F.round(F.col("p.q_urgent") / F.col("p.q_other"), 6).alias(
+                "qq_ratio"
+            ),
+        )
+        .orderBy("decile")
+    )

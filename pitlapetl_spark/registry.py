@@ -202,6 +202,14 @@ _PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_term",
     "text_token_stats",
     "window_ntile_distribution",
+    # (d) late session-1 additions, deliberately queued BEHIND cohort
+    # (c): cohort (b) was capped at 23 so the round-7 window keeps 8
+    # r2-era refreshes (the verdict ordered refreshes too); these
+    # three get their first driver row in round 8, where never-
+    # verified again leads.
+    "ops_ship_latency_trend",
+    "dq_freshness_audit",
+    "stats_qq_deciles",
 )
 
 

@@ -691,3 +691,45 @@ def test_prefix_filter_lemma_on_random_set_systems(sets):
                     sets[i],
                     sets[j],
                 )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from("abcd"), min_size=2, max_size=30),
+    pair=st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")),
+)
+def test_bpe_nonoverlap_lemma_and_simultaneous_apply(syms, pair):
+    """The two claims the declarative BPE trainer rests on
+    (operators/bpe_train.py), checked over random sequences:
+
+    1. Non-overlap lemma: for a merge pair (a, b) with a != b, no two
+       match positions are adjacent — a match at p+1 would need
+       s[p+1] = a AND (from the match at p) s[p+1] = b.
+    2. Therefore the relational apply (mark ALL matches, drop every
+       p+1, concat at p — what the windows do) equals the textbook
+       greedy left-to-right scan."""
+    a, b = pair
+    if a == b:
+        return  # excluded by the trainer's winner selection
+    matches = [
+        p for p in range(len(syms) - 1) if syms[p] == a and syms[p + 1] == b
+    ]
+    for p, q in zip(matches, matches[1:]):
+        assert q > p + 1  # lemma: never adjacent
+    # simultaneous relational apply
+    drop = {p + 1 for p in matches}
+    simultaneous = [
+        (a + b) if p in set(matches) else s
+        for p, s in enumerate(syms)
+        if p not in drop
+    ]
+    # greedy left-to-right scan
+    greedy, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            greedy.append(a + b)
+            i += 2
+        else:
+            greedy.append(syms[i])
+            i += 1
+    assert simultaneous == greedy
