@@ -67,6 +67,7 @@ _MODULES = (
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.operators.spatial",
     "pitlapetl_spark.operators.breadth7",
+    "pitlapetl_spark.operators.breadth7b",
     "pitlapetl_spark.operators.bpe_train",
     "pitlapetl_spark.operators.als",
     "pitlapetl_spark.operators.kcore",
@@ -210,6 +211,18 @@ _PRIORITY: tuple[str, ...] = (
     "ops_ship_latency_trend",
     "dq_freshness_audit",
     "stats_qq_deciles",
+    # (e) session-2 additions (breadth7b.py) — same deal as (d): the
+    # round-7 window is already spoken for, so these queue here for
+    # their first driver row in round 8 behind (d), in ship order.
+    "stats_benford_first_digit",
+    "stats_welch_ttest",
+    "analytics_abc_pareto",
+    "analytics_new_vs_returning",
+    "privacy_t_closeness",
+    "graph_jaccard_linkpred",
+    "stats_fdr_bh",
+    "ml_ridge_closed_form",
+    "ml_isotonic_calibration",
 )
 
 

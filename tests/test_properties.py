@@ -733,3 +733,80 @@ def test_bpe_nonoverlap_lemma_and_simultaneous_apply(syms, pair):
             greedy.append(syms[i])
             i += 1
     assert simultaneous == greedy
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    y=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=12)
+)
+def test_isotonic_minimax_equals_pava(y):
+    """The minimax closed form ml_isotonic_calibration computes
+    relationally (iso_i = max_{j<=i} min_{k>=i} mean(y_j..y_k),
+    Barlow et al. 1972) must equal the sequential
+    pool-adjacent-violators algorithm on every input."""
+    n = len(y)
+    # minimax form (what the operator's joins compute)
+    minimax = []
+    for i in range(n):
+        best = -float("inf")
+        for j in range(i + 1):
+            mn = min(
+                sum(y[j : k + 1]) / (k - j + 1) for k in range(i, n)
+            )
+            best = max(best, mn)
+        minimax.append(best)
+    # classic PAVA with blocks
+    blocks = []  # (total, count)
+    for v in y:
+        blocks.append((float(v), 1))
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] >= blocks[-1][0] / blocks[-1][1]
+        ):
+            t2, c2 = blocks.pop()
+            t1, c1 = blocks.pop()
+            blocks.append((t1 + t2, c1 + c2))
+    pava = []
+    for t, c in blocks:
+        pava.extend([t / c] * c)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(minimax, pava)), (
+        y, minimax, pava,
+    )
+    # and the fit is monotone non-decreasing
+    assert all(a <= b + 1e-12 for a, b in zip(minimax, minimax[1:]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ps=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    alpha=st.floats(min_value=0.01, max_value=0.2),
+)
+def test_bh_stepup_window_form_matches_textbook(ps, alpha):
+    """stats_fdr_bh computes the BH step-up as `rank <= max(rank
+    where p <= rank*alpha/m)` via window functions; check that
+    equals the textbook sequential definition (find largest i with
+    p_(i) <= i*alpha/m, reject all hypotheses with rank <= i)."""
+    m = len(ps)
+    ranked = sorted(ps)
+    # window form: one max over "ranks whose own threshold passes",
+    # then a prefix cut — what the Spark/DuckDB plans compute
+    cutoff = max(
+        (i for i, p in enumerate(ranked, start=1) if p <= i * alpha / m),
+        default=0,
+    )
+    window_form = [rank <= cutoff for rank in range(1, m + 1)]
+    # textbook recursive definition: H_(i) is rejected iff SOME
+    # i' >= i has p_(i') <= i'*alpha/m (step-up from the largest p)
+    textbook = [
+        any(
+            ranked[ip - 1] <= ip * alpha / m for ip in range(i, m + 1)
+        )
+        for i in range(1, m + 1)
+    ]
+    assert window_form == textbook
+    # rejected set is a prefix of the p-sorted order
+    if cutoff:
+        assert all(window_form[:cutoff]) and not any(window_form[cutoff:])
