@@ -68,6 +68,8 @@ _MODULES = (
     "pitlapetl_spark.operators.spatial",
     "pitlapetl_spark.operators.breadth7",
     "pitlapetl_spark.operators.breadth7b",
+    "pitlapetl_spark.operators.breadth7c",
+    "pitlapetl_spark.operators.breadth7d",
     "pitlapetl_spark.operators.bpe_train",
     "pitlapetl_spark.operators.als",
     "pitlapetl_spark.operators.kcore",
@@ -223,6 +225,29 @@ _PRIORITY: tuple[str, ...] = (
     "stats_fdr_bh",
     "ml_ridge_closed_form",
     "ml_isotonic_calibration",
+    # (f) session-4 additions (breadth7c.py) — queue behind (e) for
+    # their first driver row, in ship order.
+    "ab_srm_check",
+    "attribution_position_based",
+    "analytics_price_volume_bridge",
+    "stats_jarque_bera",
+    "stats_levene_variance",
+    "stats_runs_test",
+    "graph_degree_assortativity",
+    "ml_pca_2d_closed_form",
+    "ml_calibration_reliability",
+    "dq_referential_integrity",
+    "seq_user_path_topk",
+    "text_collocation_llr",
+    "survival_nelson_aalen",
+    "stats_permutation_test",
+    "privacy_dp_count_laplace",
+    "ab_power_two_proportions",
+    "window_bounce_rate_daily",
+    "dq_order_total_reconciliation",
+    "analytics_net_revenue_retention",
+    "dq_error_rate_wilson",
+    "stream_error_rate_wilson",
 )
 
 

@@ -217,3 +217,84 @@ def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+# ------------------------------- daily error rate w/ Wilson bounds
+# The SRE monitor shape of dq_error_rate_wilson (breadth7d.py), as a
+# stream-capable windowed aggregate: counts are plain windowed sums
+# (incrementally maintainable), the Wilson interval is a derived
+# projection AFTER the aggregate — so the identical body runs under
+# a watermark (runtime.error_rate_wilson_stream; test_streaming
+# asserts bit-equality stream vs batch). The day-grain twin of the
+# date-keyed batch query, keyed on the streaming F.window instead of
+# the calendar string so late data merges into the right pane.
+
+_WILSON_Z_STREAM = 1.959964
+
+
+def wilson_error_rate_agg(events: DataFrame) -> DataFrame:
+    """Shared aggregation body: per 1-day event-time window, total
+    and error counts plus the Wilson 95% interval. Pure windowed
+    counts + post-agg projection — streaming-supported with no custom
+    state; the watermark (added by the stream caller) bounds pane
+    state."""
+    z = _WILSON_Z_STREAM
+    agged = events.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return agged.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n",
+        "k",
+        F.round(p, 6).alias("error_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@query(
+    "stream_error_rate_wilson",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(floor(epoch(ts) / {DAY_S}) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                    AS BIGINT) AS k
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(to_timestamp(bucket * {DAY_S}) AS TIMESTAMP) AS window_start,
+           CAST(to_timestamp(bucket * {DAY_S} + {DAY_S}) AS TIMESTAMP)
+               AS window_end,
+           n, k,
+           round(CAST(k AS DOUBLE) / n, 6) AS error_rate,
+           round((CAST(k AS DOUBLE) / n
+                  + {_WILSON_Z_STREAM} * {_WILSON_Z_STREAM} / (2 * n)
+                  - {_WILSON_Z_STREAM} * sqrt(CAST(k AS DOUBLE) / n
+                        * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z_STREAM} * {_WILSON_Z_STREAM}
+                          / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z_STREAM} * {_WILSON_Z_STREAM} / n), 6)
+               AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n
+                  + {_WILSON_Z_STREAM} * {_WILSON_Z_STREAM} / (2 * n)
+                  + {_WILSON_Z_STREAM} * sqrt(CAST(k AS DOUBLE) / n
+                        * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z_STREAM} * {_WILSON_Z_STREAM}
+                          / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z_STREAM} * {_WILSON_Z_STREAM} / n), 6)
+               AS wilson_hi
+    FROM d
+    """,
+)
+def stream_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed daily error rate with Wilson bounds — the batch twin
+    of runtime.error_rate_wilson_stream (block comment above)."""
+    events = load_table(spark, sf_dir, "events")
+    return wilson_error_rate_agg(events)

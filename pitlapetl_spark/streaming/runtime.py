@@ -1278,3 +1278,17 @@ def read_oov_rate(spark: SparkSession, store_path: str) -> DataFrame:
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def error_rate_wilson_stream(
+    events: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked daily error-rate monitor with Wilson 95% bounds —
+    identical aggregation body to the oracle-checked batch twin
+    (batch_windows.wilson_error_rate_agg): windowed counts are
+    incrementally maintainable, the interval is a post-agg
+    projection, the watermark bounds pane state. The SRE sibling of
+    the PSI/OOV/k-anonymity monitor sinks."""
+    from .batch_windows import wilson_error_rate_agg
+
+    return wilson_error_rate_agg(events.withWatermark("ts", watermark))

@@ -810,3 +810,81 @@ def test_bh_stepup_window_form_matches_textbook(ps, alpha):
     # rejected set is a prefix of the p-sorted order
     if cutoff:
         assert all(window_form[:cutoff]) and not any(window_form[cutoff:])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    k11=st.integers(min_value=1, max_value=50),
+    k12=st.integers(min_value=0, max_value=50),
+    k21=st.integers(min_value=0, max_value=50),
+    k22=st.integers(min_value=0, max_value=200),
+)
+def test_llr_entropy_form_matches_direct_g2(k11, k12, k21, k22):
+    """text_collocation_llr computes Dunning's G2 in the entropy form
+    (sum k ln k - row terms - col terms + N ln N); check it equals the
+    direct form 2 * sum k_ij * ln(k_ij * N / (r_i * c_j)) on every
+    table."""
+    import math
+
+    cx, cxp = k11 + k12, k21 + k22
+    cy, cyp = k11 + k21, k12 + k22
+    n = k11 + k12 + k21 + k22
+
+    def xlx(v):
+        return v * math.log(v) if v > 0 else 0.0
+
+    entropy_form = 2 * (
+        xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+        - xlx(cx) - xlx(cxp) - xlx(cy) - xlx(cyp) + xlx(n)
+    )
+    direct = 0.0
+    for k, r, c in ((k11, cx, cy), (k12, cx, cyp), (k21, cxp, cy),
+                    (k22, cxp, cyp)):
+        if k > 0:
+            direct += k * math.log(k * n / (r * c))
+    direct *= 2
+    assert abs(entropy_form - direct) < 1e-8, (entropy_form, direct)
+    # G2 is non-negative (it is a likelihood-ratio statistic)
+    assert entropy_form > -1e-9
+
+
+@settings(max_examples=300, deadline=None)
+@given(n=st.integers(min_value=1, max_value=40))
+def test_position_based_weights_sum_to_one(n):
+    """attribution_position_based's weight expression (1.0 / 0.5+0.5 /
+    0.4 first + 0.4 last + 0.2 split over middles) must distribute
+    exactly one unit of credit per converting user for every touch
+    count."""
+    total = 0.0
+    for rn in range(1, n + 1):
+        if n == 1:
+            total += 1.0
+        elif n == 2:
+            total += 0.5
+        elif rn == 1 or rn == n:
+            total += 0.4
+        else:
+            total += 0.2 / (n - 2)
+    assert abs(total - 1.0) < 1e-9, (n, total)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000),
+                  min_size=1, max_size=31)
+)
+def test_runs_test_doubled_median_device(vals):
+    """stats_runs_test compares 2*cents against med2 = the sum of the
+    two middle order statistics (the same rank twice when the count
+    is odd); check med2 == 2 * the continuous median on every list,
+    entirely in integers."""
+    s = sorted(vals)
+    nd = len(s)
+    lo, hi = (nd + 1) // 2, (nd + 2) // 2
+    med2 = s[lo - 1] + s[hi - 1]
+    # continuous median, scaled by 2 to stay in integers
+    if nd % 2 == 1:
+        expected = 2 * s[nd // 2]
+    else:
+        expected = s[nd // 2 - 1] + s[nd // 2]
+    assert med2 == expected

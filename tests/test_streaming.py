@@ -1206,3 +1206,21 @@ def test_oov_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
     run("ckpt2")
     again = read_oov_rate(spark, f"{tmp_path}/store").collect()[0]
     assert (again.n_tokens, again.n_oov) == (n_tok, n_oov)
+
+
+def test_error_rate_wilson_stream_matches_batch(spark, events_stream):
+    """The streaming Wilson error-rate monitor must equal the
+    oracle-checked batch twin bit-for-bit: windowed counts are
+    incrementally maintainable and the interval is a deterministic
+    post-agg projection of (n, k)."""
+    q = runtime.run_to_memory(
+        runtime.error_rate_wilson_stream(events_stream), "t_wilson"
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_wilson")
+    want = registry.QUERIES["stream_error_rate_wilson"](spark, SF_SMOKE)
+    cols = [
+        "window_start", "window_end", "n", "k",
+        "error_rate", "wilson_lo", "wilson_hi",
+    ]
+    assert _rows(got, *cols) == _rows(want, *cols)
