@@ -174,6 +174,33 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BRIDGE_Y1, _BRIDGE_Y2 = 1997, 1998
 
 
+def bridge_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(brand, year) quantity/revenue grain for the bridge — exposed
+    un-checkpointed so tests can assert the scan-level plan (the
+    checkpoint below replaces the subtree with an ExistingRDD scan in
+    the final plan, hiding PushedFilters from plan inspection)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("l_shipdate").cast("int")
+    # range predicate, not year(col) IN (...): a function of the
+    # column defeats parquet predicate pushdown — the range reaches
+    # the scan as PushedFilters and prunes row groups at 100 TB
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{_BRIDGE_Y1}-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit(f"{_BRIDGE_Y2 + 1}-01-01").cast("date"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), yr.alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "rev"
+            ),
+        )
+    )
+
+
 @query(
     "analytics_price_volume_bridge",
     oracle=f"""
@@ -207,30 +234,10 @@ _BRIDGE_Y1, _BRIDGE_Y2 = 1997, 1998
 def analytics_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laspeyres price/volume/joint revenue bridge per brand (block
     comment above)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    yr = F.year("l_shipdate").cast("int")
-    # range predicate, not year(col) IN (...): a function of the
-    # column defeats parquet predicate pushdown — the range reaches
-    # the scan as PushedFilters and prunes row groups at 100 TB
-    by_year = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit(f"{_BRIDGE_Y1}-01-01").cast("date"))
-            & (F.col("l_shipdate") < F.lit(f"{_BRIDGE_Y2 + 1}-01-01").cast("date"))
-        )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_brand").alias("brand"), yr.alias("yr"))
-        .agg(
-            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-                "rev"
-            ),
-        )
-        # brand x year grain (~50 rows) fans out to the two year
-        # branches below; without this the whole fact scan + agg runs
-        # once per branch (verified in the executed plan)
-        .localCheckpoint(eager=False)
-    )
+    # brand x year grain (~50 rows) fans out to the two year branches
+    # below; without this the whole fact scan + agg runs once per
+    # branch (verified in the executed plan)
+    by_year = bridge_by_year(spark, sf_dir).localCheckpoint(eager=False)
     a = by_year.filter(F.col("yr") == _BRIDGE_Y1).select(
         "brand",
         F.col("qty").alias("q1"),

@@ -70,6 +70,8 @@ _MODULES = (
     "pitlapetl_spark.operators.breadth7b",
     "pitlapetl_spark.operators.breadth7c",
     "pitlapetl_spark.operators.breadth7d",
+    "pitlapetl_spark.operators.breadth7e",
+    "pitlapetl_spark.operators.breadth7f",
     "pitlapetl_spark.operators.bpe_train",
     "pitlapetl_spark.operators.als",
     "pitlapetl_spark.operators.kcore",
@@ -161,8 +163,10 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_audience_overlap",
     "ml_decision_stump_gini",
     # (c) the r2-era cohort, in the order the r5/r6 ledger queued it.
-    # The first 31 - len(b) fit the 50-slot window; the rest spill
-    # to round 8 and will lead its rotation.
+    # The first 31 - len(b) fit the 50-slot window; the rest spill to
+    # round 8 — where they queue BEHIND the (d)-(f) never-verified
+    # round-7 additions, per the standing never-verified-outranks-
+    # stale policy (see the (f) arithmetic note below).
     "job_race_results",
     "job_qualifying_results",
     "job_practice_laps",
@@ -225,8 +229,14 @@ _PRIORITY: tuple[str, ...] = (
     "stats_fdr_bh",
     "ml_ridge_closed_form",
     "ml_isotonic_calibration",
-    # (f) session-4 additions (breadth7c.py) — queue behind (e) for
-    # their first driver row, in ship order.
+    # (f) session-4 additions (breadth7c/7d/7e/7f.py + the streaming
+    # Wilson twin) — queue behind (e) for their first driver row, in
+    # ship order. Ledger arithmetic after session 4: the 50-slot
+    # round-7 window is unchanged — (a) 19 + (b) 23 + the first 8
+    # r2-era rows; everything from (d) onward (3 + 9 + 24 = 36 new
+    # never-verified queries) spills to round 8, where the standing
+    # never-verified-first policy queues them AHEAD of the remaining
+    # 34 r2-era refreshes.
     "ab_srm_check",
     "attribution_position_based",
     "analytics_price_volume_bridge",
@@ -248,6 +258,9 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_net_revenue_retention",
     "dq_error_rate_wilson",
     "stream_error_rate_wilson",
+    "layout_zorder_locality",
+    "ml_cohens_kappa_langid",
+    "ab_sequential_sprt",
 )
 
 

@@ -897,3 +897,68 @@ def test_kanonymity_is_one_aggregate_tree(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+# ------------------------- round-7 session-4 operators (breadth7c/d)
+
+
+def test_bridge_pushes_date_range_and_prunes(spark):
+    """analytics_price_volume_bridge's year filter is a DATE RANGE so
+    it reaches the parquet scan (year(col) IN (...) would not), and
+    the lineitem read is pruned to the 4 columns the bridge needs."""
+    from pitlapetl_spark.operators.breadth7c import bridge_by_year
+
+    plan = _plan(bridge_by_year(spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    li_scans = [
+        seg.split("ReadSchema: ", 1)[1].splitlines()[0]
+        for seg in plan.split("FileScan")[1:]
+        if "lineitem" in seg.split("ReadSchema:")[0]
+    ]
+    assert li_scans, "no lineitem scan found"
+    for scan in li_scans:
+        assert len(scan.split(",")) <= 4, scan
+
+
+def test_referential_integrity_no_nested_loop(spark):
+    """dq_referential_integrity must audit each FK as an equi join —
+    a nested-loop anywhere means a relation lost its join key."""
+    plan = _plan(Q["dq_referential_integrity"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reconciliation_joins_on_order_key(spark):
+    """dq_order_total_reconciliation joins header to line totals on
+    the order key (hash or sort-merge equi join, never nested-loop),
+    and both scans prune to the pricing columns."""
+    plan = _plan(Q["dq_order_total_reconciliation"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    li_scans = [
+        seg.split("ReadSchema: ", 1)[1].splitlines()[0]
+        for seg in plan.split("FileScan")[1:]
+        if "lineitem" in seg.split("ReadSchema:")[0]
+    ]
+    for scan in li_scans:
+        assert len(scan.split(",")) <= 4, scan
+
+
+def test_assortativity_reuses_memoized_edges(spark):
+    """graph_degree_assortativity consumes basket_pair_edges_cached:
+    after the frame_cache warms, the executed plan starts from the
+    materialized edge RDD and re-scans NO parquet."""
+    df = Q["graph_degree_assortativity"](spark, SF_SMOKE)
+    df.collect()  # warm the memo
+    plan = _plan(Q["graph_degree_assortativity"](spark, SF_SMOKE))
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan
+
+
+def test_permutation_test_aggregates_mapside(spark):
+    """stats_permutation_test's (replicate, arm) sums must carry a
+    map-side partial so the rows x B explode combines before the
+    shuffle."""
+    plan = _plan(Q["stats_permutation_test"](spark, SF_SMOKE))
+    assert "partial" in plan.lower()

@@ -888,3 +888,81 @@ def test_runs_test_doubled_median_device(vals):
     else:
         expected = s[nd // 2 - 1] + s[nd // 2]
     assert med2 == expected
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=50), min_size=3,
+                max_size=40)
+)
+def test_jarque_bera_raw_moment_identities(xs):
+    """stats_jarque_bera derives central moments from raw power sums
+    (m2 = (s2 - s1^2/n)/n etc.); check the formulas against direct
+    mean-centered computation, and that JB is non-negative."""
+    import math
+
+    n = len(xs)
+    s1 = sum(xs)
+    s2 = sum(x * x for x in xs)
+    s3 = sum(x**3 for x in xs)
+    s4 = sum(x**4 for x in xs)
+    mu = s1 / n
+    m2 = (s2 - s1 * s1 / n) / n
+    m3 = (s3 - 3 * mu * s2 + 2 * n * mu**3) / n
+    m4 = (s4 - 4 * mu * s3 + 6 * mu**2 * s2 - 3 * n * mu**4) / n
+    d2 = sum((x - mu) ** 2 for x in xs) / n
+    d3 = sum((x - mu) ** 3 for x in xs) / n
+    d4 = sum((x - mu) ** 4 for x in xs) / n
+    scale = max(1.0, abs(d2), abs(d3), abs(d4))
+    assert abs(m2 - d2) / scale < 1e-9
+    assert abs(m3 - d3) / scale < 1e-8
+    assert abs(m4 - d4) / scale < 1e-8
+    if m2 > 1e-9:
+        skew = m3 / m2**1.5
+        exk = m4 / (m2 * m2) - 3
+        jb = n / 6.0 * (skew**2 + exk**2 / 4)
+        assert jb >= 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=2,
+                 max_size=15),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_levene_cross_multiplied_device(groups):
+    """stats_levene_variance restates |x - mean_g| as |n_g*x - S_g| /
+    n_g so the numerators stay exact integers; check the W computed
+    from the (D1, D2) integer sums equals the classic mean-centered
+    Levene W on every input."""
+    zs = []
+    per_group = []
+    for g in groups:
+        ng, sg = len(g), sum(g)
+        d1 = sum(abs(ng * x - sg) for x in g)
+        d2 = sum((ng * x - sg) ** 2 for x in g)
+        # the operator's exact-scalar forms
+        sz = d1 / ng
+        szz = d2 / ng / ng
+        per_group.append((ng, sz, szz))
+        zs.append([abs(x - sg / ng) for x in g])
+    k = len(groups)
+    nt = sum(ng for ng, _, _ in per_group)
+    sz_all = sum(sz for _, sz, _ in per_group)
+    szz_all = sum(szz for _, _, szz in per_group)
+    sb_term = sum(sz * sz / ng for ng, sz, _ in per_group)
+    within = szz_all - sb_term
+    between = sb_term - sz_all * sz_all / nt
+    # classic: one-way ANOVA F on the z_ij deviations
+    zbar_g = [sum(z) / len(z) for z in zs]
+    zbar = sum(sum(z) for z in zs) / nt
+    between_c = sum(len(z) * (zg - zbar) ** 2 for z, zg in zip(zs, zbar_g))
+    within_c = sum(
+        sum((zi - zg) ** 2 for zi in z) for z, zg in zip(zs, zbar_g)
+    )
+    scale = max(1.0, within_c, abs(between_c))
+    assert abs(between - between_c) / scale < 1e-8
+    assert abs(within - within_c) / scale < 1e-8
