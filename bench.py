@@ -151,6 +151,18 @@ HEADLINE = (
     "window_streak_active_days",
     "window_dau_mau_stickiness",
     "analytics_tier_migration",
+    # round 7 session 4: degree assortativity (sixth graph member —
+    # two part-grain joins over the SAME memoized basket-edge frame
+    # triangle counting builds, so in-process marginal cost is the
+    # joins alone), Dunning-LLR collocations (the PMI family's
+    # robust-at-low-counts sibling, same explode+marginal-join
+    # shape), the Z-order locality diagnostic (one scan + distinct
+    # counts over generated Morton keys), and the U-shaped
+    # attribution (user-key window + channel fold)
+    "graph_degree_assortativity",
+    "text_collocation_llr",
+    "layout_zorder_locality",
+    "attribution_position_based",
 )
 
 

@@ -966,3 +966,47 @@ def test_levene_cross_multiplied_device(groups):
     scale = max(1.0, within_c, abs(between_c))
     assert abs(between - between_c) / scale < 1e-8
     assert abs(within - within_c) / scale < 1e-8
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    cx=st.integers(min_value=0, max_value=255),
+    cy=st.integers(min_value=0, max_value=255),
+)
+def test_morton_interleave_is_a_bijection(cx, cy):
+    """layout_zorder_locality's generated interleave SQL must encode a
+    true Morton curve: evaluating the same term structure in Python
+    and de-interleaving recovers (cx, cy) exactly, and the key stays
+    within 16 bits."""
+    z = 0
+    for i in range(8):
+        z |= ((cx >> i) & 1) << (2 * i)
+        z |= ((cy >> i) & 1) << (2 * i + 1)
+    assert 0 <= z < 1 << 16
+    dx = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (dx, dy) == (cx, cy)
+
+
+def test_morton_sql_matches_python_reference(spark):
+    """The SQL text layout_zorder_locality generates must compute the
+    same z as the Python reference, for every 8-bit (cx, cy) pair —
+    evaluated through Spark's parser, the engine that runs it."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.operators.breadth7e import _interleave_sql
+
+    df = (
+        spark.range(0, 256)
+        .select(
+            (F.col("id") % 16 * 17).alias("cx"),
+            ((F.col("id") * 7) % 256).alias("cy"),
+        )
+        .select("cx", "cy", F.expr(_interleave_sql("cx", "cy")).alias("z"))
+    )
+    for cx, cy, z in df.collect():
+        ref = 0
+        for i in range(8):
+            ref |= ((cx >> i) & 1) << (2 * i)
+            ref |= ((cy >> i) & 1) << (2 * i + 1)
+        assert z == ref, (cx, cy, z, ref)
