@@ -166,3 +166,114 @@ def run_pipeline(
             records,
         )
     return records
+
+
+# --------------------------------------------------- backfill runner
+# Airflow's other half-feature the manifest runner didn't cover:
+# CATCHUP. A scheduled daily job that was down for a window needs its
+# missed logical dates re-run — one isolated, idempotent unit per
+# day, skipping days already materialized (Airflow's catchup=True
+# semantics) unless forced. Each day writes through the staged swap
+# into its own day=YYYY-MM-DD directory, so a mid-window failure
+# leaves every other day fresh and a re-run converges; the ledger
+# records per-day attempts with a "skipped" status for idempotent
+# no-ops, which is what lets an operator read "the backfill did
+# nothing because nothing was missing" off the ledger instead of
+# guessing. At 100 TB each day-unit is an independent Spark job over
+# one partition's worth of input — the natural parallelism axis an
+# external scheduler fans out.
+
+
+@dataclass(frozen=True)
+class BackfillRecord:
+    job: str
+    day: str
+    status: str  # "ok" | "skipped" | "failed"
+    rows: int
+    seconds: float
+    error: str | None
+
+
+def run_backfill(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    job: str,
+    days: list[str],
+    build_day: Callable[[SparkSession, str, str], DataFrame],
+    force: bool = False,
+    write_ledger: bool = True,
+) -> list[BackfillRecord]:
+    """Re-run ``build_day(spark, sf_dir, day)`` for every logical day
+    in ``days``, materializing each into ``out_dir/job/day=<day>`` via
+    the crash-safe staged swap. Days whose partition already exists
+    are SKIPPED (catchup semantics) unless ``force``; failures are
+    isolated per day and raised after the sweep (same contract as
+    run_pipeline)."""
+    import os
+
+    from ..sinks import staged_swap
+
+    records: list[BackfillRecord] = []
+    for day in days:
+        path = f"{out_dir}/{job}/day={day}"
+        t0 = time.perf_counter()
+        if not force and os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            records.append(
+                BackfillRecord(job, day, "skipped", parquet_row_count(path),
+                               time.perf_counter() - t0, None)
+            )
+            continue
+        try:
+            staged_swap(build_day(spark, sf_dir, day), path)
+            records.append(
+                BackfillRecord(job, day, "ok", parquet_row_count(path),
+                               time.perf_counter() - t0, None)
+            )
+        except Exception:
+            records.append(
+                BackfillRecord(job, day, "failed", 0,
+                               time.perf_counter() - t0,
+                               traceback.format_exc(limit=-5))
+            )
+    if write_ledger:
+        spark.createDataFrame(
+            [(r.job, r.day, r.status, r.rows, r.seconds, r.error)
+             for r in records],
+            "job STRING, day STRING, status STRING, rows LONG, "
+            "seconds DOUBLE, error STRING",
+        ).coalesce(1).write.mode("append").parquet(
+            f"{out_dir}/_backfill_ledger"
+        )
+    dead = sorted(r.day for r in records if r.status == "failed")
+    if dead:
+        raise PipelineFailure(
+            f"backfill days failed: {dead} (other days are fresh; "
+            f"see {out_dir}/_backfill_ledger)",
+            [],
+        )
+    return records
+
+
+def daily_order_rollup(spark: SparkSession, sf_dir: str, day: str) -> DataFrame:
+    """The canonical backfillable day-unit: one logical day's order
+    rollup (count + DECIMAL revenue per priority). The day filter is a
+    pushable equality predicate — each backfill unit scans only its
+    day at any scale."""
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") == F.lit(day).cast("date"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

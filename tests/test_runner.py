@@ -83,3 +83,78 @@ def test_zero_max_attempts_fails_loudly(spark, tmp_path):
     runner must reject it instead of recording a successful no-op."""
     with pytest.raises(ValueError, match="max_attempts"):
         run_pipeline(spark, SF_SMOKE, str(tmp_path / "wh"), max_attempts=0)
+
+
+def test_backfill_catchup_skips_existing_days(spark, tmp_path):
+    """First backfill materializes every day; a second run over the
+    same window is all 'skipped' no-ops (Airflow catchup semantics)
+    with identical partition contents; force=True re-runs."""
+    from pitlapetl_spark.plans.runner import daily_order_rollup, run_backfill
+
+    out = str(tmp_path / "wh")
+    days = ["1995-01-01", "1995-01-02", "1995-01-03"]
+    first = run_backfill(
+        spark, SF_SMOKE, out, "daily_rollup", days, daily_order_rollup
+    )
+    assert [r.status for r in first] == ["ok"] * 3
+    before = {
+        d: sorted(
+            map(tuple, spark.read.parquet(f"{out}/daily_rollup/day={d}").collect())
+        )
+        for d in days
+    }
+    second = run_backfill(
+        spark, SF_SMOKE, out, "daily_rollup", days, daily_order_rollup
+    )
+    assert [r.status for r in second] == ["skipped"] * 3
+    for d in days:
+        after = sorted(
+            map(tuple, spark.read.parquet(f"{out}/daily_rollup/day={d}").collect())
+        )
+        assert after == before[d]
+    forced = run_backfill(
+        spark, SF_SMOKE, out, "daily_rollup", days[:1], daily_order_rollup,
+        force=True,
+    )
+    assert [r.status for r in forced] == ["ok"]
+    # ledger carries all three sweeps
+    ledger = spark.read.parquet(f"{out}/_backfill_ledger")
+    assert ledger.count() == 7
+
+
+def test_backfill_failure_isolated_per_day(spark, tmp_path):
+    """A day-unit that raises must not poison the other days: healthy
+    days are fresh on disk, the sweep raises AFTER completing, and a
+    rerun heals only the hole."""
+    import pytest as _pytest
+
+    from pitlapetl_spark.plans.runner import (
+        PipelineFailure,
+        daily_order_rollup,
+        run_backfill,
+    )
+
+    out = str(tmp_path / "wh")
+    days = ["1995-01-01", "1995-01-02", "1995-01-03"]
+
+    def flaky(spark_, sf_dir_, day):
+        if day == "1995-01-02":
+            raise RuntimeError("boom")
+        return daily_order_rollup(spark_, sf_dir_, day)
+
+    with _pytest.raises(PipelineFailure, match="1995-01-02"):
+        run_backfill(spark, SF_SMOKE, out, "daily_rollup", days, flaky)
+    import os
+
+    assert os.path.isdir(f"{out}/daily_rollup/day=1995-01-01")
+    assert os.path.isdir(f"{out}/daily_rollup/day=1995-01-03")
+    assert not os.path.isdir(f"{out}/daily_rollup/day=1995-01-02")
+    # the healing rerun: only the hole runs, the rest skip
+    healed = run_backfill(
+        spark, SF_SMOKE, out, "daily_rollup", days, daily_order_rollup
+    )
+    assert {r.day: r.status for r in healed} == {
+        "1995-01-01": "skipped",
+        "1995-01-02": "ok",
+        "1995-01-03": "skipped",
+    }
