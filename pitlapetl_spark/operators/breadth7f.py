@@ -109,3 +109,221 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     ).orderBy("day")
+
+
+# ----------------------------- weekday-adjusted volume anomaly (DQ)
+# The ingestion-volume monitor freshness audits don't cover: is
+# TODAY'S row count anomalous relative to the SAME WEEKDAY's recent
+# history? Raw day-over-day comparisons false-alarm every weekend;
+# conditioning on weekday is the standard fix. Per day: order count
+# vs the trailing mean/std of the previous N same-weekday counts
+# (rows-between window partitioned by weekday), flag |z| > 3. Counts
+# are exact; mean/std come from exact integer window sums via the
+# cross-multiplied variance form; day grain is tiny.
+
+
+VOL_TRAIL = 8  # trailing same-weekday observations
+
+
+@query(
+    "dq_volume_anomaly_weekday",
+    oracle=f"""
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               dayofweek(o_orderdate) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT day, dow, n,
+               CAST(count(*) OVER tw AS BIGINT) AS k,
+               CAST(sum(n) OVER tw AS BIGINT) AS s1,
+               CAST(sum(n * n) OVER tw AS BIGINT) AS s2
+        FROM d
+        WINDOW tw AS (PARTITION BY dow ORDER BY day
+                      ROWS BETWEEN {VOL_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           round(CAST(s1 AS DOUBLE) / k, 6) AS trail_mean,
+           round((n - CAST(s1 AS DOUBLE) / k)
+                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                        / (k - 1)), 6) AS z,
+           CASE WHEN abs((n - CAST(s1 AS DOUBLE) / k)
+                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k)
+                        / (k - 1))) > 3 THEN 1 ELSE 0 END AS is_anomaly
+    FROM w
+    WHERE k >= {VOL_TRAIL}
+      AND (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / k) > 0
+    ORDER BY day
+    """,
+)
+def dq_volume_anomaly_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-conditioned volume anomaly flags (block comment
+    above)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tw = (
+        Window.partitionBy("dow")
+        .orderBy("day")
+        .rowsBetween(-VOL_TRAIL, -1)
+    )
+    w = d.select(
+        "day",
+        "n",
+        F.count(F.lit(1)).over(tw).alias("k"),
+        F.sum("n").over(tw).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("s2"),
+    )
+    k, s1, s2 = F.col("k"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    mean = s1 / k
+    var = (s2 - s1 * F.col("s1") / k) / (k - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        w.filter((k >= VOL_TRAIL) & ((s2 - s1 * F.col("s1") / k) > 0))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(mean, 6).alias("trail_mean"),
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+# ------------------------------- repeat-purchase interval profile
+# Lifecycle-marketing's core input: how long between a customer's
+# consecutive orders? Per customer the lag window yields exact
+# day gaps; the corpus-level profile is exact percentiles over those
+# integer gaps plus the repeat share. Percentiles interpolate over
+# exact integers (Spark percentile == DuckDB quantile_cont — the
+# funnel_conversion_lag precedent); one user-key window + one reduce.
+
+
+@query(
+    "analytics_repeat_interval",
+    oracle="""
+    WITH gaps AS (
+        SELECT date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate,
+                                                         o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    ),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_repeat_orders,
+           round(quantile_cont(gap_days, 0.25), 6) AS gap_p25,
+           round(quantile_cont(gap_days, 0.5), 6) AS gap_p50,
+           round(quantile_cont(gap_days, 0.75), 6) AS gap_p75,
+           round(quantile_cont(gap_days, 0.9), 6) AS gap_p90,
+           round(avg(CAST(gap_days AS DOUBLE)), 6) AS gap_mean
+    FROM g
+    """,
+)
+def analytics_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days-between-consecutive-orders distribution (block comment
+    above)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        )
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_repeat_orders"),
+        F.round(F.expr("percentile(gap_days, 0.25)"), 6).alias("gap_p25"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("gap_p50"),
+        F.round(F.expr("percentile(gap_days, 0.75)"), 6).alias("gap_p75"),
+        F.round(F.expr("percentile(gap_days, 0.9)"), 6).alias("gap_p90"),
+        F.round(F.avg(F.col("gap_days").cast("double")), 6).alias(
+            "gap_mean"
+        ),
+    )
+
+
+# ------------------------------------ vocabulary coverage curve
+# The tokenizer-design question: what share of corpus TOKEN MASS do
+# the top-k vocabulary types cover? (Zipf/Heaps fits estimate the
+# exponent; this measures the operative quantity directly — the
+# curve that decides vocab size.) One token hash agg, a frequency-
+# ordered cumulative window with the (count, word) total-order
+# tiebreak, and the cut-point filter. Integer token counts; shares
+# divide two exact BIGINTs.
+
+
+# cut points sized to the synthetic corpus' 31-type lexicon; a real
+# corpus swaps in (1e3, 1e4, 1e5, 1e6) without touching the plan
+VOCAB_CUTS = (5, 10, 20, 30)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                      '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+    r AS (
+        SELECT c,
+               row_number() OVER (ORDER BY c DESC, w) AS rnk,
+               CAST(sum(c) OVER (ORDER BY c DESC, w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+               CAST(sum(c) OVER () AS BIGINT) AS total,
+               CAST(count(*) OVER () AS BIGINT) AS vocab
+        FROM v
+    )
+    SELECT CAST(rnk AS BIGINT) AS vocab_size, vocab AS total_vocab,
+           cum AS tokens_covered, total AS total_tokens,
+           round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+    FROM r
+    WHERE rnk IN ({', '.join(str(c) for c in VOCAB_CUTS)})
+    ORDER BY vocab_size
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary at fixed cut
+    points (block comment above)."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy()
+        .orderBy(F.desc("c"), F.asc("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    r = v.select(
+        "c",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.desc("c"), F.asc("w"))
+        ).alias("rnk"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("vocab"),
+    )
+    return (
+        r.filter(F.col("rnk").isin(*VOCAB_CUTS))
+        .select(
+            F.col("rnk").cast("bigint").alias("vocab_size"),
+            F.col("vocab").alias("total_vocab"),
+            F.col("cum").alias("tokens_covered"),
+            F.col("total").alias("total_tokens"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("vocab_size")
+    )
