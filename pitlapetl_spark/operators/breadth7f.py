@@ -38,6 +38,53 @@ _BOUND_HI = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
 _BOUND_LO = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
 
 
+def sprt_from_day_counts(d: DataFrame) -> DataFrame:
+    """Shared SPRT tail over a (day, trials, successes) frame — the
+    batch query feeds it the one-pass fact aggregate; the streaming
+    monitor's reader feeds it the fold of its per-batch partials
+    (additive sufficient statistics), so stream and batch are
+    bit-equal by construction."""
+    w = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "day",
+        "trials",
+        "successes",
+        F.sum("successes").over(w).alias("cum_s"),
+        F.sum("trials").over(w).alias("cum_n"),
+    )
+    llr = F.col("cum_s") * _LLR_S + (F.col("cum_n") - F.col("cum_s")) * _LLR_F
+    return c.select(
+        "day",
+        "trials",
+        "successes",
+        "cum_s",
+        "cum_n",
+        F.round(llr, 6).alias("cum_llr"),
+        F.when(llr >= _BOUND_HI, "accept_h1")
+        .when(llr <= _BOUND_LO, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    ).orderBy("day")
+
+
+def sprt_day_counts(events: DataFrame) -> DataFrame:
+    """The additive per-day sufficient statistics (trials,
+    successes) — one map-side-combinable aggregate, shared by the
+    batch query and the streaming monitor's per-batch partials."""
+    return events.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "successes"
+        ),
+    )
+
+
 @query(
     "ab_sequential_sprt",
     oracle=f"""
@@ -76,39 +123,7 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortened decimal rendering would be a different constant on the
     DuckDB side."""
     events = load_table(spark, sf_dir, "events")
-    d = events.groupBy(
-        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
-    ).agg(
-        F.count(F.lit(1)).alias("trials"),
-        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
-            "successes"
-        ),
-    )
-    w = (
-        Window.partitionBy()
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = d.select(
-        "day",
-        "trials",
-        "successes",
-        F.sum("successes").over(w).alias("cum_s"),
-        F.sum("trials").over(w).alias("cum_n"),
-    )
-    llr = F.col("cum_s") * _LLR_S + (F.col("cum_n") - F.col("cum_s")) * _LLR_F
-    return c.select(
-        "day",
-        "trials",
-        "successes",
-        "cum_s",
-        "cum_n",
-        F.round(llr, 6).alias("cum_llr"),
-        F.when(llr >= _BOUND_HI, "accept_h1")
-        .when(llr <= _BOUND_LO, "accept_h0")
-        .otherwise("continue")
-        .alias("decision"),
-    ).orderBy("day")
+    return sprt_from_day_counts(sprt_day_counts(events))
 
 
 # ----------------------------- weekday-adjusted volume anomaly (DQ)

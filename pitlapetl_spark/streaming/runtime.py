@@ -1292,3 +1292,53 @@ def error_rate_wilson_stream(
     from .batch_windows import wilson_error_rate_agg
 
     return wilson_error_rate_agg(events.withWatermark("ts", watermark))
+
+
+# ------------------------------------------- sequential SPRT monitor
+
+
+def run_sprt_sink(
+    events: DataFrame, store_path: str, checkpoint: str
+) -> StreamingQuery:
+    """Streaming sequential-test monitor: every micro-batch folds its
+    events to per-day (trials, successes) PARTIALS — additive
+    sufficient statistics, the run_psi_sink discipline — and writes
+    them to a batch-scoped overwrite partition. The cumulative LLR
+    and Wald decision are computed at READ time by the same
+    ``sprt_from_day_counts`` tail the batch query uses
+    (breadth7f.py), so the monitor's view of the experiment is
+    bit-equal to the batch replay by construction. Replay safety:
+    batch-scoped overwrite, never merge-add."""
+    from ..operators.breadth7f import sprt_day_counts
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sprt_day_counts(batch_df).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/days/batch={batch_id}")
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sprt_decision(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the per-batch day partials and hand the totals to the
+    SAME SPRT tail the batch query uses — identical output columns,
+    bit-equal to ``ab_sequential_sprt`` over the same events."""
+    from ..operators.breadth7f import sprt_from_day_counts
+
+    days = (
+        spark.read.parquet(f"{store_path}/days")
+        .groupBy("day")
+        .agg(
+            F.sum("trials").alias("trials"),
+            F.sum("successes").alias("successes"),
+        )
+    )
+    return sprt_from_day_counts(days)

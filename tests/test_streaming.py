@@ -1224,3 +1224,22 @@ def test_error_rate_wilson_stream_matches_batch(spark, events_stream):
         "error_rate", "wilson_lo", "wilson_hi",
     ]
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_sprt_sink_bit_equal_to_batch(spark, events_stream, tmp_path):
+    """The streaming SPRT monitor folds per-batch day partials
+    through the SAME tail as the batch query — the full decision
+    trail must be bit-equal to ab_sequential_sprt over the same
+    events."""
+    store = str(tmp_path / "sprt_store")
+    q = runtime.run_sprt_sink(
+        events_stream, store, str(tmp_path / "ck_sprt")
+    )
+    q.awaitTermination(120)
+    got = runtime.read_sprt_decision(spark, store)
+    want = registry.QUERIES["ab_sequential_sprt"](spark, SF_SMOKE)
+    cols = [
+        "day", "trials", "successes", "cum_s", "cum_n",
+        "cum_llr", "decision",
+    ]
+    assert _rows(got, *cols) == _rows(want, *cols)
