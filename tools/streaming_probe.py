@@ -133,7 +133,7 @@ def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) ->
     batches instead of events."""
     from pitlapetl_spark.streaming.runtime import (
         read_events_stream, run_cusum_sink, run_kanonymity_sink,
-        run_oov_sink, run_psi_sink,
+        run_oov_sink, run_psi_sink, run_sprt_sink,
     )
 
     if kind in ("kanon", "oov"):
@@ -167,6 +167,8 @@ def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) ->
         t0 = time.perf_counter()
         if kind == "cusum":
             q = run_cusum_sink(stream, f"{tmp}/store", f"{tmp}/ckpt")
+        elif kind == "sprt":
+            q = run_sprt_sink(stream, f"{tmp}/store", f"{tmp}/ckpt")
         else:
             ref = spark.read.parquet(f"{src}/b0")
             q = run_psi_sink(stream, ref, f"{tmp}/store", f"{tmp}/ckpt")
