@@ -374,7 +374,8 @@ def stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d AS (
         SELECT grp, n,
-               CAST(sum(abs(dev)) AS BIGINT) AS d1,
+               CAST(sum(CAST(abs(dev) AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS d1,
                CAST(sum(CAST(dev AS DECIMAL(19,0))
                         * CAST(dev AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS d2
         FROM (
@@ -424,7 +425,9 @@ def stats_levene_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(g), "grp")
         .groupBy("grp", "n")
         .agg(
-            F.sum(F.abs(dev)).alias("d1"),
+            F.sum(F.abs(dev).cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("d1"),
             F.sum(dev_dec * dev_dec).cast("decimal(38,0)").alias("d2"),
         )
     )

@@ -104,12 +104,15 @@ def sprt_day_counts(events: DataFrame) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT day, trials, successes, cum_s, cum_n,
-           round(cum_s * {_LLR_S!r} + (cum_n - cum_s) * {_LLR_F!r}, 6)
+           round(cum_s * CAST({_LLR_S!r} AS DOUBLE)
+                 + (cum_n - cum_s) * CAST({_LLR_F!r} AS DOUBLE), 6)
                AS cum_llr,
-           CASE WHEN cum_s * {_LLR_S!r} + (cum_n - cum_s) * {_LLR_F!r}
-                     >= {_BOUND_HI!r} THEN 'accept_h1'
-                WHEN cum_s * {_LLR_S!r} + (cum_n - cum_s) * {_LLR_F!r}
-                     <= {_BOUND_LO!r} THEN 'accept_h0'
+           CASE WHEN cum_s * CAST({_LLR_S!r} AS DOUBLE)
+                     + (cum_n - cum_s) * CAST({_LLR_F!r} AS DOUBLE)
+                     >= CAST({_BOUND_HI!r} AS DOUBLE) THEN 'accept_h1'
+                WHEN cum_s * CAST({_LLR_S!r} AS DOUBLE)
+                     + (cum_n - cum_s) * CAST({_LLR_F!r} AS DOUBLE)
+                     <= CAST({_BOUND_LO!r} AS DOUBLE) THEN 'accept_h0'
                 ELSE 'continue' END AS decision
     FROM c ORDER BY day
     """,
@@ -118,10 +121,12 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily SPRT audit trail: cumulative log-likelihood ratio of the
     purchase rate against H0 p={SPRT_P0} vs H1 p={SPRT_P1}, with
     Wald's boundaries at alpha={SPRT_ALPHA}, beta={SPRT_BETA}
-    (block comment above). The !r-formatted float literals guarantee
-    the oracle carries the EXACT same doubles Python computed — a
-    shortened decimal rendering would be a different constant on the
-    DuckDB side."""
+    (block comment above). The !r-formatted float literals are wrapped
+    in CAST(... AS DOUBLE) on the oracle side: !r preserves the exact
+    decimal rendering, and the CAST stops DuckDB from typing the bare
+    literal DECIMAL(37,17) and computing the whole LLR in exact
+    decimal while Spark computes doubles (the breadth7d lifts-CTE
+    trap, caught again by review)."""
     events = load_table(spark, sf_dir, "events")
     return sprt_from_day_counts(sprt_day_counts(events))
 

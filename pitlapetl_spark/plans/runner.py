@@ -249,10 +249,13 @@ def run_backfill(
         )
     dead = sorted(r.day for r in records if r.status == "failed")
     if dead:
+        # carry the full sweep records per PipelineFailure's contract
+        # (callers report what DID run — review catch: an empty list
+        # here lost the 29 healthy days of a 30-day sweep)
         raise PipelineFailure(
             f"backfill days failed: {dead} (other days are fresh; "
             f"see {out_dir}/_backfill_ledger)",
-            [],
+            records,
         )
     return records
 

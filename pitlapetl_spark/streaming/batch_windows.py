@@ -229,7 +229,10 @@ def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # date-keyed batch query, keyed on the streaming F.window instead of
 # the calendar string so late data merges into the right pane.
 
-_WILSON_Z_STREAM = 1.959964
+# single source for the z constant: the batch audit's module
+# (review catch: a copy-pasted twin constant can be retuned on one
+# side only, silently breaking the documented twin relationship)
+from ..operators.breadth7d import _WILSON_Z as _WILSON_Z_STREAM
 
 
 def wilson_error_rate_agg(events: DataFrame) -> DataFrame:

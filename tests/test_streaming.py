@@ -1243,3 +1243,23 @@ def test_sprt_sink_bit_equal_to_batch(spark, events_stream, tmp_path):
         "cum_llr", "decision",
     ]
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_wilson_day_audit_equals_windowed_twin(spark):
+    """dq_error_rate_wilson (date-keyed batch audit) and
+    stream_error_rate_wilson (window-keyed streaming twin) must agree
+    on every day's (n, k, rate, bounds) — the test that makes the
+    shared-z-constant twin relationship enforceable instead of
+    documented (review catch: the z constant was previously
+    copy-pasted)."""
+    import pyspark.sql.functions as F
+
+    day_audit = registry.QUERIES["dq_error_rate_wilson"](spark, SF_SMOKE)
+    windowed = registry.QUERIES["stream_error_rate_wilson"](
+        spark, SF_SMOKE
+    ).select(
+        F.date_format(F.to_date("window_start"), "yyyy-MM-dd").alias("day"),
+        "n", "k", "error_rate", "wilson_lo", "wilson_hi",
+    )
+    cols = ["day", "n", "k", "error_rate", "wilson_lo", "wilson_hi"]
+    assert _rows(day_audit, *cols) == _rows(windowed, *cols)

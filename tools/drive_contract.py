@@ -30,18 +30,9 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
-def canon_hash(df: pd.DataFrame) -> str:
-    cols = sorted(df.columns)
-    d = df[cols].copy()
-    for c in cols:
-        if d[c].dtype == object:
-            d[c] = d[c].astype(str)
-        elif str(d[c].dtype).startswith("float"):
-            d[c] = d[c].round(9)
-        elif str(d[c].dtype).startswith("datetime64[ns,"):
-            d[c] = d[c].dt.tz_localize(None)
-    rows = sorted(repr(tuple(r)) for r in d.itertuples(index=False, name=None))
-    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+import os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from contract_canon import canon_hash  # shared with parity_subset.py
 
 qs, oracles = e.queries(), e.oracle_sql()
 fails, results = [], {}

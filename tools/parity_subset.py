@@ -1,11 +1,15 @@
 """Run the drive_contract parity comparison for a NAMED SUBSET of
 queries (CLI args), for fast iteration on new operators. Same
 comparison as tools/drive_contract.py; writes nothing."""
-import sys, hashlib
-sys.path.insert(0, "/root/repo")
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb
-import pandas as pd
 from pyspark.sql import SparkSession
+
+from contract_canon import canon_rows  # THE contract comparison rules
 
 names = sys.argv[1:]
 spark = (SparkSession.builder.master("local[8]")
@@ -26,25 +30,13 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
-def canon(df: pd.DataFrame):
-    cols = sorted(df.columns)
-    d = df[cols].copy()
-    for c in cols:
-        if d[c].dtype == object:
-            d[c] = d[c].astype(str)
-        elif str(d[c].dtype).startswith("float"):
-            d[c] = d[c].round(9)
-        elif str(d[c].dtype).startswith("datetime64[ns,"):
-            d[c] = d[c].dt.tz_localize(None)
-    return sorted(repr(tuple(r)) for r in d.itertuples(index=False, name=None))
-
 qs, oracles = all_queries(), all_oracles()
 fails = []
 for name in names:
     try:
         sdf = qs[name](spark, SF).toPandas()
         odf = con.execute(oracles[name]).df()
-        sc, oc = canon(sdf), canon(odf)
+        sc, oc = canon_rows(sdf), canon_rows(odf)
         ok = sc == oc and sorted(sdf.columns) == sorted(odf.columns)
         print(f"{name}: {'OK' if ok else 'FAIL'} ({len(sdf)} vs {len(odf)} rows)")
         if not ok:
