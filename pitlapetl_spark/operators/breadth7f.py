@@ -347,3 +347,86 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ----------------------------------- AUC-ROC via exact rank sums
+# The model-eval twin of ml_calibration_reliability: treating the
+# quoted score as a ranking, what is the probability a returned item
+# outranks a kept one? AUC computed through the Mann-Whitney rank-sum
+# identity with midrank tie correction, in PURE INTEGERS: per score
+# level, doubled-midrank m2 = 2*(rows before) + (rows here) + 1 is an
+# exact odd integer, the positives' doubled rank sum folds in BIGINT,
+# and AUC = (sum2R_pos - n1*(n1+1)) / (2*n1*n0) divides two exact
+# integers once. Gini = 2*AUC - 1 rides along. One score-level hash
+# agg (11 rows here; any real score discretizes the same way) + a
+# cumulative window + a 1-row reduce.
+
+
+@query(
+    "ml_auc_roc_rank",
+    oracle="""
+    WITH g AS (
+        SELECT l_discount AS s,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(CASE WHEN l_returnflag = 'R' THEN 1 END)
+                    AS BIGINT) AS pos
+        FROM lineitem GROUP BY 1
+    ),
+    r AS (
+        SELECT pos, cnt,
+               CAST(2 * coalesce(sum(cnt) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + cnt + 1 AS BIGINT) AS m2
+        FROM g
+    ),
+    m AS (
+        SELECT CAST(sum(pos * m2) AS BIGINT) AS sum2r_pos,
+               CAST(sum(pos) AS BIGINT) AS n1,
+               CAST(sum(cnt - pos) AS BIGINT) AS n0
+        FROM r
+    )
+    SELECT n1 AS n_positive, n0 AS n_negative,
+           round(CAST(sum2r_pos - n1 * (n1 + 1) AS DOUBLE)
+                 / (2.0 * n1 * n0), 6) AS auc,
+           round(CAST(sum2r_pos - n1 * (n1 + 1) AS DOUBLE)
+                 / (1.0 * n1 * n0) - 1, 6) AS gini
+    FROM m
+    """,
+)
+def ml_auc_roc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected AUC-ROC from exact integer rank sums (block
+    comment above)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.col("l_discount").alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("pos"),
+    )
+    w_before = (
+        Window.partitionBy()
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "pos",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w_before), F.lit(0))
+            + F.col("cnt")
+            + 1
+        )
+        .cast("bigint")
+        .alias("m2"),
+    )
+    m = r.agg(
+        F.sum(F.col("pos") * F.col("m2")).alias("sum2r_pos"),
+        F.sum("pos").alias("n1"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    num = (F.col("sum2r_pos") - n1 * (n1 + 1)).cast("double")
+    return m.select(
+        n1.alias("n_positive"),
+        n0.alias("n_negative"),
+        F.round(num / (2.0 * n1 * n0), 6).alias("auc"),
+        F.round(num / (1.0 * n1 * n0) - 1, 6).alias("gini"),
+    )
