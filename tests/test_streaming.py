@@ -1263,3 +1263,27 @@ def test_wilson_day_audit_equals_windowed_twin(spark):
     )
     cols = ["day", "n", "k", "error_rate", "wilson_lo", "wilson_hi"]
     assert _rows(day_audit, *cols) == _rows(windowed, *cols)
+
+
+def test_sprt_sink_replay_safe(spark, events_stream, tmp_path):
+    """Restarting the SPRT sink from the same checkpoint must not
+    double-count: batch partials are batch-scoped overwrites, so a
+    replayed batch lands on the same partition and the decision trail
+    is unchanged."""
+    store = str(tmp_path / "sprt_store")
+    ck = str(tmp_path / "ck_sprt")
+    q = runtime.run_sprt_sink(events_stream, store, ck)
+    q.awaitTermination(120)
+    first = _rows(
+        runtime.read_sprt_decision(spark, store),
+        "day", "cum_s", "cum_n", "decision",
+    )
+    # second start from the SAME checkpoint: nothing new to process,
+    # and any replayed batch overwrites its own partition
+    q2 = runtime.run_sprt_sink(events_stream, store, ck)
+    q2.awaitTermination(120)
+    second = _rows(
+        runtime.read_sprt_decision(spark, store),
+        "day", "cum_s", "cum_n", "decision",
+    )
+    assert first == second
