@@ -430,3 +430,154 @@ def ml_auc_roc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / (2.0 * n1 * n0), 6).alias("auc"),
         F.round(num / (1.0 * n1 * n0) - 1, 6).alias("gini"),
     )
+
+
+# ------------------------------------- exact rolling median window
+# Spark has no median window function — the canonical workaround is
+# collect_list over the frame, sort_array, and index the middle,
+# which is EXACT and deterministic (the array is sorted, so
+# collect_list's arrival order cannot leak). Rolling 7-day median of
+# daily revenue in integer cents: odd/even middles average two exact
+# integers (a .5-exact double), the day grain is tiny, and the
+# window is rows-based so the frame never grows with volume — at
+# 100 TB the fact scan feeding the day aggregate is the only volume
+# term (the approx_percentile window is the drop-in once the frame
+# itself is fact-sized).
+
+
+ROLL_MED_N = 7
+
+
+@query(
+    "window_rolling_median",
+    oracle=f"""
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT day, cents,
+               CAST(count(*) OVER tw AS BIGINT) AS k,
+               median(cents) OVER tw AS med_cents
+        FROM d
+        WINDOW tw AS (ORDER BY day
+                      ROWS BETWEEN {ROLL_MED_N - 1} PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(cents / 100.0, 2) AS revenue,
+           round(med_cents / 100.0, 2) AS rolling_median
+    FROM w WHERE k = {ROLL_MED_N} ORDER BY day
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {ROLL_MED_N}-day rolling median of daily revenue (block
+    comment above)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    tw = (
+        Window.partitionBy()
+        .orderBy("day")
+        .rowsBetween(-(ROLL_MED_N - 1), Window.currentRow)
+    )
+    vals = F.sort_array(F.collect_list("cents").over(tw))
+    n = F.size(vals)
+    # exact median of the sorted frame: average of the two middle
+    # elements (identical when the frame length is odd)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, ((n + 2) / 2).cast("int"))
+    med = (lo + hi) / 2.0
+    w = d.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(tw).alias("k"),
+        med.alias("med_cents"),
+    )
+    return (
+        w.filter(F.col("k") == ROLL_MED_N)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("med_cents") / 100.0, 2).alias("rolling_median"),
+        )
+        .orderBy("day")
+    )
+
+
+# ------------------------------- Matthews correlation (confusion)
+# The third member of the eval family (calibration table, AUC): the
+# single-threshold confusion summary scored by MCC — the balanced
+# metric that stays honest under class imbalance where accuracy and
+# F1 mislead. Same deterministic score/outcome columns as its
+# siblings (discount >= 0.05 predicts a return); the four confusion
+# cells are exact integers and MCC's products run in DECIMAL before
+# ONE double sqrt (int64 would overflow at n ~ 3e9 rows: n_pos*n_neg
+# products — the Levene d1 lesson applied ahead of time).
+
+
+@query(
+    "ml_mcc_confusion",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(count(CASE WHEN pred = 1 AND y = 1 THEN 1 END) AS BIGINT) AS tp,
+               CAST(count(CASE WHEN pred = 1 AND y = 0 THEN 1 END) AS BIGINT) AS fp,
+               CAST(count(CASE WHEN pred = 0 AND y = 1 THEN 1 END) AS BIGINT) AS fn,
+               CAST(count(CASE WHEN pred = 0 AND y = 0 THEN 1 END) AS BIGINT) AS tn
+        FROM (
+            SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS pred,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem
+        )
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                      - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+                 / sqrt(CAST(CAST(tp + fp AS DECIMAL(38,0))
+                             * (tp + fn) * (tn + fp) * (tn + fn)
+                             AS DOUBLE)), 6) AS mcc,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+               AS accuracy
+    FROM c
+    """,
+)
+def ml_mcc_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation over the threshold confusion matrix
+    (block comment above)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    c = li.select(pred.alias("pred"), y.alias("y")).agg(
+        F.count(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1)).alias("tp"),
+        F.count(F.when((F.col("pred") == 1) & (F.col("y") == 0), 1)).alias("fp"),
+        F.count(F.when((F.col("pred") == 0) & (F.col("y") == 1), 1)).alias("fn"),
+        F.count(F.when((F.col("pred") == 0) & (F.col("y") == 0), 1)).alias("tn"),
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn, tn = F.col("fn"), F.col("tn")
+    num = (
+        tp.cast("decimal(38,0)") * tn - fp.cast("decimal(38,0)") * fn
+    ).cast("double")
+    den = F.sqrt(
+        (
+            (tp + fp).cast("decimal(38,0)")
+            * (tp + fn)
+            * (tn + fp)
+            * (tn + fn)
+        ).cast("double")
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(num / den, 6).alias("mcc"),
+        F.round(
+            (tp + tn).cast("double") / (tp + fp + fn + tn), 6
+        ).alias("accuracy"),
+    )

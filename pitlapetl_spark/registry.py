@@ -233,7 +233,7 @@ _PRIORITY: tuple[str, ...] = (
     # Wilson twin) — queue behind (e) for their first driver row, in
     # ship order. Ledger arithmetic after session 4: the 50-slot
     # round-7 window is unchanged — (a) 19 + (b) 23 + the first 8
-    # r2-era rows; everything from (d) onward (3 + 9 + 28 = 40 new
+    # r2-era rows; everything from (d) onward (3 + 9 + 30 = 42 new
     # never-verified queries) spills to round 8, where the standing
     # never-verified-first policy queues them AHEAD of the remaining
     # 34 r2-era refreshes.
@@ -265,6 +265,8 @@ _PRIORITY: tuple[str, ...] = (
     "analytics_repeat_interval",
     "text_vocab_coverage",
     "ml_auc_roc_rank",
+    "window_rolling_median",
+    "ml_mcc_confusion",
 )
 
 
