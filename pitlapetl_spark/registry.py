@@ -89,92 +89,81 @@ _loaded = False
 # are yielded FIRST, in this order; everything else follows in
 # registration order.
 #
-# Round-7 policy (VERDICT.md r6 "Next round" item 1, and the pinned
-# ledger written at the end of round 6): after round 6 the evidence
-# board reads — 19 session-3 queries NEVER driver-verified (their only
-# evidence is local value-level parity), ~42 queries r2-era, everything
-# else r3+. The 50 slots therefore go: (a) the 19 never-verified
-# session-3 queries (never-verified outranks stale-verified, the
-# standing call since r4), then (b) queries NEW in round 7 (also
-# never-verified; queued after (a) because (a) is older debt and was
-# explicitly pinned by the r6 ledger to lead), then (c) the r2-era
-# cohort in ledger order, oldest evidence first. Arithmetic: with
-# N_new round-7 queries, the window covers (a) 19 + (b) N_new +
-# (c) the first 31 - N_new r2-era rows; the remaining ~11 + N_new
-# r2-era rows spill to round 8, where they lead. Done-state this
-# round: zero never-verified queries from rounds <= 6, and every new
-# round-7 operator has a first driver row.
-#
-# Session-1 final arithmetic: cohort (b) grew to 23 (1 late-r6
-# straggler + 22 new operators), so the 50-slot window = 19 + 23 +
-# the first 8 r2-era rows (job_race_results .. json_corrupt_
-# quarantine); the remaining 34 r2-era rows spill to round 8 and
-# lead its rotation per the standing oldest-evidence-first policy.
+# Round-8 policy (VERDICT.md r7 "Next round" item 1, and the ledger
+# arithmetic pinned at the end of round 7): after round 7 the evidence
+# board reads — 42 queries NEVER driver-verified (cohorts (d)/(e)/(f)
+# below: 3 late session-1 + 9 session-2 + 30 session-4 round-7
+# additions, every one green in local value-level parity), 34 queries
+# r2-era (the r7 window refreshed the first 8: job_race_results ..
+# json_corrupt_quarantine, which therefore drop off this ledger), and
+# everything else r3+. The 50 slots go: (d)+(e)+(f) = 42
+# never-verified first (the standing never-verified-outranks-stale
+# policy, in force since r4), then (g) queries NEW in round 8 (also
+# never-verified; grown in place as sessions add operators), then (h)
+# the r2-era refresh queue in ledger order, oldest evidence first.
+# Arithmetic: with N_new round-8 queries the window = 42 + min(8,
+# N_new) cohort-(g) rows + max(0, 8 - N_new) r2-era refreshes;
+# everything past slot 50 spills to round 9, where never-verified
+# again leads. With N_new = 0 this is exactly VERDICT r7's pinned
+# window — the 42 plus the next 8 r2-era rows
+# (pipeline_pretrain_filter .. pandas_udf_normalize) — and 26 r2-era
+# refreshes spill to round 9. Done-state this round: zero
+# never-verified queries from rounds <= 7 remain.
 _PRIORITY: tuple[str, ...] = (
-    # (a) session-3 (round 6) queries with no driver row yet — the
-    # r6 ledger pinned these 19 to lead round 7 (VERDICT r6 item 1)
-    "graph_kcore_decomposition",
-    "sim_quantize_int8",
-    "dedup_containment_capped",
-    "sample_neyman_allocation",
-    "analytics_herfindahl_market",
-    "text_bm25_search",
-    "privacy_k_anonymity",
-    "analytics_theil_decomposition",
-    "dedup_jaccard_prefix_filter",
-    "ml_theil_sen_trend",
-    "ts_forecast_baseline_mase",
-    "rec_item_item_cosine",
-    "ab_cuped_adjustment",
-    "ml_conformal_interval",
-    "stats_diff_in_diff",
-    "text_oov_rate",
-    "seq_markov_next_event",
-    "graph_hits_authorities",
-    "pipeline_release_waterfall",
-    # (b) never-verified stragglers + new in round 7 — zero driver
-    # evidence by construction. (grown in place as round-7 sessions
-    # add operators)
-    "analytics_cohort_ltv_curve",  # registered late in r6, missed the
-    # last parity run; its .00005 rounding-boundary defect was caught
-    # and fixed first thing in round 7 (funnel.py block comment)
-    "funnel_windowed_steps",  # new r7: per-transition time-window
-    # funnel (VERDICT r6 item 7)
-    # new r7 breadth (breadth7.py + community.py):
-    "stats_kendall_tau",
-    "stats_anova_oneway",
-    "ts_autocorrelation_acf",
-    "window_rolling_distinct_users",
-    "graph_clustering_coefficient",
-    "privacy_l_diversity",
-    "mix_temperature_sampling",
-    "sample_balanced_class_downsample",
-    "ts_exp_smoothing",
-    "window_dau_mau_stickiness",
-    "dedup_lsh_scurve_planner",
-    "analytics_tier_migration",
-    "window_streak_active_days",
-    "sim_knn_graph_bucketed",
-    "stats_cramers_v",
-    "analytics_woe_iv",
-    "text_bpe_train_merges",
-    "rec_als_factorization",
-    "geo_nearest_supplier",
-    "analytics_audience_overlap",
-    "ml_decision_stump_gini",
-    # (c) the r2-era cohort, in the order the r5/r6 ledger queued it.
-    # The first 31 - len(b) fit the 50-slot window; the rest spill to
-    # round 8 — where they queue BEHIND the (d)-(f) never-verified
-    # round-7 additions, per the standing never-verified-outranks-
-    # stale policy (see the (f) arithmetic note below).
-    "job_race_results",
-    "job_qualifying_results",
-    "job_practice_laps",
-    "job_schedule",
-    "job_driver_standings",
-    "job_constructor_standings",
-    "rest_driver_standings",
-    "json_corrupt_quarantine",
+    # (d) late session-1 round-7 additions — queued for round 8 by the
+    # r7 ledger; first driver row due now
+    "ops_ship_latency_trend",
+    "dq_freshness_audit",
+    "stats_qq_deciles",
+    # (e) session-2 round-7 additions (breadth7b.py), ship order
+    "stats_benford_first_digit",
+    "stats_welch_ttest",
+    "analytics_abc_pareto",
+    "analytics_new_vs_returning",
+    "privacy_t_closeness",
+    "graph_jaccard_linkpred",
+    "stats_fdr_bh",
+    "ml_ridge_closed_form",
+    "ml_isotonic_calibration",
+    # (f) session-4 round-7 additions (breadth7c/7d/7e/7f.py + the
+    # streaming Wilson twin), ship order
+    "ab_srm_check",
+    "attribution_position_based",
+    "analytics_price_volume_bridge",
+    "stats_jarque_bera",
+    "stats_levene_variance",
+    "stats_runs_test",
+    "graph_degree_assortativity",
+    "ml_pca_2d_closed_form",
+    "ml_calibration_reliability",
+    "dq_referential_integrity",
+    "seq_user_path_topk",
+    "text_collocation_llr",
+    "survival_nelson_aalen",
+    "stats_permutation_test",
+    "privacy_dp_count_laplace",
+    "ab_power_two_proportions",
+    "window_bounce_rate_daily",
+    "dq_order_total_reconciliation",
+    "analytics_net_revenue_retention",
+    "dq_error_rate_wilson",
+    "stream_error_rate_wilson",
+    "layout_zorder_locality",
+    "ml_cohens_kappa_langid",
+    "ab_sequential_sprt",
+    "dq_volume_anomaly_weekday",
+    "analytics_repeat_interval",
+    "text_vocab_coverage",
+    "ml_auc_roc_rank",
+    "window_rolling_median",
+    "ml_mcc_confusion",
+    # (g) new in round 8 — grown in place as sessions add operators;
+    # each displaces one r2-era refresh from the 50-slot window (see
+    # the arithmetic note above)
+    # (h) the r2-era refresh queue (oldest driver evidence on the
+    # board), ledger order; the first 26 - max(0, N_new - 8) that fit
+    # past the never-verified cohorts get refreshed this round, the
+    # rest lead round 9's refresh tail
     "pipeline_pretrain_filter",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard_capped",
@@ -209,64 +198,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_tfidf_top_term",
     "text_token_stats",
     "window_ntile_distribution",
-    # (d) late session-1 additions, deliberately queued BEHIND cohort
-    # (c): cohort (b) was capped at 23 so the round-7 window keeps 8
-    # r2-era refreshes (the verdict ordered refreshes too); these
-    # three get their first driver row in round 8, where never-
-    # verified again leads.
-    "ops_ship_latency_trend",
-    "dq_freshness_audit",
-    "stats_qq_deciles",
-    # (e) session-2 additions (breadth7b.py) — same deal as (d): the
-    # round-7 window is already spoken for, so these queue here for
-    # their first driver row in round 8 behind (d), in ship order.
-    "stats_benford_first_digit",
-    "stats_welch_ttest",
-    "analytics_abc_pareto",
-    "analytics_new_vs_returning",
-    "privacy_t_closeness",
-    "graph_jaccard_linkpred",
-    "stats_fdr_bh",
-    "ml_ridge_closed_form",
-    "ml_isotonic_calibration",
-    # (f) session-4 additions (breadth7c/7d/7e/7f.py + the streaming
-    # Wilson twin) — queue behind (e) for their first driver row, in
-    # ship order. Ledger arithmetic after session 4: the 50-slot
-    # round-7 window is unchanged — (a) 19 + (b) 23 + the first 8
-    # r2-era rows; everything from (d) onward (3 + 9 + 30 = 42 new
-    # never-verified queries) spills to round 8, where the standing
-    # never-verified-first policy queues them AHEAD of the remaining
-    # 34 r2-era refreshes.
-    "ab_srm_check",
-    "attribution_position_based",
-    "analytics_price_volume_bridge",
-    "stats_jarque_bera",
-    "stats_levene_variance",
-    "stats_runs_test",
-    "graph_degree_assortativity",
-    "ml_pca_2d_closed_form",
-    "ml_calibration_reliability",
-    "dq_referential_integrity",
-    "seq_user_path_topk",
-    "text_collocation_llr",
-    "survival_nelson_aalen",
-    "stats_permutation_test",
-    "privacy_dp_count_laplace",
-    "ab_power_two_proportions",
-    "window_bounce_rate_daily",
-    "dq_order_total_reconciliation",
-    "analytics_net_revenue_retention",
-    "dq_error_rate_wilson",
-    "stream_error_rate_wilson",
-    "layout_zorder_locality",
-    "ml_cohens_kappa_langid",
-    "ab_sequential_sprt",
-    "dq_volume_anomaly_weekday",
-    "analytics_repeat_interval",
-    "text_vocab_coverage",
-    "ml_auc_roc_rank",
-    "window_rolling_median",
-    "ml_mcc_confusion",
 )
 
 

@@ -50,49 +50,67 @@ def test_registry_size_and_oracle_coverage():
     assert not stale, f"oracles without queries: {sorted(stale)}"
 
 
-def test_round7_rotation_window_composition():
-    """The round-7 driver window (first 50 names) must follow the
-    pinned ledger (registry._PRIORITY comment): the 19 never-verified
-    session-3 queries lead, any new round-7 queries follow, and the
-    r2-era cohort (oldest driver evidence on the board) fills the
-    window in ledger order — an accidental reorder or insertion would
-    silently spend verification slots differently than the documented
-    policy."""
+def test_round8_rotation_window_composition():
+    """The round-8 driver window (first 50 names) must follow the
+    pinned ledger (registry._PRIORITY comment): the 42 never-verified
+    round-7 cohort-(d)/(e)/(f) queries lead, any new round-8
+    cohort-(g) queries follow, and the r2-era refresh queue (oldest
+    driver evidence) fills the window in ledger order — an accidental
+    reorder or insertion would silently spend verification slots
+    differently than the documented policy."""
     first50 = list(registry.all_queries())[:50]
-    # cohort (a): the 19 session-3 queries, exactly and in order
-    assert first50[:19] == [
-        "graph_kcore_decomposition",
-        "sim_quantize_int8",
-        "dedup_containment_capped",
-        "sample_neyman_allocation",
-        "analytics_herfindahl_market",
-        "text_bm25_search",
-        "privacy_k_anonymity",
-        "analytics_theil_decomposition",
-        "dedup_jaccard_prefix_filter",
-        "ml_theil_sen_trend",
-        "ts_forecast_baseline_mase",
-        "rec_item_item_cosine",
-        "ab_cuped_adjustment",
-        "ml_conformal_interval",
-        "stats_diff_in_diff",
-        "text_oov_rate",
-        "seq_markov_next_event",
-        "graph_hits_authorities",
-        "pipeline_release_waterfall",
+    # cohorts (d)+(e)+(f): the 42 never-driver-verified round-7
+    # queries, exactly and in order
+    never_verified = [
+        "ops_ship_latency_trend",
+        "dq_freshness_audit",
+        "stats_qq_deciles",
+        "stats_benford_first_digit",
+        "stats_welch_ttest",
+        "analytics_abc_pareto",
+        "analytics_new_vs_returning",
+        "privacy_t_closeness",
+        "graph_jaccard_linkpred",
+        "stats_fdr_bh",
+        "ml_ridge_closed_form",
+        "ml_isotonic_calibration",
+        "ab_srm_check",
+        "attribution_position_based",
+        "analytics_price_volume_bridge",
+        "stats_jarque_bera",
+        "stats_levene_variance",
+        "stats_runs_test",
+        "graph_degree_assortativity",
+        "ml_pca_2d_closed_form",
+        "ml_calibration_reliability",
+        "dq_referential_integrity",
+        "seq_user_path_topk",
+        "text_collocation_llr",
+        "survival_nelson_aalen",
+        "stats_permutation_test",
+        "privacy_dp_count_laplace",
+        "ab_power_two_proportions",
+        "window_bounce_rate_daily",
+        "dq_order_total_reconciliation",
+        "analytics_net_revenue_retention",
+        "dq_error_rate_wilson",
+        "stream_error_rate_wilson",
+        "layout_zorder_locality",
+        "ml_cohens_kappa_langid",
+        "ab_sequential_sprt",
+        "dq_volume_anomaly_weekday",
+        "analytics_repeat_interval",
+        "text_vocab_coverage",
+        "ml_auc_roc_rank",
+        "window_rolling_median",
+        "ml_mcc_confusion",
     ]
-    # cohorts (b)+(c) fill the rest of the window: every remaining
-    # slot is either a round-7-new query (no driver row by
-    # construction) or drawn from the r2-era ledger in order
+    assert first50[:42] == never_verified
+    # the remaining 8 slots: each is either a round-8 cohort-(g) entry
+    # (listed in _PRIORITY between the never-verified block and the
+    # r2-era queue) or drawn from the r2-era refresh queue, in ledger
+    # order as a prefix of the queue
     r2_era_ledger = [
-        "job_race_results",
-        "job_qualifying_results",
-        "job_practice_laps",
-        "job_schedule",
-        "job_driver_standings",
-        "job_constructor_standings",
-        "rest_driver_standings",
-        "json_corrupt_quarantine",
         "pipeline_pretrain_filter",
         "dedup_embedding_cosine",
         "dedup_ngram_jaccard_capped",
@@ -128,17 +146,16 @@ def test_round7_rotation_window_composition():
         "text_token_stats",
         "window_ntile_distribution",
     ]
-    tail = first50[19:]
+    tail = first50[42:]
     r2_in_window = [n for n in tail if n in r2_era_ledger]
-    # r2-era names appear in ledger order, as a prefix of the ledger
     assert r2_in_window == r2_era_ledger[: len(r2_in_window)]
-    # and everything else in the window is a round-7 cohort-(b) entry,
+    # everything else in the window is a round-8 cohort-(g) entry,
     # i.e. listed in _PRIORITY between the two pinned cohorts
-    cohort_b = [
-        n
-        for n in tail
-        if n not in r2_era_ledger
-    ]
+    cohort_g = [n for n in tail if n not in r2_era_ledger]
     pri = list(registry._PRIORITY)
-    for name in cohort_b:
-        assert 19 <= pri.index(name) < pri.index("job_race_results"), name
+    for name in cohort_g:
+        assert (
+            pri.index("ml_mcc_confusion")
+            < pri.index(name)
+            < pri.index("pipeline_pretrain_filter")
+        ), name
