@@ -201,18 +201,50 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "timing": "min_of_3",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "timing": "min_of_3",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # The complete per-query map always lands in BENCH_FULL.json at
+    # the repo root (committed per round) — the round-over-round
+    # regression triage reads THIS file, never the driver tail.
+    Path(_REPO, "BENCH_FULL.json").write_text(json.dumps(result, indent=1))
+    print(_driver_line(result))
+
+
+# The external driver records only the LAST ~2000 characters of
+# stdout and json-parses the final line (BENCH_r07.json came back
+# ``"parsed": null`` when the 67-query map outgrew that window, losing
+# the round's machine-readable totals — VERDICT r7 "What's wrong" #1).
+# The driver line must therefore fit the capture window whole: keep
+# the totals exact, and if the per-query map doesn't fit, drop the
+# CHEAPEST entries first (regression triage cares about the heavy
+# tail) while declaring how many seconds were trimmed.
+_DRIVER_LINE_BUDGET = 1800  # bytes; capture window is ~2000
+
+
+def _driver_line(result: dict, budget: int = _DRIVER_LINE_BUDGET) -> str:
+    line = json.dumps(result)
+    if len(line) <= budget:
+        return line
+    timings = result["queries"]
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    for keep in range(len(by_cost) - 1, 0, -1):
+        kept = {n: timings[n] for n in by_cost[:keep]}
+        omitted = [n for n in by_cost[keep:]]
+        trimmed = dict(result)
+        trimmed["queries"] = kept
+        trimmed["queries_omitted"] = len(omitted)
+        trimmed["omitted_sec"] = round(sum(timings[n] for n in omitted), 3)
+        trimmed["full_map"] = "BENCH_FULL.json"
+        line = json.dumps(trimmed)
+        if len(line) <= budget:
+            return line
+    return line  # single-entry map; nothing left to trim
 
 
 if __name__ == "__main__":
