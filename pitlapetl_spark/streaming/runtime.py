@@ -430,6 +430,90 @@ def run_upsert_sink_scoped(
 
 DEDUP_INGEST_EST_THRESHOLD = 0.7  # minhash-estimate accept threshold
 
+# Compact the ingest stores once this many committed batch partitions
+# accumulate. The 20-batch growth probes put the crossover where
+# partition-listing + many-small-file scan overhead beats the one-off
+# compaction rewrite at ~150-200 batches (SCALE.md "Monitor-sink
+# store growth"); default inside that band, overridable per sink.
+DEDUP_INGEST_COMPACT_EVERY = 150
+
+
+def _compact_partition_store(
+    spark: SparkSession,
+    root: str,
+    current_batch: int,
+    threshold: int,
+    dedup_cols: list[str] | None = None,
+) -> None:
+    """Fold committed ``batch=<id>`` partitions of a batch-scoped
+    store into one compacted GENERATION partition (``batch=-g``) once
+    ``threshold`` of them accumulate, keeping the per-batch store scan
+    O(generations + recent batches) instead of O(all batches ever).
+
+    Replay safety (the invariant the ingest sinks rely on): only
+    non-negative partitions other than ``current_batch`` are folded.
+    Structured Streaming replays at most the one batch whose commit is
+    missing from the checkpoint — every older batch is durable — so a
+    folded batch can never be replayed, and a replay of the CURRENT
+    batch still sees exactly store-minus-self (generations are
+    negative, never equal to a real batch id).
+
+    Crash safety: the generation directory is written FIRST (Spark's
+    ``_SUCCESS`` marker is the commit point), sources are deleted
+    after. A crash between the two leaves duplicate rows across
+    generation + leftover sources — harmless to the dedup joins
+    (candidates are ``distinct``-ed) and healed by the next
+    compaction, whose read ``dropDuplicates``-es on the row identity.
+    A crash mid-write leaves a marker-less generation dir that the
+    retry simply overwrites from the still-present sources. On an
+    object store, swap the directory delete for the committer-based
+    equivalent; the write-then-delete ordering is the portable part.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    if not _os.path.exists(root):
+        return
+    parts: dict[int, str] = {}
+    for d in _os.listdir(root):
+        if d.startswith("batch="):
+            try:
+                parts[int(d.split("=", 1)[1])] = _os.path.join(root, d)
+            except ValueError:
+                continue
+
+    def _sealed(path: str) -> bool:
+        return _os.path.exists(_os.path.join(path, "_SUCCESS"))
+
+    # a marker-less NEGATIVE dir is a generation write that crashed
+    # before commit: its rows all still live in the sources it was
+    # folding, so it is garbage — remove it before it can be mistaken
+    # for a foldable source (reading a partial dir then deleting the
+    # real sources would lose data)
+    for b, p in list(parts.items()):
+        if b < 0 and not _sealed(p):
+            _shutil.rmtree(p, ignore_errors=True)
+            del parts[b]
+    # only fold sealed partitions: the current batch's dir is about to
+    # be overwritten by this very run, and a marker-less positive dir
+    # belongs to an uncommitted batch that Structured Streaming will
+    # replay (its replay overwrites the dir in place)
+    committed = {
+        b: p for b, p in parts.items() if 0 <= b != current_batch and _sealed(p)
+    }
+    if len(committed) < threshold:
+        return
+    gens = {b: p for b, p in parts.items() if b < 0}
+    sources = list(committed.values()) + list(gens.values())
+    target = _os.path.join(root, f"batch={min(gens, default=0) - 1}")
+    merged = spark.read.parquet(*sources)
+    merged = (
+        merged.dropDuplicates(dedup_cols) if dedup_cols else merged.distinct()
+    )
+    merged.write.mode("overwrite").parquet(target)
+    for p in sources:
+        _shutil.rmtree(p, ignore_errors=True)
+
 
 def read_documents_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
@@ -448,6 +532,7 @@ def run_dedup_ingest_sink(
     store_path: str,
     corpus_path: str,
     checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Streaming crawl ingest with incremental near-dup dedup — the
     recurring production shape behind ``dedup_incremental_minhash``
@@ -481,7 +566,16 @@ def run_dedup_ingest_sink(
     corpus and store appends). The store read is
     existence-checked-then-strict: a transient READ failure on an
     existing store raises instead of silently bootstrapping a
-    dedup-free batch."""
+    dedup-free batch.
+
+    Store growth: the signature and band stores gain one partition per
+    batch; once ``compact_every`` committed partitions accumulate they
+    are folded into a negative-id generation partition
+    (``_compact_partition_store`` — write-then-delete, replay-safe
+    because folded batches are checkpoint-committed and can never be
+    replayed). The CORPUS is deliberately left un-compacted: its
+    batch layout is a downstream consumer contract, and it is never
+    scanned by the ingest path."""
     import os as _os
 
     from ..operators.dedup import N_HASHES, _band_rows, minhash_signatures
@@ -503,6 +597,18 @@ def run_dedup_ingest_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # fold committed store partitions first, so THIS batch's probe
+        # already scans the compacted layout (sig rows are unique on
+        # doc_id, band rows on (doc_id, band_idx) — dedup on identity
+        # heals any duplicate rows a crash between compaction write
+        # and source delete left behind)
+        bands_path = f"{store_path}_bands"
+        _compact_partition_store(
+            spark, store_path, batch_id, compact_every, ["doc_id"]
+        )
+        _compact_partition_store(
+            spark, bands_path, batch_id, compact_every, ["doc_id", "band_idx"]
+        )
         batch = batch_df.localCheckpoint(eager=True)
         sig = minhash_signatures(batch).localCheckpoint(eager=True)
         bands = _band_rows(sig).localCheckpoint(eager=True)
@@ -542,7 +648,6 @@ def run_dedup_ingest_sink(
 
         # (c) probe the persisted band table — band values were
         # computed once at append time, nothing store-side re-hashes
-        bands_path = f"{store_path}_bands"
         store = _read_if_exists(spark, store_path)
         if store is not None:
             # exclude THIS batch's own partition (partition-pruned):

@@ -73,11 +73,20 @@ def probe_scoped_upsert(spark, rows_per_batch: int, n_batches: int) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def probe_dedup_ingest(spark, docs_per_batch: int, n_batches: int) -> dict:
+def probe_dedup_ingest(
+    spark,
+    docs_per_batch: int,
+    n_batches: int,
+    compact_every: int | None = None,
+) -> dict:
     from pitlapetl_spark.streaming.runtime import (
+        DEDUP_INGEST_COMPACT_EVERY,
         read_documents_stream,
         run_dedup_ingest_sink,
     )
+
+    if compact_every is None:
+        compact_every = DEDUP_INGEST_COMPACT_EVERY
 
     tmp = tempfile.mkdtemp(prefix="pitlap_dprobe_")
     try:
@@ -109,12 +118,17 @@ def probe_dedup_ingest(spark, docs_per_batch: int, n_batches: int) -> dict:
             docs = read_documents_stream(spark, src, max_files_per_trigger=1)
             t0 = time.perf_counter()
             q = run_dedup_ingest_sink(
-                docs, f"{tmp}/store", f"{tmp}/corpus", f"{tmp}/ckpt"
+                docs,
+                f"{tmp}/store",
+                f"{tmp}/corpus",
+                f"{tmp}/ckpt",
+                compact_every=compact_every,
             )
             q.awaitTermination(600)
             per_batch.append(round(time.perf_counter() - t0, 3))
         return {
             "docs_per_batch": docs_per_batch,
+            "compact_every": compact_every,
             "per_batch_sec": per_batch,
             "docs_per_sec": round(docs_per_batch / (sum(per_batch) / n_batches)),
         }
