@@ -163,6 +163,9 @@ HEADLINE = (
     "text_collocation_llr",
     "layout_zorder_locality",
     "attribution_position_based",
+    # round 8: the production L-tables LSH (recall path next to the
+    # IVF and PQ entries — union-of-bucket-matches candidate shape)
+    "sim_topk_lsh_ltables",
 )
 
 

@@ -287,6 +287,199 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- L-tables LSH
+
+# Pinned from the round-8 recall dial (SCALE.md "ANN recall ladder"):
+# L independent b-plane tables; recall ≈ 1 - (1 - p^b)^L where the
+# single 8-plane table measured 0.04 on this weak-contrast corpus.
+# Fewer planes per table raises the per-table collision probability
+# (p^6 vs p^8), so the same recall costs far fewer tables; the values
+# below are the measured knee that clears the >=0.6 recall bar:
+# at sf0.1 the dial read (b=6, L=8) 0.48 / (b=6, L=12) 0.66 /
+# (b=6, L=16) 0.70 / (b=5, L=12) 0.80 / (b=6, L=24) 0.84 recall —
+# L=12 x 6 planes is the cheapest config past the bar (expected
+# candidate mass L/2^b = 0.19N vs 0.25N+ for the others).
+LSH_TABLES = 12
+LSH_TABLE_PLANES = 6
+EMB_DIM = 64  # embeddings.parquet vector length (all SFs)
+
+
+def _plane_signs(table: int, plane: int) -> list[int]:
+    """The deterministic +-1 hyperplane for (table, plane): sign of
+    dim d = high bit of the first hex char of md5('{t}_{p}_{d}') —
+    the same device as the single-table variant, but evaluated ONCE
+    at plan-build time (Python hashlib) and embedded as literals, so
+    neither engine computes rows x planes x dims md5 calls at
+    runtime."""
+    import hashlib
+
+    return [
+        1
+        if hashlib.md5(f"{table}_{plane}_{d}".encode()).hexdigest()[0]
+        in _HEX_HIGH
+        else -1
+        for d in range(EMB_DIM)
+    ]
+
+
+def _table_bucket_expr_spark(table: int, planes: int) -> str:
+    bits = []
+    for p in range(planes):
+        s = ", ".join(str(x) for x in _plane_signs(table, p))
+        proj = (
+            f"aggregate(zip_with(v, array({s}), (x, s) -> x * s), 0D, "
+            f"(acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _table_bucket_expr_duck(table: int, planes: int) -> str:
+    bits = []
+    for p in range(planes):
+        s = ", ".join(str(x) for x in _plane_signs(table, p))
+        proj = (
+            f"list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * ([{s}])[i]))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _lsh_ltables_plan(
+    spark: SparkSession, sf_dir: str, n_tables: int, planes: int
+) -> DataFrame:
+    """L-tables sign-LSH top-k, parameterized so the recall probe can
+    sweep L. Index shape is the production one: a NARROW (vec_id,
+    tbl, bucket) posting frame — L rows per vector, no vector payload
+    duplication — candidates are the distinct union of per-table
+    bucket matches, and vectors are fetched once per shortlist pair
+    for the exact cosine re-rank."""
+    vecs = _vectors(spark, sf_dir)
+    buckets = F.array(
+        *[
+            F.expr(_table_bucket_expr_spark(t, planes)).cast("int")
+            for t in range(n_tables)
+        ]
+    )
+    idx = vecs.select(
+        "vec_id", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    qidx = idx.filter(F.col("vec_id") < N_QUERIES)
+    cand = (
+        F.broadcast(qidx.alias("q"))
+        .join(
+            idx.alias("c"),
+            (F.col("q.tbl") == F.col("c.tbl"))
+            & (F.col("q.bucket") == F.col("c.bucket"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                vecs.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"),
+                    F.col("nrm").alias("qn"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D,"
+                    " (acc, x) -> acc + x)"
+                )
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _ltables_oracle(n_tables: int, planes: int) -> str:
+    per_table = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
+        f"CAST({_table_bucket_expr_duck(t, planes)} AS INT) AS bucket FROM vecs"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                   x -> x * x))) AS nrm
+        FROM embeddings
+    ),
+    idx AS (
+      {per_table}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM idx q JOIN idx c
+          ON q.tbl = c.tbl AND q.bucket = c.bucket
+         AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               round(list_sum(list_transform(range(1, len(qv.v) + 1),
+                     i -> qv.v[i] * cv.v[i])) / (qv.nrm * cv.nrm), 6) AS cosine
+        FROM cand
+        JOIN vecs qv ON qv.vec_id = query_id
+        JOIN vecs cv ON cv.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query(
+    "sim_topk_lsh_ltables",
+    oracle=_ltables_oracle(LSH_TABLES, LSH_TABLE_PLANES),
+)
+def sim_topk_lsh_ltables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped sign-LSH: L independent 8-plane tables, a
+    query probes its bucket in EVERY table and the candidate set is
+    the distinct union — recall 1-(1-p^b)^L instead of the measured
+    0.04 of one table (SCALE.md recall ladder; the single-table
+    variant stays registered as the bucketing demonstrator, VERDICT
+    r7 item 5). Candidate mass stays bounded at ~L/2^b of brute
+    force; the posting-list index is narrow (no vector payloads), so
+    the L-times factor costs index rows, not vector copies — the
+    standard E2LSH memory/recall trade."""
+    return _lsh_ltables_plan(spark, sf_dir, LSH_TABLES, LSH_TABLE_PLANES)
+
+
 @query(
     "sim_label_centroid_knn",
     oracle=f"""

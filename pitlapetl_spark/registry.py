@@ -160,6 +160,9 @@ _PRIORITY: tuple[str, ...] = (
     # (g) new in round 8 — grown in place as sessions add operators;
     # each displaces one r2-era refresh from the 50-slot window (see
     # the arithmetic note above)
+    "sim_topk_lsh_ltables",  # VERDICT r7 item 5: the production-
+    # shaped L-tables sign-LSH (12 tables x 6 planes, measured 0.66
+    # recall at 0.19N candidate mass — the >=0.6 bar)
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

@@ -444,3 +444,29 @@ def test_dsir_ranks_target_language_higher(spark):
     )
     mw = {r.is_target: r.mw for r in m}
     assert mw[True] > mw[False]
+
+
+def test_ltables_lsh_recall_dominates_single_table(spark):
+    """The L-tables variant exists because one table measured 0.04
+    recall (SCALE.md ladder): at the smoke SF its recall@5 against
+    the exact scan must clear a real floor AND strictly dominate the
+    single-table path — if either fails, a plane/table regression has
+    gutted the candidate union."""
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in Q["sim_topk_bruteforce"](spark, SF_SMOKE).collect()
+    }
+    lt = {
+        (r.query_id, r.neighbor_id)
+        for r in Q["sim_topk_lsh_ltables"](spark, SF_SMOKE).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in Q["sim_topk_lsh"](spark, SF_SMOKE).collect()
+    }
+    recall = len(truth & lt) / len(truth)
+    recall_single = len(truth & single) / len(truth)
+    # measured 0.32 vs 0.04 at sf0.001 (weak-contrast corpus; sf0.1
+    # reads 0.66) — floor set with margin below the measurement
+    assert recall >= 0.2, recall
+    assert recall > recall_single, (recall, recall_single)
