@@ -122,6 +122,149 @@ def eligible_truth(k: int, sf_dir: str) -> set[tuple[int, int]]:
     return {(r[0], r[0] + COPY_OFFSET) for r in rows}
 
 
+# ------------------------------------------------- semantic regime
+#
+# The exact-threshold methods correctly return nothing once edits push
+# 3-gram Jaccard under 0.8 (~>=10% of words changed). The semantic
+# operators (SemDeDup, embedding-cosine) are supposed to own that
+# band, but they read the `embeddings` table — and this sandbox has no
+# text encoder. Bridge: a deterministic hashed bag-of-words embedding
+# (the standard feature-hashing trick: md5(word) -> dim in [0,64),
+# next md5 nibble -> +-1 sign, L2-normalized), computed from the SAME
+# perturbed documents, so a text edit maps to a measurable cosine
+# drop and both regimes are scored on one corpus.
+
+SEM_COPY_OFFSET = 500_000  # below dedup_embedding_cosine's own 1e6
+
+
+def _hash_bow(text: str, dim: int = 64):
+    import hashlib
+
+    import numpy as np
+
+    v = np.zeros(dim)
+    for w in text.lower().split():
+        h = hashlib.md5(w.encode()).hexdigest()
+        d = int(h[:8], 16) % dim
+        v[d] += 1.0 if int(h[8], 16) >= 8 else -1.0
+    n = float(np.linalg.norm(v))
+    return (v / n if n else v).astype("float32")
+
+
+def _perturb(words: list[str], k: int, mode: str) -> list[str]:
+    import hashlib
+
+    if mode == "delete":
+        return [w for i, w in enumerate(words) if i % k != 0]
+    # "swap": every k-th word replaced by a deterministic pseudo-
+    # synonym token (different token, same position — the word-swap
+    # edit class VERDICT r7 item 6 asks for)
+    return [
+        f"syn{hashlib.md5(w.encode()).hexdigest()[:6]}" if i % k == 0 else w
+        for i, w in enumerate(words)
+    ]
+
+
+def build_semantic_corpus(k: int, mode: str) -> tuple[str, float]:
+    """Probe dir with documents + perturbed copies AND the matching
+    hashed-BoW embeddings table; returns (dir, mean planted cosine) —
+    the bridge number tying the edit rate to embedding space."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = WORK / f"sem_{mode}_k{k}"
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    base = con.execute(
+        f"SELECT doc_id, text, lang, source, n_chars FROM '{SRC}' "
+        f"ORDER BY doc_id LIMIT {N_BASE}"
+    ).fetchall()
+    rows = list(base)
+    vecs: dict[int, object] = {r[0]: _hash_bow(r[1]) for r in base}
+    cosines = []
+    for doc_id, text, lang, source, n_chars in base[:N_PLANT]:
+        copy_text = " ".join(_perturb(text.split(), k, mode))
+        cid = doc_id + SEM_COPY_OFFSET
+        rows.append((cid, copy_text, lang, source, len(copy_text)))
+        vecs[cid] = _hash_bow(copy_text)
+        cosines.append(float(np.dot(vecs[doc_id], vecs[cid])))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": [r[4] for r in rows],
+            }
+        ),
+        out / "documents.parquet",
+    )
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array(
+                    [vecs[i].tolist() for i in ids],
+                    type=pa.list_(pa.float32()),
+                ),
+                "label": pa.array(
+                    [int(i % SEM_COPY_OFFSET) % 10 for i in ids],
+                    type=pa.int32(),
+                ),
+            }
+        ),
+        out / "embeddings.parquet",
+    )
+    return str(out), sum(cosines) / len(cosines)
+
+
+def sem_pairs_of(spark, name: str, sf_dir: str) -> set[tuple[int, int]]:
+    from pitlapetl_spark.registry import all_queries
+
+    df = all_queries()[name](spark, sf_dir)
+    rows = df.select("vec_a", "vec_b").collect()
+    # dedup_embedding_cosine unions its OWN +1e6 re-ingest copy; only
+    # pairs inside the probe id space count
+    return {
+        (min(r[0], r[1]), max(r[0], r[1]))
+        for r in rows
+        if r[0] < 1_000_000 and r[1] < 1_000_000
+    }
+
+
+SEM_METHODS = ("dedup_semantic_semdedup", "dedup_embedding_cosine")
+
+
+def semantic_table(spark, con) -> None:
+    planted_ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{SRC}' ORDER BY doc_id LIMIT {N_PLANT}"
+        ).fetchall()
+    ]
+    truth = {(i, i + SEM_COPY_OFFSET) for i in planted_ids}
+    print()
+    print("Semantic regime (hashed-BoW embeddings from the same "
+          "perturbed docs):")
+    print("| edit | mean planted cosine | "
+          + " | ".join(f"{m} recall (extra)" for m in SEM_METHODS) + " |")
+    print("|---|---|" + "---|" * len(SEM_METHODS))
+    for mode in ("delete", "swap"):
+        for k in RATES:
+            sf_dir, mean_cos = build_semantic_corpus(k, mode)
+            cells = []
+            for m in SEM_METHODS:
+                found = sem_pairs_of(spark, m, sf_dir)
+                hit = len(found & truth)
+                extra = len(found - truth)
+                cells.append(f"{hit / len(truth):.2f} ({extra})")
+            print(f"| {mode} @{RATES[k]} | {mean_cos:.3f} | "
+                  + " | ".join(cells) + " |")
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master("local[16]")
@@ -165,6 +308,8 @@ def main() -> None:
             )
     for m in METHODS:
         print(f"| {m} | " + " | ".join(results[m]) + " |")
+
+    semantic_table(spark, con)
 
 
 if __name__ == "__main__":
