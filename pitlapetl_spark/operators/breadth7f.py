@@ -510,6 +510,80 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------- approx rolling median (events grain)
+# The scale escape hatch the exact rolling median's block comment
+# documents, shipped as a tested query (VERDICT r7 item 7): the frame
+# here is VOLUME-PROPORTIONAL (per-user rolling window over raw
+# events), where collect_list would materialize one array per row of
+# the fact table. percentile_approx keeps a bounded Greenwald-Khanna
+# sketch instead — the memory term is the accuracy dial, not the
+# frame size. Determinism/oracle bridge: at accuracy=10000 the GK
+# rank error for any frame under 10k values is < 1, i.e. the sketch
+# returns the EXACT discrete 0.5-quantile element, and Spark's
+# convention (lower middle at even n) was probed to match DuckDB's
+# quantile_disc exactly ([1,2,3,4] -> 2 on both engines). Values are
+# floored to integer cents on both sides first (the double->int cast
+# gotcha), so the compared numbers are exact integers.
+
+
+ROLL_MED_EVENTS_N = 15
+
+
+@query(
+    "window_rolling_median_events",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id, cents,
+               CAST(count(*) OVER tw AS BIGINT) AS k,
+               quantile_disc(cents, 0.5) OVER tw AS med_cents
+        FROM e
+        WINDOW tw AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN {ROLL_MED_EVENTS_N - 1} PRECEDING
+                      AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(med_cents / 100.0, 2) AS rolling_median
+    FROM w WHERE k = {ROLL_MED_EVENTS_N}
+    """,
+)
+def window_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling {ROLL_MED_EVENTS_N}-event median of event value
+    via a percentile sketch window (block comment above). The window
+    orders by event_id — a total order within user, so frame
+    membership is identical on both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(ROLL_MED_EVENTS_N - 1), Window.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(tw).alias("k"),
+            F.expr("percentile_approx(cents, 0.5, 10000)")
+            .over(tw)
+            .alias("med_cents"),
+        )
+        .filter(F.col("k") == ROLL_MED_EVENTS_N)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("med_cents") / 100.0, 2).alias("rolling_median"),
+        )
+    )
+
+
 # ------------------------------- Matthews correlation (confusion)
 # The third member of the eval family (calibration table, AUC): the
 # single-threshold confusion summary scored by MCC — the balanced

@@ -163,6 +163,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_topk_lsh_ltables",  # VERDICT r7 item 5: the production-
     # shaped L-tables sign-LSH (12 tables x 6 planes, measured 0.66
     # recall at 0.19N candidate mass — the >=0.6 bar)
+    "window_rolling_median_events",  # VERDICT r7 item 7: the
+    # percentile-sketch rolling median on the volume-proportional
+    # events frame — the exact twin's documented scale escape hatch
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the
