@@ -1316,7 +1316,11 @@ def read_kanonymity_audit(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def run_oov_sink(
-    docs: DataFrame, vocab_src: DataFrame, store_path: str, checkpoint: str
+    docs: DataFrame,
+    vocab_src: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Streaming out-of-vocabulary drift monitor: the vocabulary is
     FROZEN at sink creation from the reference corpus (the deployed
@@ -1331,7 +1335,16 @@ def run_oov_sink(
 
     ``read_oov_rate`` folds the partitions into the corpus-level
     (n_tokens, n_oov, oov_rate); replay safety is the batch-scoped
-    overwrite (never merge-add). Store: O(batches) two-long rows."""
+    overwrite (never merge-add). Store: O(batches) two-long rows —
+    but the measured growth term was the PARTITION count (file
+    listing + per-partition scan, ~6 ms/batch, crossover ~150-200
+    batches — SCALE.md), so committed partitions fold into generation
+    partitions via ``_compact_partition_store`` once ``compact_every``
+    accumulate. Because the partials are ADDITIVE, identity dedup
+    alone can't heal a crash between generation write and source
+    delete (two equal partials may be legitimate); every partial
+    therefore carries its ``src_batch`` id, and compaction dedups on
+    that provenance key — double-count-proof at every crash point."""
     from ..operators.text import OOV_VOCAB_K
     from ..functions.text import tokens as _tokens
 
@@ -1349,6 +1362,9 @@ def run_oov_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _compact_partition_store(
+            spark, f"{store_path}/cur", batch_id, compact_every, ["src_batch"]
+        )
         v = spark.read.parquet(f"{store_path}/vocab").withColumn(
             "in_vocab", F.lit(True)
         )
@@ -1357,9 +1373,9 @@ def run_oov_sink(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
-        partial.coalesce(1).write.mode("overwrite").parquet(
-            f"{store_path}/cur/batch={batch_id}"
-        )
+        partial.withColumn("src_batch", F.lit(batch_id)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/cur/batch={batch_id}")
 
     return (
         docs.writeStream.foreachBatch(write_batch)

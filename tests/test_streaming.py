@@ -1200,9 +1200,10 @@ def test_oov_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
     n_oov = sum(r.n_oov for r in batch)
     assert (got.n_tokens, got.n_oov) == (n_tok, n_oov)
     assert abs(got.oov_rate - round(n_oov / n_tok, 6)) < 1e-9
-    # partials, never rates, in the store
+    # partials (with their provenance batch id), never rates, in the
+    # store — src_batch is the compaction dedup key
     one = spark.read.parquet(f"{tmp_path}/store/cur/batch=0")
-    assert set(one.columns) == {"n_tokens", "n_oov"}
+    assert set(one.columns) == {"n_tokens", "n_oov", "src_batch"}
     run("ckpt2")
     again = read_oov_rate(spark, f"{tmp_path}/store").collect()[0]
     assert (again.n_tokens, again.n_oov) == (n_tok, n_oov)
@@ -1488,3 +1489,73 @@ def test_compact_partition_store_heals_crash_leftovers(spark, tmp_path):
     )
     assert rows == [(1, 10), (2, 20), (3, 30), (4, 40)]  # no dup rows
     assert _batch_parts(root) == [-2]
+
+
+def test_oov_sink_compaction_preserves_fold_and_provenance(spark, tmp_path):
+    """Folding committed OOV partials into a generation partition must
+    not change the corpus fold by a single token (additive partials +
+    src_batch provenance dedup), and a crash-leftover source partition
+    whose rows already live in the generation must NOT double-count."""
+    import os
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import read_oov_rate, run_oov_sink
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(4):
+        # cur holds only odd doc_ids, so slice on floor(id/2) % 4 to
+        # make all four batches non-empty
+        cur.filter(
+            F.floor(F.col("doc_id") / 2) % 4 == i
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+
+    def run(root, ckpt, ce):
+        q = run_oov_sink(
+            stream, ref, f"{tmp_path}/{root}", f"{tmp_path}/{ckpt}",
+            compact_every=ce,
+        )
+        q.awaitTermination(180)
+
+    run("store_c", "ck_c", 2)
+    run("store_p", "ck_p", 10**9)
+
+    def fold(root):
+        r = read_oov_rate(spark, f"{tmp_path}/{root}").collect()[0]
+        return (r.n_tokens, r.n_oov)
+
+    assert fold("store_c") == fold("store_p")
+    # the compacted store actually folded: a negative generation dir
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{tmp_path}/store_c/cur")
+        if d.startswith("batch=")
+    )
+    assert parts[0] < 0 and len(parts) <= 3, parts
+
+    # crash window: re-create a source partition whose partial already
+    # lives in the generation (write-then-delete interrupted) — the
+    # next fold must dedup on src_batch, not double-count
+    gen = spark.read.parquet(
+        f"{tmp_path}/store_c/cur/batch={parts[0]}"
+    )
+    replayed = gen.orderBy("src_batch").limit(1)
+    sb = replayed.collect()[0].src_batch
+    replayed.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/store_c/cur/batch={sb}"
+    )
+    before = fold("store_p")
+    from pitlapetl_spark.streaming.runtime import _compact_partition_store
+
+    _compact_partition_store(
+        spark, f"{tmp_path}/store_c/cur", 10**6, 1, ["src_batch"]
+    )
+    assert fold("store_c") == before
