@@ -72,6 +72,7 @@ _MODULES = (
     "pitlapetl_spark.operators.breadth7d",
     "pitlapetl_spark.operators.breadth7e",
     "pitlapetl_spark.operators.breadth7f",
+    "pitlapetl_spark.operators.breadth8",
     "pitlapetl_spark.operators.bpe_train",
     "pitlapetl_spark.operators.als",
     "pitlapetl_spark.operators.kcore",
@@ -166,6 +167,9 @@ _PRIORITY: tuple[str, ...] = (
     "window_rolling_median_events",  # VERDICT r7 item 7: the
     # percentile-sketch rolling median on the volume-proportional
     # events frame — the exact twin's documented scale escape hatch
+    "agg_heavy_hitters_gated",  # count-min GATED two-pass skew-key
+    # detector — no full-key distinct anywhere in the plan (the
+    # production shape stats.py's verifier twin defers to)
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

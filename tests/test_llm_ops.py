@@ -470,3 +470,26 @@ def test_ltables_lsh_recall_dominates_single_table(spark):
     # reads 0.66) — floor set with margin below the measurement
     assert recall >= 0.2, recall
     assert recall > recall_single, (recall, recall_single)
+
+
+def test_gated_heavy_hitters_agree_with_verifier_twin(spark):
+    """The gated two-pass plan (no full-key distinct) must surface
+    exactly the keys the sketch-verifier twin proves heavy by exact
+    count, with identical counts — the gate can drop rows only below
+    the threshold, never a true heavy hitter (CMS never
+    underestimates)."""
+    from pitlapetl_spark.operators.breadth8 import HH_THRESHOLD
+
+    gated = {
+        r.user_id: (r.exact_count, r.cms_estimate)
+        for r in Q["agg_heavy_hitters_gated"](spark, SF_SMOKE).collect()
+    }
+    twin = {
+        r.user_id: r.exact_cnt
+        for r in Q["agg_heavy_hitters_cms"](spark, SF_SMOKE).collect()
+        if r.exact_cnt >= HH_THRESHOLD
+    }
+    assert set(gated) == set(twin)
+    for uid, (exact, est) in gated.items():
+        assert exact == twin[uid]
+        assert est >= exact  # the overestimate invariant survives
