@@ -130,3 +130,157 @@ def agg_heavy_hitters_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("exact_count") >= HH_THRESHOLD)
     )
+
+
+# --------------------------------- HyperLogLog distinct (replayable)
+#
+# The oracle-checked twin of agg_approx_sketches' approx_count_distinct
+# (Spark's internal HLL++ — correct but unreplayable, hence that
+# query's rows-only waiver): a from-scratch HLL whose every step is
+# engine-portable SQL, so DuckDB replays it bit-for-bit. Devices:
+#   - register index = first 2 md5 hex chars (8 bits -> m=256),
+#   - rho = leading-zero count of the next 60 bits + 1, computed as
+#     61 - length(binary repr) with the '0' string special-cased —
+#     Spark conv(hex,16,2) and DuckDB bin() both print unpadded,
+#   - the harmonic sum uses a COMMON 2^61 DENOMINATOR so every term
+#     2^-M becomes the exact integer 1 << (61-M), summed in
+#     DECIMAL(38,0); no pow() anywhere (DuckDB's pow(2,-3) is off by
+#     an ulp — measured — and a per-term ulp breaks the value hash),
+#   - the final alpha*m^2/sum division happens once, in double, from
+#     identical exact inputs, round(6)-ed.
+# Duplicate rows hash identically, so the sketch needs NO distinct
+# pass — the one full-width op is a 256-group max. The exact distinct
+# count rides along as the verifier column (one extra agg at test
+# scale; production drops it). m=256 -> expected rel. error
+# 1.04/sqrt(256) ~= 6.5%.
+
+HLL_M = 256  # registers (2^8)
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # standard bias constant
+_POW2_61 = 1 << 61
+# the whole numerator alpha * m^2 * 2^61 as ONE Python-computed double
+# literal embedded in BOTH engines — DuckDB types a long decimal
+# literal as DECIMAL and overflows the product chain; a single float
+# literal is DOUBLE everywhere and the division below is one IEEE op
+# from identical inputs
+_HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(_POW2_61)
+
+
+def _hll_oracle() -> str:
+    return f"""
+    WITH h AS (
+        SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem
+    ),
+    r AS (
+        SELECT CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INT) AS bucket,
+               CASE WHEN bin(CAST('0x' || substr(hx, 3, 15) AS BIGINT)) = '0'
+                    THEN 61
+                    ELSE 61 - length(bin(CAST('0x' || substr(hx, 3, 15)
+                                              AS BIGINT)))
+               END AS rho
+        FROM h
+    ),
+    regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY 1),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_regs,
+               sum(CAST((1::BIGINT << (61 - m_j)) AS DECIMAL(38,0))) AS num
+        FROM regs
+    ),
+    x AS (
+        SELECT n_regs,
+               CAST({HLL_M} - n_regs AS BIGINT) AS v_empty,
+               CAST(CAST(num AS HUGEINT)
+                    + CAST({HLL_M} - n_regs AS HUGEINT)
+                      * CAST({_POW2_61} AS HUGEINT) AS DOUBLE) AS harm_num
+        FROM s
+    ),
+    e AS (
+        SELECT v_empty, {_HLL_NUMER!r} / harm_num AS e_raw
+        FROM x
+    ),
+    est AS (
+        SELECT v_empty,
+               CASE WHEN e_raw <= 2.5 * {HLL_M} AND v_empty > 0
+                    THEN {HLL_M} * ln({HLL_M} / CAST(nullif(v_empty, 0)
+                                                     AS DOUBLE))
+                    ELSE e_raw
+               END AS hll
+        FROM e
+    )
+    SELECT (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+            FROM lineitem) AS n_exact,
+           CAST({HLL_M} AS INT) AS m_registers,
+           v_empty,
+           round(hll, 6) AS hll_estimate,
+           round(hll / (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                 - 1, 6) AS rel_error
+    FROM est
+    """
+
+
+@query("agg_hll_distinct", oracle=_hll_oracle())
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayable HyperLogLog distinct-count of lineitem order keys
+    (block comment above): register maxes, common-denominator harmonic
+    sum, one double division; exact distinct alongside as verifier."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.md5(F.col("l_orderkey").cast("string")).alias("hx")
+    )
+    rest = F.expr("substring(hx, 3, 15)")
+    binstr = F.expr("conv(substring(hx, 3, 15), 16, 2)")
+    r = li.select(
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.when(binstr == "0", F.lit(61))
+        .otherwise(F.lit(61) - F.length(binstr))
+        .alias("rho"),
+    )
+    regs = r.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    s = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), 61 - m_j)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("num"),
+    )
+    x = s.select(
+        "n_regs",
+        (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("v_empty"),
+        (
+            F.col("num")
+            + (F.lit(HLL_M) - F.col("n_regs")).cast("decimal(38,0)")
+            * F.lit(_POW2_61).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("harm_num"),
+    )
+    e = x.select(
+        "v_empty",
+        (F.lit(_HLL_NUMER) / F.col("harm_num")).alias("e_raw"),
+    )
+    est = e.select(
+        "v_empty",
+        F.when(
+            (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v_empty") > 0),
+            F.lit(HLL_M)
+            * F.log(
+                F.lit(HLL_M)
+                / F.expr("CAST(nullif(v_empty, 0) AS DOUBLE)")
+            ),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("hll"),
+    )
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_exact"))
+    )
+    # one-row scalar broadcast (commented, BNLJ-bounded — the repo-wide
+    # device for attaching a scalar to a one-row frame)
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        F.lit(HLL_M).cast("int").alias("m_registers"),
+        "v_empty",
+        F.round(F.col("hll"), 6).alias("hll_estimate"),
+        F.round(F.col("hll") / F.col("n_exact") - 1, 6).alias("rel_error"),
+    )

@@ -170,6 +170,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_heavy_hitters_gated",  # count-min GATED two-pass skew-key
     # detector — no full-key distinct anywhere in the plan (the
     # production shape stats.py's verifier twin defers to)
+    "agg_hll_distinct",  # replayable HyperLogLog — the oracle-checked
+    # twin of agg_approx_sketches' unreplayable native HLL++
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

@@ -493,3 +493,14 @@ def test_gated_heavy_hitters_agree_with_verifier_twin(spark):
     for uid, (exact, est) in gated.items():
         assert exact == twin[uid]
         assert est >= exact  # the overestimate invariant survives
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    """m=256 registers bound the standard error at 1.04/sqrt(m) ~
+    6.5%; the estimate must land within 3 sigma of exact (a plane/rho
+    regression throws it off by far more), and the small-range
+    correction bookkeeping (v_empty) must be consistent."""
+    row = Q["agg_hll_distinct"](spark, SF_SMOKE).collect()[0]
+    assert abs(row.rel_error) < 0.20, row
+    assert row.hll_estimate > 0 and 0 <= row.v_empty <= row.m_registers
+    assert abs(row.hll_estimate / row.n_exact - 1 - row.rel_error) < 1e-6
