@@ -45,7 +45,9 @@ from ..sources import load_table
 BPE_MERGES = 8
 
 
-def _oracle_bpe() -> str:
+def _oracle_bpe_prefix() -> str:
+    """The shared CTE chain (word types, s0, all merge rounds) both
+    the trainer oracle and the encoder oracle build on."""
     its = ""
     for k in range(1, BPE_MERGES + 1):
         prev = f"s{k - 1}"
@@ -84,10 +86,6 @@ def _oracle_bpe() -> str:
         FROM m{k}
         WHERE NOT coalesce(prev_hit, false)
     )"""
-    finals = "\n    UNION ALL ".join(
-        f"SELECT {k} AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_freq FROM b{k}"
-        for k in range(1, BPE_MERGES + 1)
-    )
     return f"""
     WITH wt AS (
         SELECT word AS w, CAST(count(*) AS BIGINT) AS freq
@@ -98,7 +96,15 @@ def _oracle_bpe() -> str:
     s0 AS MATERIALIZED (
         SELECT wt.w, wt.freq, CAST(i - 1 AS INT) AS pos, wt.w[i] AS s
         FROM wt, LATERAL unnest(generate_series(1, length(wt.w))) AS t(i)
-    ){its}
+    ){its}"""
+
+
+def _oracle_bpe() -> str:
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_freq FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""{_oracle_bpe_prefix()}
     SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym,
            pair_freq
     FROM ({finals})
@@ -106,11 +112,23 @@ def _oracle_bpe() -> str:
     """
 
 
-@query("text_bpe_train_merges", oracle=_oracle_bpe())
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train {BPE_MERGES} BPE merges over the documents corpus and
-    return the ordered merge table (merge_rank, left_sym, right_sym,
-    pair_freq) — module docstring for the design."""
+def _oracle_bpe_encode() -> str:
+    return f"""{_oracle_bpe_prefix()}
+    SELECT w AS word, freq,
+           CAST(count(*) AS BIGINT) AS n_syms,
+           string_agg(s, '|' ORDER BY pos) AS encoded
+    FROM s{BPE_MERGES}
+    GROUP BY 1, 2
+    """
+
+
+def _run_merges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared {BPE_MERGES}-round merge loop: returns the per-round
+    winner frames AND the final symbol table — the trainer unions the
+    former, the encoder aggregates the latter. One body, two queries,
+    so the two oracles can never drift from a fork of the loop."""
     docs = load_table(spark, sf_dir, "documents")
     wt = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -177,7 +195,43 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
 
+    return merges, syms
+
+
+@query("text_bpe_train_merges", oracle=_oracle_bpe())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train {BPE_MERGES} BPE merges over the documents corpus and
+    return the ordered merge table (merge_rank, left_sym, right_sym,
+    pair_freq) — module docstring for the design."""
+    merges, _ = _run_merges(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out.orderBy("merge_rank")
+
+
+@query("text_bpe_encode", oracle=_oracle_bpe_encode())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's other half: ENCODE every distinct word with the
+    trained merges — the final symbol table the merge loop leaves
+    behind, aggregated to (word, freq, n_syms, encoded). Stays on the
+    word-TYPE grain (the trainer's 100-TB property): encoding a
+    corpus is then one broadcast join of this bounded vocabulary
+    table against the fact — the per-document segmentation never
+    re-runs the merge loop. Ordered segmentation is rebuilt
+    deterministically from (pos, s) structs; freq rides along so
+    token-count audits (sum(freq * n_syms)) need no second scan."""
+    _, syms = _run_merges(spark, sf_dir)
+    seg = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("s")))
+            ),
+            lambda x: x["s"],
+        ),
+        "|",
+    )
+    return syms.groupBy(F.col("w").alias("word"), "freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_syms"),
+        seg.alias("encoded"),
+    )

