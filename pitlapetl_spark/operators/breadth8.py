@@ -284,3 +284,124 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hll"), 6).alias("hll_estimate"),
         F.round(F.col("hll") / F.col("n_exact") - 1, 6).alias("rel_error"),
     )
+
+
+# ------------------------- quantile regression (pinball-loss GD)
+#
+# The third member of the iterative-trainer family (logreg GD, ALS):
+# linear regression of an UPPER QUANTILE — "what does the 75th-
+# percentile price look like as a function of quantity and discount"
+# — trained by full-batch subgradient descent on the pinball loss.
+# Same engine discipline as ml_logreg_gradient_descent (stats.py):
+# one map-side-combinable aggregate per iteration, gradient components
+# summed in EXACT DECIMAL (order-independent), weights updated
+# driver-side (3 doubles) and round(12)-ed, the oracle an unrolled CTE
+# chain. One device FEWER than logreg: the pinball subgradient is a
+# pure comparison — grad = (1-tau) if y <= yhat else -tau — so there
+# is no exp()/round-9 step anywhere; every per-row quantity is either
+# exact (+-tau with tau = 0.75 a dyadic rational) or the same IEEE
+# double on both engines.
+
+QREG_TAU = 0.75
+QREG_ITERS = 8
+QREG_LR = 1.0
+_QREG_FEATS_SQL = """
+    SELECT l_quantity / 10 AS x1, l_discount * 10 AS x2,
+           l_extendedprice / 10000 AS y
+    FROM lineitem
+"""
+
+
+def _qreg_grad_sql(w: str) -> str:
+    yhat = f"({w}.a + {w}.b * x1 + {w}.c * x2)"
+    return f"CASE WHEN y <= {yhat} THEN {1 - QREG_TAU} ELSE {-QREG_TAU} END"
+
+
+def _qreg_oracle() -> str:
+    dec = "DECIMAL(28,12)"
+    ctes = [
+        f"f AS ({_QREG_FEATS_SQL})",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)",
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b,"
+        " CAST(0.0 AS DOUBLE) AS c)",
+    ]
+    for i in range(QREG_ITERS):
+        g = _qreg_grad_sql("w")
+        ctes.append(
+            f"""g{i} AS (
+                SELECT sum(CAST({g} AS {dec})) AS s0,
+                       sum(CAST({g} * x1 AS {dec})) AS s1,
+                       sum(CAST({g} * x2 AS {dec})) AS s2
+                FROM f CROSS JOIN w{i} w)"""
+        )
+        ctes.append(
+            f"""w{i + 1} AS (
+                SELECT round(w.a - {QREG_LR} * CAST(g.s0 AS DOUBLE) / nn.n, 12) AS a,
+                       round(w.b - {QREG_LR} * CAST(g.s1 AS DOUBLE) / nn.n, 12) AS b,
+                       round(w.c - {QREG_LR} * CAST(g.s2 AS DOUBLE) / nn.n, 12) AS c
+                FROM w{i} w CROSS JOIN g{i} g CROSS JOIN nn)"""
+        )
+    yhat = "(w.a + w.b * x1 + w.c * x2)"
+    pin = (
+        f"CASE WHEN y - {yhat} >= 0 THEN {QREG_TAU} * (y - {yhat}) "
+        f"ELSE {QREG_TAU - 1} * (y - {yhat}) END"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT w.a AS w0, w.b AS w1, w.c AS w2, nn.n AS n,
+           round(CAST(sum(CAST({pin} AS {dec})) AS DOUBLE) / nn.n, 6)
+               AS pinball_loss,
+           round(sum(CASE WHEN y <= {yhat} THEN 1 ELSE 0 END) * 1.0 / nn.n,
+                 6) AS coverage
+    FROM f CROSS JOIN w{QREG_ITERS} w CROSS JOIN nn
+    GROUP BY w.a, w.b, w.c, nn.n
+    """
+    )
+
+
+@query("ml_quantile_regression_gd", oracle=_qreg_oracle())
+def ml_quantile_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{QREG_TAU}-quantile linear regression of lineitem price on
+    quantity and discount via {QREG_ITERS} pinball-subgradient steps
+    (block comment above); output = final weights + pinball loss +
+    empirical coverage (fraction of y at or under the fitted
+    quantile, which converges toward tau)."""
+    feats = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 10).alias("x1"),
+        (F.col("l_discount") * 10).alias("x2"),
+        (F.col("l_extendedprice") / 10000).alias("y"),
+    )
+    n = feats.count()  # bounded driver scalar (the logreg discipline)
+    dec = "decimal(28,12)"
+    w = [0.0, 0.0, 0.0]
+    for _ in range(QREG_ITERS):
+        yhat = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        g = F.when(F.col("y") <= yhat, F.lit(1 - QREG_TAU)).otherwise(
+            F.lit(-QREG_TAU)
+        )
+        row = feats.agg(
+            F.sum(g.cast(dec)).alias("s0"),
+            F.sum((g * F.col("x1")).cast(dec)).alias("s1"),
+            F.sum((g * F.col("x2")).cast(dec)).alias("s2"),
+        ).collect()[0]
+        w = [
+            round(w[j] - QREG_LR * float(row[j]) / n, 12)
+            for j in range(3)
+        ]
+    yhat = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    e = F.col("y") - yhat
+    pin = F.when(e >= 0, F.lit(QREG_TAU) * e).otherwise(F.lit(QREG_TAU - 1) * e)
+    return feats.agg(
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        F.lit(n).cast("long").alias("n"),
+        F.round(F.sum(pin.cast(dec)).cast("double") / n, 6).alias(
+            "pinball_loss"
+        ),
+        F.round(
+            F.sum(F.when(F.col("y") <= yhat, 1).otherwise(0)) * 1.0 / n, 6
+        ).alias("coverage"),
+    )

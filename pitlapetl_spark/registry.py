@@ -174,6 +174,8 @@ _PRIORITY: tuple[str, ...] = (
     # twin of agg_approx_sketches' unreplayable native HLL++
     "text_bpe_encode",  # the trained tokenizer's ENCODE half (shared
     # merge loop with the r7 trainer; word-type grain)
+    "ml_quantile_regression_gd",  # pinball-loss subgradient trainer —
+    # third iterative-trainer member, one comparison-only gradient
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

@@ -504,3 +504,26 @@ def test_hll_estimate_within_theoretical_error(spark):
     assert abs(row.rel_error) < 0.20, row
     assert row.hll_estimate > 0 and 0 <= row.v_empty <= row.m_registers
     assert abs(row.hll_estimate / row.n_exact - 1 - row.rel_error) < 1e-6
+
+
+def test_quantile_regression_descends_and_covers(spark):
+    """The fixed-iteration pinball trainer must actually descend: its
+    final loss beats the zero-weight loss by a wide margin, and the
+    empirical coverage moves from 0 toward tau (0.75) without
+    overshooting 1."""
+    from pitlapetl_spark.operators.breadth8 import QREG_TAU
+    from pitlapetl_spark.sources import load_table
+
+    row = Q["ml_quantile_regression_gd"](spark, SF_SMOKE).collect()[0]
+    feats = load_table(spark, SF_SMOKE, "lineitem").select(
+        (F.col("l_extendedprice") / 10000).alias("y")
+    )
+    zero_loss = feats.agg(
+        F.avg(
+            F.when(F.col("y") >= 0, QREG_TAU * F.col("y")).otherwise(
+                (QREG_TAU - 1) * F.col("y")
+            )
+        )
+    ).collect()[0][0]
+    assert row.pinball_loss < 0.6 * zero_loss, (row.pinball_loss, zero_loss)
+    assert 0.3 < row.coverage < 0.95, row.coverage
