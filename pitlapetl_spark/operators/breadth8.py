@@ -405,3 +405,126 @@ def ml_quantile_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("y") <= yhat, 1).otherwise(0)) * 1.0 / n, 6
         ).alias("coverage"),
     )
+
+
+# ------------------- user-level DP sum with bounded contribution
+#
+# The sum twin of privacy_dp_count_laplace (breadth7d.py) carrying the
+# concept counts don't need: CONTRIBUTION BOUNDING. A user-level-DP
+# sum's sensitivity is one user's maximum effect, which is unbounded
+# until clamped — so per-customer spend is capped at DP_SUM_CLAMP
+# first, making the Laplace scale exactly CLAMP/epsilon, and the
+# number of clamped customers is released alongside as the bias
+# diagnostic (the standard clipping-bias/noise trade). Noise is the
+# same seeded inverse-CDF Laplace device (md5 uniform -> quantile
+# function), keyed on the release tag + nation, so both engines draw
+# the identical "sample". All money flows in DECIMAL until the final
+# rounds.
+
+DP_SUM_CLAMP = 4_000_000  # per-customer cap, in price units
+
+
+def _dp_sum_oracle() -> str:
+    from .breadth7d import _DP_DENOM, DP_EPSILON, DP_RELEASE
+
+    scale = DP_SUM_CLAMP / DP_EPSILON
+    return f"""
+    WITH per_cust AS (
+        SELECT cu.c_nationkey,
+               least(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DECIMAL(18,2)),
+                     CAST({DP_SUM_CLAMP} AS DECIMAL(18,2))) AS clamped,
+               CASE WHEN sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         > {DP_SUM_CLAMP} THEN 1 ELSE 0 END AS hit
+        FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+        GROUP BY o.o_custkey, cu.c_nationkey
+    ),
+    agg AS (
+        SELECT n.n_name AS nation,
+               sum(clamped) AS true_sum_dec,
+               CAST(sum(hit) AS BIGINT) AS n_clamped
+        FROM per_cust JOIN nation n ON per_cust.c_nationkey = n.n_nationkey
+        GROUP BY 1
+    ),
+    u AS (
+        SELECT nation, true_sum_dec, n_clamped,
+               (CAST(('0x' || substr(md5('{DP_RELEASE}:sum:' || nation), 1, 15))
+                     AS BIGINT) + 1) / {_DP_DENOM}.0 AS uu
+        FROM agg
+    )
+    SELECT nation,
+           round(CAST(true_sum_dec AS DOUBLE), 2) AS true_sum,
+           n_clamped,
+           round(-{scale!r}
+                 * CASE WHEN uu - 0.5 > 0 THEN 1.0
+                        WHEN uu - 0.5 < 0 THEN -1.0 ELSE 0.0 END
+                 * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noise,
+           round(CAST(true_sum_dec AS DOUBLE)
+                 - {scale!r}
+                 * CASE WHEN uu - 0.5 > 0 THEN 1.0
+                        WHEN uu - 0.5 < 0 THEN -1.0 ELSE 0.0 END
+                 * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS released_sum
+    FROM u ORDER BY nation
+    """
+
+
+@query("privacy_dp_sum_bounded", oracle=_dp_sum_oracle())
+def privacy_dp_sum_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level DP per-nation revenue: clamp each customer's total
+    to DP_SUM_CLAMP, sum per nation, add seeded Laplace noise at scale
+    CLAMP/epsilon (block comment above)."""
+    from .breadth7d import _DP_DENOM, DP_EPSILON, DP_RELEASE
+
+    scale = DP_SUM_CLAMP / DP_EPSILON
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = "decimal(18,2)"
+    per_cust = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast(dec)).cast(dec).alias("spend"))
+        .select(
+            "c_nationkey",
+            F.least(F.col("spend"), F.lit(DP_SUM_CLAMP).cast(dec)).alias(
+                "clamped"
+            ),
+            F.when(F.col("spend") > DP_SUM_CLAMP, 1).otherwise(0).alias("hit"),
+        )
+    )
+    agg = (
+        per_cust.join(
+            F.broadcast(n), per_cust.c_nationkey == n.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("clamped").alias("true_sum_dec"),
+            F.sum("hit").cast("long").alias("n_clamped"),
+        )
+    )
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{DP_RELEASE}:sum:"), F.col("nation"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / float(_DP_DENOM)
+    centered = uu - 0.5
+    sign = F.when(centered > 0, 1.0).when(centered < 0, -1.0).otherwise(0.0)
+    noise = -scale * sign * F.log(1.0 - 2.0 * F.abs(centered))
+    return agg.select(
+        "nation",
+        F.round(F.col("true_sum_dec").cast("double"), 2).alias("true_sum"),
+        "n_clamped",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_sum_dec").cast("double") + noise, 6).alias(
+            "released_sum"
+        ),
+    ).orderBy("nation")

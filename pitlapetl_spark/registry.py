@@ -176,6 +176,8 @@ _PRIORITY: tuple[str, ...] = (
     # merge loop with the r7 trainer; word-type grain)
     "ml_quantile_regression_gd",  # pinball-loss subgradient trainer —
     # third iterative-trainer member, one comparison-only gradient
+    "privacy_dp_sum_bounded",  # user-level DP sum: contribution
+    # clamping (sensitivity = CLAMP) + seeded Laplace at CLAMP/eps
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

@@ -527,3 +527,22 @@ def test_quantile_regression_descends_and_covers(spark):
     ).collect()[0][0]
     assert row.pinball_loss < 0.6 * zero_loss, (row.pinball_loss, zero_loss)
     assert 0.3 < row.coverage < 0.95, row.coverage
+
+
+def test_dp_sum_clamps_and_scales_noise(spark):
+    """Contribution bounding must actually fire (customers above the
+    cap exist in the fixture) and the released noise must be at the
+    CLAMP/epsilon scale — orders of magnitude above the count query's
+    1/epsilon noise, the whole point of the sum's sensitivity
+    analysis."""
+    from pitlapetl_spark.operators.breadth7d import DP_EPSILON
+    from pitlapetl_spark.operators.breadth8 import DP_SUM_CLAMP
+
+    rows = Q["privacy_dp_sum_bounded"](spark, SF_SMOKE).collect()
+    assert rows and any(r.n_clamped > 0 for r in rows)
+    scale = DP_SUM_CLAMP / DP_EPSILON
+    for r in rows:
+        assert abs(r.released_sum - r.true_sum - r.noise) < 1e-3
+        assert abs(r.noise) < 20 * scale  # Laplace tail sanity
+    # at least one draw beyond 0.1 scale - the noise is not vestigial
+    assert any(abs(r.noise) > 0.1 * scale for r in rows)
