@@ -528,3 +528,113 @@ def privacy_dp_sum_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "released_sum"
         ),
     ).orderBy("nation")
+
+
+# ------------------------ revenue proration (interval -> calendar)
+#
+# The finance allocation shape none of the existing interval ops
+# cover: spread each line's revenue across the calendar MONTHS its
+# service interval overlaps, proportional to overlap days — revenue
+# recognition, subscription proration, capacity amortization are all
+# this query. Engine shape: a SPAN-BOUNDED month explode per row
+# (sequence/generate_series between the interval's month ends — never
+# a calendar cross join), overlap arithmetic in exact day integers,
+# and the prorated amount as cents * overlap / total computed once in
+# double (identical IEEE ops both engines; cents * days < 2^53 so the
+# numerator is exact) then summed in DECIMAL. The service interval is
+# [least(orderdate, shipdate), greatest(...)] — the synthetic fixture
+# contains inverted spans, and the normalization is the documented
+# dirty-data posture rather than a silent drop.
+
+def _proration_oracle() -> str:
+    return """
+    WITH li AS (
+        SELECT least(o.o_orderdate, l.l_shipdate) AS d0,
+               greatest(o.o_orderdate, l.l_shipdate) AS d1,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+        SELECT d0, d1, cents,
+               CAST(datediff('day', d0, d1) + 1 AS BIGINT) AS total_days,
+               CAST(unnest(generate_series(date_trunc('month', d0),
+                                           date_trunc('month', d1),
+                                           INTERVAL 1 MONTH)) AS DATE)
+                   AS month_start
+        FROM li
+    ),
+    o AS (
+        SELECT strftime(month_start, '%Y-%m') AS month,
+               CAST(datediff('day',
+                             greatest(month_start, d0),
+                             least(last_day(month_start), d1))
+                    + 1 AS BIGINT) AS overlap_days,
+               total_days, cents
+        FROM m
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_line_months,
+           round(CAST(sum(CAST(cents * overlap_days * 1.0 / total_days
+                               AS DECIMAL(28,12))) AS DOUBLE) / 100.0,
+                 2) AS prorated_revenue
+    FROM o
+    GROUP BY 1
+    """
+
+
+@query("analytics_revenue_proration", oracle=_proration_oracle())
+def analytics_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month revenue with each line prorated across its
+    order-to-ship interval by overlap days (block comment above)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.least("o_orderdate", "l_shipdate").alias("d0"),
+        F.greatest("o_orderdate", "l_shipdate").alias("d1"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    m = base.select(
+        "d0",
+        "d1",
+        "cents",
+        (F.datediff("d1", "d0") + 1).cast("long").alias("total_days"),
+        F.explode(
+            F.sequence(
+                F.trunc("d0", "month"),
+                F.trunc("d1", "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start"),
+    )
+    ov = m.select(
+        F.date_format("month_start", "yyyy-MM").alias("month"),
+        (
+            F.datediff(
+                F.least(F.last_day("month_start"), F.col("d1")),
+                F.greatest(F.col("month_start"), F.col("d0")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+        "total_days",
+        "cents",
+    )
+    return ov.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_line_months"),
+        F.round(
+            F.sum(
+                (
+                    F.col("cents") * F.col("overlap_days") * 1.0
+                    / F.col("total_days")
+                ).cast("decimal(28,12)")
+            ).cast("double")
+            / 100.0,
+            2,
+        ).alias("prorated_revenue"),
+    )

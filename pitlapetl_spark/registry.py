@@ -178,6 +178,8 @@ _PRIORITY: tuple[str, ...] = (
     # third iterative-trainer member, one comparison-only gradient
     "privacy_dp_sum_bounded",  # user-level DP sum: contribution
     # clamping (sensitivity = CLAMP) + seeded Laplace at CLAMP/eps
+    "analytics_revenue_proration",  # interval->calendar allocation:
+    # span-bounded month explode + overlap-day proration
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

@@ -546,3 +546,23 @@ def test_dp_sum_clamps_and_scales_noise(spark):
         assert abs(r.noise) < 20 * scale  # Laplace tail sanity
     # at least one draw beyond 0.1 scale - the noise is not vestigial
     assert any(abs(r.noise) > 0.1 * scale for r in rows)
+
+
+def test_proration_conserves_total_revenue(spark):
+    """Mass conservation: summing prorated revenue over all months
+    must reproduce the corpus's total line revenue to the cent — the
+    defining invariant of any allocation (overlap days always
+    partition the interval exactly)."""
+    from pitlapetl_spark.sources import load_table
+
+    months = Q["analytics_revenue_proration"](spark, SF_SMOKE).collect()
+    total_prorated = sum(r.prorated_revenue for r in months)
+    total = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")))
+        .collect()[0][0]
+    )
+    assert abs(total_prorated - float(total)) < 0.05 * len(months), (
+        total_prorated,
+        float(total),
+    )
