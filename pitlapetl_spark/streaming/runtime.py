@@ -1315,6 +1315,84 @@ def read_kanonymity_audit(spark: SparkSession, store_path: str) -> DataFrame:
 # ---------------------------------------------- OOV drift monitor
 
 
+def run_histogram_sink(
+    events: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
+) -> StreamingQuery:
+    """Streaming value-distribution monitor: each micro-batch writes
+    its (event_type, bin, n, lo_raw, hi_raw) equi-width histogram
+    PARTIAL to a batch-scoped overwrite partition; ``read_histogram``
+    folds partitions into exactly the batch operator's output
+    (operators/breadth.py agg_histogram_equi_width) — counts add,
+    extrema take min/max, so the fold is bit-equal by construction.
+    The drift use: diff today's folded histogram against a reference
+    release to see value-distribution shift at bin grain (the PSI
+    sink's sibling with the raw distribution retained, not just the
+    divergence scalar).
+
+    Exactly-once and growth: the OOV sink's devices verbatim —
+    batch-scoped overwrite partitions for replay safety, additive
+    partials carrying their ``src_batch`` provenance id, and
+    generation compaction via ``_compact_partition_store`` dedup-ing
+    on (src_batch, event_type, bin)."""
+    from ..operators.breadth import HIST_HI, HIST_LO, N_HIST_BINS
+
+    width = (HIST_HI - HIST_LO) / N_HIST_BINS
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _compact_partition_store(
+            spark,
+            store_path,
+            batch_id,
+            compact_every,
+            ["src_batch", "event_type", "bin"],
+        )
+        bin_ = F.least(
+            F.floor((F.col("value") - HIST_LO) / width),
+            F.lit(N_HIST_BINS - 1),
+        ).cast("int")
+        partial = (
+            batch_df.groupBy("event_type", bin_.alias("bin"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("lo_raw"),
+                F.max("value").alias("hi_raw"),
+            )
+            .withColumn("src_batch", F.lit(batch_id))
+        )
+        partial.coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the stream-maintained histogram partials to the batch
+    operator's exact output: counts sum, extrema min/max, THEN the
+    round(4) — rounding per-partial first would break bit-equality."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.min("lo_raw"), 4).alias("lo_value"),
+            F.round(F.max("hi_raw"), 4).alias("hi_value"),
+        )
+    )
+
+
 def run_oov_sink(
     docs: DataFrame,
     vocab_src: DataFrame,

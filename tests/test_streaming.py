@@ -1559,3 +1559,50 @@ def test_oov_sink_compaction_preserves_fold_and_provenance(spark, tmp_path):
         spark, f"{tmp_path}/store_c/cur", 10**6, 1, ["src_batch"]
     )
     assert fold("store_c") == before
+
+
+def test_histogram_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
+    """The streaming histogram monitor folded over micro-batches must
+    equal the oracle-checked batch histogram bit-for-bit (counts add,
+    extrema min/max, round-after-fold), survive a same-checkpoint
+    restart unchanged, and stay bit-equal when compaction folds its
+    partials into a generation partition."""
+    import os
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        read_histogram,
+        run_histogram_sink,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+
+    def run():
+        q = run_histogram_sink(stream, store, ck, compact_every=2)
+        q.awaitTermination(180)
+
+    run()
+    cols = ["event_type", "bin", "n", "lo_value", "hi_value"]
+    want = _rows(registry.QUERIES["agg_histogram_equi_width"](spark, SF_SMOKE), *cols)
+    assert _rows(read_histogram(spark, store), *cols) == want
+    # compaction actually folded (compact_every=2 over 3 batches)
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch=")
+    )
+    assert parts[0] < 0, parts
+    run()  # same checkpoint: nothing new, fold unchanged
+    assert _rows(read_histogram(spark, store), *cols) == want
