@@ -638,3 +638,84 @@ def analytics_revenue_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("prorated_revenue"),
     )
+
+
+# ----------------- reflected running balance (floor-at-zero fold)
+#
+# Inventory/wallet semantics: balance_t = max(0, balance_{t-1} + d_t)
+# is a FOLD, not a cumulative sum — naively it needs per-key
+# sequential state. The Skorokhod single-barrier reflection gives the
+# closed form  b_t = S_t - min(0, min_{j<=t} S_j)  (S = prefix sum),
+# which IS windowable: two running aggregates over the same ordered
+# frame, no recursion, no UDF, engine-parallel per key. Credits are
+# engagement events, debits purchases/errors; the fixture's roughly
+# balanced mix guarantees both the clamp and the free region exercise.
+# Determinism: both engines evaluate running frames sequentially in
+# the same (ts, event_id) total order, so the double prefix sums are
+# IEEE-identical; round(4) on output only.
+
+
+@query(
+    "window_reflected_balance",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type IN ('purchase', 'error')
+                    THEN -value ELSE value END AS delta
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, ts, delta,
+               sum(delta) OVER w AS run_sum
+        FROM d
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    r AS (
+        SELECT user_id, event_id, delta, run_sum,
+               min(run_sum) OVER w AS run_min
+        FROM s
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(delta, 4) AS delta,
+           round(run_sum - least(run_min, 0), 4) AS balance
+    FROM r
+    """,
+)
+def window_reflected_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user floor-at-zero running balance via the reflection
+    closed form (block comment above)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type").isin("purchase", "error"), -F.col("value")
+        )
+        .otherwise(F.col("value"))
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "delta",
+        F.sum("delta").over(w).alias("run_sum"),
+    ).withColumn("run_min", F.min("run_sum").over(w))
+    return s.select(
+        "user_id",
+        "event_id",
+        F.round("delta", 4).alias("delta"),
+        F.round(
+            F.col("run_sum") - F.least(F.col("run_min"), F.lit(0.0)), 4
+        ).alias("balance"),
+    )

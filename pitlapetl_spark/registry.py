@@ -180,6 +180,8 @@ _PRIORITY: tuple[str, ...] = (
     # clamping (sensitivity = CLAMP) + seeded Laplace at CLAMP/eps
     "analytics_revenue_proration",  # interval->calendar allocation:
     # span-bounded month explode + overlap-day proration
+    "window_reflected_balance",  # floor-at-zero running balance via
+    # the Skorokhod reflection closed form — a fold made windowable
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

@@ -566,3 +566,36 @@ def test_proration_conserves_total_revenue(spark):
         total_prorated,
         float(total),
     )
+
+
+def test_reflected_balance_equals_sequential_fold(spark):
+    """The windowed reflection closed form must equal the literal
+    sequential fold b_t = max(0, b_{t-1} + d_t) for every user — and
+    the clamp must actually fire somewhere (a fixture where balances
+    never hit zero would make the reflection vestigial)."""
+    rows = Q["window_reflected_balance"](spark, SF_SMOKE).collect()
+    from collections import defaultdict
+
+    from pitlapetl_spark.sources import load_table
+
+    ev = sorted(
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    bal = {}
+    want = {}
+    for r in ev:
+        d = -r.value if r.event_type in ("purchase", "error") else r.value
+        b = max(0.0, bal.get(r.user_id, 0.0) + d)
+        bal[r.user_id] = b
+        want[(r.user_id, r.event_id)] = round(b, 4)
+    clamped = 0
+    got_map = {(r.user_id, r.event_id): r.balance for r in rows}
+    assert len(got_map) == len(want)
+    for k, v in want.items():
+        assert abs(got_map[k] - v) < 1e-6, (k, got_map[k], v)
+        if v == 0.0:
+            clamped += 1
+    assert clamped > 0  # the floor fires
