@@ -719,3 +719,73 @@ def window_reflected_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("run_sum") - F.least(F.col("run_min"), F.lit(0.0)), 4
         ).alias("balance"),
     )
+
+
+# ------------------------------ phrase search (position postings)
+#
+# BM25 (text.py) answers TERM queries; a PHRASE needs adjacency, and
+# the scan-side answer (LIKE '%hash join%') reads every byte of every
+# document. The inverted-index way: token postings WITH POSITIONS,
+# one equi-join per phrase gap on (doc_id, pos + k) — each join
+# touches only the postings of one term (the rarest-first ordering at
+# production scale), never the corpus text. The postings frame is the
+# same explode the BM25/TF-IDF family checkpoints, so in a composed
+# pipeline this reuses that build. Counts and positions are exact
+# integers end-to-end.
+
+PHRASE = ("hash", "join")  # 25/28/289 hits at sf0.001/0.01/0.1
+
+
+def _phrase_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in PHRASE)
+    joins = "\n        ".join(
+        f"JOIN p t{k} ON t{k}.doc_id = t0.doc_id"
+        f" AND t{k}.pos = t0.pos + {k} AND t{k}.w = '{PHRASE[k]}'"
+        for k in range(1, len(PHRASE))
+    )
+    return f"""
+    WITH p AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               CAST(generate_subscripts(string_split(lower(text), ' '), 1)
+                    AS INT) AS pos
+        FROM documents
+    ),
+    hits AS (
+        SELECT t0.doc_id, t0.pos
+        FROM (SELECT * FROM p WHERE w = '{PHRASE[0]}') t0
+        {joins}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(pos) AS INT) AS first_pos
+    FROM hits
+    GROUP BY 1
+    """
+
+
+@query("text_phrase_search", oracle=_phrase_oracle())
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find documents containing the exact phrase {PHRASE} via
+    position-postings adjacency joins (block comment above); output
+    per-doc hit count and first position (1-based, matching the
+    oracle's generate_subscripts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "w")
+    hits = p.filter(F.col("w") == PHRASE[0]).select("doc_id", "pos")
+    for k in range(1, len(PHRASE)):
+        tk = p.filter(F.col("w") == PHRASE[k]).select(
+            F.col("doc_id").alias("dk"), F.col("pos").alias("pk")
+        )
+        hits = hits.join(
+            tk,
+            (F.col("doc_id") == F.col("dk"))
+            & (F.col("pk") == F.col("pos") + k),
+        ).select("doc_id", "pos")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("pos").cast("int").alias("first_pos"),
+    )

@@ -599,3 +599,30 @@ def test_reflected_balance_equals_sequential_fold(spark):
         if v == 0.0:
             clamped += 1
     assert clamped > 0  # the floor fires
+
+
+def test_phrase_search_matches_substring_scan(spark):
+    """The postings-join phrase search must find exactly the documents
+    a whole-word substring scan finds (the slow path it replaces) —
+    same doc set, same per-doc hit counts."""
+    from pitlapetl_spark.operators.breadth8 import PHRASE
+    from pitlapetl_spark.sources import load_table
+
+    got = {
+        r.doc_id: r.n_hits
+        for r in Q["text_phrase_search"](spark, SF_SMOKE).collect()
+    }
+    phrase = " ".join(PHRASE)
+    want = {}
+    for r in load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).collect():
+        toks = r.text.lower().split(" ")
+        n = sum(
+            1
+            for i in range(len(toks) - len(PHRASE) + 1)
+            if toks[i : i + len(PHRASE)] == list(PHRASE)
+        )
+        if n:
+            want[r.doc_id] = n
+    assert got == want and got, (len(got), len(want), phrase)
