@@ -789,3 +789,85 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.min("pos").cast("int").alias("first_pos"),
     )
+
+
+# --------------------- capped sessionization (idle gap + hard max)
+#
+# The production session rule most analytics stacks actually run:
+# "a session ends after CAP_GAP idle OR at CAP_MAX total duration,
+# whichever first" — the hard cap bounds state for always-on devices
+# and bots that never go idle. The idle half is the classic
+# flag+cumsum (sessionize_events); the cap half is a SECOND grain:
+# within each gap-session, events split at fixed CAP_MAX offsets from
+# the session START (floor((ts - session_start)/CAP_MAX)), so the
+# composite id is (user, gap-ordinal, cap-slice). Three windows, all
+# on the same (user) partition — one shuffle. Gap is 4h and cap 6h
+# here so BOTH rules fire in the fixture (17/168/1515 capped sessions
+# at the three SFs); microsecond-exact arithmetic as the idle
+# sessionizer (unix_micros vs epoch() whole-second truncation).
+
+CAP_GAP_S = 14_400  # 4h idle ends a session
+CAP_MAX_S = 21_600  # 6h hard cap splits one regardless
+
+
+@query(
+    "sessionize_capped",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {CAP_GAP_S}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT event_id, user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ord
+        FROM flagged
+    ),
+    g AS (
+        SELECT event_id, user_id, ts, ord,
+               min(ts) OVER (PARTITION BY user_id, ord) AS sess_start
+        FROM s
+    )
+    SELECT event_id, user_id, ts,
+           user_id || '-' || CAST(ord AS VARCHAR) || '-' ||
+           CAST(CAST(floor((epoch_us(ts) - epoch_us(sess_start))
+                           / ({CAP_MAX_S} * 1000000.0)) AS BIGINT)
+                AS VARCHAR) AS session_id
+    FROM g
+    """,
+)
+def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle-gap + hard-cap session ids per event (block comment
+    above): composite id user-ordinal-slice."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > CAP_GAP_S * 1_000_000), 1).otherwise(0),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = flagged.withColumn("ord", F.sum("new_sess").over(run))
+    g = s.withColumn(
+        "sess_start", F.min("ts").over(Window.partitionBy("user_id", "ord"))
+    )
+    slice_ = F.floor(
+        (F.unix_micros("ts") - F.unix_micros("sess_start"))
+        / (CAP_MAX_S * 1_000_000.0)
+    ).cast("long")
+    return g.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.concat_ws("-", F.col("user_id"), F.col("ord"), slice_).alias(
+            "session_id"
+        ),
+    )

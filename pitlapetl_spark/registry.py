@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     # the Skorokhod reflection closed form — a fold made windowable
     "text_phrase_search",  # position-postings phrase adjacency join —
     # the inverted-index answer to LIKE '%...%' corpus scans
+    "sessionize_capped",  # idle-gap + hard-max-duration sessions: the
+    # bot/always-on-device state bound the plain sessionizer lacks
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

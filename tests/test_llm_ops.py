@@ -626,3 +626,25 @@ def test_phrase_search_matches_substring_scan(spark):
         if n:
             want[r.doc_id] = n
     assert got == want and got, (len(got), len(want), phrase)
+
+
+def test_capped_sessions_respect_both_rules(spark):
+    """Every capped session must satisfy BOTH invariants: intra-
+    session idle gaps never exceed CAP_GAP_S and total duration never
+    exceeds CAP_MAX_S; and the cap must actually split something in
+    the fixture (slice > 0 exists)."""
+    from collections import defaultdict
+
+    from pitlapetl_spark.operators.breadth8 import CAP_GAP_S, CAP_MAX_S
+
+    rows = Q["sessionize_capped"](spark, SF_SMOKE).collect()
+    by_sess = defaultdict(list)
+    for r in rows:
+        by_sess[r.session_id].append(r.ts)
+    assert any(s.rsplit("-", 1)[1] != "0" for s in by_sess)  # cap fired
+    for sid, tss in by_sess.items():
+        tss.sort()
+        dur = (tss[-1] - tss[0]).total_seconds()
+        assert dur <= CAP_MAX_S, (sid, dur)
+        for a, b in zip(tss, tss[1:]):
+            assert (b - a).total_seconds() <= CAP_GAP_S, sid
