@@ -871,3 +871,227 @@ def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_id"
         ),
     )
+
+
+# ---------------- k-fold cross-validation (leakage-safe, one plan)
+#
+# The evaluation discipline the single-stump query lacks: train on
+# k-1 folds, score on the held-out fold, repeat for every fold — with
+# NO per-fold re-scan. The trick is grain algebra: one aggregate
+# produces the (fold, cut) cell counts; the TRAIN counts for held-out
+# fold f are then total(cut) - cell(f, cut) (plain arithmetic on the
+# tiny cell frame), and the same cell rows ARE the held-out
+# evaluation counts. Fold assignment is the deterministic md5 bucket
+# (leakage-safe: a row's fold never depends on other rows); the
+# candidate-cut grid is full-data deciles — a hyperparameter grid,
+# standard practice — while split SELECTION and leaf labels are
+# train-only. Scale: one fact scan + one (folds x cuts)-grain
+# aggregate; everything after is on <= 27 rows.
+
+CV_FOLDS = 3
+CV_CUTS = 9
+
+
+def _cv_stump_oracle() -> str:
+    fold = oracle_hash_bucket("'fold:' || CAST(o_orderkey AS VARCHAR)", CV_FOLDS)
+    cut_list = ", ".join(
+        f"round(quantile_cont(v, {k / 10.0}), 6)" for k in range(1, CV_CUTS + 1)
+    )
+    k_list = ", ".join(str(k) for k in range(1, CV_CUTS + 1))
+    return f"""
+    WITH base AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS v,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y,
+               {fold} AS fold
+        FROM orders
+    ),
+    cuts AS (
+        SELECT unnest([{k_list}]) AS k, unnest([{cut_list}]) AS cut
+        FROM base
+    ),
+    cell AS (
+        SELECT fold, c.k, c.cut,
+               CAST(sum(CASE WHEN v <= cut THEN y ELSE 0 END) AS BIGINT) AS lp,
+               CAST(sum(CASE WHEN v <= cut THEN 1 - y ELSE 0 END) AS BIGINT) AS ln,
+               CAST(sum(CASE WHEN v > cut THEN y ELSE 0 END) AS BIGINT) AS rp,
+               CAST(sum(CASE WHEN v > cut THEN 1 - y ELSE 0 END) AS BIGINT) AS rn
+        FROM base CROSS JOIN cuts c
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT k, sum(lp) AS tlp, sum(ln) AS tln,
+               sum(rp) AS trp, sum(rn) AS trn
+        FROM cell GROUP BY 1
+    ),
+    train AS (
+        SELECT c.fold, c.k, c.cut,
+               t.tlp - c.lp AS lp, t.tln - c.ln AS ln,
+               t.trp - c.rp AS rp, t.trn - c.rn AS rn
+        FROM cell c JOIN tot t USING (k)
+    ),
+    scored AS (
+        SELECT fold, k, cut, lp, ln, rp, rn,
+               round(
+                   (1.0 - (lp * 1.0 / (lp + ln)) * (lp * 1.0 / (lp + ln))
+                        - (ln * 1.0 / (lp + ln)) * (ln * 1.0 / (lp + ln)))
+                   * (lp + ln) / (lp + ln + rp + rn)
+                 + (1.0 - (rp * 1.0 / (rp + rn)) * (rp * 1.0 / (rp + rn))
+                        - (rn * 1.0 / (rp + rn)) * (rn * 1.0 / (rp + rn)))
+                   * (rp + rn) / (lp + ln + rp + rn), 9) AS gini,
+               CASE WHEN lp >= ln THEN 1 ELSE 0 END AS left_label,
+               CASE WHEN rp >= rn THEN 1 ELSE 0 END AS right_label
+        FROM train
+    ),
+    chosen AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY fold ORDER BY gini, k) AS rnk
+            FROM scored
+        ) WHERE rnk = 1
+    )
+    SELECT ch.fold,
+           CAST(ch.k AS INT) AS cut_idx,
+           ch.cut AS cut_value,
+           ch.gini AS train_gini,
+           CAST(ch.left_label AS INT) AS left_label,
+           CAST(ch.right_label AS INT) AS right_label,
+           CAST(ce.lp + ce.ln + ce.rp + ce.rn AS BIGINT) AS n_holdout,
+           round((CASE WHEN ch.left_label = 1 THEN ce.lp ELSE ce.ln END
+                + CASE WHEN ch.right_label = 1 THEN ce.rp ELSE ce.rn END)
+                 * 1.0 / (ce.lp + ce.ln + ce.rp + ce.rn), 6)
+               AS holdout_accuracy
+    FROM chosen ch
+    JOIN cell ce ON ce.fold = ch.fold AND ce.k = ch.k
+    """
+
+
+@query("ml_cross_validation_stump", oracle=_cv_stump_oracle())
+def ml_cross_validation_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{CV_FOLDS}-fold cross-validated decision stump (block comment
+    above): per fold, the train-chosen split + leaf labels and the
+    held-out accuracy."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_totalprice").cast("double").alias("v"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("y"),
+        hash_bucket(
+            F.concat(F.lit("fold:"), F.col("o_orderkey").cast("string")),
+            CV_FOLDS,
+        ).alias("fold"),
+    ).localCheckpoint(eager=False)
+    cuts_row = F.broadcast(
+        base.agg(
+            *[
+                F.round(F.expr(f"percentile(v, {k / 10.0})"), 6).alias(f"c{k}")
+                for k in range(1, CV_CUTS + 1)
+            ]
+        )
+    )
+    cell = (
+        base.crossJoin(cuts_row)  # one-row scalar broadcast
+        .select(
+            "fold",
+            "y",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"), F.col(f"c{k}").alias("cut")
+                        )
+                        for k in range(1, CV_CUTS + 1)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("fold", "y", "v", "c.k", "c.cut")
+        .groupBy("fold", "k", "cut")
+        .agg(
+            F.sum(F.when(F.col("v") <= F.col("cut"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("lp"),
+            F.sum(
+                F.when(F.col("v") <= F.col("cut"), 1 - F.col("y")).otherwise(0)
+            )
+            .cast("long")
+            .alias("ln"),
+            F.sum(F.when(F.col("v") > F.col("cut"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("rp"),
+            F.sum(
+                F.when(F.col("v") > F.col("cut"), 1 - F.col("y")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rn"),
+        )
+        .localCheckpoint(eager=False)  # tiny; feeds tot + train + eval
+    )
+    tot = cell.groupBy("k").agg(
+        F.sum("lp").alias("tlp"),
+        F.sum("ln").alias("tln"),
+        F.sum("rp").alias("trp"),
+        F.sum("rn").alias("trn"),
+    )
+    train = cell.join(F.broadcast(tot), "k").select(
+        "fold",
+        "k",
+        "cut",
+        (F.col("tlp") - F.col("lp")).alias("lp"),
+        (F.col("tln") - F.col("ln")).alias("ln"),
+        (F.col("trp") - F.col("rp")).alias("rp"),
+        (F.col("trn") - F.col("rn")).alias("rn"),
+    )
+    lf, lnn, rp, rn = (F.col(c) * 1.0 for c in ("lp", "ln", "rp", "rn"))
+    nl, nr = lf + lnn, rp + rn
+    n = nl + nr
+    gini = F.round(
+        (1.0 - (lf / nl) * (lf / nl) - (lnn / nl) * (lnn / nl)) * nl / n
+        + (1.0 - (rp / nr) * (rp / nr) - (rn / nr) * (rn / nr)) * nr / n,
+        9,
+    )
+    scored = train.select(
+        "fold",
+        "k",
+        "cut",
+        gini.alias("gini"),
+        F.when(F.col("lp") >= F.col("ln"), 1).otherwise(0).alias("left_label"),
+        F.when(F.col("rp") >= F.col("rn"), 1)
+        .otherwise(0)
+        .alias("right_label"),
+    )
+    w = Window.partitionBy("fold").orderBy("gini", "k")
+    chosen = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    ev = cell.select(
+        F.col("fold").alias("ef"),
+        F.col("k").alias("ek"),
+        "lp",
+        "ln",
+        "rp",
+        "rn",
+    )
+    joined = chosen.join(
+        ev, (F.col("fold") == F.col("ef")) & (F.col("k") == F.col("ek"))
+    )
+    n_hold = (
+        F.col("lp") + F.col("ln") + F.col("rp") + F.col("rn")
+    ).cast("long")
+    correct = F.when(F.col("left_label") == 1, F.col("lp")).otherwise(
+        F.col("ln")
+    ) + F.when(F.col("right_label") == 1, F.col("rp")).otherwise(F.col("rn"))
+    return joined.select(
+        "fold",
+        F.col("k").cast("int").alias("cut_idx"),
+        F.col("cut").alias("cut_value"),
+        F.col("gini").alias("train_gini"),
+        F.col("left_label").cast("int").alias("left_label"),
+        F.col("right_label").cast("int").alias("right_label"),
+        n_hold.alias("n_holdout"),
+        F.round(correct * 1.0 / n_hold, 6).alias("holdout_accuracy"),
+    )

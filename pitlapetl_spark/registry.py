@@ -186,6 +186,8 @@ _PRIORITY: tuple[str, ...] = (
     # the inverted-index answer to LIKE '%...%' corpus scans
     "sessionize_capped",  # idle-gap + hard-max-duration sessions: the
     # bot/always-on-device state bound the plain sessionizer lacks
+    "ml_cross_validation_stump",  # leakage-safe k-fold CV in one plan
+    # (train = total - heldout grain algebra, no per-fold re-scan)
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

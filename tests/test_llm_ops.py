@@ -648,3 +648,21 @@ def test_capped_sessions_respect_both_rules(spark):
         assert dur <= CAP_MAX_S, (sid, dur)
         for a, b in zip(tss, tss[1:]):
             assert (b - a).total_seconds() <= CAP_GAP_S, sid
+
+
+def test_cv_stump_folds_are_leakage_safe_and_sane(spark):
+    """Each fold must train on data excluding its own rows: the three
+    holdout sizes must partition the order count exactly, accuracies
+    must be real probabilities, and every chosen split must be one of
+    the candidate deciles."""
+    from pitlapetl_spark.operators.breadth8 import CV_CUTS, CV_FOLDS
+    from pitlapetl_spark.sources import load_table
+
+    rows = Q["ml_cross_validation_stump"](spark, SF_SMOKE).collect()
+    assert len(rows) == CV_FOLDS
+    n = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r.n_holdout for r in rows) == n
+    for r in rows:
+        assert 0.0 <= r.holdout_accuracy <= 1.0
+        assert 1 <= r.cut_idx <= CV_CUTS
+        assert r.left_label in (0, 1) and r.right_label in (0, 1)
