@@ -164,8 +164,22 @@ HEADLINE = (
     "layout_zorder_locality",
     "attribution_position_based",
     # round 8: the production L-tables LSH (recall path next to the
-    # IVF and PQ entries — union-of-bucket-matches candidate shape)
+    # IVF and PQ entries — union-of-bucket-matches candidate shape),
+    # the volume-proportional percentile-sketch window, the gated
+    # two-pass heavy hitters (sketch + broadcast gate + pruned
+    # exact count), the interval->calendar proration explode, the
+    # position-postings phrase join, and the three-window capped
+    # sessionizer
+    # (analytics_revenue_proration stays OFF the headline: the
+    # synthetic spans average 28 months, so its explode mass is 28x
+    # the fact — a pathological fixture artifact, measured and
+    # documented in SCALE.md, that would dominate the headline wall
+    # without representing a real workload)
     "sim_topk_lsh_ltables",
+    "window_rolling_median_events",
+    "agg_heavy_hitters_gated",
+    "text_phrase_search",
+    "sessionize_capped",
 )
 
 
