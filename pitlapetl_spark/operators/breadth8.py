@@ -1095,3 +1095,189 @@ def ml_cross_validation_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hold.alias("n_holdout"),
         F.round(correct * 1.0 / n_hold, 6).alias("holdout_accuracy"),
     )
+
+
+# ----------------------------- grid DBSCAN (density clustering)
+#
+# The spatial family's clustering member: the standard distributed
+# DBSCAN approximation — bucket points to grid cells, call a cell
+# dense when it holds >= MINPTS points, connect dense cells through
+# their 8-neighborhood, label points by their cell's component, and
+# everything in a sparse cell is noise. No pairwise distances at all:
+# the pair space is the DENSE-CELL adjacency graph, which is bounded
+# by geometry (<= 8 edges per cell), so the expensive half of DBSCAN
+# (region queries) becomes one groupBy and one tiny self-join.
+#
+# Coordinates: the grid-join family derives uniform pseudo-coords,
+# which have NO density contrast (measured: zero cells at 2x the mean
+# at any sf) — a density clusterer over them would be vacuous. This
+# query instead derives a deterministic MIXTURE from the order key,
+# as documented query semantics: 11 blob centers >= 6 degrees apart
+# (key % 12 picks the component), +-1.5-degree in-blob offsets, and
+# component 11 scattered over the full range as real noise. MINPTS =
+# greatest(5, N/1000) keeps the same semantics at every sf: blob
+# cells are two orders denser than noise cells everywhere.
+#
+# The component step is min-label propagation on the dense-cell frame
+# (a few hundred rows): driver loop, localCheckpoint per round,
+# RAISES past the round cap instead of silently truncating (the
+# min-label CC discipline); the oracle computes true components with
+# a recursive-CTE reachability closure.
+
+DBSCAN_CELL = 1.0  # degrees
+DBSCAN_MAX_ROUNDS = 20
+
+_DB_LAT = (
+    "CASE WHEN {k} % 12 = 11"
+    " THEN -45.0 + ({k} * 7919 % 9000) / 100.0"
+    " ELSE (-40.0 + ({k} % 12) * 37 % 80)"
+    "      + ({k} * 7919 % 300) / 100.0 - 1.5 END"
+)
+_DB_LON = (
+    "CASE WHEN {k} % 12 = 11"
+    " THEN -20.0 + ({k} * 104729 % 4000) / 100.0"
+    " ELSE (-18.0 + ({k} % 12) * 23 % 36)"
+    "      + ({k} * 104729 % 300) / 100.0 - 1.5 END"
+)
+
+
+def _dbscan_oracle() -> str:
+    lat = _DB_LAT.format(k="o_orderkey")
+    lon = _DB_LON.format(k="o_orderkey")
+    return f"""
+    WITH pts AS (
+        SELECT CAST(floor(({lat}) / {DBSCAN_CELL}) AS BIGINT) AS cx,
+               CAST(floor(({lon}) / {DBSCAN_CELL}) AS BIGINT) AS cy
+        FROM orders
+    ),
+    cells AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+    minpts AS (
+        SELECT greatest(5, CAST(floor(sum(n) / 1000.0) AS BIGINT)) AS mp
+        FROM cells
+    ),
+    dense AS (
+        SELECT cx, cy, n, (cx + 500) * 1000000 + (cy + 500) AS cell_id
+        FROM cells CROSS JOIN minpts WHERE n >= mp
+    ),
+    edges AS (
+        SELECT a.cell_id AS src, b.cell_id AS dst
+        FROM dense a JOIN dense b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    ),
+    reach AS (
+        WITH RECURSIVE r(cell, root) AS (
+            SELECT cell_id, cell_id FROM dense
+            UNION
+            SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.cell
+        ) SELECT cell, min(root) AS cluster_id FROM r GROUP BY 1
+    ),
+    labeled AS (
+        SELECT d.cx, d.cy, d.n, r.cluster_id
+        FROM dense d JOIN reach r ON r.cell = d.cell_id
+    ),
+    clusters AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(n) AS BIGINT) AS n_points,
+               CAST(min(cx) AS BIGINT) AS min_cx,
+               CAST(max(cx) AS BIGINT) AS max_cx,
+               CAST(min(cy) AS BIGINT) AS min_cy,
+               CAST(max(cy) AS BIGINT) AS max_cy
+        FROM labeled GROUP BY 1
+    ),
+    noise AS (
+        SELECT CAST(-1 AS BIGINT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(coalesce(sum(n), 0) AS BIGINT) AS n_points,
+               CAST(0 AS BIGINT) AS min_cx, CAST(0 AS BIGINT) AS max_cx,
+               CAST(0 AS BIGINT) AS min_cy, CAST(0 AS BIGINT) AS max_cy
+        FROM cells CROSS JOIN minpts WHERE n < mp
+    )
+    SELECT * FROM clusters UNION ALL SELECT * FROM noise
+    """
+
+
+@query("geo_dbscan_grid", oracle=_dbscan_oracle())
+def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN over the deterministic order-key mixture (block
+    comment above): per-cluster cell/point counts and cell bounding
+    box, plus one cluster_id=-1 noise row."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    lat = F.expr(_DB_LAT.format(k="o_orderkey"))
+    lon = F.expr(_DB_LON.format(k="o_orderkey"))
+    pts = o.select(
+        F.floor(lat / DBSCAN_CELL).cast("long").alias("cx"),
+        F.floor(lon / DBSCAN_CELL).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=True)  # tiny; feeds minpts + dense + noise
+    mp = max(5, int(cells.agg(F.sum("n")).collect()[0][0] // 1000))
+    # +500 shift keeps cell ids strictly positive (cells are bounded
+    # by |lat|,|lon| <= 180/CELL), so the -1 noise sentinel can never
+    # collide with a real component id
+    dense = cells.filter(F.col("n") >= mp).withColumn(
+        "cell_id", (F.col("cx") + 500) * 1_000_000 + (F.col("cy") + 500)
+    )
+    dense = dense.localCheckpoint(eager=True)
+    # min-label propagation over the 8-neighborhood until fixpoint.
+    # Neighbor candidates come from a 9-offset EXPLODE + equi-join on
+    # the shifted cell key (the grid-join family device) — never a
+    # |dense|^2 non-equi self-join, so the round stays an equi-join
+    # even at planetary cell counts.
+    offsets = F.expr(
+        "array(" + ", ".join(
+            f"struct({dx}L AS dx, {dy}L AS dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ) + ")"
+    )
+    lab = dense.select("cx", "cy", "cell_id", F.col("cell_id").alias("lbl"))
+    for _ in range(DBSCAN_MAX_ROUNDS):
+        nb = (
+            lab.select("cx", "cy", F.col("lbl").alias("nlbl"))
+            .withColumn("o", F.explode(offsets))
+            .select(
+                (F.col("cx") + F.col("o.dx")).alias("nx"),
+                (F.col("cy") + F.col("o.dy")).alias("ny"),
+                "nlbl",
+            )
+        )
+        prop = (
+            lab.join(
+                nb,
+                (F.col("cx") == F.col("nx")) & (F.col("cy") == F.col("ny")),
+            )
+            .groupBy("cx", "cy", "cell_id", "lbl")
+            .agg(F.min("nlbl").alias("new_lbl"))
+        )
+        changed = prop.filter(F.col("new_lbl") != F.col("lbl")).count()
+        lab = prop.select(
+            "cx", "cy", "cell_id", F.col("new_lbl").alias("lbl")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"grid DBSCAN did not converge in {DBSCAN_MAX_ROUNDS} rounds"
+        )
+    labeled = dense.select("cx", "cy", "n", "cell_id").join(
+        lab.select("cell_id", F.col("lbl").alias("cluster_id")), "cell_id"
+    )
+    clusters = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_points"),
+        F.min("cx").cast("long").alias("min_cx"),
+        F.max("cx").cast("long").alias("max_cx"),
+        F.min("cy").cast("long").alias("min_cy"),
+        F.max("cy").cast("long").alias("max_cy"),
+    )
+    noise = cells.filter(F.col("n") < mp).agg(
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_points"),
+        F.lit(0).cast("long").alias("min_cx"),
+        F.lit(0).cast("long").alias("max_cx"),
+        F.lit(0).cast("long").alias("min_cy"),
+        F.lit(0).cast("long").alias("max_cy"),
+    )
+    return clusters.unionByName(noise)

@@ -188,6 +188,8 @@ _PRIORITY: tuple[str, ...] = (
     # bot/always-on-device state bound the plain sessionizer lacks
     "ml_cross_validation_stump",  # leakage-safe k-fold CV in one plan
     # (train = total - heldout grain algebra, no per-fold re-scan)
+    "geo_dbscan_grid",  # grid DBSCAN: dense-cell components via
+    # 9-offset explode equi-joins, recursive-CTE oracle closure
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

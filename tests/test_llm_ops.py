@@ -666,3 +666,24 @@ def test_cv_stump_folds_are_leakage_safe_and_sane(spark):
         assert 0.0 <= r.holdout_accuracy <= 1.0
         assert 1 <= r.cut_idx <= CV_CUTS
         assert r.left_label in (0, 1) and r.right_label in (0, 1)
+
+
+def test_dbscan_recovers_the_planted_mixture(spark):
+    """The coordinate mixture plants exactly 11 separated blobs plus a
+    scattered noise component: the clusterer must report 11 clusters
+    (multi-cell each — the components step is exercised, not
+    vacuous), and the noise row must hold real points."""
+    rows = Q["geo_dbscan_grid"](spark, SF_SMOKE).collect()
+    clusters = [r for r in rows if r.cluster_id != -1]
+    noise = [r for r in rows if r.cluster_id == -1]
+    assert len(clusters) == 11, [r.cluster_id for r in rows]
+    assert all(r.n_cells >= 4 for r in clusters)
+    assert len(noise) == 1 and noise[0].n_points > 0
+    # blob bounding boxes never overlap (centers >= 6 deg apart)
+    boxes = [(r.min_cx, r.max_cx, r.min_cy, r.max_cy) for r in clusters]
+    for i, a in enumerate(boxes):
+        for b in boxes[i + 1:]:
+            disjoint = (
+                a[1] < b[0] or b[1] < a[0] or a[3] < b[2] or b[3] < a[2]
+            )
+            assert disjoint, (a, b)
