@@ -231,3 +231,143 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("part_key"))
         .limit(PR_TOP)
     )
+
+
+# --------------------------- personalized PageRank (seed teleport)
+#
+# The recommendation variant: teleport mass restarts at a SEED set
+# (one nation's customers) instead of uniformly, so rank concentrates
+# in the seed neighborhood — "which parts matter to NATION_7's
+# customers structurally", not globally. Two properties the global
+# walk lacks, both exploited here:
+#   - the rank frame is SPARSE: r0 is |seeds| rows and each iteration
+#     only reaches nodes within one more hop, so early iterations
+#     join a frame far smaller than the node set (at web scale this
+#     sparsity IS why PPR is tractable per query);
+#   - the teleport term lands only on seed rows, via a full outer
+#     join of the contribution aggregate with the tiny seed frame.
+# Same iteration/determinism devices as the global walk above (fixed
+# unroll, decimal contribution sums, round-12 updates, memoized edge
+# frame — in-process marginal cost is the joins alone).
+
+PPR_SEED_NATION = "NATION_7"  # 3/73/626 seed customers at the 3 SFs
+PPR_ITERS = 4
+PPR_TOP = 20
+
+
+def _ppr_oracle() -> str:
+    head = f"""
+    WITH {PAIRS_ORACLE_CTE},
+    edges AS (
+        SELECT c * 2 AS src, p * 2 + 1 AS dst FROM pairs
+        UNION ALL
+        SELECT p * 2 + 1, c * 2 FROM pairs
+    ),
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ),
+    seeds AS (
+        SELECT DISTINCT cu.c_custkey * 2 AS node
+        FROM customer cu
+        JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        WHERE n.n_name = '{PPR_SEED_NATION}'
+          AND cu.c_custkey * 2 IN (SELECT src FROM deg)
+    ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+    seedtp AS (
+        SELECT s.node, round(CAST(0.15 AS DOUBLE) / ns.n, 12) AS tp
+        FROM seeds s CROSS JOIN ns
+    ),
+    r0 AS (
+        SELECT s.node, round(CAST(1.0 AS DOUBLE) / ns.n, 12) AS pr
+        FROM seeds s CROSS JOIN ns
+    )"""
+    its = ""
+    for i in range(1, PPR_ITERS + 1):
+        its += f""",
+    c{i} AS (
+        SELECT e.dst AS node,
+               CAST(sum(CAST(round(r.pr / d.outdeg, 12)
+                             AS DECIMAL(28,12))) AS DOUBLE) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT coalesce(c.node, s.node) AS node,
+               round(coalesce(s.tp, CAST(0.0 AS DOUBLE))
+                     + CAST(0.85 AS DOUBLE)
+                       * coalesce(c.contrib, CAST(0.0 AS DOUBLE)), 12) AS pr
+        FROM c{i} c FULL OUTER JOIN seedtp s ON s.node = c.node
+    )"""
+    tail = f"""
+    SELECT CAST((node - 1) / 2 AS BIGINT) AS part_key, pr AS rank
+    FROM r{PPR_ITERS}
+    WHERE node % 2 = 1
+    ORDER BY rank DESC, part_key ASC
+    LIMIT {PPR_TOP}
+    """
+    return head + its + tail
+
+
+@query("graph_pagerank_personalized", oracle=_ppr_oracle())
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PPR_TOP} parts by {PPR_SEED_NATION}-personalized PageRank
+    (block comment above)."""
+    edges = copurchase_edges_cached(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == PPR_SEED_NATION
+    )
+    seeds = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .join(deg.select(F.col("src").alias("node")), "node", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; reused every iteration
+    )
+    ns = seeds.count()  # bounded driver scalar (node-count discipline)
+    seedtp = seeds.select(
+        "node", F.round(F.lit(0.15) / ns, 12).alias("tp")
+    )
+    r = seeds.select("node", F.round(F.lit(1.0) / ns, 12).alias("pr"))
+    for i in range(1, PPR_ITERS + 1):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("pr") / F.col("outdeg"), 12)
+                .cast(_DEC)
+                .alias("w"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("w").cast("double").alias("contrib"))
+        )
+        r = (
+            contrib.withColumnRenamed("dst", "cnode")
+            .join(seedtp, F.col("cnode") == F.col("node"), "full_outer")
+            .select(
+                F.coalesce(F.col("cnode"), F.col("node")).alias("node"),
+                F.round(
+                    F.coalesce(F.col("tp"), F.lit(0.0))
+                    + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+        )
+        if i % PR_CHECKPOINT_EVERY == 0:
+            r = r.localCheckpoint(eager=True)
+    return (
+        r.filter(F.col("node") % 2 == 1)
+        .select(
+            ((F.col("node") - 1) / 2).cast("long").alias("part_key"),
+            F.col("pr").alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("part_key"))
+        .limit(PPR_TOP)
+    )

@@ -190,6 +190,8 @@ _PRIORITY: tuple[str, ...] = (
     # (train = total - heldout grain algebra, no per-fold re-scan)
     "geo_dbscan_grid",  # grid DBSCAN: dense-cell components via
     # 9-offset explode equi-joins, recursive-CTE oracle closure
+    "graph_pagerank_personalized",  # seed-teleport PPR: sparse rank
+    # frame + full-outer teleport join, shared memoized edge frame
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

@@ -687,3 +687,36 @@ def test_dbscan_recovers_the_planted_mixture(spark):
                 a[1] < b[0] or b[1] < a[0] or a[3] < b[2] or b[3] < a[2]
             )
             assert disjoint, (a, b)
+
+
+def test_ppr_concentrates_rank_near_seed_nation(spark):
+    """Personalization must actually bias the walk: the seed nation's
+    directly-purchased parts should dominate the personalized top-k
+    far beyond their share of the global top-k (with only a handful
+    of seed customers at smoke scale, overlap with their purchase set
+    should be total or near-total)."""
+    from pitlapetl_spark.operators.pagerank import PPR_SEED_NATION
+    from pitlapetl_spark.sources import load_table
+
+    top = Q["graph_pagerank_personalized"](spark, SF_SMOKE).collect()
+    assert len(top) > 0
+    cu = load_table(spark, SF_SMOKE, "customer")
+    na = load_table(spark, SF_SMOKE, "nation").filter(
+        F.col("n_name") == PPR_SEED_NATION
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    seed_parts = {
+        r.l_partkey
+        for r in cu.join(na, cu.c_nationkey == na.n_nationkey)
+        .join(o, cu.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select("l_partkey")
+        .distinct()
+        .collect()
+    }
+    hits = sum(1 for r in top if r.part_key in seed_parts)
+    assert hits >= 0.7 * len(top), (hits, len(top))
+    # ranks are a probability-like vector: positive, descending
+    assert all(r.rank > 0 for r in top)
+    assert all(a.rank >= b.rank for a, b in zip(top, top[1:]))
