@@ -1281,3 +1281,178 @@ def geo_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("max_cy"),
     )
     return clusters.unionByName(noise)
+
+
+# ----------------------- HLL mergeability (union / intersection)
+#
+# The property that makes HLL a WAREHOUSE primitive rather than a
+# one-shot trick: two sketches union by REGISTER-WISE MAX — no
+# re-scan of either input — and intersection estimates follow from
+# inclusion-exclusion. This query materializes register tables for
+# two overlapping order-key sets (lines shipped before 1998 / since
+# 1997), merges them by max, and reports sketch-vs-exact for A, B,
+# A∪B, and A∩B. Every device is agg_hll_distinct's (same register
+# index, same rho, same integer harmonic sum); the union is ONE tiny
+# full-outer max over <= 2m register rows. The intersection's
+# inclusion-exclusion error (it can even go negative on small
+# overlaps) is the documented caveat the exact columns let you see.
+
+HLL_A_BEFORE = "1998-01-01"
+HLL_B_SINCE = "1997-01-01"
+
+
+def _hll_regs_sql(pred: str) -> str:
+    """Register CTE body over lineitem order keys filtered by pred."""
+    return f"""
+        SELECT CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INT) AS bucket,
+               max(CASE WHEN bin(CAST('0x' || substr(hx, 3, 15) AS BIGINT)) = '0'
+                        THEN 61
+                        ELSE 61 - length(bin(CAST('0x' || substr(hx, 3, 15)
+                                                  AS BIGINT)))
+                   END) AS m_j
+        FROM (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx
+              FROM lineitem WHERE {pred})
+        GROUP BY 1"""
+
+
+def _hll_est_from_regs(name: str) -> str:
+    """Estimate expression chain over a (bucket, m_j) relation."""
+    return f"""(
+        SELECT {_HLL_NUMER!r} / CAST(
+            CAST((SELECT coalesce(sum(CAST((1::BIGINT << (61 - m_j))
+                                           AS DECIMAL(38,0))), 0)
+                  FROM {name}) AS HUGEINT)
+            + CAST({HLL_M} - (SELECT count(*) FROM {name}) AS HUGEINT)
+              * CAST({_POW2_61} AS HUGEINT) AS DOUBLE)
+    )"""
+
+
+def _hll_setops_oracle() -> str:
+    pa = f"l_shipdate < DATE '{HLL_A_BEFORE}'"
+    pb = f"l_shipdate >= DATE '{HLL_B_SINCE}'"
+    return f"""
+    WITH ra AS ({_hll_regs_sql(pa)}),
+    rb AS ({_hll_regs_sql(pb)}),
+    ru AS (
+        SELECT coalesce(a.bucket, b.bucket) AS bucket,
+               greatest(coalesce(a.m_j, 0), coalesce(b.m_j, 0)) AS m_j
+        FROM ra a FULL OUTER JOIN rb b ON a.bucket = b.bucket
+    ),
+    exact AS (
+        SELECT CAST(count(DISTINCT CASE WHEN {pa} THEN l_orderkey END)
+                    AS BIGINT) AS na,
+               CAST(count(DISTINCT CASE WHEN {pb} THEN l_orderkey END)
+                    AS BIGINT) AS nb,
+               CAST(count(DISTINCT CASE WHEN ({pa}) AND ({pb})
+                          THEN l_orderkey END) AS BIGINT) AS ni,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nu
+        FROM lineitem
+    )
+    SELECT na AS exact_a, nb AS exact_b, nu AS exact_union,
+           ni AS exact_intersect,
+           round({_hll_est_from_regs("ra")}, 6) AS hll_a,
+           round({_hll_est_from_regs("rb")}, 6) AS hll_b,
+           round({_hll_est_from_regs("ru")}, 6) AS hll_union,
+           round({_hll_est_from_regs("ra")} + {_hll_est_from_regs("rb")}
+                 - {_hll_est_from_regs("ru")}, 6) AS hll_intersect
+    FROM exact
+    """
+
+
+def _hll_regs_spark(df: DataFrame) -> DataFrame:
+    h = df.select(F.md5(F.col("l_orderkey").cast("string")).alias("hx"))
+    binstr = F.expr("conv(substring(hx, 3, 15), 16, 2)")
+    return (
+        h.select(
+            F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
+            F.when(binstr == "0", F.lit(61))
+            .otherwise(F.lit(61) - F.length(binstr))
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+@query("agg_hll_set_operations", oracle=_hll_setops_oracle())
+def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-exact distinct counts for two overlapping shipping
+    eras and their union/intersection, with the union computed by
+    register-wise max — never re-scanning either input (block comment
+    above)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    pa = F.col("l_shipdate") < HLL_A_BEFORE
+    pb = F.col("l_shipdate") >= HLL_B_SINCE
+    ra = _hll_regs_spark(li.filter(pa)).localCheckpoint(eager=True)
+    rb = _hll_regs_spark(li.filter(pb)).localCheckpoint(eager=True)
+    ru = (
+        ra.select(F.col("bucket").alias("ba"), F.col("m_j").alias("ma"))
+        .join(
+            rb.select(F.col("bucket").alias("bb"), F.col("m_j").alias("mb")),
+            F.col("ba") == F.col("bb"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("ba", "bb").alias("bucket"),
+            F.greatest(
+                F.coalesce(F.col("ma"), F.lit(0)),
+                F.coalesce(F.col("mb"), F.lit(0)),
+            ).alias("m_j"),
+        )
+    )
+    # ONE conditional aggregation over the tagged union produces all
+    # three estimates in a single one-row frame — keeps the plan at a
+    # single scalar crossJoin instead of three (plan-lint bounds BNLJ
+    # nodes at 2 per plan)
+    tagged = (
+        ra.withColumn("tag", F.lit("a"))
+        .unionByName(rb.withColumn("tag", F.lit("b")))
+        .unionByName(ru.withColumn("tag", F.lit("u")))
+    )
+    term = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), 61 - m_j) AS DECIMAL(38,0))"
+    )
+
+    def _est(tag: str) -> F.Column:
+        num = F.coalesce(
+            F.sum(F.when(F.col("tag") == tag, term)),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        n_regs = F.count(F.when(F.col("tag") == tag, F.lit(1)))
+        return F.lit(_HLL_NUMER) / (
+            num
+            + (F.lit(HLL_M) - n_regs).cast("decimal(38,0)")
+            * F.lit(_POW2_61).cast("decimal(38,0)")
+        ).cast("double")
+
+    ests = tagged.agg(
+        _est("a").alias("ea"), _est("b").alias("eb"), _est("u").alias("eu")
+    )
+    exact = li.agg(
+        F.countDistinct(F.when(pa, F.col("l_orderkey")))
+        .cast("long")
+        .alias("exact_a"),
+        F.countDistinct(F.when(pb, F.col("l_orderkey")))
+        .cast("long")
+        .alias("exact_b"),
+        F.countDistinct(F.when(pa & pb, F.col("l_orderkey")))
+        .cast("long")
+        .alias("exact_intersect"),
+        F.countDistinct("l_orderkey").cast("long").alias("exact_union"),
+    )
+    # one-row scalar broadcast (commented, BNLJ-bounded)
+    out = exact.crossJoin(F.broadcast(ests))
+    return out.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+        F.round(F.col("ea"), 6).alias("hll_a"),
+        F.round(F.col("eb"), 6).alias("hll_b"),
+        F.round(F.col("eu"), 6).alias("hll_union"),
+        F.round(F.col("ea") + F.col("eb") - F.col("eu"), 6).alias(
+            "hll_intersect"
+        ),
+    )

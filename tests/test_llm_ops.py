@@ -720,3 +720,15 @@ def test_ppr_concentrates_rank_near_seed_nation(spark):
     # ranks are a probability-like vector: positive, descending
     assert all(r.rank > 0 for r in top)
     assert all(a.rank >= b.rank for a, b in zip(top, top[1:]))
+
+
+def test_hll_set_ops_union_bounds_and_merge_property(spark):
+    """Union-by-register-max must land within the sketch error of the
+    exact union, never below max(A, B) estimates (register max
+    dominates), and the inclusion-exclusion intersection must
+    reconcile with the three estimates exactly."""
+    r = Q["agg_hll_set_operations"](spark, SF_SMOKE).collect()[0]
+    assert abs(r.hll_union / r.exact_union - 1) < 0.25
+    assert r.hll_union >= max(r.hll_a, r.hll_b) - 1e-6
+    assert abs(r.hll_intersect - (r.hll_a + r.hll_b - r.hll_union)) < 1e-3
+    assert r.exact_intersect > 0  # the eras genuinely overlap
