@@ -1456,3 +1456,122 @@ def agg_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_intersect"
         ),
     )
+
+
+# ------------------------ Holt linear-trend smoothing (ts family)
+#
+# The two-state sibling of ts_exp_smoothing: level AND trend
+# recurrences (Holt 1957), so the one-step forecast follows drifting
+# series instead of lagging them. Same engine devices as the
+# single-state fold: day-grain series (bounded), one aggregate() fold
+# whose accumulator is the array of (level, trend) states so far —
+# both engines execute the identical IEEE op chain — and a recursive
+# CTE oracle. trend_1 = 0 initialization (documented; the v2-v1 init
+# needs lookahead the fold doesn't have). The emitted one-step
+# forecast for day t is level_{t-1} + trend_{t-1} — the in-sample
+# prediction, so forecast error is measurable per day downstream.
+
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+@query(
+    "ts_holt_linear_trend",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT date_trunc('day', ts) AS dy,
+               CAST(round(CAST(sum(CAST(round(value, 8) AS DECIMAL(18,8)))
+                               AS DOUBLE) / count(*), 8)
+                    AS DECIMAL(18,8)) AS v
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT CAST(row_number() OVER (ORDER BY dy) AS BIGINT) AS i,
+               dy, CAST(v AS DOUBLE) AS v
+        FROM daily
+    ),
+    rec AS (
+        SELECT i, dy, v, v AS l, CAST(0.0 AS DOUBLE) AS t,
+               CAST(NULL AS DOUBLE) AS fc
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT idx.i, idx.dy, idx.v,
+               {HOLT_ALPHA} * idx.v
+                   + (1 - {HOLT_ALPHA}) * (rec.l + rec.t),
+               {HOLT_BETA} * (({HOLT_ALPHA} * idx.v
+                   + (1 - {HOLT_ALPHA}) * (rec.l + rec.t)) - rec.l)
+                   + (1 - {HOLT_BETA}) * rec.t,
+               rec.l + rec.t
+        FROM idx JOIN rec ON idx.i = rec.i + 1
+    )
+    SELECT strftime(dy, '%Y-%m-%d') AS day,
+           round(v, 6) AS daily_value,
+           round(l, 6) AS holt_level,
+           round(t, 6) AS holt_trend,
+           round(fc, 6) AS one_step_forecast
+    FROM rec
+    ORDER BY day
+    """,
+)
+def ts_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of the daily mean event value
+    (block comment above): per-day level, trend, and the one-step
+    forecast the model made for that day."""
+    from .stats import decimal_mean8
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", F.col("ts")).alias("dy")).agg(
+        decimal_mean8("value").alias("vd")
+    )
+    series = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("dy", F.col("vd").cast("double").alias("v"))
+            )
+        ).alias("s")
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    folded = series.select(
+        "s",
+        F.expr(
+            f"""aggregate(
+                s,
+                CAST(array() AS ARRAY<STRUCT<l: DOUBLE, t: DOUBLE>>),
+                (acc, x) -> CASE WHEN size(acc) = 0
+                    THEN array(named_struct('l', x.v, 't', 0.0D))
+                    ELSE array_append(
+                        acc,
+                        named_struct(
+                            'l', {a}D * x.v + (1.0D - {a}D)
+                                 * (element_at(acc, -1).l
+                                    + element_at(acc, -1).t),
+                            't', {b}D * (({a}D * x.v + (1.0D - {a}D)
+                                          * (element_at(acc, -1).l
+                                             + element_at(acc, -1).t))
+                                         - element_at(acc, -1).l)
+                                 + (1.0D - {b}D) * element_at(acc, -1).t))
+                END
+            )"""
+        ).alias("states"),
+    )
+    ex = folded.select(
+        F.posexplode(
+            F.expr("zip_with(s, states, (x, st) -> struct(x.dy AS dy, x.v AS v, st.l AS l, st.t AS t))")
+        ).alias("pos", "r")
+    )
+    # the forecast for position p (>0) is the previous state's l + t:
+    # rebuild it windowlessly by joining the exploded frame to itself
+    # on pos-1 (tiny day-grain frame)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("pos")
+    return ex.select(
+        "pos",
+        F.date_format("r.dy", "yyyy-MM-dd").alias("day"),
+        F.round("r.v", 6).alias("daily_value"),
+        F.round("r.l", 6).alias("holt_level"),
+        F.round("r.t", 6).alias("holt_trend"),
+        F.round(
+            F.lag(F.col("r.l") + F.col("r.t")).over(w), 6
+        ).alias("one_step_forecast"),
+    ).drop("pos")

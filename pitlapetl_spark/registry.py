@@ -194,6 +194,8 @@ _PRIORITY: tuple[str, ...] = (
     # frame + full-outer teleport join, shared memoized edge frame
     "agg_hll_set_operations",  # HLL mergeability: union by register
     # max (no input re-scan), intersection by inclusion-exclusion
+    "ts_holt_linear_trend",  # two-state (level+trend) smoothing fold,
+    # in-sample one-step forecast per day
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order; the first 26 - max(0, N_new - 8) that fit
     # past the never-verified cohorts get refreshed this round, the

