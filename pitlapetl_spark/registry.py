@@ -110,6 +110,19 @@ _loaded = False
 # (pipeline_pretrain_filter .. pandas_udf_normalize) — and 26 r2-era
 # refreshes spill to round 9. Done-state this round: zero
 # never-verified queries from rounds <= 7 remain.
+#
+# Round-8 final arithmetic: cohort (g) grew to 16 new queries, so the
+# 50-slot window = the 42 cohort-(d)/(e)/(f) rows + the first 8 of
+# (g) (sim_topk_lsh_ltables .. analytics_revenue_proration). The
+# remaining 8 cohort-(g) rows (window_reflected_balance ..
+# ts_holt_linear_trend) spill to round 9 and LEAD its rotation per
+# the standing never-verified-first policy, with the full 34-row
+# r2-era refresh queue behind them (34 + 8 = 42, so round 9's window
+# is exactly these 42 + the first 8 r2-era refreshes if no round-9
+# sessions add queries — write the next revision of this arithmetic
+# there). Every cohort-(g) query is green in local value-level parity
+# (tools/drive_contract.py, 341/341 this session) — the driver row is
+# the only missing evidence class.
 _PRIORITY: tuple[str, ...] = (
     # (d) late session-1 round-7 additions — queued for round 8 by the
     # r7 ledger; first driver row due now
