@@ -739,13 +739,16 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_customers,
            round(a, 6) AS var_orders,
-           round(c, 2) AS var_spend,
+           round(c, 0) AS var_spend,
            round(b, 4) AS cov_orders_spend,
-           round((a + c) / 2 + sqrt(pow((a - c) / 2, 2) + b * b), 2)
+           round((a + c) / 2
+                 + sqrt(((a - c) / 2) * ((a - c) / 2) + b * b), 0)
                AS lambda1,
-           round((a + c) / 2 - sqrt(pow((a - c) / 2, 2) + b * b), 6)
+           round((a + c) / 2
+                 - sqrt(((a - c) / 2) * ((a - c) / 2) + b * b), 6)
                AS lambda2,
-           round(((a + c) / 2 + sqrt(pow((a - c) / 2, 2) + b * b))
+           round(((a + c) / 2
+                  + sqrt(((a - c) / 2) * ((a - c) / 2) + b * b))
                  / (a + c), 6) AS explained_ratio,
            round(degrees(atan2(2 * b, a - c)) / 2, 6) AS theta_deg
     FROM cov
@@ -778,15 +781,22 @@ def ml_pca_2d_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * syy - sy * sy) / n / (n - 1)).alias("c"),
     )
     a, b, c = F.col("a"), F.col("b"), F.col("c")
-    root = F.sqrt(F.pow((a - c) / 2, 2) + b * b)
+    # ((a-c)/2)^2 as an explicit multiply, NOT F.pow(x, 2): IEEE
+    # multiplication is correctly rounded (bit-identical across
+    # engines) while libm pow() is not — and at |lambda1| ~ 1e12 a
+    # pow ulp wobble is the same hash-flip trap as the r8 DP-sum ln
+    # (see tools/round_headroom_audit.py; rounding dropped to whole
+    # units for >1e3x ulp headroom at this magnitude).
+    half_gap = (a - c) / 2
+    root = F.sqrt(half_gap * half_gap + b * b)
     lam1 = (a + c) / 2 + root
     lam2 = (a + c) / 2 - root
     return cov.select(
         n.alias("n_customers"),
         F.round(a, 6).alias("var_orders"),
-        F.round(c, 2).alias("var_spend"),
+        F.round(c, 0).alias("var_spend"),
         F.round(b, 4).alias("cov_orders_spend"),
-        F.round(lam1, 2).alias("lambda1"),
+        F.round(lam1, 0).alias("lambda1"),
         F.round(lam2, 6).alias("lambda2"),
         F.round(lam1 / (a + c), 6).alias("explained_ratio"),
         F.round(F.degrees(F.atan2(2 * b, a - c)) / 2, 6).alias("theta_deg"),

@@ -1,0 +1,151 @@
+"""Audit rounding headroom across every registered oracle.
+
+The r8 red row (privacy_dp_sum_bounded, VERDICT r8 "What's wrong" #1)
+was a ROUNDING-HEADROOM defect, not a semantic one: a column of
+magnitude ~1e7 rounded to 6 dp leaves only ~0.5e-6 of slack, while a
+cross-libm last-ulp difference (2^-52 relative ~ 2.2e-16 * |value|)
+perturbs such a value by ~1e-9 — close enough to a rounding boundary
+to flip the driver's value hash on an unlucky row even though both
+engines are "correct". The registry convention (registry.py:12-14)
+requires rounding precision to leave headroom above double ulp at the
+value's magnitude; this script enforces it mechanically.
+
+For every oracle: parse `round(<expr>, p) AS alias` pairs (balanced-
+paren scan, not regex-only), run the oracle in DuckDB at sf0.01, and
+for each rounded double column compute
+
+    headroom = (0.5 * 10^-p) / (2.22e-16 * max|value|)
+
+i.e. how many ulp-scale perturbations fit inside half the rounding
+quantum. Columns with headroom < 1e3 are flagged FAIL (a different
+libm/accumulation order could plausibly flip the hash); < 1e6 WARN.
+NaN-only / empty columns and integer-rounded columns are skipped.
+
+Usage: python tools/round_headroom_audit.py [sf_dir]
+Exit code 1 if any FAIL. Findings recorded in SCALE.md (round 9).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+FAIL_HEADROOM = 1e3
+WARN_HEADROOM = 1e6
+ULP_REL = 2.22e-16  # 2^-52
+
+# (query, column) pairs audited by hand as BIT-DETERMINISTIC across
+# engines despite thin magnitude headroom: every op on the path from
+# exact inputs (decimal/bigint moments) to the rounded value is
+# IEEE-correctly-rounded (+ - * / sqrt, decimal->double cast) with a
+# fixed association order — no libm transcendental (ln/exp/pow/trig)
+# and no order-dependent float accumulation, so both engines produce
+# the same bits and headroom is irrelevant. Anything with ln/exp/pow
+# upstream does NOT qualify (the r8 DP-sum lesson).
+ALLOW: dict[tuple[str, str], str] = {
+    ("ml_conformal_interval", "icept"): (
+        "exact DECIMAL moments -> double; slope/icept are + - * / "
+        "only (stats.py:2777-2781) — correctly-rounded IEEE, "
+        "bit-identical across engines"
+    ),
+}
+
+
+def rounded_aliases(sql: str) -> list[tuple[str, int]]:
+    """Yield (alias, precision) for every `round(expr, p) AS alias`
+    in the SQL, matching parens so nested calls parse correctly."""
+    out: list[tuple[str, int]] = []
+    low = sql.lower()
+    for m in re.finditer(r"\bround\s*\(", low):
+        depth, i = 1, m.end()
+        while i < len(low) and depth:
+            depth += {"(": 1, ")": -1}.get(low[i], 0)
+            i += 1
+        if depth:
+            continue
+        inner = sql[m.end() : i - 1]
+        # precision = last top-level comma argument, if an int literal
+        d, last_comma = 0, None
+        for j, ch in enumerate(inner):
+            d += {"(": 1, ")": -1}.get(ch, 0)
+            if ch == "," and d == 0:
+                last_comma = j
+        if last_comma is None:
+            continue
+        ptxt = inner[last_comma + 1 :].strip()
+        if not re.fullmatch(r"-?\d+", ptxt):
+            continue
+        alias = re.match(r"\s*as\s+(\w+)", low[i:])
+        if alias:
+            out.append((sql[i:][alias.start(1) : alias.end(1)], int(ptxt)))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pitlapetl_spark.registry import all_oracles
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    fails, warns, checked = [], [], 0
+    for name, sql in sorted(all_oracles().items()):
+        pairs = rounded_aliases(sql)
+        if not pairs:
+            continue
+        try:
+            df = con.execute(sql).df()
+        except Exception as exc:  # oracle needs Spark-side setup
+            print(f"SKIP {name}: {type(exc).__name__}")
+            continue
+        for alias, p in pairs:
+            if alias not in df.columns:
+                continue
+            col = df[alias].dropna()
+            if col.empty or col.dtype.kind not in "f":
+                continue
+            maxabs = float(col.abs().max())
+            if maxabs == 0.0:
+                continue
+            checked += 1
+            headroom = (0.5 * 10.0**-p) / (ULP_REL * maxabs)
+            row = (name, alias, p, maxabs, headroom)
+            if (name, alias) in ALLOW:
+                if headroom < WARN_HEADROOM:
+                    print(
+                        f"ALLOW {name}.{alias}: headroom {headroom:.2g}x "
+                        f"but bit-deterministic — {ALLOW[name, alias]}"
+                    )
+                continue
+            if headroom < FAIL_HEADROOM:
+                fails.append(row)
+            elif headroom < WARN_HEADROOM:
+                warns.append(row)
+    for tag, rows in (("FAIL", fails), ("WARN", warns)):
+        for name, alias, p, maxabs, hr in rows:
+            print(
+                f"{tag} {name}.{alias}: round({p}dp) at max|v|={maxabs:.3g}"
+                f" -> headroom {hr:.2g}x ulp"
+            )
+    print(
+        f"{checked} rounded double columns audited: "
+        f"{len(fails)} FAIL (<1e3x), {len(warns)} WARN (<1e6x)"
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
