@@ -355,6 +355,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(sh, candidates=cand, sizes=sizes)
 
 
+@query("dedup_minhash_lsh_preagg", oracle=_oracle_minhash_lsh())
+def dedup_minhash_lsh_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_minhash_lsh`` with the banding SELF-JOIN replaced by a
+    bucket PRE-AGGREGATION (VERDICT r8 item 3's optimization
+    headroom, registered so both shapes stay oracle-checked): group
+    the band rows to one row per (band_idx, band_val) bucket with the
+    sorted distinct member list, drop singleton buckets (the vast
+    majority — they can never produce a pair), and enumerate each
+    surviving bucket's C(n,2) pairs with a JVM array expression.
+    Candidates, and therefore the verified output, are IDENTICAL to
+    the self-join variant (same oracle).
+
+    Why it's the better 100-TB shape: ONE shuffle of the band rows
+    (the groupBy) instead of a join that shuffles both full copies;
+    map-side combine collapses duplicate (band, doc) rows before the
+    wire; singleton buckets — O(corpus x bands) rows — die in the
+    aggregate instead of flowing into a join probe. The trade is the
+    collect_set per bucket: bucket membership must fit in one task,
+    which the banding design already guarantees everywhere collisions
+    are rare enough for LSH to be useful at all; a pathological hot
+    bucket (degenerate band value) is exactly the skew the capped /
+    salted variants exist for."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    sizes = sig.select("doc_id", "n")
+    buckets = (
+        _band_rows(sig)
+        .groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, candidates=cand, sizes=sizes)
+
+
 # ------------------------------------------------- incremental minhash
 # A 100-TB training pipeline does not re-dedup the whole corpus per
 # crawl: it keeps a SIGNATURE STORE (doc_id -> minhash signature +

@@ -468,7 +468,8 @@ def _ltables_oracle(n_tables: int, planes: int) -> str:
     oracle=_ltables_oracle(LSH_TABLES, LSH_TABLE_PLANES),
 )
 def sim_topk_lsh_ltables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-shaped sign-LSH: L independent 8-plane tables, a
+    """Production-shaped sign-LSH: L=LSH_TABLES independent
+    LSH_TABLE_PLANES-plane tables (12 x 6, the measured knee), a
     query probes its bucket in EVERY table and the candidate set is
     the distinct union — recall 1-(1-p^b)^L instead of the measured
     0.04 of one table (SCALE.md recall ladder; the single-table
@@ -806,6 +807,110 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pairs.filter(F.col("cosine") >= SEMDEDUP_TAU)
+
+
+# ------------------------------- SemDeDup with top-2 assignment
+# The semantic recall ladder (SCALE.md, r8) measured single-
+# assignment SemDeDup at 0.46-0.79 recall in the >10%-edit band with
+# the misses identified as CENTROID-BOUNDARY SPLITS: original and
+# copy both clear tau by a wide margin but land in different nearest-
+# centroid clusters, so the within-cluster pair join never sees the
+# pair. The fix SCALE.md prescribes (VERDICT r8 item 4) is
+# OVERLAPPING clusters: assign every vector to its top-2 centroids,
+# so a pair straddling one boundary still co-occurs in at least one
+# cluster whenever either member's 2nd-nearest centroid is the
+# other's 1st. Cost model vs single assignment: candidate mass grows
+# from sum_k C(n_k, 2) to at most 4x that (each vector appears in 2
+# lists), with pairs co-occurring in both shared lists deduped BEFORE
+# the expensive exact-cosine scoring — the same candidates-then-
+# verify discipline as every dedup here; still an equi-join on the
+# cluster key, never all-pairs.
+
+
+@query(
+    "dedup_semantic_top2",
+    oracle=f"""
+    WITH {_ORACLE_VECS},
+    {_ORACLE_CRANK},
+    assign2 AS (SELECT vec_id, label FROM crank WHERE crk <= 2),
+    cpairs AS (
+        SELECT DISTINCT a1.vec_id AS vec_a, a2.vec_id AS vec_b
+        FROM assign2 a1
+        JOIN assign2 a2 ON a1.label = a2.label AND a1.vec_id < a2.vec_id
+    ),
+    pdots AS (
+        SELECT p.vec_a, p.vec_b, sum(u1.x * u2.x) AS dot
+        FROM cpairs p
+        JOIN u u1 ON u1.vec_id = p.vec_a
+        JOIN u u2 ON u2.vec_id = p.vec_b AND u2.i = u1.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM pdots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, cosine
+    FROM scored WHERE cosine >= {SEMDEDUP_TAU}
+    """,
+)
+def dedup_semantic_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over OVERLAPPING top-2 centroid clusters — closes the
+    measured centroid-boundary-split recall gap of the single-
+    assignment variant (block comment above). Candidate pairs are
+    DISTINCT-ed on (vec_a, vec_b) before scoring, so a pair sharing
+    both clusters is scored once; output drops the cluster label (a
+    pair no longer belongs to one cluster).
+
+    100-TB shape: identical to dedup_semantic_semdedup — broadcast
+    K-row quantizer scoring, equi-join on the cluster key with
+    <=2x-per-side membership (<=4x pair mass), exact cosine on
+    deduped candidates only. Skewed giant clusters remain the known
+    failure mode; the cap/sub-cluster mitigation applies unchanged."""
+    ranked = _centroid_ranked(spark, sf_dir)
+    assign2 = ranked.filter(F.col("crk") <= 2).select("vec_id", "label")
+    cand = (
+        assign2.alias("x")
+        .join(
+            assign2.alias("y"),
+            (F.col("x.label") == F.col("y.label"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    vecs = _vectors(spark, sf_dir)
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(av, bv, (p, q) -> p * q), 0D,"
+                    " (acc, t) -> acc + t)"
+                )
+                / (F.col("an") * F.col("bn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= SEMDEDUP_TAU)
 
 
 # ----------------------------------------- bucketed kNN-graph build

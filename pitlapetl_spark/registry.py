@@ -73,6 +73,7 @@ _MODULES = (
     "pitlapetl_spark.operators.breadth7e",
     "pitlapetl_spark.operators.breadth7f",
     "pitlapetl_spark.operators.breadth8",
+    "pitlapetl_spark.operators.breadth9",
     "pitlapetl_spark.operators.bpe_train",
     "pitlapetl_spark.operators.als",
     "pitlapetl_spark.operators.kcore",
@@ -90,109 +91,36 @@ _loaded = False
 # are yielded FIRST, in this order; everything else follows in
 # registration order.
 #
-# Round-8 policy (VERDICT.md r7 "Next round" item 1, and the ledger
-# arithmetic pinned at the end of round 7): after round 7 the evidence
-# board reads — 42 queries NEVER driver-verified (cohorts (d)/(e)/(f)
-# below: 3 late session-1 + 9 session-2 + 30 session-4 round-7
-# additions, every one green in local value-level parity), 34 queries
-# r2-era (the r7 window refreshed the first 8: job_race_results ..
-# json_corrupt_quarantine, which therefore drop off this ledger), and
-# everything else r3+. The 50 slots go: (d)+(e)+(f) = 42
-# never-verified first (the standing never-verified-outranks-stale
-# policy, in force since r4), then (g) queries NEW in round 8 (also
-# never-verified; grown in place as sessions add operators), then (h)
-# the r2-era refresh queue in ledger order, oldest evidence first.
-# Arithmetic: with N_new round-8 queries the window = 42 + min(8,
-# N_new) cohort-(g) rows + max(0, 8 - N_new) r2-era refreshes;
-# everything past slot 50 spills to round 9, where never-verified
-# again leads. With N_new = 0 this is exactly VERDICT r7's pinned
-# window — the 42 plus the next 8 r2-era rows
-# (pipeline_pretrain_filter .. pandas_udf_normalize) — and 26 r2-era
-# refreshes spill to round 9. Done-state this round: zero
-# never-verified queries from rounds <= 7 remain.
+# Round-9 policy (VERDICT.md r8 "Next round" item 2, continuing the
+# ledger arithmetic pinned at the end of round 8): after round 8 the
+# evidence board reads — 8 queries NEVER driver-verified (the round-8
+# cohort-(g) spill, window_reflected_balance .. ts_holt_linear_trend,
+# every one green in local value-level parity), ONE red latest row
+# (privacy_dp_sum_bounded, rows/schema green but hash red in r8 — the
+# rounding-headroom defect fixed this round, breadth8.py block
+# comment + tools/round_headroom_audit.py), 34 queries r2-era, and
+# everything else r3+. The 50 slots go: (g-spill) = 8 never-verified
+# first (the standing never-verified-outranks-stale policy, in force
+# since r4), then the DP-sum RETEST (a red row outranks stale
+# evidence — it is the only latest-row failure on the board), then
+# (i) queries NEW in round 9 (also never-verified; grown in place as
+# sessions add operators), then (h) the FULL 34-row r2-era refresh
+# queue in ledger order. Arithmetic: 8 + 1 + N_new + 34 = 43 + N_new,
+# so with N_new <= 7 the whole backlog fits in one 50-slot window and
+# the board's done-state is: zero never-verified, zero red, zero
+# r2-era evidence remaining. Sessions must therefore cap round-9
+# additions at 7 registered queries; an 8th would spill the last
+# r2-era refresh (window_ntile_distribution) to round 10.
 #
-# Round-8 final arithmetic: cohort (g) grew to 16 new queries, so the
-# 50-slot window = the 42 cohort-(d)/(e)/(f) rows + the first 8 of
-# (g) (sim_topk_lsh_ltables .. analytics_revenue_proration). The
-# remaining 8 cohort-(g) rows (window_reflected_balance ..
-# ts_holt_linear_trend) spill to round 9 and LEAD its rotation per
-# the standing never-verified-first policy, with the full 34-row
-# r2-era refresh queue behind them (34 + 8 = 42, so round 9's window
-# is exactly these 42 + the first 8 r2-era refreshes if no round-9
-# sessions add queries — write the next revision of this arithmetic
-# there). Every cohort-(g) query is green in local value-level parity
-# (tools/drive_contract.py, 341/341 this session) — the driver row is
-# the only missing evidence class.
+# Round-9 final arithmetic: cohort (i) holds 4 new queries
+# (dedup_semantic_top2 .. stream_phash_compacted_parity), so the
+# window = 8 spill + 1 retest + 4 new + 34 r2-era = 47 of 50 slots —
+# the entire evidence backlog clears with 3 slots to spare (they fall
+# to the r3-era rows that follow in registration order).
 _PRIORITY: tuple[str, ...] = (
-    # (d) late session-1 round-7 additions — queued for round 8 by the
-    # r7 ledger; first driver row due now
-    "ops_ship_latency_trend",
-    "dq_freshness_audit",
-    "stats_qq_deciles",
-    # (e) session-2 round-7 additions (breadth7b.py), ship order
-    "stats_benford_first_digit",
-    "stats_welch_ttest",
-    "analytics_abc_pareto",
-    "analytics_new_vs_returning",
-    "privacy_t_closeness",
-    "graph_jaccard_linkpred",
-    "stats_fdr_bh",
-    "ml_ridge_closed_form",
-    "ml_isotonic_calibration",
-    # (f) session-4 round-7 additions (breadth7c/7d/7e/7f.py + the
-    # streaming Wilson twin), ship order
-    "ab_srm_check",
-    "attribution_position_based",
-    "analytics_price_volume_bridge",
-    "stats_jarque_bera",
-    "stats_levene_variance",
-    "stats_runs_test",
-    "graph_degree_assortativity",
-    "ml_pca_2d_closed_form",
-    "ml_calibration_reliability",
-    "dq_referential_integrity",
-    "seq_user_path_topk",
-    "text_collocation_llr",
-    "survival_nelson_aalen",
-    "stats_permutation_test",
-    "privacy_dp_count_laplace",
-    "ab_power_two_proportions",
-    "window_bounce_rate_daily",
-    "dq_order_total_reconciliation",
-    "analytics_net_revenue_retention",
-    "dq_error_rate_wilson",
-    "stream_error_rate_wilson",
-    "layout_zorder_locality",
-    "ml_cohens_kappa_langid",
-    "ab_sequential_sprt",
-    "dq_volume_anomaly_weekday",
-    "analytics_repeat_interval",
-    "text_vocab_coverage",
-    "ml_auc_roc_rank",
-    "window_rolling_median",
-    "ml_mcc_confusion",
-    # (g) new in round 8 — grown in place as sessions add operators;
-    # each displaces one r2-era refresh from the 50-slot window (see
-    # the arithmetic note above)
-    "sim_topk_lsh_ltables",  # VERDICT r7 item 5: the production-
-    # shaped L-tables sign-LSH (12 tables x 6 planes, measured 0.66
-    # recall at 0.19N candidate mass — the >=0.6 bar)
-    "window_rolling_median_events",  # VERDICT r7 item 7: the
-    # percentile-sketch rolling median on the volume-proportional
-    # events frame — the exact twin's documented scale escape hatch
-    "agg_heavy_hitters_gated",  # count-min GATED two-pass skew-key
-    # detector — no full-key distinct anywhere in the plan (the
-    # production shape stats.py's verifier twin defers to)
-    "agg_hll_distinct",  # replayable HyperLogLog — the oracle-checked
-    # twin of agg_approx_sketches' unreplayable native HLL++
-    "text_bpe_encode",  # the trained tokenizer's ENCODE half (shared
-    # merge loop with the r7 trainer; word-type grain)
-    "ml_quantile_regression_gd",  # pinball-loss subgradient trainer —
-    # third iterative-trainer member, one comparison-only gradient
-    "privacy_dp_sum_bounded",  # user-level DP sum: contribution
-    # clamping (sensitivity = CLAMP) + seeded Laplace at CLAMP/eps
-    "analytics_revenue_proration",  # interval->calendar allocation:
-    # span-bounded month explode + overlap-day proration
+    # (g-spill) round-8 additions whose first driver row spilled past
+    # r8's 50-slot window — never-verified, so they lead (standing
+    # policy since r4); ship order
     "window_reflected_balance",  # floor-at-zero running balance via
     # the Skorokhod reflection closed form — a fold made windowable
     "text_phrase_search",  # position-postings phrase adjacency join —
@@ -209,10 +137,27 @@ _PRIORITY: tuple[str, ...] = (
     # max (no input re-scan), intersection by inclusion-exclusion
     "ts_holt_linear_trend",  # two-state (level+trend) smoothing fold,
     # in-sample one-step forecast per day
+    # (red retest) the one red latest row on the board: r8 hash
+    # mismatch from 6-dp rounding at 1e7 magnitude under the 4e6
+    # Laplace scale — both engines now round noise/released_sum to
+    # 2 dp (cent precision, ~5e6x ulp headroom; VERDICT r8 item 1)
+    "privacy_dp_sum_bounded",
+    # (i) new in round 9 — grown in place as sessions add operators
+    # (cap: 7, see the arithmetic note above)
+    "dedup_semantic_top2",  # SemDeDup with top-2 centroid assignment:
+    # closes the measured centroid-boundary-split recall gap
+    # (VERDICT r8 item 4; SCALE.md semantic ladder)
+    "agg_theta_sketch_distinct_sum",  # replayable theta-style sketch
+    # (K-minimum-values distinct + distinct-sum estimate) — closes
+    # the registry's last rows-only waiver (VERDICT r8 item 7)
+    "dedup_minhash_lsh_preagg",  # banding join on pre-aggregated
+    # DISTINCT (band, sig) postings — the bench-headroom shape from
+    # VERDICT r8 item 3, registered as its own oracle-checked query
+    "stream_phash_compacted_parity",  # batch twin proving the pHash
+    # ingest store reads identically before/after generation
+    # compaction (VERDICT r8 item 5 extension, registered grain)
     # (h) the r2-era refresh queue (oldest driver evidence on the
-    # board), ledger order; the first 26 - max(0, N_new - 8) that fit
-    # past the never-verified cohorts get refreshed this round, the
-    # rest lead round 9's refresh tail
+    # board), ledger order — all 34 fit this round
     "pipeline_pretrain_filter",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard_capped",

@@ -443,7 +443,6 @@ def _compact_partition_store(
     root: str,
     current_batch: int,
     threshold: int,
-    dedup_cols: list[str] | None = None,
 ) -> None:
     """Fold committed ``batch=<id>`` partitions of a batch-scoped
     store into one compacted GENERATION partition (``batch=-g``) once
@@ -463,7 +462,17 @@ def _compact_partition_store(
     after. A crash between the two leaves duplicate rows across
     generation + leftover sources — harmless to the dedup joins
     (candidates are ``distinct``-ed) and healed by the next
-    compaction, whose read ``dropDuplicates``-es on the row identity.
+    compaction, whose read ``dropDuplicates``-es on the FULL ROW
+    (never a key subset: crash duplicates are literal file copies,
+    bit-identical, while a key that legitimately recurs across
+    batches with a different payload — e.g. a re-delivered doc_id
+    whose edited text cleared the dedup threshold — must keep both
+    rows exactly as the uncompacted store would; ADVICE r8). The
+    leaf-directory read sees no ``batch`` partition column, so the
+    full row IS the payload identity. Readers that fold the store
+    from its ROOT (where partition discovery adds ``batch``) instead
+    dedup on the src_batch provenance key — see ``read_histogram`` /
+    ``read_oov_rate``.
     A crash mid-write leaves a marker-less generation dir that the
     retry simply overwrites from the still-present sources. On an
     object store, swap the directory delete for the committer-based
@@ -506,10 +515,7 @@ def _compact_partition_store(
     gens = {b: p for b, p in parts.items() if b < 0}
     sources = list(committed.values()) + list(gens.values())
     target = _os.path.join(root, f"batch={min(gens, default=0) - 1}")
-    merged = spark.read.parquet(*sources)
-    merged = (
-        merged.dropDuplicates(dedup_cols) if dedup_cols else merged.distinct()
-    )
+    merged = spark.read.parquet(*sources).dropDuplicates()
     merged.write.mode("overwrite").parquet(target)
     for p in sources:
         _shutil.rmtree(p, ignore_errors=True)
@@ -598,17 +604,13 @@ def run_dedup_ingest_sink(
             return
         spark = batch_df.sparkSession
         # fold committed store partitions first, so THIS batch's probe
-        # already scans the compacted layout (sig rows are unique on
-        # doc_id, band rows on (doc_id, band_idx) — dedup on identity
-        # heals any duplicate rows a crash between compaction write
-        # and source delete left behind)
+        # already scans the compacted layout (full-row dedup heals any
+        # duplicate rows a crash between compaction write and source
+        # delete left behind, without collapsing a legitimately
+        # re-delivered doc_id whose payload differs — ADVICE r8)
         bands_path = f"{store_path}_bands"
-        _compact_partition_store(
-            spark, store_path, batch_id, compact_every, ["doc_id"]
-        )
-        _compact_partition_store(
-            spark, bands_path, batch_id, compact_every, ["doc_id", "band_idx"]
-        )
+        _compact_partition_store(spark, store_path, batch_id, compact_every)
+        _compact_partition_store(spark, bands_path, batch_id, compact_every)
         batch = batch_df.localCheckpoint(eager=True)
         sig = minhash_signatures(batch).localCheckpoint(eager=True)
         bands = _band_rows(sig).localCheckpoint(eager=True)
@@ -726,6 +728,7 @@ def run_media_phash_ingest_sink(
     store_path: str,
     corpus_path: str,
     checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Streaming MEDIA ingest with hamming-space near-dup dedup — the
     multimodal twin of ``run_dedup_ingest_sink``: every micro-batch
@@ -747,7 +750,12 @@ def run_media_phash_ingest_sink(
     exact result. Per-batch cost: O(batch) hashing + one band-store
     scan (equi-join on the precomputed band key); the same
     bucket-pruning / KV migration noted on the minhash sink applies
-    when the store scan dominates."""
+    when the store scan dominates. The BAND store's committed
+    partitions fold into generation partitions via
+    ``_compact_partition_store`` once ``compact_every`` accumulate
+    (same store shape and replay/crash analysis as the minhash sink —
+    VERDICT r8 item 5); the corpus stays un-compacted for the same
+    consumer-contract reason."""
     import os as _os
 
     from ..operators.multimodal import (
@@ -760,6 +768,7 @@ def run_media_phash_ingest_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _compact_partition_store(spark, store_path, batch_id, compact_every)
         batch = batch_df.localCheckpoint(eager=True)
         bands = phash_band_rows(
             phash_frame(batch.select("doc_id", "text"))
@@ -1345,13 +1354,7 @@ def run_histogram_sink(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        _compact_partition_store(
-            spark,
-            store_path,
-            batch_id,
-            compact_every,
-            ["src_batch", "event_type", "bin"],
-        )
+        _compact_partition_store(spark, store_path, batch_id, compact_every)
         bin_ = F.least(
             F.floor((F.col("value") - HIST_LO) / width),
             F.lit(N_HIST_BINS - 1),
@@ -1381,9 +1384,21 @@ def run_histogram_sink(
 def read_histogram(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold the stream-maintained histogram partials to the batch
     operator's exact output: counts sum, extrema min/max, THEN the
-    round(4) — rounding per-partial first would break bit-equality."""
+    round(4) — rounding per-partial first would break bit-equality.
+
+    The fold first dedups on the ``(src_batch, event_type, bin)``
+    provenance key, mirroring the compactor: between the generation
+    write (``_SUCCESS`` sealed) and the source-directory delete —
+    i.e. after a crash in that window, or for any concurrent reader
+    during compaction — the same partial exists in BOTH the
+    generation and its original batch partition, and an undeduped sum
+    would double-count n until the next compaction healed the store
+    (ADVICE r8). The key (not the full row) is required here because
+    this read is from the store ROOT, where partition discovery adds
+    a ``batch`` column that DIFFERS between the two copies."""
     return (
         spark.read.parquet(store_path)
+        .dropDuplicates(["src_batch", "event_type", "bin"])
         .groupBy("event_type", "bin")
         .agg(
             F.sum("n").alias("n"),
@@ -1418,11 +1433,14 @@ def run_oov_sink(
     listing + per-partition scan, ~6 ms/batch, crossover ~150-200
     batches — SCALE.md), so committed partitions fold into generation
     partitions via ``_compact_partition_store`` once ``compact_every``
-    accumulate. Because the partials are ADDITIVE, identity dedup
-    alone can't heal a crash between generation write and source
-    delete (two equal partials may be legitimate); every partial
-    therefore carries its ``src_batch`` id, and compaction dedups on
-    that provenance key — double-count-proof at every crash point."""
+    accumulate. Because the partials are ADDITIVE, a bare sum can't
+    heal a crash between generation write and source delete (two
+    equal partials may be legitimate); every partial therefore
+    carries its ``src_batch`` id, compaction's full-row dedup folds
+    crash copies (src_batch included in the row), and the READ fold
+    (``read_oov_rate``) dedups on the provenance key too — so the
+    monitor is double-count-proof at every crash point AND for
+    concurrent readers mid-compaction (ADVICE r8)."""
     from ..operators.text import OOV_VOCAB_K
     from ..functions.text import tokens as _tokens
 
@@ -1441,7 +1459,7 @@ def run_oov_sink(
             return
         spark = batch_df.sparkSession
         _compact_partition_store(
-            spark, f"{store_path}/cur", batch_id, compact_every, ["src_batch"]
+            spark, f"{store_path}/cur", batch_id, compact_every
         )
         v = spark.read.parquet(f"{store_path}/vocab").withColumn(
             "in_vocab", F.lit(True)
@@ -1467,9 +1485,14 @@ def run_oov_sink(
 def read_oov_rate(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold the stream-maintained token partials into the corpus OOV
     rate — same n_oov/n_tokens expression as the batch operator's
-    per-doc column, at corpus grain."""
+    per-doc column, at corpus grain.
+
+    Dedups on the ``src_batch`` provenance key before summing, for
+    the same crash-window / concurrent-reader double-count reason as
+    ``read_histogram`` (ADVICE r8)."""
     return (
         spark.read.parquet(f"{store_path}/cur")
+        .dropDuplicates(["src_batch"])
         .agg(F.sum("n_tokens").alias("n_tokens"), F.sum("n_oov").alias("n_oov"))
         .select(
             F.col("n_tokens").cast("long").alias("n_tokens"),

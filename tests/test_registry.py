@@ -10,8 +10,14 @@ from importlib import import_module
 from pitlapetl_spark import registry
 
 # queries intentionally without a DuckDB oracle (driver records a
-# rows-only check; the reason must be documented in the module)
-ROWS_ONLY_WAIVERS = {"agg_approx_sketches"}
+# rows-only check; the reason must be documented in the module).
+# EMPTY since round 9 (VERDICT r8 item 7): agg_approx_sketches — the
+# last waiver — carries the deterministic boolean-contract oracle
+# (exact counts + tolerance booleans the oracle asserts TRUE), and
+# the replayable sketch family (agg_hll_distinct,
+# agg_hll_set_operations, agg_theta_sketch_distinct_sum) is value-
+# hash-checked outright. Every registered query is oracle-covered.
+ROWS_ONLY_WAIVERS: set[str] = set()
 
 # floor for the registered surface — grows as operators are added;
 # a drop means a module silently fell out of the registry

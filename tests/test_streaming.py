@@ -1468,8 +1468,7 @@ def test_compact_partition_store_heals_crash_leftovers(spark, tmp_path):
     write_part(1, [2])
     write_part(2, [3])
     write_part(-1, [999], sealed=False)  # crashed mid-write: garbage
-    _compact_partition_store(spark, root, current_batch=3, threshold=2,
-                             dedup_cols=["doc_id"])
+    _compact_partition_store(spark, root, current_batch=3, threshold=2)
     rows = sorted(
         (r.doc_id, r.h0)
         for r in spark.read.parquet(root).drop("batch").collect()
@@ -1481,14 +1480,29 @@ def test_compact_partition_store_heals_crash_leftovers(spark, tmp_path):
     # a source whose rows are already inside the sealed generation
     write_part(5, [1])  # duplicate of folded doc 1
     write_part(6, [4])
-    _compact_partition_store(spark, root, current_batch=7, threshold=2,
-                             dedup_cols=["doc_id"])
+    _compact_partition_store(spark, root, current_batch=7, threshold=2)
     rows = sorted(
         (r.doc_id, r.h0)
         for r in spark.read.parquet(root).drop("batch").collect()
     )
     assert rows == [(1, 10), (2, 20), (3, 30), (4, 40)]  # no dup rows
     assert _batch_parts(root) == [-2]
+
+    # (ADVICE r8 low) a key that legitimately recurs across batches
+    # with a DIFFERENT payload (e.g. a re-delivered doc_id whose
+    # edited text cleared the dedup threshold) must keep both rows,
+    # exactly as the uncompacted store would — full-row dedup folds
+    # only bit-identical crash copies, never a key collision
+    write_part(8, [1])  # (1, 10): identical to the folded row -> folds
+    df = spark.createDataFrame([(4, 99)], "doc_id long, h0 long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/batch=9")
+    _compact_partition_store(spark, root, current_batch=10, threshold=2)
+    rows = sorted(
+        (r.doc_id, r.h0)
+        for r in spark.read.parquet(root).drop("batch").collect()
+    )
+    assert rows == [(1, 10), (2, 20), (3, 30), (4, 40), (4, 99)]
+    assert _batch_parts(root) == [-3]
 
 
 def test_oov_sink_compaction_preserves_fold_and_provenance(spark, tmp_path):
@@ -1553,11 +1567,14 @@ def test_oov_sink_compaction_preserves_fold_and_provenance(spark, tmp_path):
         f"{tmp_path}/store_c/cur/batch={sb}"
     )
     before = fold("store_p")
+    # (ADVICE r8 medium) the READ fold itself must not double-count
+    # while the duplicate still exists — a concurrent reader during
+    # compaction, or any read before the next compaction heals the
+    # store, sees both copies
+    assert fold("store_c") == before
     from pitlapetl_spark.streaming.runtime import _compact_partition_store
 
-    _compact_partition_store(
-        spark, f"{tmp_path}/store_c/cur", 10**6, 1, ["src_batch"]
-    )
+    _compact_partition_store(spark, f"{tmp_path}/store_c/cur", 10**6, 1)
     assert fold("store_c") == before
 
 
@@ -1605,4 +1622,16 @@ def test_histogram_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
     )
     assert parts[0] < 0, parts
     run()  # same checkpoint: nothing new, fold unchanged
+    assert _rows(read_histogram(spark, store), *cols) == want
+
+    # (ADVICE r8 medium) crash window between generation write and
+    # source delete: a leftover source whose partials already live in
+    # the generation must not double-count n in the READ fold — the
+    # reader dedups on the (src_batch, event_type, bin) provenance key
+    gen = spark.read.parquet(f"{store}/batch={parts[0]}")
+    replayed = gen.orderBy("src_batch").limit(50)
+    sb = replayed.collect()[0].src_batch
+    replayed.filter(F.col("src_batch") == sb).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch={sb}")
     assert _rows(read_histogram(spark, store), *cols) == want

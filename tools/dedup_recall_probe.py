@@ -235,7 +235,11 @@ def sem_pairs_of(spark, name: str, sf_dir: str) -> set[tuple[int, int]]:
     }
 
 
-SEM_METHODS = ("dedup_semantic_semdedup", "dedup_embedding_cosine")
+SEM_METHODS = (
+    "dedup_semantic_semdedup",
+    "dedup_semantic_top2",
+    "dedup_embedding_cosine",
+)
 
 
 def semantic_table(spark, con) -> None:
