@@ -237,22 +237,31 @@ _PH_CHUNK_SUM = (
 )
 
 
-def _phash_oracle() -> str:
+def phash_hash_cte() -> str:
+    """DuckDB CTE fragment ``d AS (...), h AS (SELECT doc_id, phash)``
+    replaying ``phash_frame``'s integer block-mean hash exactly —
+    shared by the near-dup oracle below and the streaming store
+    compaction-parity oracle (streaming/batch_windows.py) so the
+    SQL-side hash cannot drift between them."""
     bit_terms = " + ".join(
         f"(CASE WHEN ({_PH_CHUNK_SUM.format(c=c)}) * n > "
         f"tot * greatest(0, least(cl, n - {c} * cl)) "
         f"THEN CAST({1 << c} AS BIGINT) ELSE 0 END)"
         for c in range(PHASH_BITS)
     )
-    return f"""
-    WITH d AS (
+    return f"""d AS (
         SELECT doc_id, text, length(text) AS n,
                CAST(ceil(length(text) / {PHASH_BITS}.0) AS BIGINT) AS cl,
                COALESCE(list_sum(list_transform(range(1, length(text) + 1),
                    i -> ascii(substr(text, i, 1)))), 0) AS tot
         FROM documents
     ),
-    h AS (SELECT doc_id, {bit_terms} AS phash FROM d)
+    h AS (SELECT doc_id, {bit_terms} AS phash FROM d)"""
+
+
+def _phash_oracle() -> str:
+    return f"""
+    WITH {phash_hash_cte()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
     FROM h a JOIN h b ON a.doc_id < b.doc_id

@@ -301,3 +301,131 @@ def stream_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     of runtime.error_rate_wilson_stream (block comment above)."""
     events = load_table(spark, sf_dir, "events")
     return wilson_error_rate_agg(events)
+
+
+# ----------------------- pHash ingest-store compaction parity
+# VERDICT r8 item 5 extension, registered as a query: the media
+# ingest sink's BAND STORE now folds committed batch partitions into
+# generation partitions (_compact_partition_store — runtime.py), and
+# this query PROVES the fold is content-preserving at the driver's
+# value-hash level. It simulates the sink's store lifecycle with the
+# real production pieces — phash_frame / phash_band_rows build the
+# band rows, a deterministic doc_id split plays the role of
+# micro-batches, the actual compactor folds them (twice: once for the
+# steady state, once to heal a simulated crash-window leftover whose
+# rows already live in the generation) — then folds the compacted
+# store to a per-band grain the DuckDB oracle recomputes STRAIGHT
+# from documents, never having seen a store at all. Any row the
+# compaction lost or duplicated flips a count or sum; the oracle's
+# literal TRUE parity column additionally pins the Spark-side
+# pre-write vs post-compaction comparison.
+#
+# 100-TB shape: the store writes are batch-partitioned parquet (the
+# sink's own layout); compaction reads only committed partitions and
+# rewrites once per threshold crossing (amortized O(1) per batch —
+# SCALE.md probe table); the parity fold is one 4-group aggregation.
+
+N_SIM_INGEST_BATCHES = 5
+
+
+def _phash_parity_oracle() -> str:
+    from ..operators.multimodal import PHASH_BANDS, phash_hash_cte
+
+    return f"""
+    WITH {phash_hash_cte()},
+    bands AS (
+        SELECT h.doc_id, h.phash, CAST(t.band_id AS INT) AS band_id,
+               (h.phash >> CAST(8 * t.band_id AS INT)) & 255 AS band_val
+        FROM h CROSS JOIN range({PHASH_BANDS}) t(band_id)
+    )
+    SELECT band_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT band_val) AS BIGINT) AS n_band_vals,
+           CAST(sum(phash) AS BIGINT) AS sum_phash,
+           CAST(1 AS INT) AS store_partitions,
+           TRUE AS compacted_parity
+    FROM bands GROUP BY band_id
+    """
+
+
+@query("stream_phash_compacted_parity", oracle=_phash_parity_oracle())
+def stream_phash_compacted_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write the pHash band store as N simulated ingest batches, run
+    the real compactor (plus a crash-leftover heal pass), and return
+    the per-band fold of the compacted store alongside a parity
+    check against the pre-write frame (block comment above)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.multimodal import phash_band_rows, phash_frame
+    from .runtime import _compact_partition_store
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = phash_band_rows(phash_frame(docs)).localCheckpoint(eager=True)
+
+    def fold(df: DataFrame, prefix: str = "") -> DataFrame:
+        return df.groupBy("band_id").agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
+            F.countDistinct("doc_id").cast("long").alias(f"{prefix}n_docs"),
+            F.countDistinct("band_val")
+            .cast("long")
+            .alias(f"{prefix}n_band_vals"),
+            F.sum("phash").cast("long").alias(f"{prefix}sum_phash"),
+        )
+
+    root = _tempfile.mkdtemp(prefix="pitlap_phash_parity_")
+    store = f"{root}/store"
+    try:
+        batched = bands.withColumn(
+            "b", F.pmod(F.col("doc_id"), F.lit(N_SIM_INGEST_BATCHES))
+        )
+        for i in range(N_SIM_INGEST_BATCHES):
+            batched.filter(F.col("b") == i).drop("b").write.mode(
+                "overwrite"
+            ).parquet(f"{store}/batch={i}")
+        # steady-state fold: all committed batches -> one generation
+        _compact_partition_store(
+            spark, store, current_batch=N_SIM_INGEST_BATCHES, threshold=2
+        )
+        # crash-window leftover: a sealed source whose rows already
+        # live inside the generation (the write-then-delete gap);
+        # the next compaction must fold it away via full-row dedup
+        batched.filter(F.col("b") == 1).drop("b").write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch=1")
+        _compact_partition_store(
+            spark, store, current_batch=N_SIM_INGEST_BATCHES + 1, threshold=1
+        )
+        n_parts = len(
+            [d for d in _os.listdir(store) if d.startswith("batch=")]
+        )
+        after = spark.read.parquet(store).drop("batch")
+        pre = fold(bands, "pre_")
+        parity = (
+            (F.col("n_rows") == F.col("pre_n_rows"))
+            & (F.col("n_docs") == F.col("pre_n_docs"))
+            & (F.col("n_band_vals") == F.col("pre_n_band_vals"))
+            & (F.col("sum_phash") == F.col("pre_sum_phash"))
+        )
+        result = (
+            fold(after)
+            .join(pre, "band_id")
+            .select(
+                "band_id",
+                "n_rows",
+                "n_docs",
+                "n_band_vals",
+                "sum_phash",
+                F.lit(n_parts).cast("int").alias("store_partitions"),
+                parity.alias("compacted_parity"),
+            )
+        )
+        # materialize before the temp dir is removed (the standing
+        # roundtrip-query device, sinks_query.py)
+        return result.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

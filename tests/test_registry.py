@@ -56,66 +56,26 @@ def test_registry_size_and_oracle_coverage():
     assert not stale, f"oracles without queries: {sorted(stale)}"
 
 
-def test_round8_rotation_window_composition():
-    """The round-8 driver window (first 50 names) must follow the
-    pinned ledger (registry._PRIORITY comment): the 42 never-verified
-    round-7 cohort-(d)/(e)/(f) queries lead, any new round-8
-    cohort-(g) queries follow, and the r2-era refresh queue (oldest
-    driver evidence) fills the window in ledger order — an accidental
-    reorder or insertion would silently spend verification slots
-    differently than the documented policy."""
-    first50 = list(registry.all_queries())[:50]
-    # cohorts (d)+(e)+(f): the 42 never-driver-verified round-7
-    # queries, exactly and in order
-    never_verified = [
-        "ops_ship_latency_trend",
-        "dq_freshness_audit",
-        "stats_qq_deciles",
-        "stats_benford_first_digit",
-        "stats_welch_ttest",
-        "analytics_abc_pareto",
-        "analytics_new_vs_returning",
-        "privacy_t_closeness",
-        "graph_jaccard_linkpred",
-        "stats_fdr_bh",
-        "ml_ridge_closed_form",
-        "ml_isotonic_calibration",
-        "ab_srm_check",
-        "attribution_position_based",
-        "analytics_price_volume_bridge",
-        "stats_jarque_bera",
-        "stats_levene_variance",
-        "stats_runs_test",
-        "graph_degree_assortativity",
-        "ml_pca_2d_closed_form",
-        "ml_calibration_reliability",
-        "dq_referential_integrity",
-        "seq_user_path_topk",
-        "text_collocation_llr",
-        "survival_nelson_aalen",
-        "stats_permutation_test",
-        "privacy_dp_count_laplace",
-        "ab_power_two_proportions",
-        "window_bounce_rate_daily",
-        "dq_order_total_reconciliation",
-        "analytics_net_revenue_retention",
-        "dq_error_rate_wilson",
-        "stream_error_rate_wilson",
-        "layout_zorder_locality",
-        "ml_cohens_kappa_langid",
-        "ab_sequential_sprt",
-        "dq_volume_anomaly_weekday",
-        "analytics_repeat_interval",
-        "text_vocab_coverage",
-        "ml_auc_roc_rank",
-        "window_rolling_median",
-        "ml_mcc_confusion",
+def test_round9_rotation_window_composition():
+    """The round-9 driver window (first 50 names) must follow the
+    pinned ledger (registry._PRIORITY comment): the 8 never-verified
+    round-8 cohort-(g) spill queries lead, the privacy_dp_sum_bounded
+    red-row retest follows (a red latest row outranks stale
+    evidence), then the round-9 cohort-(i) additions (capped at 7),
+    then the FULL 34-row r2-era refresh queue in ledger order — an
+    accidental reorder or insertion would silently spend verification
+    slots differently than the documented policy."""
+    pri = list(registry._PRIORITY)
+    g_spill = [
+        "window_reflected_balance",
+        "text_phrase_search",
+        "sessionize_capped",
+        "ml_cross_validation_stump",
+        "geo_dbscan_grid",
+        "graph_pagerank_personalized",
+        "agg_hll_set_operations",
+        "ts_holt_linear_trend",
     ]
-    assert first50[:42] == never_verified
-    # the remaining 8 slots: each is either a round-8 cohort-(g) entry
-    # (listed in _PRIORITY between the never-verified block and the
-    # r2-era queue) or drawn from the r2-era refresh queue, in ledger
-    # order as a prefix of the queue
     r2_era_ledger = [
         "pipeline_pretrain_filter",
         "dedup_embedding_cosine",
@@ -152,16 +112,21 @@ def test_round8_rotation_window_composition():
         "text_token_stats",
         "window_ntile_distribution",
     ]
-    tail = first50[42:]
-    r2_in_window = [n for n in tail if n in r2_era_ledger]
-    assert r2_in_window == r2_era_ledger[: len(r2_in_window)]
-    # everything else in the window is a round-8 cohort-(g) entry,
-    # i.e. listed in _PRIORITY between the two pinned cohorts
-    cohort_g = [n for n in tail if n not in r2_era_ledger]
-    pri = list(registry._PRIORITY)
-    for name in cohort_g:
-        assert (
-            pri.index("ml_mcc_confusion")
-            < pri.index(name)
-            < pri.index("pipeline_pretrain_filter")
-        ), name
+    # ledger structure: spill cohort, retest, cohort (i), r2-era queue
+    assert pri[:8] == g_spill
+    assert pri[8] == "privacy_dp_sum_bounded"
+    assert pri[-34:] == r2_era_ledger
+    cohort_i = pri[9:-34]
+    # the written arithmetic: 8 + 1 + N_new + 34 <= 50, so N_new <= 7
+    assert len(cohort_i) <= 7, cohort_i
+    # every ledger name must actually be registered (a typo here
+    # would silently drop a pinned slot from the driver window)
+    queries = registry.all_queries()
+    missing = [n for n in pri if n not in queries]
+    assert not missing, missing
+    # and the driver window is exactly the ledger head plus
+    # registration-order overflow for any spare slots
+    first50 = list(queries)[:50]
+    assert first50[: len(pri)] == pri
+    for name in first50[len(pri) :]:
+        assert name not in pri
