@@ -1028,7 +1028,10 @@ def debounce_stream(events: DataFrame, watermark: str = "2 days") -> DataFrame:
 
 
 def run_cms_sink(
-    events: DataFrame, store_path: str, checkpoint: str
+    events: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Streaming count-min sketch maintenance: every micro-batch
     computes ITS OWN d x w cell counts (a bounded-size aggregate —
@@ -1046,17 +1049,27 @@ def run_cms_sink(
     overwrite makes replay rewrite the same partition to the same
     bytes instead (the dedup-ingest sink's device, applied to the
     additive-sketch case). Store size is O(batches x d x w) tiny
-    rows; compact by summing old partitions into one when batch
-    count grows."""
+    rows; committed partitions fold into generation partitions via
+    ``_compact_partition_store`` once ``compact_every`` accumulate
+    (VERDICT r8 item 5). Because cell counts are ADDITIVE, every
+    partial carries its ``src_batch`` id: full-row dedup then folds
+    only bit-identical crash copies (two batches that legitimately
+    produced equal cell counts differ on src_batch), and the read
+    fold dedups on the provenance key — the OOV sink's
+    double-count-proof discipline."""
     from ..operators.stats import cms_hash_explode
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _compact_partition_store(
+            batch_df.sparkSession, store_path, batch_id, compact_every
+        )
         cells = (
             cms_hash_explode(batch_df, "user_id")
             .groupBy("j", "bucket")
             .agg(F.count(F.lit(1)).alias("cell_cnt"))
+            .withColumn("src_batch", F.lit(batch_id))
         )
         cells.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/batch={batch_id}"
@@ -1080,11 +1093,17 @@ def read_cms_estimates(spark: SparkSession, store_path: str, keys: DataFrame) ->
     as 0 — left join + coalesce, never an inner join that would
     inflate the min over populated cells only or drop the key from
     the output (review r5 round 2 #3; a CMS must never report an
-    unseen key above its collision mass)."""
+    unseen key above its collision mass).
+
+    Dedups on the ``(src_batch, j, bucket)`` provenance key before
+    summing — the crash window between a compaction's generation
+    write and its source delete (or a concurrent read mid-compaction)
+    exposes the same partial twice (ADVICE r8; read_histogram)."""
     from ..operators.stats import cms_hash_explode
 
     merged = (
         spark.read.parquet(store_path)
+        .dropDuplicates(["src_batch", "j", "bucket"])
         .groupBy("j", "bucket")
         .agg(F.sum("cell_cnt").alias("cell_cnt"))
     )
@@ -1104,7 +1123,10 @@ def read_cms_estimates(spark: SparkSession, store_path: str, keys: DataFrame) ->
 
 
 def run_cusum_sink(
-    events: DataFrame, store_path: str, checkpoint: str
+    events: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Streaming CUSUM change-point maintenance: every micro-batch
     writes its (event_type, day) PARTIAL moments — exact DECIMAL
@@ -1122,12 +1144,19 @@ def run_cusum_sink(
     so replay safety comes from the batch-scoped overwrite (the
     run_cms_sink device) — a replayed batch rewrites its own
     partition to the same bytes. Store size is O(batches x types x
-    days-touched-per-batch) tiny rows; compact by re-aggregating old
-    partitions into one when batch count grows."""
+    days-touched-per-batch) tiny rows; committed partitions fold into
+    generation partitions via ``_compact_partition_store`` once
+    ``compact_every`` accumulate (VERDICT r8 item 5), with the
+    additive-partial provenance discipline: every partial carries its
+    ``src_batch`` id so full-row dedup folds only bit-identical crash
+    copies, and the read side dedups on the provenance key."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _compact_partition_store(
+            batch_df.sparkSession, store_path, batch_id, compact_every
+        )
         partial = (
             batch_df.groupBy(
                 "event_type", F.date_trunc("day", F.col("ts")).alias("day")
@@ -1136,6 +1165,7 @@ def run_cusum_sink(
                 F.sum(F.round("value", 8).cast("decimal(18,8)")).alias("sv"),
                 F.count(F.lit(1)).alias("cnt"),
             )
+            .withColumn("src_batch", F.lit(batch_id))
         )
         partial.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/batch={batch_id}"
@@ -1154,11 +1184,15 @@ def read_cusum_changepoints(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold the stream-maintained daily partials and run the shared
     batch CUSUM tail: merge = decimal-sum of sums + sum of counts per
     (event_type, day), mean = round(merged_sum/merged_cnt, 8) — the
-    identical expression the batch operator computes from raw rows."""
+    identical expression the batch operator computes from raw rows.
+    Dedups on the ``(src_batch, event_type, day)`` provenance key
+    first (crash-window / concurrent-reader double-count protection —
+    ADVICE r8; read_histogram)."""
     from ..operators.stats import cusum_from_daily
 
     merged = (
         spark.read.parquet(store_path)
+        .dropDuplicates(["src_batch", "event_type", "day"])
         .groupBy("event_type", "day")
         .agg(F.sum("sv").alias("sv"), F.sum("cnt").alias("cnt"))
         .select(
@@ -1183,6 +1217,7 @@ def run_psi_sink(
     ref: DataFrame,
     store_path: str,
     checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Streaming PSI drift monitor: the reference frame's decile
     fences and bin counts are FIXED at sink creation (the deployed
@@ -1200,7 +1235,11 @@ def run_psi_sink(
     feeding the sink ref = first half / stream = second half of a
     table reproduces ``stats_psi_drift`` on that table BIT-EQUALLY
     (pinned in test_streaming). Replay safety: batch-scoped overwrite,
-    never merge-add."""
+    never merge-add. The ``cur`` store's committed partitions fold
+    into generation partitions via ``_compact_partition_store`` once
+    ``compact_every`` accumulate (VERDICT r8 item 5), with the
+    additive-partial ``src_batch`` provenance discipline (run_oov_sink
+    docstring); the one-off ``ref`` write never grows."""
     from ..operators.stats import psi_bin_expr, psi_decile_cuts
 
     cuts = psi_decile_cuts(ref.filter(F.col("value").isNotNull()))
@@ -1215,11 +1254,15 @@ def run_psi_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _compact_partition_store(
+            batch_df.sparkSession, f"{store_path}/cur", batch_id, compact_every
+        )
         cells = (
             batch_df.filter(F.col("value").isNotNull())
             .select(psi_bin_expr(cuts).alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("src_batch", F.lit(batch_id))
         )
         cells.coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/cur/batch={batch_id}"
@@ -1239,7 +1282,10 @@ def read_psi_drift(spark: SparkSession, store_path: str) -> DataFrame:
     reference counts and emit the batch operator's exact output
     columns (shared psi_from_bin_counts tail). Bins seen by only one
     side appear with a zero on the other (full outer + coalesce),
-    matching the batch query's bins-with-any-row semantics."""
+    matching the batch query's bins-with-any-row semantics. The cur
+    fold dedups on the ``(src_batch, bin)`` provenance key first
+    (crash-window / concurrent-reader double-count protection —
+    ADVICE r8; read_histogram)."""
     from ..operators.stats import psi_from_bin_counts
 
     ref_cnt = (
@@ -1249,6 +1295,7 @@ def read_psi_drift(spark: SparkSession, store_path: str) -> DataFrame:
     )
     cur_cnt = (
         spark.read.parquet(f"{store_path}/cur")
+        .dropDuplicates(["src_batch", "bin"])
         .groupBy("bin")
         .agg(F.sum("n").alias("nc"))
     )
@@ -1267,7 +1314,10 @@ def read_psi_drift(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def run_kanonymity_sink(
-    customers: DataFrame, store_path: str, checkpoint: str
+    customers: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Streaming privacy-audit maintenance: an ingest stream of
     customer-shaped rows keeps the k-anonymity/l-diversity state
@@ -1286,14 +1336,21 @@ def run_kanonymity_sink(
     ``privacy_k_anonymity`` on that table bit-equally (pinned in
     test_streaming). Replay safety: batch-scoped overwrite, never
     merge-add. Store size: O(batches x QI-groups x bands touched per
-    batch); compact old partitions by re-aggregation when batch count
-    grows (the dedup-ingest store note)."""
+    batch); committed partitions fold into generation partitions via
+    ``_compact_partition_store`` once ``compact_every`` accumulate
+    (VERDICT r8 item 5), with the additive-partial ``src_batch``
+    provenance discipline (run_oov_sink docstring)."""
     from ..operators.quality import kanonymity_band_counts
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        kanonymity_band_counts(batch_df).coalesce(1).write.mode("overwrite").parquet(
+        _compact_partition_store(
+            batch_df.sparkSession, store_path, batch_id, compact_every
+        )
+        kanonymity_band_counts(batch_df).withColumn(
+            "src_batch", F.lit(batch_id)
+        ).coalesce(1).write.mode("overwrite").parquet(
             f"{store_path}/batch={batch_id}"
         )
 
@@ -1310,11 +1367,14 @@ def read_kanonymity_audit(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold the stream-maintained band-count partials and run the
     shared audit tail: merged cnt per (QI, band), then group_size /
     l_sensitive / threshold flags — identical expressions to the
-    batch query's."""
+    batch query's. Dedups on the full provenance key first
+    (crash-window / concurrent-reader double-count protection —
+    ADVICE r8; read_histogram)."""
     from ..operators.quality import kanonymity_from_band_counts
 
     merged = (
         spark.read.parquet(store_path)
+        .dropDuplicates(["src_batch", "nationkey", "mktsegment", "band"])
         .groupBy("nationkey", "mktsegment", "band")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -1520,7 +1580,10 @@ def error_rate_wilson_stream(
 
 
 def run_sprt_sink(
-    events: DataFrame, store_path: str, checkpoint: str
+    events: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
 ) -> StreamingQuery:
     """Streaming sequential-test monitor: every micro-batch folds its
     events to per-day (trials, successes) PARTIALS — additive
@@ -1530,15 +1593,24 @@ def run_sprt_sink(
     ``sprt_from_day_counts`` tail the batch query uses
     (breadth7f.py), so the monitor's view of the experiment is
     bit-equal to the batch replay by construction. Replay safety:
-    batch-scoped overwrite, never merge-add."""
+    batch-scoped overwrite, never merge-add. The ``days`` store's
+    committed partitions fold into generation partitions via
+    ``_compact_partition_store`` once ``compact_every`` accumulate
+    (VERDICT r8 item 5), with the additive-partial ``src_batch``
+    provenance discipline (run_oov_sink docstring)."""
     from ..operators.breadth7f import sprt_day_counts
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        sprt_day_counts(batch_df).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{store_path}/days/batch={batch_id}")
+        _compact_partition_store(
+            batch_df.sparkSession, f"{store_path}/days", batch_id, compact_every
+        )
+        sprt_day_counts(batch_df).withColumn(
+            "src_batch", F.lit(batch_id)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{store_path}/days/batch={batch_id}"
+        )
 
     return (
         events.writeStream.foreachBatch(write_batch)
@@ -1552,11 +1624,15 @@ def run_sprt_sink(
 def read_sprt_decision(spark: SparkSession, store_path: str) -> DataFrame:
     """Fold the per-batch day partials and hand the totals to the
     SAME SPRT tail the batch query uses — identical output columns,
-    bit-equal to ``ab_sequential_sprt`` over the same events."""
+    bit-equal to ``ab_sequential_sprt`` over the same events. Dedups
+    on the ``(src_batch, day)`` provenance key first (crash-window /
+    concurrent-reader double-count protection — ADVICE r8;
+    read_histogram)."""
     from ..operators.breadth7f import sprt_from_day_counts
 
     days = (
         spark.read.parquet(f"{store_path}/days")
+        .dropDuplicates(["src_batch", "day"])
         .groupBy("day")
         .agg(
             F.sum("trials").alias("trials"),

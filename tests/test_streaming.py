@@ -919,6 +919,106 @@ def test_cms_sink_matches_batch_sketch_and_replays_exactly_once(spark, tmp_path)
     assert again == want
 
 
+def test_monitor_sinks_compaction_preserves_reads(spark, tmp_path):
+    """VERDICT r8 item 5: the five additive-partial monitor sinks
+    (CMS / CUSUM / PSI / k-anonymity / SPRT) now fold committed store
+    partitions into generation partitions. For each, a run with
+    aggressive compaction (``compact_every=1``) must produce the
+    IDENTICAL read fold to the uncompacted run, and the store must
+    actually contain a generation (negative) partition — the
+    src_batch provenance each partial now carries is what makes the
+    full-row compaction dedup safe for additive state."""
+    import os
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        read_cms_estimates,
+        read_cusum_changepoints,
+        read_kanonymity_audit,
+        read_psi_drift,
+        read_sprt_decision,
+        run_cms_sink,
+        run_cusum_sink,
+        run_kanonymity_sink,
+        run_psi_sink,
+        run_sprt_sink,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            f"{tmp_path}/esrc/b{i}"
+        )
+        cust.filter(F.col("c_custkey") % 3 == i).coalesce(1).write.parquet(
+            f"{tmp_path}/csrc/b{i}"
+        )
+
+    def estream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp_path}/esrc/b*")
+        )
+
+    def cstream():
+        return (
+            spark.readStream.schema(cust.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp_path}/csrc/b*")
+        )
+
+    keys = ev.select("user_id").distinct()
+    ref = ev.limit(400)
+    cases = {
+        "cms": (
+            lambda store, ck, ce: run_cms_sink(estream(), store, ck, compact_every=ce),
+            lambda store: read_cms_estimates(spark, store, keys),
+            "",
+        ),
+        "cusum": (
+            lambda store, ck, ce: run_cusum_sink(estream(), store, ck, compact_every=ce),
+            lambda store: read_cusum_changepoints(spark, store),
+            "",
+        ),
+        "psi": (
+            lambda store, ck, ce: run_psi_sink(estream(), ref, store, ck, compact_every=ce),
+            lambda store: read_psi_drift(spark, store),
+            "/cur",
+        ),
+        "kanon": (
+            lambda store, ck, ce: run_kanonymity_sink(cstream(), store, ck, compact_every=ce),
+            lambda store: read_kanonymity_audit(spark, store),
+            "",
+        ),
+        "sprt": (
+            lambda store, ck, ce: run_sprt_sink(estream(), store, ck, compact_every=ce),
+            lambda store: read_sprt_decision(spark, store),
+            "/days",
+        ),
+    }
+    for kind, (run_sink, read_fold, sub) in cases.items():
+        folds, parts = [], []
+        for tag, ce in (("plain", 10**6), ("compact", 1)):
+            store = f"{tmp_path}/{kind}_{tag}"
+            q = run_sink(store, f"{tmp_path}/ck_{kind}_{tag}", ce)
+            q.awaitTermination(300)
+            folds.append(
+                sorted(map(str, read_fold(store).collect()))
+            )
+            parts.append(
+                sorted(
+                    int(d.split("=", 1)[1])
+                    for d in os.listdir(store + sub)
+                    if d.startswith("batch=")
+                )
+            )
+        assert folds[0] == folds[1], kind
+        assert folds[0], kind  # sanity: non-empty monitor read
+        assert all(p >= 0 for p in parts[0]), kind
+        assert parts[1][0] < 0, (kind, parts[1])
+
+
 def test_media_phash_ingest_dedups_across_batches_and_replays_exactly(
     spark, tmp_path
 ):
@@ -1007,6 +1107,75 @@ def test_media_phash_ingest_dedups_across_batches_and_replays_exactly(
     assert again == got
 
 
+def test_media_phash_ingest_compaction_matches_uncompacted(spark, tmp_path):
+    """VERDICT r8 item 5 extension: running the media ingest sink
+    with aggressive compaction (``compact_every=1``) must (a) produce
+    the IDENTICAL corpus to the uncompacted run — compaction can
+    never change a dedup decision — (b) fold the band store's
+    committed batch partitions into a single sealed generation
+    partition, and (c) preserve the store's full row set exactly
+    (the registered ``stream_phash_compacted_parity`` query checks
+    the same invariant at the driver's value-hash grain)."""
+    import os
+    import time
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        read_documents_stream,
+        run_media_phash_ingest_sink,
+    )
+
+    base = load_table(spark, SF_SMOKE, "documents").limit(16).collect()
+    b0 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base[:8]]
+    b1 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base[8:]]
+    # plus one re-crawl so a cross-batch dedup decision rides on the
+    # (possibly compacted) store read
+    b1.append((9_000_000,) + b0[0][1:])
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run(tag: str, compact_every: int):
+        q = run_media_phash_ingest_sink(
+            read_documents_stream(spark, src, max_files_per_trigger=1),
+            str(tmp_path / f"store_{tag}"),
+            str(tmp_path / f"corpus_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            compact_every=compact_every,
+        )
+        q.awaitTermination(300)
+        corpus = {
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / f"corpus_{tag}")).collect()
+        }
+        store_rows = {
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / f"store_{tag}"))
+            .drop("batch")
+            .collect()
+        }
+        parts = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tmp_path / f"store_{tag}")
+            if d.startswith("batch=")
+        )
+        return corpus, store_rows, parts
+
+    corpus_u, store_u, parts_u = run("plain", compact_every=10**6)
+    corpus_c, store_c, parts_c = run("compact", compact_every=1)
+    assert corpus_c == corpus_u  # (a) dedup decisions unchanged
+    assert corpus_u  # sanity: the stream actually ingested
+    assert 9_000_000 not in corpus_c  # the cross-batch re-crawl died
+    assert store_c == store_u  # (c) full row set preserved
+    assert all(p >= 0 for p in parts_u)
+    # (b): batch 0 folded into a generation before batch 1 committed;
+    # batch 1's own partition is never folded (current-batch guard)
+    assert parts_c[0] < 0 and 0 not in parts_c and 1 in parts_c
+
+
 def test_cusum_sink_bit_equal_to_batch_and_replays_exactly_once(spark, tmp_path):
     """The stream-maintained CUSUM (per-batch DECIMAL sum/count
     partials, day means computed only after the fold) must be
@@ -1054,7 +1223,7 @@ def test_cusum_sink_bit_equal_to_batch_and_replays_exactly_once(spark, tmp_path)
     # every batch partition holds PARTIALS (sum/count), never means:
     # a per-batch mean could not merge across the day split above
     one = spark.read.parquet(f"{tmp_path}/store/batch=0")
-    assert set(one.columns) == {"event_type", "day", "sv", "cnt"}
+    assert set(one.columns) == {"event_type", "day", "sv", "cnt", "src_batch"}
     # replay from a fresh checkpoint: overwrite, never double-add
     run("ckpt2")
     again = canon(read_cusum_changepoints(spark, f"{tmp_path}/store").collect())
@@ -1159,7 +1328,8 @@ def test_kanonymity_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
     # the store holds PARTIALS at the (QI, band) grain — never the
     # audit itself (a per-batch count-distinct could not merge)
     one = spark.read.parquet(f"{tmp_path}/store/batch=0")
-    assert set(one.columns) == {"nationkey", "mktsegment", "band", "cnt"}
+    assert set(one.columns) == {"nationkey", "mktsegment", "band", "cnt",
+                                 "src_batch"}
     # replay from a fresh checkpoint: overwrite, never double-add
     run("ckpt2")
     again = canon(read_kanonymity_audit(spark, f"{tmp_path}/store").collect())

@@ -308,43 +308,61 @@ def _synth_monitor_batch(spark, kind: str, rows_per_batch: int, b: int):
 
 
 def probe_monitor_growth(
-    spark, kind: str, rows_per_batch: int, n_batches: int
+    spark, kind: str, rows_per_batch: int, n_batches: int,
+    compact_every: int | None = None,
 ) -> dict:
-    """Per-batch wall across N batches for the psi/kanon/oov monitor
-    sinks (VERDICT r6 item 6 — the 4-batch probe shows the fixed-size
+    """Per-batch wall across N batches for the monitor sinks
+    (VERDICT r6 item 6 — the 4-batch probe shows the fixed-size
     partial, this one makes the O(store) growth term visible): each
     iteration appends one source file and re-runs the availableNow
     sink, timing the restart+batch like the dedup store-scan probe.
     The store gains one fixed-size partition per batch, so any upward
     trend in the tail isolates the store-side component (file listing
-    + partition append), separating it from the flat batch cost."""
+    + partition append), separating it from the flat batch cost.
+    ``compact_every`` passes through to the sink (all six monitor
+    sinks now fold committed partitions into generation partitions —
+    VERDICT r8 item 5); probing default vs an aggressive setting
+    shows the compacted steady state stays flat."""
     from pitlapetl_spark.streaming.runtime import (
-        run_kanonymity_sink, run_oov_sink, run_psi_sink,
+        run_cms_sink, run_cusum_sink, run_kanonymity_sink,
+        run_oov_sink, run_psi_sink, run_sprt_sink,
     )
 
+    kw = {} if compact_every is None else {"compact_every": compact_every}
     tmp = tempfile.mkdtemp(prefix="pitlap_gprobe_")
     try:
         src = f"{tmp}/src"
-        ref = _synth_monitor_batch(spark, kind, rows_per_batch, 0)
+        synth_kind = kind if kind in ("kanon", "oov") else "cusum"
+        ref = _synth_monitor_batch(spark, synth_kind, rows_per_batch, 0)
+        sinks = {
+            "psi": lambda s: run_psi_sink(
+                s, ref, f"{tmp}/store", f"{tmp}/ckpt", **kw),
+            "kanon": lambda s: run_kanonymity_sink(
+                s, f"{tmp}/store", f"{tmp}/ckpt", **kw),
+            "oov": lambda s: run_oov_sink(
+                s, ref, f"{tmp}/store", f"{tmp}/ckpt", **kw),
+            "cms": lambda s: run_cms_sink(
+                s, f"{tmp}/store", f"{tmp}/ckpt", **kw),
+            "cusum": lambda s: run_cusum_sink(
+                s, f"{tmp}/store", f"{tmp}/ckpt", **kw),
+            "sprt": lambda s: run_sprt_sink(
+                s, f"{tmp}/store", f"{tmp}/ckpt", **kw),
+        }
         per_batch = []
         for b in range(n_batches):
-            (_synth_monitor_batch(spark, kind, rows_per_batch, b)
+            (_synth_monitor_batch(spark, synth_kind, rows_per_batch, b)
              .coalesce(1).write.mode("append").parquet(src))
             schema = spark.read.parquet(src).schema
             stream = (spark.readStream.schema(schema)
                       .option("maxFilesPerTrigger", 1).parquet(src))
             t0 = time.perf_counter()
-            if kind == "psi":
-                q = run_psi_sink(stream, ref, f"{tmp}/store", f"{tmp}/ckpt")
-            elif kind == "kanon":
-                q = run_kanonymity_sink(stream, f"{tmp}/store", f"{tmp}/ckpt")
-            else:
-                q = run_oov_sink(stream, ref, f"{tmp}/store", f"{tmp}/ckpt")
+            q = sinks[kind](stream)
             q.awaitTermination(600)
             per_batch.append(round(time.perf_counter() - t0, 3))
         return {
             "sink": kind,
             "rows_per_batch": rows_per_batch,
+            "compact_every": compact_every,
             "per_batch_sec": per_batch,
         }
     finally:
@@ -365,14 +383,22 @@ def main() -> None:
     ap.add_argument("--dedup-batches", type=int, default=4)
     ap.add_argument("--dedup-only", action="store_true")
     ap.add_argument("--monitor-growth", type=int, default=0,
-                    help="run the psi/kanon/oov growth probe to N batches")
+                    help="run the monitor-sink growth probe to N batches")
+    ap.add_argument("--growth-kinds", nargs="+",
+                    default=["psi", "kanon", "oov"],
+                    help="sinks for the growth probe (any of psi kanon "
+                         "oov cms cusum sprt)")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="pass an aggressive compaction cadence through "
+                         "to the growth-probe sinks")
     args = ap.parse_args()
 
     if args.monitor_growth:
         print(f"monitor-sink growth probe ({args.monitor_growth} batches):")
-        for kind in ("psi", "kanon", "oov"):
+        for kind in args.growth_kinds:
             print("  ", probe_monitor_growth(
-                spark, kind, 10_000, args.monitor_growth))
+                spark, kind, 10_000, args.monitor_growth,
+                compact_every=args.compact_every))
         return
 
     if not args.dedup_only:
