@@ -180,6 +180,21 @@ HEADLINE = (
     "agg_heavy_hitters_gated",
     "text_phrase_search",
     "sessionize_capped",
+    # round 9: the top-2-centroid SemDeDup (the recall fix's cost is
+    # the point — ~4x candidate mass vs single assignment), the
+    # pre-aggregated banding LSH (one-shuffle shape next to the
+    # join-shaped sibling), the KMV/theta distinct-sum sketch, the
+    # sliding-window HLL merge, the partition Merkle fingerprints,
+    # the watermark lateness audit, and the store compaction-parity
+    # roundtrip (tempdir writes + two compactions — the wall is the
+    # store lifecycle, not a scan)
+    "dedup_semantic_top2",
+    "dedup_minhash_lsh_preagg",
+    "agg_theta_sketch_distinct_sum",
+    "window_hll_sliding_distinct",
+    "dq_partition_merkle_diff",
+    "stream_watermark_lateness_audit",
+    "stream_phash_compacted_parity",
 )
 
 

@@ -188,3 +188,427 @@ def agg_theta_sketch_distinct_sum(
         .otherwise(F.round(est_s, 2))
         .alias("est_sum"),
     )
+
+
+# -------------------- sliding-window distinct via mergeable HLL
+#
+# The warehouse shape agg_hll_distinct (breadth8) exists to enable:
+# a 7-day SLIDING distinct-user count maintained from per-day
+# register frames, merged per window by register max — never
+# re-scanning events. The exact twin (window_rolling_distinct /
+# DAU-MAU, breadth7) carries every (user, day) pair through each
+# window; at 100 TB the sketch twin folds events once to O(days x m)
+# register rows (m = 256), then the window merge is an explode of
+# that tiny frame across its <= 7 target days + one max — the same
+# exact-vs-sketch escape-hatch pairing as the rolling-median twins.
+#
+# Determinism: agg_hll_distinct's device verbatim (md5-derived
+# bucket/rho, integer harmonic sums to one double division, linear-
+# counting small-range correction — exercised at sf0.01 where
+# windows hold ~150 users < 2.5m, while sf0.1 windows at ~1.4k users
+# exercise the raw-estimate branch; the ln is audited for rounding
+# headroom at these magnitudes).
+
+HLL_WINDOW_DAYS = 7
+
+# single source for the register constants: breadth8's module (the
+# copy-pasted-twin-constant review catch — retuning one side would
+# silently break the documented device sharing)
+from .breadth8 import HLL_M, _HLL_NUMER, _POW2_61  # noqa: E402
+
+
+def _hll_sliding_oracle() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT date_trunc('day', ts) AS d1, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d1 FROM ev),
+    h AS (SELECT d1, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+    r AS (
+        SELECT d1,
+               CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INT) AS bucket,
+               CASE WHEN bin(CAST('0x' || substr(hx, 3, 15) AS BIGINT)) = '0'
+                    THEN 61
+                    ELSE 61 - length(bin(CAST('0x' || substr(hx, 3, 15)
+                                              AS BIGINT)))
+               END AS rho
+        FROM h
+    ),
+    dregs AS (SELECT d1, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
+    wregs AS (
+        SELECT a.d1 AS day, g.bucket, max(g.m_j) AS m_j
+        FROM days a JOIN dregs g
+          ON g.d1 BETWEEN a.d1 - INTERVAL {HLL_WINDOW_DAYS - 1} DAY AND a.d1
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS n_regs,
+               sum(CAST((1::BIGINT << (61 - m_j)) AS DECIMAL(38,0))) AS num
+        FROM wregs GROUP BY day
+    ),
+    e AS (
+        SELECT day,
+               CAST({HLL_M} - n_regs AS BIGINT) AS v_empty,
+               {_HLL_NUMER!r} / CAST(CAST(num AS HUGEINT)
+                   + CAST({HLL_M} - n_regs AS HUGEINT)
+                     * CAST({_POW2_61} AS HUGEINT) AS DOUBLE) AS e_raw
+        FROM s
+    ),
+    est AS (
+        SELECT day, v_empty,
+               CASE WHEN e_raw <= 2.5 * {HLL_M} AND v_empty > 0
+                    THEN {HLL_M} * ln({HLL_M} / CAST(nullif(v_empty, 0)
+                                                     AS DOUBLE))
+                    ELSE e_raw
+               END AS hll
+        FROM e
+    ),
+    exact AS (
+        SELECT a.d1 AS day, CAST(count(DISTINCT e2.user_id) AS BIGINT)
+               AS n_exact
+        FROM days a JOIN ev e2
+          ON e2.d1 BETWEEN a.d1 - INTERVAL {HLL_WINDOW_DAYS - 1} DAY AND a.d1
+        GROUP BY 1
+    )
+    SELECT CAST(est.day AS TIMESTAMP) AS day,
+           est.v_empty,
+           round(est.hll, 6) AS hll_estimate,
+           exact.n_exact,
+           round(est.hll / exact.n_exact - 1, 6) AS rel_error
+    FROM est JOIN exact ON est.day = exact.day
+    """
+
+
+@query("window_hll_sliding_distinct", oracle=_hll_sliding_oracle())
+def window_hll_sliding_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day distinct users per day, estimated by merging
+    per-day HLL register frames (register max across the window) —
+    exact windowed distinct alongside as verifier (block comment
+    above)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("d1"), "user_id"
+    )
+    days = ev.select("d1").distinct()
+    h = ev.select("d1", F.md5(F.col("user_id").cast("string")).alias("hx"))
+    binstr = F.expr("conv(substring(hx, 3, 15), 16, 2)")
+    r = h.select(
+        "d1",
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.when(binstr == "0", F.lit(61))
+        .otherwise(F.lit(61) - F.length(binstr))
+        .alias("rho"),
+    )
+    dregs = r.groupBy("d1", "bucket").agg(F.max("rho").alias("m_j"))
+    # each day-register contributes to <= 7 target-day windows: explode
+    # the TINY register frame (days x m rows), then keep only target
+    # days that exist in the data (broadcast semi-join on the spine) —
+    # the oracle's BETWEEN join, restated as equi-joinable rows
+    offs = F.array(*[F.lit(o) for o in range(HLL_WINDOW_DAYS)])
+    contrib = dregs.select(
+        F.explode(offs).alias("off"), "d1", "bucket", "m_j"
+    ).select(
+        F.expr("d1 + make_interval(0, 0, 0, off, 0, 0, 0)").alias("day"),
+        "bucket",
+        "m_j",
+    )
+    wregs = (
+        contrib.join(
+            F.broadcast(days.select(F.col("d1").alias("day"))), "day", "left_semi"
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    s = wregs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), 61 - m_j)"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("num"),
+    )
+    e = s.select(
+        "day",
+        (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("v_empty"),
+        (
+            F.lit(_HLL_NUMER)
+            / (
+                F.col("num")
+                + (F.lit(HLL_M) - F.col("n_regs")).cast("decimal(38,0)")
+                * F.lit(_POW2_61).cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("e_raw"),
+    )
+    est = e.select(
+        "day",
+        "v_empty",
+        F.when(
+            (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v_empty") > 0),
+            F.lit(HLL_M)
+            * F.log(
+                F.lit(HLL_M) / F.expr("CAST(nullif(v_empty, 0) AS DOUBLE)")
+            ),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("hll"),
+    )
+    upairs = ev.distinct()
+    exact = (
+        upairs.select(F.explode(offs).alias("off"), "d1", "user_id")
+        .select(
+            F.expr("d1 + make_interval(0, 0, 0, off, 0, 0, 0)").alias("day"),
+            "user_id",
+        )
+        .join(
+            F.broadcast(days.select(F.col("d1").alias("day"))), "day", "left_semi"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "v_empty",
+        F.round("hll", 6).alias("hll_estimate"),
+        "n_exact",
+        F.round(F.col("hll") / F.col("n_exact") - 1, 6).alias("rel_error"),
+    )
+
+
+# -------------------- partition-level Merkle diff (table reconcile)
+#
+# table_diff_reconcile (reconcile.py) answers "WHICH ROWS differ"
+# with one co-partitioned full-outer join — correct, but at 100 TB
+# you do not row-join two whole snapshots to learn that 3 of 10 000
+# partitions drifted. The warehouse device is a PARTITION FINGERPRINT
+# table (Merkle-style): per partition, the row count and an
+# order-insensitive content fingerprint (bit_xor of per-row hashes —
+# commutative/associative, so it folds map-side in any order and
+# never shuffles rows, only the O(partitions) fingerprint frame).
+# Two snapshots then reconcile by comparing fingerprint TABLES;
+# only fingerprint-unequal partitions proceed to the row-level diff.
+# xor's self-inverse property also means an even number of IDENTICAL
+# duplicate rows cancels — the count column is what catches that
+# (documented; a production fingerprint adds a second independent
+# fold, e.g. sum mod 2^64, for belt and braces).
+#
+# The replica here is the base perturbed DETERMINISTICALLY inside the
+# query (the reconcile.py fixture device): ~1% of rows get a price
+# edit and ~0.1% are deleted, chosen by md5-uniforms of the key, so
+# changed/missing partitions and clean partitions are all populated
+# by construction and the oracle replays the exact same replica.
+
+MERKLE_EDIT_MOD = 97  # ~1% of order keys get a price edit
+MERKLE_DROP_MOD = 997  # ~0.1% of order keys deleted from the replica
+
+
+def _merkle_base_sql() -> str:
+    return """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               strftime(o_orderdate, '%Y-%m') AS pmonth,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '#m'),
+                                    1, 15)) AS BIGINT) AS u
+        FROM orders
+    """
+
+
+def _merkle_fp_sql(rel: str, prefix: str) -> str:
+    return f"""
+        SELECT pmonth,
+               CAST(count(*) AS BIGINT) AS n_{prefix},
+               bit_xor(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                   || '|' || CAST(cents AS VARCHAR)), 1, 15)) AS BIGINT))
+                   AS fp_{prefix}
+        FROM {rel} GROUP BY pmonth
+    """
+
+
+@query(
+    "dq_partition_merkle_diff",
+    oracle=f"""
+    WITH base AS ({_merkle_base_sql()}),
+    replica AS (
+        SELECT o_orderkey,
+               CASE WHEN u % {MERKLE_EDIT_MOD} = 0 THEN cents + 100
+                    ELSE cents END AS cents,
+               pmonth
+        FROM base WHERE u % {MERKLE_DROP_MOD} <> 3
+    ),
+    fb AS ({_merkle_fp_sql("base", "base")}),
+    fr AS ({_merkle_fp_sql("replica", "replica")})
+    SELECT fb.pmonth AS pmonth, fb.n_base, fr.n_replica,
+           fb.fp_base, fr.fp_replica,
+           (fb.n_base = fr.n_replica AND fb.fp_base = fr.fp_replica)
+               AS partition_clean
+    FROM fb JOIN fr ON fb.pmonth = fr.pmonth
+    """,
+)
+def dq_partition_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition (order month) count + xor-of-row-hash
+    fingerprints for a base snapshot and a deterministically
+    perturbed replica; partitions flagged clean/dirty without any
+    row-level join (block comment above)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("pmonth"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("#m"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    replica = base.filter(F.col("u") % MERKLE_DROP_MOD != 3).select(
+        "o_orderkey",
+        F.when(
+            F.col("u") % MERKLE_EDIT_MOD == 0, F.col("cents") + 100
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "pmonth",
+    )
+
+    def fp(df: DataFrame, prefix: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.groupBy("pmonth").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{prefix}"),
+            F.bit_xor(h).alias(f"fp_{prefix}"),
+        )
+
+    fb, fr = fp(base, "base"), fp(replica, "replica")
+    return fb.join(fr, "pmonth").select(
+        "pmonth",
+        "n_base",
+        "n_replica",
+        "fp_base",
+        "fp_replica",
+        (
+            (F.col("n_base") == F.col("n_replica"))
+            & (F.col("fp_base") == F.col("fp_replica"))
+        ).alias("partition_clean"),
+    )
+
+
+# -------------------- watermark lateness audit (stream design probe)
+#
+# Every watermark in streaming/runtime.py carries a delay someone had
+# to CHOOSE; this is the query that chooses it. Replaying the events
+# table in arrival order (event_id — the monotone ingest sequence the
+# fixture encodes; a production audit uses the ingest/log offset), it
+# measures each event's lateness against the high-water mark of
+# event time seen STRICTLY BEFORE it — exactly the quantity a
+# Structured Streaming watermark subtracts its delay from — and
+# prices candidate delays (1 h / 6 h / 24 h) by how many events each
+# would have dropped. Per-key grain (event_type here, the source-
+# partition stand-in): watermarks advance per-source-partition before
+# the min-across-partitions fold, and the per-key frame is what a
+# 1000-partition ingest would audit shard-locally — one window over
+# each key's own arrival order, no global sort anywhere.
+#
+# Determinism: lateness is exact integer micros (unix_micros both
+# sides), counts are counts, and the one rate column divides two
+# bigints with round(6).
+
+LATENESS_DELAYS_H = (1, 6, 24)
+_US_PER_H = 3_600_000_000
+
+
+def _lateness_oracle() -> str:
+    drop_cols = ",\n           ".join(
+        f"CAST(count(CASE WHEN late_us > {h * _US_PER_H} THEN 1 END)"
+        f" AS BIGINT) AS dropped_{h}h"
+        for h in LATENESS_DELAYS_H
+    )
+    return f"""
+    WITH arr AS (
+        SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+               max(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hwm_us
+        FROM events
+    ),
+    lat AS (
+        SELECT event_type,
+               greatest(0, coalesce(hwm_us - ts_us, 0)) AS late_us
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN late_us > 0 THEN 1 END) AS BIGINT)
+               AS n_late,
+           CAST(max(late_us) / 1000000 AS BIGINT) AS max_late_s,
+           {drop_cols},
+           round(CAST(count(CASE WHEN late_us > {24 * _US_PER_H} THEN 1 END)
+                      AS DOUBLE) / count(*), 6) AS drop_rate_24h
+    FROM lat GROUP BY event_type
+    """
+
+
+@query("stream_watermark_lateness_audit", oracle=_lateness_oracle())
+def stream_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-orderness audit per event_type: lateness of each event
+    vs the prior high-water mark in arrival order, and the events a
+    1 h / 6 h / 24 h watermark delay would each have dropped (block
+    comment above)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = ev.select(
+        "event_type",
+        F.greatest(
+            F.lit(0),
+            F.coalesce(F.max("ts_us").over(w) - F.col("ts_us"), F.lit(0)),
+        ).alias("late_us"),
+    )
+    drop_cols = [
+        F.count(F.when(F.col("late_us") > h * _US_PER_H, 1))
+        .cast("long")
+        .alias(f"dropped_{h}h")
+        for h in LATENESS_DELAYS_H
+    ]
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("late_us") > 0, 1)).cast("long").alias("n_late"),
+        (F.max("late_us") / 1_000_000).cast("long").alias("max_late_s"),
+        *drop_cols,
+        F.round(
+            F.count(F.when(F.col("late_us") > 24 * _US_PER_H, 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("drop_rate_24h"),
+    )

@@ -112,11 +112,12 @@ _loaded = False
 # additions at 7 registered queries; an 8th would spill the last
 # r2-era refresh (window_ntile_distribution) to round 10.
 #
-# Round-9 final arithmetic: cohort (i) holds 4 new queries
-# (dedup_semantic_top2 .. stream_phash_compacted_parity), so the
-# window = 8 spill + 1 retest + 4 new + 34 r2-era = 47 of 50 slots —
-# the entire evidence backlog clears with 3 slots to spare (they fall
-# to the r3-era rows that follow in registration order).
+# Round-9 final arithmetic: cohort (i) holds 7 new queries
+# (dedup_semantic_top2 .. stream_watermark_lateness_audit) — the cap
+# exactly — so the window = 8 spill + 1 retest + 7 new + 34 r2-era
+# = 50 of 50 slots: the entire evidence backlog clears with zero
+# slack, and round 10 opens with a clean board (no never-verified,
+# no red, nothing older than r3).
 _PRIORITY: tuple[str, ...] = (
     # (g-spill) round-8 additions whose first driver row spilled past
     # r8's 50-slot window — never-verified, so they lead (standing
@@ -156,6 +157,16 @@ _PRIORITY: tuple[str, ...] = (
     "stream_phash_compacted_parity",  # batch twin proving the pHash
     # ingest store reads identically before/after generation
     # compaction (VERDICT r8 item 5 extension, registered grain)
+    "window_hll_sliding_distinct",  # trailing-7-day distinct users
+    # from per-day HLL register frames merged by register max — the
+    # sketch twin of the exact rolling-distinct window, never
+    # re-scanning events
+    "dq_partition_merkle_diff",  # partition-grain count+xor-of-row-
+    # hash fingerprints between two snapshots: which partitions
+    # drifted, with no row-level join anywhere
+    "stream_watermark_lateness_audit",  # out-of-orderness vs the
+    # arrival-order high-water mark; prices candidate watermark
+    # delays by the events each would drop
     # (h) the r2-era refresh queue (oldest driver evidence on the
     # board), ledger order — all 34 fit this round
     "pipeline_pretrain_filter",
