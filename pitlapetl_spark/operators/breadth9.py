@@ -560,7 +560,7 @@ def _lateness_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(CASE WHEN late_us > 0 THEN 1 END) AS BIGINT)
                AS n_late,
-           CAST(max(late_us) / 1000000 AS BIGINT) AS max_late_s,
+           CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s,
            {drop_cols},
            round(CAST(count(CASE WHEN late_us > {24 * _US_PER_H} THEN 1 END)
                       AS DOUBLE) / count(*), 6) AS drop_rate_24h
@@ -602,7 +602,10 @@ def stream_watermark_lateness_audit(
     return lat.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count(F.when(F.col("late_us") > 0, 1)).cast("long").alias("n_late"),
-        (F.max("late_us") / 1_000_000).cast("long").alias("max_late_s"),
+        # integer division on BOTH engines: a double divide + cast
+        # truncates on Spark but rounds on DuckDB — a hash flip
+        # waiting for a max-lateness with fractional seconds >= 0.5
+        F.expr("max(late_us) div 1000000").cast("long").alias("max_late_s"),
         *drop_cols,
         F.round(
             F.count(F.when(F.col("late_us") > 24 * _US_PER_H, 1)).cast(
