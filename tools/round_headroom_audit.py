@@ -61,6 +61,58 @@ ALLOW: dict[tuple[str, str], str] = {
 }
 
 
+# Integer casts applied to a float division are a SECOND trap class
+# (found round 9 on stream_watermark_lateness_audit): Spark's
+# double->integral cast TRUNCATES while DuckDB's ROUNDS, so any
+# fractional quotient >= .5 flips the hash. A hit is acceptable only
+# when the quotient is exact by construction — list it here with the
+# argument, or rewrite with floor()/`//`/`div` on both engines.
+INT_CAST_DIV_ALLOW: dict[str, str] = {
+    "graph_pagerank_personalized": (
+        "(node - 1) / 2 under WHERE node % 2 = 1 — numerator always "
+        "even, quotient exact (pagerank.py part/customer node split)"
+    ),
+    "text_chunk_sliding_tokens": (
+        "start_tok / CHUNK_STRIDE with start_tok = "
+        "range(0, n, CHUNK_STRIDE) — always a stride multiple, exact"
+    ),
+    "pipeline_rag_chunk_dedup": (
+        "same chunker CTE as text_chunk_sliding_tokens — stride "
+        "multiples, exact"
+    ),
+    "stats_kendall_tau": (
+        "t * (t - 1) / 2 with integer tie-group size t — consecutive "
+        "integers, the product is always even, quotient exact "
+        "(the n-choose-2 tie correction)"
+    ),
+}
+
+_SAFE_DIV_GUARDS = ("floor", "ceil", "round", "//", " div ")
+
+
+def int_cast_divisions(sql: str) -> list[str]:
+    """Snippets `CAST(<expr with /> AS INT/BIGINT)` where the inner
+    expression is not visibly floored/ceiled/rounded — candidates for
+    the truncate-vs-round cross-engine trap."""
+    out = []
+    low = sql.lower()
+    for m in re.finditer(r"\bcast\s*\(", low):
+        depth, i = 1, m.end()
+        while i < len(low) and depth:
+            depth += {"(": 1, ")": -1}.get(low[i], 0)
+            i += 1
+        if depth:
+            continue
+        inner = low[m.end() : i - 1]
+        am = re.search(r"\s+as\s+(bigint|int(eger)?)\s*$", inner)
+        if not am:
+            continue
+        expr = inner[: am.start()]
+        if "/" in expr and not any(g in expr for g in _SAFE_DIV_GUARDS):
+            out.append(" ".join(sql[m.start() : i].split())[:120])
+    return out
+
+
 def rounded_aliases(sql: str) -> list[tuple[str, int]]:
     """Yield (alias, precision) for every `round(expr, p) AS alias`
     in the SQL, matching parens so nested calls parse correctly."""
@@ -102,7 +154,20 @@ def main() -> int:
             f"SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     fails, warns, checked = [], [], 0
+    cast_fails = 0
     for name, sql in sorted(all_oracles().items()):
+        for snippet in int_cast_divisions(sql):
+            if name in INT_CAST_DIV_ALLOW:
+                print(
+                    f"ALLOW {name}: int cast over division — "
+                    f"{INT_CAST_DIV_ALLOW[name]}"
+                )
+            else:
+                cast_fails += 1
+                print(
+                    f"FAIL {name}: integer cast over float division "
+                    f"(Spark truncates, DuckDB rounds): {snippet}"
+                )
         pairs = rounded_aliases(sql)
         if not pairs:
             continue
@@ -142,9 +207,10 @@ def main() -> int:
             )
     print(
         f"{checked} rounded double columns audited: "
-        f"{len(fails)} FAIL (<1e3x), {len(warns)} WARN (<1e6x)"
+        f"{len(fails)} FAIL (<1e3x), {len(warns)} WARN (<1e6x); "
+        f"{cast_fails} unjustified int-cast-over-division"
     )
-    return 1 if fails else 0
+    return 1 if fails or cast_fails else 0
 
 
 if __name__ == "__main__":
