@@ -46,10 +46,27 @@ def table_diff(
     """Per-key diff status between two table versions: full outer join
     on ``key``, row-hash over ``compare_cols`` on each side, status in
     {added, removed, changed, same}. One shuffle per side on the key
-    (co-partitioned), hashes computed map-side."""
+    (co-partitioned), hashes computed map-side.
+
+    Float columns hash as exact integer MICROS (round(v * 1e6) as a
+    bigint string), never as the raw double's string: Spark's
+    Double.toString and DuckDB's VARCHAR cast disagree in the
+    scientific-notation bands (|v| < 1e-3 on the Spark side), so a
+    raw-double hash is a value-dependent cross-engine trap — the same
+    audit class as tools/round_headroom_audit.py's cast check."""
+    from pyspark.sql import types as T
+
+    def hkey(df: DataFrame, c: str):
+        if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+            return F.round(F.col(c) * 1_000_000).cast("bigint").cast("string")
+        return F.col(c).cast("string")
+
     def hashed(df: DataFrame, out: str) -> DataFrame:
         return df.select(
-            key, F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols])).alias(out)
+            key,
+            F.md5(
+                F.concat_ws("|", *[hkey(df, c) for c in compare_cols])
+            ).alias(out),
         )
 
     a = hashed(v1, "h1")
@@ -76,8 +93,10 @@ def table_diff(
         SELECT event_id + {_ADD_OFFSET}, value, event_type
         FROM events WHERE event_id % 83 = 0
     ),
-    h1 AS (SELECT event_id, md5(CAST(value AS VARCHAR) || '|' || event_type) AS h FROM events),
-    h2 AS (SELECT event_id, md5(CAST(value AS VARCHAR) || '|' || event_type) AS h FROM v2)
+    h1 AS (SELECT event_id, md5(CAST(CAST(round(value * 1000000) AS BIGINT)
+               AS VARCHAR) || '|' || event_type) AS h FROM events),
+    h2 AS (SELECT event_id, md5(CAST(CAST(round(value * 1000000) AS BIGINT)
+               AS VARCHAR) || '|' || event_type) AS h FROM v2)
     SELECT CASE WHEN h1.h IS NULL THEN 'added'
                 WHEN h2.h IS NULL THEN 'removed'
                 WHEN h1.h <> h2.h THEN 'changed'
