@@ -165,76 +165,76 @@ _POW2_61 = 1 << 61
 _HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(_POW2_61)
 
 
-def _hll_oracle() -> str:
+def hll_rho_cte_sql(key_sql: str, rel: str, extra_col: str = "") -> str:
+    """CTE body producing ([extra_col,] bucket, rho) rows from
+    md5(key) over ``rel`` — THE register-row device, shared by
+    agg_hll_distinct and the sliding-window twin
+    (breadth9.window_hll_sliding_distinct) so the two oracles cannot
+    drift (review catch: the chain was copy-pasted verbatim)."""
+    e = f"{extra_col}, " if extra_col else ""
     return f"""
-    WITH h AS (
-        SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem
-    ),
-    r AS (
-        SELECT CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INT) AS bucket,
+        SELECT {e}CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INT)
+                   AS bucket,
                CASE WHEN bin(CAST('0x' || substr(hx, 3, 15) AS BIGINT)) = '0'
                     THEN 61
                     ELSE 61 - length(bin(CAST('0x' || substr(hx, 3, 15)
                                               AS BIGINT)))
                END AS rho
-        FROM h
-    ),
-    regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY 1),
-    s AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_regs,
+        FROM (SELECT {e}md5(CAST({key_sql} AS VARCHAR)) AS hx FROM {rel})
+    """
+
+
+def hll_estimate_cte_sql(regs_rel: str, grain: str = "") -> str:
+    """CTE chain from a ``(grain?, bucket, m_j)`` register relation to
+    ``est_ (grain?, v_empty, hll)``: integer/DECIMAL harmonic sum,
+    one double division, linear-counting small-range branch — the
+    estimator half of the shared device."""
+    g = f"{grain}, " if grain else ""
+    gb = f" GROUP BY {grain}" if grain else ""
+    return f"""s_ AS (
+        SELECT {g}CAST(count(*) AS BIGINT) AS n_regs,
                sum(CAST((1::BIGINT << (61 - m_j)) AS DECIMAL(38,0))) AS num
-        FROM regs
+        FROM {regs_rel}{gb}
     ),
-    x AS (
-        SELECT n_regs,
-               CAST({HLL_M} - n_regs AS BIGINT) AS v_empty,
-               CAST(CAST(num AS HUGEINT)
-                    + CAST({HLL_M} - n_regs AS HUGEINT)
-                      * CAST({_POW2_61} AS HUGEINT) AS DOUBLE) AS harm_num
-        FROM s
+    e_ AS (
+        SELECT {g}CAST({HLL_M} - n_regs AS BIGINT) AS v_empty,
+               {_HLL_NUMER!r} / CAST(CAST(num AS HUGEINT)
+                   + CAST({HLL_M} - n_regs AS HUGEINT)
+                     * CAST({_POW2_61} AS HUGEINT) AS DOUBLE) AS e_raw
+        FROM s_
     ),
-    e AS (
-        SELECT v_empty, {_HLL_NUMER!r} / harm_num AS e_raw
-        FROM x
-    ),
-    est AS (
-        SELECT v_empty,
+    est_ AS (
+        SELECT {g}v_empty,
                CASE WHEN e_raw <= 2.5 * {HLL_M} AND v_empty > 0
                     THEN {HLL_M} * ln({HLL_M} / CAST(nullif(v_empty, 0)
                                                      AS DOUBLE))
                     ELSE e_raw
                END AS hll
-        FROM e
-    )
-    SELECT (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
-            FROM lineitem) AS n_exact,
-           CAST({HLL_M} AS INT) AS m_registers,
-           v_empty,
-           round(hll, 6) AS hll_estimate,
-           round(hll / (SELECT count(DISTINCT l_orderkey) FROM lineitem)
-                 - 1, 6) AS rel_error
-    FROM est
-    """
+        FROM e_
+    )"""
 
 
-@query("agg_hll_distinct", oracle=_hll_oracle())
-def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replayable HyperLogLog distinct-count of lineitem order keys
-    (block comment above): register maxes, common-denominator harmonic
-    sum, one double division; exact distinct alongside as verifier."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.md5(F.col("l_orderkey").cast("string")).alias("hx")
+def hll_rho_frame(df: DataFrame, key_col: str, passthrough: tuple = ()) -> DataFrame:
+    """([passthrough...,] bucket, rho) rows from md5 of ``key_col`` —
+    the Spark half of the shared register-row device."""
+    h = df.select(
+        *passthrough, F.md5(F.col(key_col).cast("string")).alias("hx")
     )
-    rest = F.expr("substring(hx, 3, 15)")
     binstr = F.expr("conv(substring(hx, 3, 15), 16, 2)")
-    r = li.select(
+    return h.select(
+        *passthrough,
         F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
         F.when(binstr == "0", F.lit(61))
         .otherwise(F.lit(61) - F.length(binstr))
         .alias("rho"),
     )
-    regs = r.groupBy("bucket").agg(F.max("rho").alias("m_j"))
-    s = regs.agg(
+
+
+def hll_estimate_frame(regs: DataFrame, grain: tuple = ()) -> DataFrame:
+    """From ``(grain..., bucket, m_j)`` registers to
+    ``(grain..., v_empty, hll)`` — the Spark half of the shared
+    estimator chain (same expressions as hll_estimate_cte_sql)."""
+    s = regs.groupBy(*grain).agg(
         F.count(F.lit(1)).cast("long").alias("n_regs"),
         F.sum(
             F.expr(
@@ -243,34 +243,59 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("num"),
     )
-    x = s.select(
-        "n_regs",
+    e = s.select(
+        *grain,
         (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("v_empty"),
         (
-            F.col("num")
-            + (F.lit(HLL_M) - F.col("n_regs")).cast("decimal(38,0)")
-            * F.lit(_POW2_61).cast("decimal(38,0)")
-        )
-        .cast("double")
-        .alias("harm_num"),
+            F.lit(_HLL_NUMER)
+            / (
+                F.col("num")
+                + (F.lit(HLL_M) - F.col("n_regs")).cast("decimal(38,0)")
+                * F.lit(_POW2_61).cast("decimal(38,0)")
+            ).cast("double")
+        ).alias("e_raw"),
     )
-    e = x.select(
-        "v_empty",
-        (F.lit(_HLL_NUMER) / F.col("harm_num")).alias("e_raw"),
-    )
-    est = e.select(
+    return e.select(
+        *grain,
         "v_empty",
         F.when(
             (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v_empty") > 0),
             F.lit(HLL_M)
             * F.log(
-                F.lit(HLL_M)
-                / F.expr("CAST(nullif(v_empty, 0) AS DOUBLE)")
+                F.lit(HLL_M) / F.expr("CAST(nullif(v_empty, 0) AS DOUBLE)")
             ),
         )
         .otherwise(F.col("e_raw"))
         .alias("hll"),
     )
+
+
+def _hll_oracle() -> str:
+    return f"""
+    WITH r AS ({hll_rho_cte_sql("l_orderkey", "lineitem")}),
+    regs AS (SELECT bucket, max(rho) AS m_j FROM r GROUP BY 1),
+    {hll_estimate_cte_sql("regs")}
+    SELECT (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+            FROM lineitem) AS n_exact,
+           CAST({HLL_M} AS INT) AS m_registers,
+           v_empty,
+           round(hll, 6) AS hll_estimate,
+           round(hll / (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                 - 1, 6) AS rel_error
+    FROM est_
+    """
+
+
+@query("agg_hll_distinct", oracle=_hll_oracle())
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayable HyperLogLog distinct-count of lineitem order keys
+    (block comment above): register maxes, common-denominator harmonic
+    sum, one double division; exact distinct alongside as verifier."""
+    r = hll_rho_frame(
+        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
+    )
+    regs = r.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    est = hll_estimate_frame(regs)
     exact = (
         load_table(spark, sf_dir, "lineitem")
         .agg(F.countDistinct("l_orderkey").cast("long").alias("n_exact"))

@@ -218,22 +218,14 @@ from .breadth8 import HLL_M, _HLL_NUMER, _POW2_61  # noqa: E402
 
 
 def _hll_sliding_oracle() -> str:
+    from .breadth8 import hll_estimate_cte_sql, hll_rho_cte_sql
+
     return f"""
     WITH ev AS (
         SELECT date_trunc('day', ts) AS d1, user_id FROM events
     ),
     days AS (SELECT DISTINCT d1 FROM ev),
-    h AS (SELECT d1, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
-    r AS (
-        SELECT d1,
-               CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS INT) AS bucket,
-               CASE WHEN bin(CAST('0x' || substr(hx, 3, 15) AS BIGINT)) = '0'
-                    THEN 61
-                    ELSE 61 - length(bin(CAST('0x' || substr(hx, 3, 15)
-                                              AS BIGINT)))
-               END AS rho
-        FROM h
-    ),
+    r AS ({hll_rho_cte_sql("user_id", "ev", extra_col="d1")}),
     dregs AS (SELECT d1, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
     wregs AS (
         SELECT a.d1 AS day, g.bucket, max(g.m_j) AS m_j
@@ -241,28 +233,7 @@ def _hll_sliding_oracle() -> str:
           ON g.d1 BETWEEN a.d1 - INTERVAL {HLL_WINDOW_DAYS - 1} DAY AND a.d1
         GROUP BY 1, 2
     ),
-    s AS (
-        SELECT day, CAST(count(*) AS BIGINT) AS n_regs,
-               sum(CAST((1::BIGINT << (61 - m_j)) AS DECIMAL(38,0))) AS num
-        FROM wregs GROUP BY day
-    ),
-    e AS (
-        SELECT day,
-               CAST({HLL_M} - n_regs AS BIGINT) AS v_empty,
-               {_HLL_NUMER!r} / CAST(CAST(num AS HUGEINT)
-                   + CAST({HLL_M} - n_regs AS HUGEINT)
-                     * CAST({_POW2_61} AS HUGEINT) AS DOUBLE) AS e_raw
-        FROM s
-    ),
-    est AS (
-        SELECT day, v_empty,
-               CASE WHEN e_raw <= 2.5 * {HLL_M} AND v_empty > 0
-                    THEN {HLL_M} * ln({HLL_M} / CAST(nullif(v_empty, 0)
-                                                     AS DOUBLE))
-                    ELSE e_raw
-               END AS hll
-        FROM e
-    ),
+    {hll_estimate_cte_sql("wregs", grain="day")},
     exact AS (
         SELECT a.d1 AS day, CAST(count(DISTINCT e2.user_id) AS BIGINT)
                AS n_exact
@@ -270,12 +241,12 @@ def _hll_sliding_oracle() -> str:
           ON e2.d1 BETWEEN a.d1 - INTERVAL {HLL_WINDOW_DAYS - 1} DAY AND a.d1
         GROUP BY 1
     )
-    SELECT CAST(est.day AS TIMESTAMP) AS day,
-           est.v_empty,
-           round(est.hll, 6) AS hll_estimate,
+    SELECT CAST(est_.day AS TIMESTAMP) AS day,
+           est_.v_empty,
+           round(est_.hll, 6) AS hll_estimate,
            exact.n_exact,
-           round(est.hll / exact.n_exact - 1, 6) AS rel_error
-    FROM est JOIN exact ON est.day = exact.day
+           round(est_.hll / exact.n_exact - 1, 6) AS rel_error
+    FROM est_ JOIN exact ON est_.day = exact.day
     """
 
 
@@ -286,20 +257,16 @@ def window_hll_sliding_distinct(
     """Trailing-7-day distinct users per day, estimated by merging
     per-day HLL register frames (register max across the window) —
     exact windowed distinct alongside as verifier (block comment
-    above)."""
+    above). Register rows and the estimate chain come from breadth8's
+    shared device (hll_rho_frame / hll_estimate_frame), so the two
+    HLL queries cannot drift."""
+    from .breadth8 import hll_estimate_frame, hll_rho_frame
+
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("d1"), "user_id"
     )
     days = ev.select("d1").distinct()
-    h = ev.select("d1", F.md5(F.col("user_id").cast("string")).alias("hx"))
-    binstr = F.expr("conv(substring(hx, 3, 15), 16, 2)")
-    r = h.select(
-        "d1",
-        F.conv(F.substring("hx", 1, 2), 16, 10).cast("int").alias("bucket"),
-        F.when(binstr == "0", F.lit(61))
-        .otherwise(F.lit(61) - F.length(binstr))
-        .alias("rho"),
-    )
+    r = hll_rho_frame(ev, "user_id", passthrough=("d1",))
     dregs = r.groupBy("d1", "bucket").agg(F.max("rho").alias("m_j"))
     # each day-register contributes to <= 7 target-day windows: explode
     # the TINY register frame (days x m rows), then keep only target
@@ -320,40 +287,7 @@ def window_hll_sliding_distinct(
         .groupBy("day", "bucket")
         .agg(F.max("m_j").alias("m_j"))
     )
-    s = wregs.groupBy("day").agg(
-        F.count(F.lit(1)).cast("long").alias("n_regs"),
-        F.sum(
-            F.expr(
-                "CAST(shiftleft(CAST(1 AS BIGINT), 61 - m_j)"
-                " AS DECIMAL(38,0))"
-            )
-        ).alias("num"),
-    )
-    e = s.select(
-        "day",
-        (F.lit(HLL_M) - F.col("n_regs")).cast("long").alias("v_empty"),
-        (
-            F.lit(_HLL_NUMER)
-            / (
-                F.col("num")
-                + (F.lit(HLL_M) - F.col("n_regs")).cast("decimal(38,0)")
-                * F.lit(_POW2_61).cast("decimal(38,0)")
-            ).cast("double")
-        ).alias("e_raw"),
-    )
-    est = e.select(
-        "day",
-        "v_empty",
-        F.when(
-            (F.col("e_raw") <= 2.5 * HLL_M) & (F.col("v_empty") > 0),
-            F.lit(HLL_M)
-            * F.log(
-                F.lit(HLL_M) / F.expr("CAST(nullif(v_empty, 0) AS DOUBLE)")
-            ),
-        )
-        .otherwise(F.col("e_raw"))
-        .alias("hll"),
-    )
+    est = hll_estimate_frame(wregs, grain=("day",))
     upairs = ev.distinct()
     exact = (
         upairs.select(F.explode(offs).alias("off"), "d1", "user_id")
@@ -438,18 +372,29 @@ def _merkle_fp_sql(rel: str, prefix: str) -> str:
     ),
     fb AS ({_merkle_fp_sql("base", "base")}),
     fr AS ({_merkle_fp_sql("replica", "replica")})
-    SELECT fb.pmonth AS pmonth, fb.n_base, fr.n_replica,
-           fb.fp_base, fr.fp_replica,
-           (fb.n_base = fr.n_replica AND fb.fp_base = fr.fp_replica)
+    SELECT coalesce(fb.pmonth, fr.pmonth) AS pmonth,
+           coalesce(fb.n_base, 0) AS n_base,
+           coalesce(fr.n_replica, 0) AS n_replica,
+           coalesce(fb.fp_base, 0) AS fp_base,
+           coalesce(fr.fp_replica, 0) AS fp_replica,
+           (coalesce(fb.n_base, 0) = coalesce(fr.n_replica, 0)
+            AND coalesce(fb.fp_base, 0) = coalesce(fr.fp_replica, 0))
                AS partition_clean
-    FROM fb JOIN fr ON fb.pmonth = fr.pmonth
+    FROM fb FULL OUTER JOIN fr ON fb.pmonth = fr.pmonth
     """,
 )
 def dq_partition_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition (order month) count + xor-of-row-hash
     fingerprints for a base snapshot and a deterministically
     perturbed replica; partitions flagged clean/dirty without any
-    row-level join (block comment above)."""
+    row-level join (block comment above).
+
+    FULL OUTER on the fingerprint frames (review catch): the worst
+    drift — a partition present on only one side — must surface as a
+    dirty row with the missing side at count 0, not vanish from an
+    inner join. An absent partition's fingerprint coalesces to 0 (the
+    xor identity, exactly what an empty fold yields), so clean =
+    equal counts AND equal fingerprints stays one rule."""
     o = load_table(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey",
@@ -499,16 +444,17 @@ def dq_partition_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     fb, fr = fp(base, "base"), fp(replica, "replica")
-    return fb.join(fr, "pmonth").select(
+    nb = F.coalesce(F.col("n_base"), F.lit(0).cast("long"))
+    nr = F.coalesce(F.col("n_replica"), F.lit(0).cast("long"))
+    pb = F.coalesce(F.col("fp_base"), F.lit(0).cast("long"))
+    pr = F.coalesce(F.col("fp_replica"), F.lit(0).cast("long"))
+    return fb.join(fr, "pmonth", "full_outer").select(
         "pmonth",
-        "n_base",
-        "n_replica",
-        "fp_base",
-        "fp_replica",
-        (
-            (F.col("n_base") == F.col("n_replica"))
-            & (F.col("fp_base") == F.col("fp_replica"))
-        ).alias("partition_clean"),
+        nb.alias("n_base"),
+        nr.alias("n_replica"),
+        pb.alias("fp_base"),
+        pr.alias("fp_replica"),
+        ((nb == nr) & (pb == pr)).alias("partition_clean"),
     )
 
 

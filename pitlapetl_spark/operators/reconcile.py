@@ -48,17 +48,36 @@ def table_diff(
     {added, removed, changed, same}. One shuffle per side on the key
     (co-partitioned), hashes computed map-side.
 
-    Float columns hash as exact integer MICROS (round(v * 1e6) as a
-    bigint string), never as the raw double's string: Spark's
+    Float columns never hash as the raw double's string — Spark's
     Double.toString and DuckDB's VARCHAR cast disagree in the
-    scientific-notation bands (|v| < 1e-3 on the Spark side), so a
-    raw-double hash is a value-dependent cross-engine trap — the same
-    audit class as tools/round_headroom_audit.py's cast check."""
+    scientific-notation bands (|v| < 1e-3 on the Spark side), a
+    value-dependent cross-engine trap (the
+    tools/round_headroom_audit.py audit class). The key is piecewise
+    (review catch — a bigint-micros cast saturates on Spark past
+    2^63/1e6 and collides all huge values to one key):
+
+    - |v| < 4e9: micro resolution, ``format('%.0f', round(v*1e6))``.
+      Below 2^52 micros the integer rounding of the shortest repr
+      (Spark's BigDecimal path) and of the exact binary value
+      (DuckDB) provably agree — a non-dyadic double's shortest form
+      never sits on an x.5 boundary, and dyadic ties round away from
+      zero on both engines — so the key is bit-identical.
+    - otherwise: ``format('%.9e', v)`` — 10 significant digits in
+      scientific form, verified byte-identical across engines from
+      subnormals to 1e300 (tests/test_round9_ops.py).
+
+    Comparison grain is the documented contract: half a micro below
+    4e9, 1e-10 relative above — deltas under the grain compare as
+    'same'."""
     from pyspark.sql import types as T
 
     def hkey(df: DataFrame, c: str):
         if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
-            return F.round(F.col(c) * 1_000_000).cast("bigint").cast("string")
+            v = F.col(c).cast("double")
+            return F.when(
+                F.abs(v) < 4e9,
+                F.format_string("%.0f", F.round(v * 1_000_000)),
+            ).otherwise(F.format_string("%.9e", v))
         return F.col(c).cast("string")
 
     def hashed(df: DataFrame, out: str) -> DataFrame:
@@ -93,10 +112,16 @@ def table_diff(
         SELECT event_id + {_ADD_OFFSET}, value, event_type
         FROM events WHERE event_id % 83 = 0
     ),
-    h1 AS (SELECT event_id, md5(CAST(CAST(round(value * 1000000) AS BIGINT)
-               AS VARCHAR) || '|' || event_type) AS h FROM events),
-    h2 AS (SELECT event_id, md5(CAST(CAST(round(value * 1000000) AS BIGINT)
-               AS VARCHAR) || '|' || event_type) AS h FROM v2)
+    h1 AS (SELECT event_id,
+               md5(CASE WHEN abs(value) < 4e9
+                        THEN printf('%.0f', round(value * 1000000))
+                        ELSE printf('%.9e', value) END
+                   || '|' || event_type) AS h FROM events),
+    h2 AS (SELECT event_id,
+               md5(CASE WHEN abs(value) < 4e9
+                        THEN printf('%.0f', round(value * 1000000))
+                        ELSE printf('%.9e', value) END
+                   || '|' || event_type) AS h FROM v2)
     SELECT CASE WHEN h1.h IS NULL THEN 'added'
                 WHEN h2.h IS NULL THEN 'removed'
                 WHEN h1.h <> h2.h THEN 'changed'

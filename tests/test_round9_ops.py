@@ -236,3 +236,86 @@ def test_phash_compaction_parity_query_is_all_true(spark):
     assert len(rows) == PHASH_BANDS
     assert all(r.compacted_parity for r in rows)
     assert all(r.store_partitions == 1 for r in rows)
+
+
+# ------------------------------------ table_diff float-hash device
+
+
+def test_float_hash_device_matches_duckdb_on_hairy_doubles(spark):
+    """The piecewise float hash key (micros below 4e9, %.9e
+    scientific above) must produce byte-identical strings on Spark
+    and DuckDB across the magnitudes that break naive devices: the
+    scientific-notation band (< 1e-3), bigint-overflow territory
+    (> 2^63/1e6), negatives, zero, dyadic ties, subnormals, and
+    1e300."""
+    import duckdb
+
+    vals = [
+        0.0,
+        5.0e-310,  # subnormal
+        0.0000005,
+        0.0001,
+        1.5,
+        560.21,
+        0.1953125,  # odd/128 — exact 7-decimal expansion (tie fodder)
+        -2.5,
+        123456789.123,
+        3.9999999999e9,  # just under the piecewise threshold
+        4.5e9,
+        8.0e15,
+        -9.9e18,
+        1.23456789012345e300,
+    ]
+    key = F.when(
+        F.abs(F.col("v")) < 4e9,
+        F.format_string("%.0f", F.round(F.col("v") * 1_000_000)),
+    ).otherwise(F.format_string("%.9e", F.col("v")))
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double").select(
+        key.alias("s")
+    )
+    got = [r.s for r in sdf.collect()]
+    want = [
+        duckdb.sql(
+            f"""select CASE WHEN abs(CAST({v!r} AS DOUBLE)) < 4e9
+                       THEN printf('%.0f',
+                                   round(CAST({v!r} AS DOUBLE) * 1000000))
+                       ELSE printf('%.9e', CAST({v!r} AS DOUBLE)) END"""
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+def test_merkle_diff_surfaces_one_sided_partitions(spark):
+    """A partition present on only one side must appear as a dirty
+    row with the missing side at count 0 — exercised here through the
+    same full-outer fold the query uses, on a frame where one month
+    exists only in the base and another only in the replica."""
+    from pyspark.sql import Row
+
+    fb = spark.createDataFrame(
+        [Row(pmonth="2024-01", n_base=5, fp_base=111),
+         Row(pmonth="2024-02", n_base=3, fp_base=222)]
+    )
+    fr = spark.createDataFrame(
+        [Row(pmonth="2024-01", n_replica=5, fp_replica=111),
+         Row(pmonth="2024-03", n_replica=7, fp_replica=333)]
+    )
+    nb = F.coalesce(F.col("n_base"), F.lit(0))
+    nr = F.coalesce(F.col("n_replica"), F.lit(0))
+    pb = F.coalesce(F.col("fp_base"), F.lit(0))
+    pr = F.coalesce(F.col("fp_replica"), F.lit(0))
+    rows = {
+        r.pmonth: (r.n_base, r.n_replica, r.partition_clean)
+        for r in fb.join(fr, "pmonth", "full_outer")
+        .select(
+            "pmonth",
+            nb.alias("n_base"),
+            nr.alias("n_replica"),
+            ((nb == nr) & (pb == pr)).alias("partition_clean"),
+        )
+        .collect()
+    }
+    assert rows["2024-01"] == (5, 5, True)
+    assert rows["2024-02"] == (3, 0, False)  # dropped partition: DIRTY
+    assert rows["2024-03"] == (0, 7, False)  # new partition: DIRTY

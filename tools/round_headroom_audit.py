@@ -65,35 +65,78 @@ ALLOW: dict[tuple[str, str], str] = {
 # (found round 9 on stream_watermark_lateness_audit): Spark's
 # double->integral cast TRUNCATES while DuckDB's ROUNDS, so any
 # fractional quotient >= .5 flips the hash. A hit is acceptable only
-# when the quotient is exact by construction — list it here with the
-# argument, or rewrite with floor()/`//`/`div` on both engines.
-INT_CAST_DIV_ALLOW: dict[str, str] = {
-    "graph_pagerank_personalized": (
-        "(node - 1) / 2 under WHERE node % 2 = 1 — numerator always "
-        "even, quotient exact (pagerank.py part/customer node split)"
+# when the quotient is exact by construction — list it here keyed by
+# (query, a fragment of the OFFENDING snippet) with the argument
+# (keying by query alone would blanket-allow future unrelated casts
+# in the same oracle — review catch), or rewrite with floor()/`//`/
+# `div` on both engines.
+INT_CAST_DIV_ALLOW: dict[tuple[str, str], str] = {
+    ("graph_pagerank_personalized", "(node - 1) / 2"): (
+        "under WHERE node % 2 = 1 — numerator always even, quotient "
+        "exact (pagerank.py part/customer node split)"
     ),
-    "text_chunk_sliding_tokens": (
-        "start_tok / CHUNK_STRIDE with start_tok = "
-        "range(0, n, CHUNK_STRIDE) — always a stride multiple, exact"
+    ("text_chunk_sliding_tokens", "start_tok / 48"): (
+        "start_tok = range(0, n, CHUNK_STRIDE) — always a stride "
+        "multiple, exact"
     ),
-    "pipeline_rag_chunk_dedup": (
+    ("pipeline_rag_chunk_dedup", "start_tok / 48"): (
         "same chunker CTE as text_chunk_sliding_tokens — stride "
         "multiples, exact"
     ),
-    "stats_kendall_tau": (
-        "t * (t - 1) / 2 with integer tie-group size t — consecutive "
-        "integers, the product is always even, quotient exact "
-        "(the n-choose-2 tie correction)"
+    ("stats_kendall_tau", "t * (t - 1) / 2"): (
+        "integer tie-group size t — consecutive integers, the "
+        "product is always even, quotient exact (the n-choose-2 tie "
+        "correction)"
     ),
 }
 
-_SAFE_DIV_GUARDS = ("floor", "ceil", "round", "//", " div ")
+
+def _round_args_integral(inner: str) -> bool:
+    """round(x) / round(x, 0): integral result, cast-safe. round with
+    positive precision keeps a fraction — the trap stays live."""
+    depth, last_comma = 0, None
+    for j, ch in enumerate(inner):
+        depth += {"(": 1, ")": -1}.get(ch, 0)
+        if ch == "," and depth == 0:
+            last_comma = j
+    if last_comma is None:
+        return True
+    p = inner[last_comma + 1 :].strip()
+    return bool(re.fullmatch(r"-?\d+", p)) and int(p) <= 0
+
+
+def _strip_integral_calls(expr: str) -> str:
+    """Replace every balanced floor(..)/ceil(..)/integral-round(..)
+    call with a placeholder, to fixpoint, so a `/` that survives is
+    one whose quotient actually reaches the cast with a possible
+    fraction. Substring matching alone is defeated both ways:
+    `round(a / b, 2)` must stay flagged (fractional round) and
+    `least(floor(a / b), 9)` must pass (integral composition)."""
+    changed = True
+    while changed:
+        changed = False
+        for m in re.finditer(r"\b(floor|ceil|round)\s*\(", expr):
+            depth, i = 1, m.end()
+            while i < len(expr) and depth:
+                depth += {"(": 1, ")": -1}.get(expr[i], 0)
+                i += 1
+            if depth:
+                continue
+            inner = expr[m.end() : i - 1]
+            if "(" in inner and re.search(r"\b(floor|ceil|round)\s*\(", inner):
+                continue  # strip innermost first
+            if m.group(1) == "round" and not _round_args_integral(inner):
+                continue
+            expr = expr[: m.start()] + " INTEXPR " + expr[i:]
+            changed = True
+            break
+    return expr
 
 
 def int_cast_divisions(sql: str) -> list[str]:
-    """Snippets `CAST(<expr with /> AS INT/BIGINT)` where the inner
-    expression is not visibly floored/ceiled/rounded — candidates for
-    the truncate-vs-round cross-engine trap."""
+    """Snippets `CAST(<expr with /> AS INT/BIGINT)` where some `/`
+    survives outside every floor/ceil/integral-round call —
+    candidates for the truncate-vs-round cross-engine trap."""
     out = []
     low = sql.lower()
     for m in re.finditer(r"\bcast\s*\(", low):
@@ -107,8 +150,12 @@ def int_cast_divisions(sql: str) -> list[str]:
         am = re.search(r"\s+as\s+(bigint|int(eger)?)\s*$", inner)
         if not am:
             continue
-        expr = inner[: am.start()]
-        if "/" in expr and not any(g in expr for g in _SAFE_DIV_GUARDS):
+        expr = inner[: am.start()].strip()
+        if "/" not in expr:
+            continue
+        residue = _strip_integral_calls(expr)
+        residue = residue.replace("//", "").replace(" div ", " ")
+        if "/" in residue:
             out.append(" ".join(sql[m.start() : i].split())[:120])
     return out
 
@@ -157,11 +204,16 @@ def main() -> int:
     cast_fails = 0
     for name, sql in sorted(all_oracles().items()):
         for snippet in int_cast_divisions(sql):
-            if name in INT_CAST_DIV_ALLOW:
-                print(
-                    f"ALLOW {name}: int cast over division — "
-                    f"{INT_CAST_DIV_ALLOW[name]}"
-                )
+            just = next(
+                (
+                    v
+                    for (qn, frag), v in INT_CAST_DIV_ALLOW.items()
+                    if qn == name and frag.lower() in snippet.lower()
+                ),
+                None,
+            )
+            if just is not None:
+                print(f"ALLOW {name}: {snippet} — {just}")
             else:
                 cast_fails += 1
                 print(
