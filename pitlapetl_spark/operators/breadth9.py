@@ -211,15 +211,18 @@ def agg_theta_sketch_distinct_sum(
 
 HLL_WINDOW_DAYS = 7
 
-# single source for the register constants: breadth8's module (the
-# copy-pasted-twin-constant review catch — retuning one side would
-# silently break the documented device sharing)
-from .breadth8 import HLL_M, _HLL_NUMER, _POW2_61  # noqa: E402
+# single source for the register device: breadth8's module (the
+# copy-pasted-twin review catch — a fix to the shared estimator must
+# propagate to BOTH HLL queries)
+from .breadth8 import (  # noqa: E402
+    hll_estimate_cte_sql,
+    hll_estimate_frame,
+    hll_rho_cte_sql,
+    hll_rho_frame,
+)
 
 
 def _hll_sliding_oracle() -> str:
-    from .breadth8 import hll_estimate_cte_sql, hll_rho_cte_sql
-
     return f"""
     WITH ev AS (
         SELECT date_trunc('day', ts) AS d1, user_id FROM events
@@ -260,8 +263,6 @@ def window_hll_sliding_distinct(
     above). Register rows and the estimate chain come from breadth8's
     shared device (hll_rho_frame / hll_estimate_frame), so the two
     HLL queries cannot drift."""
-    from .breadth8 import hll_estimate_frame, hll_rho_frame
-
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("d1"), "user_id"
     )

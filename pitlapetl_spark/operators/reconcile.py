@@ -50,35 +50,36 @@ def table_diff(
 
     Float columns never hash as the raw double's string — Spark's
     Double.toString and DuckDB's VARCHAR cast disagree in the
-    scientific-notation bands (|v| < 1e-3 on the Spark side), a
-    value-dependent cross-engine trap (the
-    tools/round_headroom_audit.py audit class). The key is piecewise
-    (review catch — a bigint-micros cast saturates on Spark past
-    2^63/1e6 and collides all huge values to one key):
-
-    - |v| < 4e9: micro resolution, ``format('%.0f', round(v*1e6))``.
-      Below 2^52 micros the integer rounding of the shortest repr
-      (Spark's BigDecimal path) and of the exact binary value
-      (DuckDB) provably agree — a non-dyadic double's shortest form
-      never sits on an x.5 boundary, and dyadic ties round away from
-      zero on both engines — so the key is bit-identical.
-    - otherwise: ``format('%.9e', v)`` — 10 significant digits in
-      scientific form, verified byte-identical across engines from
-      subnormals to 1e300 (tests/test_round9_ops.py).
-
-    Comparison grain is the documented contract: half a micro below
-    4e9, 1e-10 relative above — deltas under the grain compare as
-    'same'."""
+    scientific-notation bands, and EVERY fixed-precision decimal
+    conversion carries a tie hazard (Java Formatter rounds HALF_UP
+    where C printf rounds half-even — measured divergence at e.g.
+    4000000000.5 under %.9e; review catch). The key is therefore the
+    EXACT hex-float form (%a) — no rounding step exists, so no tie
+    can diverge, at any magnitude from subnormals to 1e300 (byte
+    equality verified in tests/test_round9_ops.py; DuckDB's p+NN
+    exponent normalizes to Java's pNN spelling). Non-finite and zero
+    values get explicit tokens: 'null' / 'nan' / 'inf' / '-inf', and
+    both +-0.0 map to '0' (engines disagree on the hex spelling of
+    zero, and IEEE equality says they ARE equal). NULLs in any key
+    column hash as the 'null' token on BOTH sides — the previous
+    code diverged here (Spark's concat_ws silently dropped the
+    column while the oracle's || null-propagated the whole hash).
+    The comparison contract is exact bit equality of the value.
+    """
     from pyspark.sql import types as T
 
     def hkey(df: DataFrame, c: str):
         if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
             v = F.col(c).cast("double")
-            return F.when(
-                F.abs(v) < 4e9,
-                F.format_string("%.0f", F.round(v * 1_000_000)),
-            ).otherwise(F.format_string("%.9e", v))
-        return F.col(c).cast("string")
+            return (
+                F.when(v.isNull(), F.lit("null"))
+                .when(F.isnan(v), F.lit("nan"))
+                .when(v == F.lit(float("inf")), F.lit("inf"))
+                .when(v == F.lit(float("-inf")), F.lit("-inf"))
+                .when(v == 0, F.lit("0"))
+                .otherwise(F.format_string("%a", v))
+            )
+        return F.coalesce(F.col(c).cast("string"), F.lit("null"))
 
     def hashed(df: DataFrame, out: str) -> DataFrame:
         return df.select(
@@ -113,15 +114,21 @@ def table_diff(
         FROM events WHERE event_id % 83 = 0
     ),
     h1 AS (SELECT event_id,
-               md5(CASE WHEN abs(value) < 4e9
-                        THEN printf('%.0f', round(value * 1000000))
-                        ELSE printf('%.9e', value) END
-                   || '|' || event_type) AS h FROM events),
+               md5(CASE WHEN value IS NULL THEN 'null'
+                        WHEN isnan(value) THEN 'nan'
+                        WHEN value = 'infinity'::DOUBLE THEN 'inf'
+                        WHEN value = '-infinity'::DOUBLE THEN '-inf'
+                        WHEN value = 0 THEN '0'
+                        ELSE replace(printf('%a', value), 'p+', 'p') END
+                   || '|' || coalesce(event_type, 'null')) AS h FROM events),
     h2 AS (SELECT event_id,
-               md5(CASE WHEN abs(value) < 4e9
-                        THEN printf('%.0f', round(value * 1000000))
-                        ELSE printf('%.9e', value) END
-                   || '|' || event_type) AS h FROM v2)
+               md5(CASE WHEN value IS NULL THEN 'null'
+                        WHEN isnan(value) THEN 'nan'
+                        WHEN value = 'infinity'::DOUBLE THEN 'inf'
+                        WHEN value = '-infinity'::DOUBLE THEN '-inf'
+                        WHEN value = 0 THEN '0'
+                        ELSE replace(printf('%a', value), 'p+', 'p') END
+                   || '|' || coalesce(event_type, 'null')) AS h FROM v2)
     SELECT CASE WHEN h1.h IS NULL THEN 'added'
                 WHEN h2.h IS NULL THEN 'removed'
                 WHEN h1.h <> h2.h THEN 'changed'

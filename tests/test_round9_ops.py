@@ -242,47 +242,70 @@ def test_phash_compaction_parity_query_is_all_true(spark):
 
 
 def test_float_hash_device_matches_duckdb_on_hairy_doubles(spark):
-    """The piecewise float hash key (micros below 4e9, %.9e
-    scientific above) must produce byte-identical strings on Spark
-    and DuckDB across the magnitudes that break naive devices: the
-    scientific-notation band (< 1e-3), bigint-overflow territory
-    (> 2^63/1e6), negatives, zero, dyadic ties, subnormals, and
-    1e300."""
+    """The exact hex-float hash key must produce byte-identical
+    strings on Spark and DuckDB across the magnitudes and edge values
+    that break decimal devices: the scientific-notation band, decimal
+    ties at any significant digit (4000000000.5 diverged under %.9e —
+    Java HALF_UP vs C half-even), bigint-overflow territory,
+    negatives, both zeros, dyadic values, subnormals, 1e300, NaN and
+    infinities."""
     import duckdb
 
     vals = [
         0.0,
+        -0.0,
         5.0e-310,  # subnormal
         0.0000005,
         0.0001,
         1.5,
         560.21,
-        0.1953125,  # odd/128 — exact 7-decimal expansion (tie fodder)
+        0.1953125,  # odd/128 dyadic
         -2.5,
         123456789.123,
-        3.9999999999e9,  # just under the piecewise threshold
+        4000000000.5,  # the measured %.9e tie divergence
         4.5e9,
         8.0e15,
         -9.9e18,
         1.23456789012345e300,
+        float("nan"),
+        float("inf"),
+        float("-inf"),
     ]
-    key = F.when(
-        F.abs(F.col("v")) < 4e9,
-        F.format_string("%.0f", F.round(F.col("v") * 1_000_000)),
-    ).otherwise(F.format_string("%.9e", F.col("v")))
-    sdf = spark.createDataFrame([(v,) for v in vals], "v double").select(
+    v = F.col("v")
+    key = (
+        F.when(v.isNull(), F.lit("null"))
+        .when(F.isnan(v), F.lit("nan"))
+        .when(v == F.lit(float("inf")), F.lit("inf"))
+        .when(v == F.lit(float("-inf")), F.lit("-inf"))
+        .when(v == 0, F.lit("0"))
+        .otherwise(F.format_string("%a", v))
+    )
+    sdf = spark.createDataFrame([(x,) for x in vals], "v double").select(
         key.alias("s")
     )
     got = [r.s for r in sdf.collect()]
-    want = [
-        duckdb.sql(
-            f"""select CASE WHEN abs(CAST({v!r} AS DOUBLE)) < 4e9
-                       THEN printf('%.0f',
-                                   round(CAST({v!r} AS DOUBLE) * 1000000))
-                       ELSE printf('%.9e', CAST({v!r} AS DOUBLE)) END"""
-        ).fetchone()[0]
-        for v in vals
-    ]
+    want = []
+    for x in vals:
+        lit = {"nan": "'nan'::DOUBLE", "inf": "'infinity'::DOUBLE",
+               "-inf": "'-infinity'::DOUBLE"}.get(repr(x), None) or (
+            f"CAST({x!r} AS DOUBLE)")
+        if repr(x) == "nan":
+            lit = "'nan'::DOUBLE"
+        elif x == float("inf"):
+            lit = "'infinity'::DOUBLE"
+        elif x == float("-inf"):
+            lit = "'-infinity'::DOUBLE"
+        want.append(
+            duckdb.sql(
+                f"""select CASE WHEN {lit} IS NULL THEN 'null'
+                           WHEN isnan({lit}) THEN 'nan'
+                           WHEN {lit} = 'infinity'::DOUBLE THEN 'inf'
+                           WHEN {lit} = '-infinity'::DOUBLE THEN '-inf'
+                           WHEN {lit} = 0 THEN '0'
+                           ELSE replace(printf('%a', {lit}), 'p+', 'p')
+                           END"""
+            ).fetchone()[0]
+        )
     assert got == want
 
 

@@ -123,8 +123,10 @@ def _strip_integral_calls(expr: str) -> str:
             if depth:
                 continue
             inner = expr[m.end() : i - 1]
-            if "(" in inner and re.search(r"\b(floor|ceil|round)\s*\(", inner):
-                continue  # strip innermost first
+            # floor/ceil (and round-to-integer) are integral REGARDLESS
+            # of what they wrap, so strip them wherever they appear —
+            # an innermost-first rule would stall on e.g.
+            # floor(round(a / b, 2)), which IS cast-safe (review catch)
             if m.group(1) == "round" and not _round_args_integral(inner):
                 continue
             expr = expr[: m.start()] + " INTEXPR " + expr[i:]
