@@ -962,3 +962,55 @@ def test_permutation_test_aggregates_mapside(spark):
     shuffle."""
     plan = _plan(Q["stats_permutation_test"](spark, SF_SMOKE))
     assert "partial" in plan.lower()
+
+
+def test_merkle_diff_never_joins_rows(spark):
+    """The partition Merkle diff's whole point: the only join in the
+    plan is the full-outer of the two O(partitions) fingerprint
+    frames — no row-level join on the order key may appear, and the
+    xor fold must combine map-side (partial_bit_xor before the
+    exchange)."""
+    plan = _plan(Q["dq_partition_merkle_diff"](spark, SF_SMOKE))
+    assert "o_orderkey#" not in plan.split("SortMergeJoin", 1)[-1].split(
+        "\n"
+    )[0]
+    # both sides aggregate to the pmonth grain BEFORE any join
+    assert plan.count("partial_bit_xor") >= 2, plan[:500]
+
+
+def test_sliding_hll_folds_events_once(spark):
+    """The sketch twin's headline property: the events parquet is
+    scanned a bounded number of times (register fold + exact verifier
+    + day spine), never once per window day — 30 days x 1 scan would
+    be the regression."""
+    plan = _plan(Q["window_hll_sliding_distinct"](spark, SF_SMOKE))
+    scans = plan.count("FileScan parquet")
+    assert scans <= 4, f"{scans} event scans"
+
+
+def test_lateness_audit_single_window_single_agg(spark):
+    """One per-key window over arrival order, one fold — no join,
+    no second shuffle of the fact."""
+    plan = _plan(Q["stream_watermark_lateness_audit"](spark, SF_SMOKE))
+    assert plan.count("Window") == 1, plan.count("Window")
+    assert "Join" not in plan
+
+
+def test_theta_sketch_is_takeordered_not_global_sort(spark):
+    """The K-smallest retention must plan as TakeOrderedAndProject
+    (per-partition top-K + merge), never a full global Sort of the
+    hashed keys."""
+    plan = _plan(Q["agg_theta_sketch_distinct_sum"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_preagg_single_band_shuffle(spark):
+    """The pre-aggregated banding shape exists to replace the band
+    self-join: the plan must contain no join between two band-row
+    relations — candidates come from one groupBy + explode."""
+    plan = _plan(Q["dedup_minhash_lsh_preagg"](spark, SF_SMOKE))
+    # the only joins allowed are the candidate->shingle verify joins;
+    # band_val must never appear as a join key
+    for line in plan.splitlines():
+        if "Join" in line and "band_val" in line:
+            raise AssertionError(f"banding join resurfaced: {line}")
