@@ -784,7 +784,12 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _centroid_ranked(spark, sf_dir)
     assign = ranked.filter(F.col("crk") == 1).select("vec_id", "label")
     vecs = _vectors(spark, sf_dir)
-    a = assign.join(vecs, "vec_id")
+    # materialize the SMALL fan-out point once: the self-join's two
+    # aliases prune the shared subtree differently, so ReuseExchange
+    # does not fire and the centroid-scoring window otherwise executes
+    # once per alias (the r2 two-consumer lesson, SCALE.md; measured
+    # here: 3.5 s -> 3.1 s warm at sf0.1)
+    a = assign.join(vecs, "vec_id").localCheckpoint(eager=True)
     pairs = (
         a.alias("x")
         .join(
@@ -869,7 +874,16 @@ def dedup_semantic_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped candidates only. Skewed giant clusters remain the known
     failure mode; the cap/sub-cluster mitigation applies unchanged."""
     ranked = _centroid_ranked(spark, sf_dir)
-    assign2 = ranked.filter(F.col("crk") <= 2).select("vec_id", "label")
+    # materialize the two SMALL fan-out points once each (the r2
+    # two-consumer lesson, same as the top-1 variant: ReuseExchange
+    # does not fire across differently-pruned aliases; measured here:
+    # 6 FileScans / 6 Window executions of the centroid-rank subtree
+    # before, 0 ReusedExchange; 5.4 s -> 3.1 s warm after at sf0.1)
+    assign2 = (
+        ranked.filter(F.col("crk") <= 2)
+        .select("vec_id", "label")
+        .localCheckpoint(eager=True)
+    )
     cand = (
         assign2.alias("x")
         .join(
@@ -883,7 +897,7 @@ def dedup_semantic_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    vecs = _vectors(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
     va = vecs.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("av"),
