@@ -24,6 +24,43 @@ from ..sources import load_table
 _ADD_OFFSET = 10_000_000
 
 
+def hex_float_key(v):
+    """Cross-engine-stable string key for a double column: the EXACT
+    hex-float form (``%a``) with explicit tokens for null / nan /
+    +-inf / +-0.0. No rounding step exists, so no decimal-tie can
+    diverge at any magnitude (see table_diff docstring).
+
+    Two spelling gaps between Java Formatter and C printf are
+    canonicalized here:
+
+    * exponent sign — Java writes ``p3`` where C writes ``p+3``
+      (handled on the DuckDB side with ``replace(.., 'p+', 'p')``);
+    * zero-fraction mantissas — Java keeps one fraction digit
+      (``0x1.0p0`` for 1.0) where glibc/DuckDB prints the shortest
+      form (``0x1p+0``). Without this rewrite the device silently
+      diverged on the MOST COMMON doubles — every power of two
+      (1.0, 2.0, 0.5, 1024.0 …; round-9 ADVICE catch). The regex
+      ``\\.0p`` can only match a mantissa whose entire fraction is
+      the single digit ``0`` (Java emits minimal digits, so a
+      nonzero fraction never ends in ``0``), making the rewrite
+      exact, not a heuristic.
+
+    Byte equality vs DuckDB ``printf('%a', ..)`` is verified in
+    tests/test_round9_ops.py over subnormals, dyadics, ties, 1e300,
+    and now the zero-fraction family.
+    """
+    return (
+        F.when(v.isNull(), F.lit("null"))
+        .when(F.isnan(v), F.lit("nan"))
+        .when(v == F.lit(float("inf")), F.lit("inf"))
+        .when(v == F.lit(float("-inf")), F.lit("-inf"))
+        .when(v == 0, F.lit("0"))
+        .otherwise(
+            F.regexp_replace(F.format_string("%a", v), r"\.0p", "p")
+        )
+    )
+
+
 def _v2(events: DataFrame) -> DataFrame:
     """The 'new version' of events: deterministic removes / changes /
     adds keyed off event_id."""
@@ -57,7 +94,9 @@ def table_diff(
     EXACT hex-float form (%a) — no rounding step exists, so no tie
     can diverge, at any magnitude from subnormals to 1e300 (byte
     equality verified in tests/test_round9_ops.py; DuckDB's p+NN
-    exponent normalizes to Java's pNN spelling). Non-finite and zero
+    exponent normalizes to Java's pNN spelling, and Java's
+    zero-fraction '0x1.0pN' normalizes to the shortest '0x1pN' —
+    see hex_float_key). Non-finite and zero
     values get explicit tokens: 'null' / 'nan' / 'inf' / '-inf', and
     both +-0.0 map to '0' (engines disagree on the hex spelling of
     zero, and IEEE equality says they ARE equal). NULLs in any key
@@ -70,15 +109,7 @@ def table_diff(
 
     def hkey(df: DataFrame, c: str):
         if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
-            v = F.col(c).cast("double")
-            return (
-                F.when(v.isNull(), F.lit("null"))
-                .when(F.isnan(v), F.lit("nan"))
-                .when(v == F.lit(float("inf")), F.lit("inf"))
-                .when(v == F.lit(float("-inf")), F.lit("-inf"))
-                .when(v == 0, F.lit("0"))
-                .otherwise(F.format_string("%a", v))
-            )
+            return hex_float_key(F.col(c).cast("double"))
         return F.coalesce(F.col(c).cast("string"), F.lit("null"))
 
     def hashed(df: DataFrame, out: str) -> DataFrame:
@@ -119,7 +150,7 @@ def table_diff(
                         WHEN value = 'infinity'::DOUBLE THEN 'inf'
                         WHEN value = '-infinity'::DOUBLE THEN '-inf'
                         WHEN value = 0 THEN '0'
-                        ELSE replace(printf('%a', value), 'p+', 'p') END
+                        ELSE replace(replace(printf('%a', value), '.0p', 'p'), 'p+', 'p') END
                    || '|' || coalesce(event_type, 'null')) AS h FROM events),
     h2 AS (SELECT event_id,
                md5(CASE WHEN value IS NULL THEN 'null'
@@ -127,7 +158,7 @@ def table_diff(
                         WHEN value = 'infinity'::DOUBLE THEN 'inf'
                         WHEN value = '-infinity'::DOUBLE THEN '-inf'
                         WHEN value = 0 THEN '0'
-                        ELSE replace(printf('%a', value), 'p+', 'p') END
+                        ELSE replace(replace(printf('%a', value), '.0p', 'p'), 'p+', 'p') END
                    || '|' || coalesce(event_type, 'null')) AS h FROM v2)
     SELECT CASE WHEN h1.h IS NULL THEN 'added'
                 WHEN h2.h IS NULL THEN 'removed'

@@ -969,11 +969,22 @@ def test_merkle_diff_never_joins_rows(spark):
     plan is the full-outer of the two O(partitions) fingerprint
     frames — no row-level join on the order key may appear, and the
     xor fold must combine map-side (partial_bit_xor before the
-    exchange)."""
+    exchange). Every join operator line is scanned (SortMergeJoin,
+    BroadcastHashJoin, ShuffledHashJoin) — checking only the first
+    SMJ line would miss a regressed row-level join that AQE plans as
+    a broadcast at smoke scale, or a second SMJ (round-9 ADVICE)."""
     plan = _plan(Q["dq_partition_merkle_diff"](spark, SF_SMOKE))
-    assert "o_orderkey#" not in plan.split("SortMergeJoin", 1)[-1].split(
-        "\n"
-    )[0]
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if any(
+            op in ln
+            for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+        )
+    ]
+    assert join_lines, "expected the fingerprint-frame full-outer join"
+    for ln in join_lines:
+        assert "o_orderkey#" not in ln, f"row-level join key in plan: {ln}"
     # both sides aggregate to the pmonth grain BEFORE any join
     assert plan.count("partial_bit_xor") >= 2, plan[:500]
 

@@ -248,8 +248,14 @@ def test_float_hash_device_matches_duckdb_on_hairy_doubles(spark):
     ties at any significant digit (4000000000.5 diverged under %.9e —
     Java HALF_UP vs C half-even), bigint-overflow territory,
     negatives, both zeros, dyadic values, subnormals, 1e300, NaN and
-    infinities."""
+    infinities — and the zero-fraction family (powers of two), where
+    Java keeps one fraction digit ('0x1.0p0') but glibc prints the
+    shortest form ('0x1p+0'); round-9 ADVICE catch, canonicalized in
+    hex_float_key. The test imports the production expression so the
+    device and its gate cannot drift."""
     import duckdb
+
+    from pitlapetl_spark.operators.reconcile import hex_float_key
 
     vals = [
         0.0,
@@ -267,19 +273,19 @@ def test_float_hash_device_matches_duckdb_on_hairy_doubles(spark):
         8.0e15,
         -9.9e18,
         1.23456789012345e300,
+        # zero-fraction mantissas: Java '0x1.0pN' vs glibc '0x1p+N'
+        1.0,
+        2.0,
+        0.5,
+        -2.0,
+        4.0,
+        1024.0,
+        65536.0,
         float("nan"),
         float("inf"),
         float("-inf"),
     ]
-    v = F.col("v")
-    key = (
-        F.when(v.isNull(), F.lit("null"))
-        .when(F.isnan(v), F.lit("nan"))
-        .when(v == F.lit(float("inf")), F.lit("inf"))
-        .when(v == F.lit(float("-inf")), F.lit("-inf"))
-        .when(v == 0, F.lit("0"))
-        .otherwise(F.format_string("%a", v))
-    )
+    key = hex_float_key(F.col("v"))
     sdf = spark.createDataFrame([(x,) for x in vals], "v double").select(
         key.alias("s")
     )
@@ -302,7 +308,8 @@ def test_float_hash_device_matches_duckdb_on_hairy_doubles(spark):
                            WHEN {lit} = 'infinity'::DOUBLE THEN 'inf'
                            WHEN {lit} = '-infinity'::DOUBLE THEN '-inf'
                            WHEN {lit} = 0 THEN '0'
-                           ELSE replace(printf('%a', {lit}), 'p+', 'p')
+                           ELSE replace(replace(printf('%a', {lit}),
+                                        '.0p', 'p'), 'p+', 'p')
                            END"""
             ).fetchone()[0]
         )
