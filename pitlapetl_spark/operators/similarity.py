@@ -627,13 +627,16 @@ def _centroid_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _centroid_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every vector scored against every centroid with a per-vector
-    cosine rank: (vec_id, label, ccos, crk). One narrow pass over the
-    corpus against a broadcast K-row centroid table; the rank window
-    partitions on vec_id (K rows per partition — bounded)."""
-    vecs = _vectors(spark, sf_dir)
-    cent = _centroid_frame(spark, sf_dir)
+def rank_against_centroids(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Score a (vec_id, v, nrm) frame against a (label, cv, cnrm)
+    quantizer frame with a per-vector cosine rank: (vec_id, label,
+    ccos, crk). One narrow pass over ``vecs`` against the broadcast
+    K-row centroid table; the rank window partitions on vec_id (K
+    rows per partition — bounded). Shared by the batch SemDeDup
+    queries and the streaming semantic ingest sink
+    (streaming/runtime.py) so the two sides of the stream-vs-batch
+    parity cannot drift — the cosine rounding and the (ccos desc,
+    label) tie-break are THE assignment contract."""
     scored = (
         vecs.alias("q")
         .join(F.broadcast(cent).alias("c"))
@@ -652,6 +655,14 @@ def _centroid_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "label")
     return scored.withColumn("crk", F.row_number().over(w))
+
+
+def _centroid_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide ``rank_against_centroids`` with the label-centroid
+    quantizer fit on the same corpus (the batch twins' contract)."""
+    return rank_against_centroids(
+        _vectors(spark, sf_dir), _centroid_frame(spark, sf_dir)
+    )
 
 
 @query(
@@ -832,16 +843,15 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster key, never all-pairs.
 
 
-@query(
-    "dedup_semantic_top2",
-    oracle=f"""
+def _semantic_topm_oracle(m: int) -> str:
+    return f"""
     WITH {_ORACLE_VECS},
     {_ORACLE_CRANK},
-    assign2 AS (SELECT vec_id, label FROM crank WHERE crk <= 2),
+    assignm AS (SELECT vec_id, label FROM crank WHERE crk <= {m}),
     cpairs AS (
         SELECT DISTINCT a1.vec_id AS vec_a, a2.vec_id AS vec_b
-        FROM assign2 a1
-        JOIN assign2 a2 ON a1.label = a2.label AND a1.vec_id < a2.vec_id
+        FROM assignm a1
+        JOIN assignm a2 ON a1.label = a2.label AND a1.vec_id < a2.vec_id
     ),
     pdots AS (
         SELECT p.vec_a, p.vec_b, sum(u1.x * u2.x) AS dot
@@ -858,36 +868,29 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_a, vec_b, cosine
     FROM scored WHERE cosine >= {SEMDEDUP_TAU}
-    """,
-)
-def dedup_semantic_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over OVERLAPPING top-2 centroid clusters — closes the
-    measured centroid-boundary-split recall gap of the single-
-    assignment variant (block comment above). Candidate pairs are
-    DISTINCT-ed on (vec_a, vec_b) before scoring, so a pair sharing
-    both clusters is scored once; output drops the cluster label (a
-    pair no longer belongs to one cluster).
+    """
 
-    100-TB shape: identical to dedup_semantic_semdedup — broadcast
-    K-row quantizer scoring, equi-join on the cluster key with
-    <=2x-per-side membership (<=4x pair mass), exact cosine on
-    deduped candidates only. Skewed giant clusters remain the known
-    failure mode; the cap/sub-cluster mitigation applies unchanged."""
+
+def _semantic_topm(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
+    """SemDeDup over OVERLAPPING top-m centroid clusters: candidate
+    pairs are DISTINCT-ed on (vec_a, vec_b) before scoring, so a pair
+    sharing several clusters is scored once; output drops the cluster
+    label (a pair no longer belongs to one cluster)."""
     ranked = _centroid_ranked(spark, sf_dir)
     # materialize the two SMALL fan-out points once each (the r2
     # two-consumer lesson, same as the top-1 variant: ReuseExchange
     # does not fire across differently-pruned aliases; measured here:
     # 6 FileScans / 6 Window executions of the centroid-rank subtree
     # before, 0 ReusedExchange; 5.4 s -> 3.1 s warm after at sf0.1)
-    assign2 = (
-        ranked.filter(F.col("crk") <= 2)
+    assignm = (
+        ranked.filter(F.col("crk") <= m)
         .select("vec_id", "label")
         .localCheckpoint(eager=True)
     )
     cand = (
-        assign2.alias("x")
+        assignm.alias("x")
         .join(
-            assign2.alias("y"),
+            assignm.alias("y"),
             (F.col("x.label") == F.col("y.label"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
@@ -925,6 +928,39 @@ def dedup_semantic_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.col("cosine") >= SEMDEDUP_TAU)
+
+
+@query("dedup_semantic_top2", oracle=_semantic_topm_oracle(2))
+def dedup_semantic_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over OVERLAPPING top-2 centroid clusters — closes the
+    measured centroid-boundary-split recall gap of the single-
+    assignment variant (block comment above; recall >=0.90 on every
+    ladder band at x3.66 candidate mass).
+
+    100-TB shape: identical to dedup_semantic_semdedup — broadcast
+    K-row quantizer scoring, equi-join on the cluster key with
+    <=2x-per-side membership (<=4x pair mass), exact cosine on
+    deduped candidates only. Skewed giant clusters remain the known
+    failure mode; the cap/sub-cluster mitigation applies unchanged."""
+    return _semantic_topm(spark, sf_dir, 2)
+
+
+@query("dedup_semantic_top3", oracle=_semantic_topm_oracle(3))
+def dedup_semantic_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over OVERLAPPING top-3 centroid clusters — the next
+    rung above top-2, shipped on the measured diminishing-returns
+    probe (tools/semantic_topm_probe.py, SCALE.md round-10 ladder):
+    top-3 closes 80-100% of the top-2 residual (pairs split across
+    BOTH members' top-2 assignments) on every perturbation band at
+    1.83-1.85x the top-2 verify-stage candidate mass — inside the
+    <=2x ship bar the decision rule pre-registered. Recall 1.00 on
+    five of six bands, 0.98 at swap@33% (mean planted cosine 0.77).
+
+    Cost model: <=3x-per-side membership bounds pair mass at <=9x
+    the top-1 baseline (measured ~1.85x the top-2 actual); the same
+    cluster-key equi-join plan — the rung dial is a pure
+    recall/verify-mass trade with no new shuffle shape."""
+    return _semantic_topm(spark, sf_dir, 3)
 
 
 # ----------------------------------------- bucketed kNN-graph build

@@ -1,0 +1,263 @@
+"""URL canonicalization + domain-blocklist pre-gate — the
+C4/RefinedWeb-style web-crawl front door the text pipeline lacked
+(VERDICT r9 item 7; Raffel et al. 2020 C4 sec 2.1 and Penedo et al.
+2023 RefinedWeb sec 3.1 both gate on URL before any content filter).
+
+The documents table carries no URL column, so the query DERIVES one
+deterministically from (doc_id, source) — seven raw-form variation
+classes (scheme case, host case, www prefix, default vs explicit
+port, duplicate slashes + trailing slash, tracking params + param
+order, fragment) keyed on doc_id residues, exactly the
+reconcile-style derived-input device (reconcile.py _v2): the oracle
+replays the same derivation, so every canonicalization rule is
+value-checked end-to-end rather than spot-tested. Ids congruent mod
+120 (lcm of the residue classes' moduli that feed the canonical
+parts) collide on the canonical URL through DIFFERENT raw spellings,
+so the dedup branch is exercised by construction.
+
+Canonicalization rules (each a documented, SQL-expressible
+transform — both engines implement them independently):
+  1. scheme lowercased;
+  2. host lowercased, leading ``www.`` stripped;
+  3. default ports dropped (``:80`` for http, ``:443`` for https);
+     non-default ports kept;
+  4. path: runs of ``/`` collapsed, trailing ``/`` stripped (bare
+     path canonicalizes to ``/``); path case PRESERVED (URL paths
+     are case-sensitive);
+  5. query: tracking params dropped (``utm_*``, ``fbclid``,
+     ``gclid`` — matched by substring prefix, not LIKE, so ``_``
+     stays literal), survivors SORTED so param order never splits a
+     canonical group;
+  6. fragment dropped.
+
+Site extraction is a documented heuristic (the fixture's registrable
+domain is always ``src<N>.example.com``); a production gate swaps in
+the public-suffix list — same plan shape, the regex becomes a
+broadcast PSL lookup.
+
+100-TB shape: rules 1-6 are narrow map-side string expressions
+inside whole-stage codegen; the blocklist is a literal IN (a
+broadcast semi-join once the list outgrows a literal); the only
+shuffle is the window on the canonical URL — the dedup key — and
+the keep-lowest-doc_id rule is one min-over-partition, no self-join.
+Dedup-before-fetch is the point of the gate: at crawl scale the
+canonical-URL dedup kills re-crawls and mirror spellings before any
+content-hash (never mind embedding) cost is paid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+BLOCKED_SITES = ("src3.example.com", "src7.example.com", "src11.example.com")
+_BLOCKED_IN = ", ".join(repr(s) for s in BLOCKED_SITES)
+
+_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+
+
+def derived_raw_url() -> Column:
+    """Deterministic raw URL per document (module docstring)."""
+    m40 = (F.col("doc_id") % 40).cast("string")
+    scheme = F.when(F.col("doc_id") % 2 == 0, "HTTP").otherwise("https")
+    host = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.COM")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("source"), F.lit(".example.com")),
+        )
+        .otherwise(F.concat(F.col("source"), F.lit(".EXAMPLE.com")))
+    )
+    port = (
+        F.when(F.col("doc_id") % 11 == 0, ":8080")
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.when(F.col("doc_id") % 2 == 0, ":80").otherwise(":443"),
+        )
+        .otherwise("")
+    )
+    path = F.concat(
+        F.lit("/Articles//"),
+        m40,
+        F.when(F.col("doc_id") % 4 == 0, "/").otherwise(""),
+    )
+    qs = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), m40, F.lit("&utm_campaign=x")
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("?id="), m40, F.lit("&z=1")))
+        .otherwise(F.concat(F.lit("?z=1&id="), m40))
+    )
+    frag = F.when(F.col("doc_id") % 7 == 0, "#Section-2").otherwise("")
+    return F.concat(scheme, F.lit("://"), host, port, path, qs, frag)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a raw URL column (rules 1-6). Pure narrow
+    expressions — no UDF, no shuffle."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path0 = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/{2,}",
+        "/",
+    )
+    path1 = F.regexp_replace(path0, r"/+$", "")
+    path = F.when(path1 == "", F.lit("/")).otherwise(path1)
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+
+    def _keep(p: Column) -> Column:
+        cond = p != ""
+        for pre in _TRACKING_PREFIXES:
+            cond = cond & (F.substring(p, 1, len(pre)) != pre)
+        return cond
+
+    qp = F.array_join(F.array_sort(F.filter(F.split(qs, "&"), _keep)), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(""),
+        path,
+        F.when(qp != "", F.concat(F.lit("?"), qp)).otherwise(""),
+    )
+
+
+def extract_site(host_or_canon: Column) -> Column:
+    """Registrable-site heuristic for the fixture's host space
+    (docstring: PSL lookup in production)."""
+    return F.regexp_extract(host_or_canon, r"(src[0-9]+\.example\.com)", 1)
+
+
+_ORACLE = f"""
+    WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+               || '://'
+               || (CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'WWW.' || source || '.Example.COM'
+                        WHEN 1 THEN source || '.example.com'
+                        ELSE source || '.EXAMPLE.com' END)
+               || (CASE WHEN doc_id % 11 = 0 THEN ':8080'
+                        WHEN doc_id % 5 = 0 THEN
+                             CASE WHEN doc_id % 2 = 0
+                                  THEN ':80' ELSE ':443' END
+                        ELSE '' END)
+               || '/Articles//' || CAST(doc_id % 40 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+               || (CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN '?utm_source=feed&id='
+                                    || CAST(doc_id % 40 AS VARCHAR)
+                                    || '&utm_campaign=x'
+                        WHEN 1 THEN '?id=' || CAST(doc_id % 40 AS VARCHAR)
+                                    || '&z=1'
+                        ELSE '?z=1&id=' || CAST(doc_id % 40 AS VARCHAR) END)
+               || (CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)
+               AS url_raw
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url_raw,
+               lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1))
+                   AS scheme,
+               lower(regexp_extract(url_raw,
+                   '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport,
+               regexp_replace(regexp_extract(url_raw,
+                   '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/{{2,}}', '/', 'g')
+                   AS path0,
+               regexp_extract(url_raw, '\\?([^#]*)', 1) AS qs
+        FROM raw
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://'
+               || regexp_replace(regexp_replace(hostport,
+                      ':[0-9]+$', ''), '^www\\.', '')
+               || (CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                         AND NOT (scheme = 'http' AND
+                              regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+                         AND NOT (scheme = 'https' AND
+                              regexp_extract(hostport, ':([0-9]+)$', 1) = '443')
+                        THEN ':' || regexp_extract(hostport, ':([0-9]+)$', 1)
+                        ELSE '' END)
+               || (CASE WHEN rtrim(path0, '/') = '' THEN '/'
+                        ELSE rtrim(path0, '/') END)
+               || (CASE WHEN array_to_string(list_sort(list_filter(
+                            string_split(qs, '&'),
+                            p -> p <> ''
+                                 AND substr(p, 1, 4) <> 'utm_'
+                                 AND substr(p, 1, 7) <> 'fbclid='
+                                 AND substr(p, 1, 6) <> 'gclid=')), '&') <> ''
+                        THEN '?' || array_to_string(list_sort(list_filter(
+                            string_split(qs, '&'),
+                            p -> p <> ''
+                                 AND substr(p, 1, 4) <> 'utm_'
+                                 AND substr(p, 1, 7) <> 'fbclid='
+                                 AND substr(p, 1, 6) <> 'gclid=')), '&')
+                        ELSE '' END)
+               AS url_canon
+        FROM parts
+    ),
+    gated AS (
+        SELECT doc_id, url_canon,
+               regexp_extract(url_canon, '(src[0-9]+\\.example\\.com)', 1)
+                   AS site
+        FROM canon
+    ),
+    flagged AS (
+        SELECT doc_id, url_canon, site,
+               site IN ({_BLOCKED_IN}) AS is_blocked,
+               (NOT site IN ({_BLOCKED_IN})) AND
+               min(CASE WHEN NOT site IN ({_BLOCKED_IN})
+                        THEN doc_id END)
+                   OVER (PARTITION BY url_canon) < doc_id AS is_dup
+        FROM gated
+    )
+    SELECT doc_id, url_canon, site, is_blocked, is_dup,
+           (NOT is_blocked) AND (NOT is_dup) AS kept
+    FROM flagged
+"""
+
+
+@query("text_url_canonicalize_gate", oracle=_ORACLE)
+def text_url_canonicalize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document URL gate verdict: canonical URL, registrable
+    site, blocklist flag, canonical-dup flag (keep-lowest-doc_id
+    among unblocked members of each canonical group), and the final
+    kept verdict. One narrow map stage + one window on the canonical
+    key (module docstring)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    canon = docs.select(
+        "doc_id", canonicalize_url(derived_raw_url()).alias("url_canon")
+    ).withColumn("site", extract_site(F.col("url_canon")))
+    blocked = F.col("site").isin(*BLOCKED_SITES)
+    w = Window.partitionBy("url_canon")
+    is_dup = ~blocked & (
+        F.min(F.when(~blocked, F.col("doc_id"))).over(w) < F.col("doc_id")
+    )
+    return canon.select(
+        "doc_id",
+        "url_canon",
+        "site",
+        blocked.alias("is_blocked"),
+        is_dup.alias("is_dup"),
+        (~blocked & ~is_dup).alias("kept"),
+    )

@@ -66,6 +66,7 @@ _MODULES = (
     "pitlapetl_spark.operators.reconcile",
     "pitlapetl_spark.operators.quality",
     "pitlapetl_spark.operators.spatial",
+    "pitlapetl_spark.operators.webgate",
     "pitlapetl_spark.operators.breadth7",
     "pitlapetl_spark.operators.breadth7b",
     "pitlapetl_spark.operators.breadth7c",
@@ -118,7 +119,90 @@ _loaded = False
 # = 50 of 50 slots: the entire evidence backlog clears with zero
 # slack, and round 10 opens with a clean board (no never-verified,
 # no red, nothing older than r3).
+#
+# Round-10 policy (VERDICT.md r9 "Next round" item 1): the board is
+# clean — zero never-verified, zero red — and the oldest evidence is
+# the 49-query r3-era tranche (histogram from CORRECTNESS_r01..r09:
+# 49 x r3, 50 each r4..r9). The 50 slots go: (i) queries NEW in
+# round 10 first (never-verified outranks stale, standing policy
+# since r4), then (h) the FULL 49-row r3-era refresh queue in ledger
+# order. Arithmetic: N_new + 49 = 50 exactly when N_new = 1, so
+# round-10 additions are capped at ONE registered query (the
+# embedding/semantic streaming-ingest parity query, VERDICT r9 item
+# 3 — the one genuine functional gap). A second addition would spill
+# the last r3-era refresh (scalar_regex_suite) to round 11.
+#
+# Round-10 spills (the standing spill policy) — registered this
+# round, NOT in this window, enter round 11 as the never-verified
+# cohort and lead that window; both local-parity green
+# (PARITY_LOCAL.json):
+#   dedup_semantic_top3 — shipped on the measured diminishing-
+#     returns probe (VERDICT r9 item 4: top-3 closes 80-100% of the
+#     top-2 residual at 1.83-1.85x mass, inside the <=2x ship bar);
+#   text_url_canonicalize_gate — the C4/RefinedWeb URL pre-gate
+#     (VERDICT r9 item 7), operators/webgate.py.
 _PRIORITY: tuple[str, ...] = (
+    # (i) new in round 10 — cap: 1, see the arithmetic note above
+    "stream_semantic_compacted_parity",  # batch twin proving the
+    # embedding/semantic streaming ingest store (frozen-quantizer
+    # top-2 centroid probe, generation-compacted) flags exactly the
+    # docs batch SemDeDup top-2 flags on the same corpus
+    # (h) the r3-era refresh queue (oldest driver evidence on the
+    # board, six rounds stale), ledger order — all 49 fit this round
+    "flagship_top_value_per_user",
+    "agg_approx_sketches",
+    "agg_group_minmax_stats",
+    "window_range_frame",
+    "asof_join_last_order",
+    "dedup_minhash_lsh",
+    "stream_tumbling_counts",
+    "stream_sliding_avg",
+    "stream_session_windows",
+    "sink_upsert_roundtrip",
+    "window_forward_fill",
+    "rollup_hierarchy_day_from_hour",
+    "sink_merge_scoped_roundtrip",
+    "text_boilerplate_lines",
+    "shuffle_epoch_shards",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "interval_merge_activity",
+    "sketch_mv_union",
+    "anomaly_rolling_zscore",
+    "dq_skew_profile",
+    "market_basket_pairs",
+    "window_cumulative_distinct_users",
+    "dedup_winnowing",
+    "temporal_pit_join",
+    "asof_join_tolerance",
+    "sessionize_events",
+    "window_share_of_total",
+    "scd2_user_value_history",
+    "funnel_view_click_purchase",
+    "cohort_retention_matrix",
+    "sim_topk_lsh_multiprobe",
+    "join_range_binned",
+    "incremental_mv_merge",
+    "kmeans_lloyd_clusters",
+    "sample_weighted_mix",
+    "agg_histogram_equi_width",
+    "pandas_udaf_weighted_mean",
+    "join_salted_skew",
+    "text_kl_domain_drift",
+    "dedup_keep_best",
+    "fuzzy_match_blocking",
+    "table_diff_reconcile",
+    "contamination_eval_overlap",
+    "pack_token_budget",
+    "split_train_holdout",
+    "scalar_date_math",
+    "scalar_regex_suite",
+)
+
+# The round-9 window (kept for the ledger's history; superseded by
+# the round-10 list above):
+_PRIORITY_R9: tuple[str, ...] = (
     # (g-spill) round-8 additions whose first driver row spilled past
     # r8's 50-slot window — never-verified, so they lead (standing
     # policy since r4); ship order

@@ -429,3 +429,221 @@ def stream_phash_compacted_parity(
         return result.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+# ----------------- semantic ingest-store stream-vs-batch parity
+# VERDICT r9 item 3, registered as a query: the embedding/semantic
+# streaming ingest sink (runtime.run_semantic_ingest_sink — the third
+# member of the crawl-ingest dedup family) must flag EXACTLY the
+# vectors the batch dedup_semantic_top2 query flags on the same
+# corpus, and its assignment store must read identically before and
+# after generation compaction. This query drives the sink's real
+# per-batch body (_semantic_ingest_batch — the same function
+# foreachBatch runs) over the embeddings table split into id-ordered
+# micro-batches, runs the real compactor twice (steady state + a
+# simulated crash-window leftover whose rows already live in the
+# generation), then folds the compacted store to a per-label grain
+# the DuckDB oracle recomputes STRAIGHT from embeddings — the oracle
+# never sees a store, a batch boundary, or a compaction. Any drop
+# the stream makes that batch SemDeDup would not (or vice versa)
+# flips n_dropped / sum_dropped_ids; any row compaction lost or
+# duplicated flips n_rows; the two literal-TRUE parity columns
+# additionally pin the Spark-side set comparisons.
+#
+# Why stream == batch holds EXACTLY (not approximately): the sink
+# stores assignment rows for ALL ingested vectors (kept and dropped)
+# and drops a vector iff some earlier-arrived vector shares a top-2
+# cluster with cosine >= tau; with id-ordered batches
+# "earlier-arrived" = "lower vec_id", which is precisely the batch
+# twin's pair orientation (vec_a < vec_b), and both sides share the
+# same quantizer frame, the same rank_against_centroids scorer, the
+# same round-6 cosine, and the same tau — see the design block in
+# streaming/runtime.py.
+#
+# 100-TB shape: the simulation is store-lifecycle-bound (the sink's
+# own batch-partitioned parquet layout + amortized-O(1) compaction);
+# the parity fold is one aggregation at the label grain.
+
+N_SEM_INGEST_BATCHES = 3
+
+
+def _semantic_parity_oracle() -> str:
+    from ..operators.similarity import (
+        SEMDEDUP_TAU,
+        _ORACLE_CRANK,
+        _ORACLE_VECS,
+    )
+
+    return f"""
+    WITH {_ORACLE_VECS},
+    {_ORACLE_CRANK},
+    assign2 AS (SELECT vec_id, label FROM crank WHERE crk <= 2),
+    cpairs AS (
+        SELECT DISTINCT a1.vec_id AS vec_a, a2.vec_id AS vec_b
+        FROM assign2 a1
+        JOIN assign2 a2 ON a1.label = a2.label AND a1.vec_id < a2.vec_id
+    ),
+    pdots AS (
+        SELECT p.vec_a, p.vec_b, sum(u1.x * u2.x) AS dot
+        FROM cpairs p
+        JOIN u u1 ON u1.vec_id = p.vec_a
+        JOIN u u2 ON u2.vec_id = p.vec_b AND u2.i = u1.i
+        GROUP BY 1, 2
+    ),
+    dropped AS (
+        SELECT DISTINCT vec_b AS vec_id
+        FROM pdots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b
+        WHERE round(dot / (na.nrm * nb.nrm), 6) >= {SEMDEDUP_TAU}
+    )
+    SELECT a.label,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT a.vec_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT CASE WHEN d.vec_id IS NOT NULL
+                                    THEN a.vec_id END) AS BIGINT)
+               AS n_dropped,
+           CAST(sum(CASE WHEN d.vec_id IS NOT NULL
+                         THEN a.vec_id ELSE 0 END) AS BIGINT)
+               AS sum_dropped_ids,
+           CAST(1 AS INT) AS store_partitions,
+           TRUE AS stream_batch_parity,
+           TRUE AS compacted_parity
+    FROM assign2 a LEFT JOIN dropped d USING (vec_id)
+    GROUP BY 1
+    """
+
+
+@query("stream_semantic_compacted_parity", oracle=_semantic_parity_oracle())
+def stream_semantic_compacted_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive the semantic ingest sink's real batch body over
+    id-ordered micro-batches of the embeddings table, compact the
+    assignment store (steady state + crash-leftover heal), and return
+    the per-label fold of the compacted store alongside stream-vs-
+    batch and pre-vs-post-compaction parity checks (block comment
+    above)."""
+    import math as _math
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.similarity import (
+        _centroid_frame,
+        dedup_semantic_top2,
+    )
+    from .runtime import _compact_partition_store, _semantic_ingest_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # id-ordered ranges (arrival order must equal id order for the
+    # stream-vs-batch equivalence — block comment); the max-id scalar
+    # is a bounded one-row collect
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    width = _math.ceil((max_id + 1) / N_SEM_INGEST_BATCHES)
+
+    root = _tempfile.mkdtemp(prefix="pitlap_sem_parity_")
+    store, corpus = f"{root}/store", f"{root}/corpus"
+    try:
+        ingest = _semantic_ingest_batch(
+            _centroid_frame(spark, sf_dir),
+            store,
+            corpus,
+            compact_every=10 * N_SEM_INGEST_BATCHES,  # no fold mid-run
+        )
+        for i in range(N_SEM_INGEST_BATCHES):
+            ingest(
+                emb.filter(
+                    (F.col("vec_id") >= i * width)
+                    & (F.col("vec_id") < (i + 1) * width)
+                ),
+                i,
+            )
+        pre = (
+            spark.read.parquet(store)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+        # crash-window leftover: capture batch 1's sealed partition,
+        # fold everything, then restore it — its rows now live in BOTH
+        # the generation and the leftover source; the next compaction
+        # must heal via full-row dedup
+        leftover = spark.read.parquet(f"{store}/batch=1").localCheckpoint(
+            eager=True
+        )
+        _compact_partition_store(
+            spark, store, current_batch=N_SEM_INGEST_BATCHES, threshold=2
+        )
+        leftover.write.mode("overwrite").parquet(f"{store}/batch=1")
+        _compact_partition_store(
+            spark, store, current_batch=N_SEM_INGEST_BATCHES + 1, threshold=1
+        )
+        import os as _os
+
+        n_parts = len(
+            [d for d in _os.listdir(store) if d.startswith("batch=")]
+        )
+        after = (
+            spark.read.parquet(store)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+
+        def fold(df: DataFrame, prefix: str = "") -> DataFrame:
+            ndrop = F.when(~F.col("kept"), F.col("vec_id"))
+            return df.groupBy("label").agg(
+                F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
+                F.countDistinct("vec_id")
+                .cast("long")
+                .alias(f"{prefix}n_docs"),
+                F.countDistinct(ndrop)
+                .cast("long")
+                .alias(f"{prefix}n_dropped"),
+                F.sum(F.coalesce(ndrop, F.lit(0)))
+                .cast("long")
+                .alias(f"{prefix}sum_dropped_ids"),
+            )
+
+        # stream-vs-batch drop-set equality: symmetric difference of
+        # the two vec_id sets must be empty (one-row scalar)
+        s_drop = after.filter(~F.col("kept")).select("vec_id").distinct()
+        b_drop = (
+            dedup_semantic_top2(spark, sf_dir)
+            .select(F.col("vec_b").alias("vec_id"))
+            .distinct()
+        )
+        mism = (
+            s_drop.withColumn("s", F.lit(1))
+            .join(b_drop.withColumn("b", F.lit(1)), "vec_id", "full")
+            .agg(
+                F.count(
+                    F.when(F.col("s").isNull() | F.col("b").isNull(), 1)
+                ).alias("n_mismatch")
+            )
+        )
+
+        parity = (
+            (F.col("n_rows") == F.col("pre_n_rows"))
+            & (F.col("n_docs") == F.col("pre_n_docs"))
+            & (F.col("n_dropped") == F.col("pre_n_dropped"))
+            & (F.col("sum_dropped_ids") == F.col("pre_sum_dropped_ids"))
+        )
+        result = (
+            fold(after)
+            .join(fold(pre, "pre_"), "label")
+            .crossJoin(F.broadcast(mism))
+            .select(
+                "label",
+                "n_rows",
+                "n_docs",
+                "n_dropped",
+                "sum_dropped_ids",
+                F.lit(n_parts).cast("int").alias("store_partitions"),
+                (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
+                parity.alias("compacted_parity"),
+            )
+        )
+        # materialize before the temp dir is removed (the standing
+        # roundtrip-query device)
+        return result.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

@@ -835,6 +835,226 @@ def run_media_phash_ingest_sink(
     )
 
 
+# ------------------------------- semantic embedding ingest sink
+# The third member of the crawl-ingest dedup family (minhash:
+# run_dedup_ingest_sink; pHash: run_media_phash_ingest_sink;
+# embeddings: here) — the incremental twin of the batch
+# dedup_semantic_top2 query, so a crawl pipeline that SemDeDups
+# batch-side has a streaming path with the same semantics
+# (VERDICT r9 item 3).
+#
+# Assignment contract: every batch vector is scored against a FROZEN
+# quantizer — a (label, cv, cnrm) centroid frame fit OFFLINE on a
+# reference corpus and passed in, never refit per batch (the PSI
+# fit-on-reference rule: a drifting quantizer silently re-keys the
+# store's cluster space and old assignments stop colliding with new
+# ones). Scoring reuses operators/similarity.rank_against_centroids —
+# the SAME rounded-cosine + (ccos desc, label) tie-break the batch
+# twin uses, so stream and batch assignments are bit-identical by
+# construction, not by luck.
+#
+# Store contract (differs from the minhash/pHash sinks, deliberately):
+# the assignment store persists top-2 rows for ALL ingested vectors —
+# kept AND dropped, with a `kept` flag — while the dedup verdict gates
+# only the CORPUS output. Two reasons: (1) chain robustness — with a
+# survivors-only store, a ~ b (b dropped), then c ~ b but c !~ a
+# would let c through even though it near-duplicates content already
+# rejected; probing against everything seen closes that hole; (2) it
+# makes the drop set ORDER-INDEPENDENT under id-ordered arrival:
+# vector b drops iff some earlier-arrived a shares a top-2 cluster
+# with cosine >= tau — exactly the vec_b side of the batch twin's
+# pair set — which is what the registered stream-vs-batch parity
+# query (stream_semantic_compacted_parity, batch_windows.py) pins at
+# the driver's value-hash level.
+#
+# 100-TB shape: per-batch cost is O(batch x K) broadcast quantizer
+# scoring + one cluster-key equi-join against the (partition-pruned,
+# minus-self) store — never all-pairs; exact cosine runs only on
+# label-colliding candidate pairs, deduped on (pair) before scoring
+# (the <=4x top-2 mass bound measured in SCALE.md applies per batch).
+# The store gains one partition per batch and folds into generation
+# partitions via _compact_partition_store once compact_every commit
+# (same write-then-delete, replay-safe analysis as the other two
+# sinks); the corpus stays un-compacted for the same consumer-
+# contract reason.
+
+
+def read_embeddings_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over an embeddings parquet directory."""
+    from ..sources import EMBEDDINGS
+
+    reader = spark.readStream.schema(EMBEDDINGS)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def _semantic_ingest_batch(
+    centroids: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    compact_every: int,
+):
+    """Build the per-micro-batch body of the semantic ingest sink
+    (block comment above). Exposed as a factory so the registered
+    parity query can drive the EXACT production code path with
+    deterministic id-ordered batches, while the streaming wrapper
+    hands the same function to foreachBatch."""
+    import os as _os
+
+    from ..operators.similarity import SEMDEDUP_TAU, rank_against_centroids
+
+    cent = centroids.localCheckpoint(eager=True)
+
+    def _cos(av, an, bv, bn):
+        return F.round(
+            F.expr(
+                f"aggregate(zip_with({av}, {bv}, (p, q) -> p * q), 0D,"
+                " (acc, t) -> acc + t)"
+            )
+            / (F.col(an) * F.col(bn)),
+            6,
+        )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _compact_partition_store(spark, store_path, batch_id, compact_every)
+        batch = batch_df.localCheckpoint(eager=True)
+        vecs = batch.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        ).withColumn(
+            "nrm",
+            F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")),
+        )
+        # top-2 overlapping assignment against the frozen quantizer —
+        # the shared scorer, so stream == batch by construction
+        assign = (
+            rank_against_centroids(vecs, cent)
+            .filter(F.col("crk") <= 2)
+            .select("vec_id", "label")
+            .join(vecs, "vec_id")
+            .localCheckpoint(eager=True)
+        )
+
+        # intra-batch: b drops iff ANY lower-id batch vector shares a
+        # top-2 cluster with cosine >= tau (pairs deduped BEFORE the
+        # exact cosine — the candidates-then-verify discipline)
+        a, b = assign.alias("a"), assign.alias("b")
+        pairs_in = (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("a_id"),
+                F.col("b.vec_id").alias("b_id"),
+                F.col("a.v").alias("av"),
+                F.col("a.nrm").alias("an"),
+                F.col("b.v").alias("bv"),
+                F.col("b.nrm").alias("bn"),
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        in_dups = (
+            pairs_in.filter(_cos("av", "an", "bv", "bn") >= SEMDEDUP_TAU)
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+        )
+
+        # cross-batch: probe the store's EARLIER-ARRIVED rows only
+        # (batch < current, kept and dropped alike) — precedence is
+        # arrival order, so a replay of batch N reads exactly what
+        # the first run read even when later batches' partitions
+        # already exist (strictly stronger than the minhash/pHash
+        # sinks' minus-self read: a `!=` filter would let a from-
+        # scratch replay of an early batch see LATER rows and drop
+        # vectors the first run kept). Generation partitions are
+        # negative, so they always pass the filter — correct, because
+        # only batches committed BEFORE any replayable batch are ever
+        # folded (_compact_partition_store's invariant).
+        if _os.path.exists(store_path):
+            store = spark.read.parquet(store_path).filter(
+                F.col("batch") < batch_id
+            )
+            pairs_x = (
+                store.alias("s")
+                .join(
+                    F.broadcast(assign.alias("x")),
+                    F.col("s.label") == F.col("x.label"),
+                )
+                .select(
+                    F.col("s.vec_id").alias("a_id"),
+                    F.col("x.vec_id").alias("b_id"),
+                    F.col("s.v").alias("av"),
+                    F.col("s.nrm").alias("an"),
+                    F.col("x.v").alias("bv"),
+                    F.col("x.nrm").alias("bn"),
+                )
+                .dropDuplicates(["a_id", "b_id"])
+            )
+            x_dups = (
+                pairs_x.filter(_cos("av", "an", "bv", "bn") >= SEMDEDUP_TAU)
+                .select(F.col("b_id").alias("vec_id"))
+                .distinct()
+            )
+            dropped = in_dups.unionByName(x_dups).distinct()
+        else:
+            dropped = in_dups
+        dropped = F.broadcast(dropped.localCheckpoint(eager=True))
+
+        # batch-scoped overwrite writes: replay-idempotent at any
+        # crash point between them. Corpus gets survivors only; the
+        # store gets EVERY assignment row with the verdict flag.
+        sub = f"batch={batch_id}"
+        batch.join(dropped, "vec_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(f"{corpus_path}/{sub}")
+        assign.join(
+            dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left"
+        ).select(
+            "vec_id",
+            "label",
+            "v",
+            "nrm",
+            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+        ).write.mode("overwrite").parquet(f"{store_path}/{sub}")
+
+    return ingest_batch
+
+
+def run_semantic_ingest_sink(
+    emb: DataFrame,
+    centroids: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
+) -> StreamingQuery:
+    """Streaming EMBEDDING ingest with semantic (cosine) near-dup
+    dedup — the SemDeDup twin of ``run_dedup_ingest_sink`` (block
+    comment above): per batch, top-2 frozen-quantizer assignment,
+    intra-batch pair probe, full-store cluster-key probe, exact
+    cosine on deduped candidates only, batch-scoped overwrite writes
+    with generation compaction from day one."""
+    return (
+        emb.writeStream.foreachBatch(
+            _semantic_ingest_batch(
+                centroids, store_path, corpus_path, compact_every
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ------------------------------------------------ CDC snapshot sink
 
 

@@ -56,69 +56,74 @@ def test_registry_size_and_oracle_coverage():
     assert not stale, f"oracles without queries: {sorted(stale)}"
 
 
-def test_round9_rotation_window_composition():
-    """The round-9 driver window (first 50 names) must follow the
-    pinned ledger (registry._PRIORITY comment): the 8 never-verified
-    round-8 cohort-(g) spill queries lead, the privacy_dp_sum_bounded
-    red-row retest follows (a red latest row outranks stale
-    evidence), then the round-9 cohort-(i) additions (capped at 7),
-    then the FULL 34-row r2-era refresh queue in ledger order — an
-    accidental reorder or insertion would silently spend verification
-    slots differently than the documented policy."""
+def test_round10_rotation_window_composition():
+    """The round-10 driver window (first 50 names) must follow the
+    pinned ledger (registry._PRIORITY comment): the board opened
+    clean (zero never-verified, zero red after round 9), so the one
+    round-10 cohort-(i) addition leads (never-verified outranks
+    stale, standing policy since r4), then the FULL 49-row r3-era
+    refresh queue in ledger order. Arithmetic: N_new + 49 = 50
+    exactly at the N_new = 1 cap — an accidental second addition or
+    a reorder would silently spend verification slots differently
+    than the documented policy."""
     pri = list(registry._PRIORITY)
-    g_spill = [
-        "window_reflected_balance",
-        "text_phrase_search",
-        "sessionize_capped",
-        "ml_cross_validation_stump",
-        "geo_dbscan_grid",
-        "graph_pagerank_personalized",
-        "agg_hll_set_operations",
-        "ts_holt_linear_trend",
+    r3_era_ledger = [
+        "flagship_top_value_per_user",
+        "agg_approx_sketches",
+        "agg_group_minmax_stats",
+        "window_range_frame",
+        "asof_join_last_order",
+        "dedup_minhash_lsh",
+        "stream_tumbling_counts",
+        "stream_sliding_avg",
+        "stream_session_windows",
+        "sink_upsert_roundtrip",
+        "window_forward_fill",
+        "rollup_hierarchy_day_from_hour",
+        "sink_merge_scoped_roundtrip",
+        "text_boilerplate_lines",
+        "shuffle_epoch_shards",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "interval_merge_activity",
+        "sketch_mv_union",
+        "anomaly_rolling_zscore",
+        "dq_skew_profile",
+        "market_basket_pairs",
+        "window_cumulative_distinct_users",
+        "dedup_winnowing",
+        "temporal_pit_join",
+        "asof_join_tolerance",
+        "sessionize_events",
+        "window_share_of_total",
+        "scd2_user_value_history",
+        "funnel_view_click_purchase",
+        "cohort_retention_matrix",
+        "sim_topk_lsh_multiprobe",
+        "join_range_binned",
+        "incremental_mv_merge",
+        "kmeans_lloyd_clusters",
+        "sample_weighted_mix",
+        "agg_histogram_equi_width",
+        "pandas_udaf_weighted_mean",
+        "join_salted_skew",
+        "text_kl_domain_drift",
+        "dedup_keep_best",
+        "fuzzy_match_blocking",
+        "table_diff_reconcile",
+        "contamination_eval_overlap",
+        "pack_token_budget",
+        "split_train_holdout",
+        "scalar_date_math",
+        "scalar_regex_suite",
     ]
-    r2_era_ledger = [
-        "pipeline_pretrain_filter",
-        "dedup_embedding_cosine",
-        "dedup_ngram_jaccard_capped",
-        "dedup_cluster_components",
-        "sim_topk_bruteforce",
-        "sim_topk_lsh",
-        "sim_label_centroid_knn",
-        "pandas_udf_normalize",
-        "apply_in_pandas_zscore",
-        "mm_binary_features",
-        "mm_frame_sample",
-        "mm_metadata_stats",
-        "agg_collect_set_ordered",
-        "agg_grouping_sets",
-        "agg_percentiles",
-        "agg_salted_group_max",
-        "agg_stats_corr",
-        "dq_constraint_checks",
-        "dq_profile_lineitem",
-        "join_right_outer",
-        "sample_hash_systematic",
-        "sample_stratified_topn",
-        "scalar_array_ops",
-        "subquery_exists_semi",
-        "text_bigram_lm_score",
-        "text_fingerprint",
-        "text_gopher_rules",
-        "text_lang_id",
-        "text_pii_scrub",
-        "text_quality_score",
-        "text_repetition_ratios",
-        "text_tfidf_top_term",
-        "text_token_stats",
-        "window_ntile_distribution",
-    ]
-    # ledger structure: spill cohort, retest, cohort (i), r2-era queue
-    assert pri[:8] == g_spill
-    assert pri[8] == "privacy_dp_sum_bounded"
-    assert pri[-34:] == r2_era_ledger
-    cohort_i = pri[9:-34]
-    # the written arithmetic: 8 + 1 + N_new + 34 <= 50, so N_new <= 7
-    assert len(cohort_i) <= 7, cohort_i
+    # ledger structure: cohort (i) additions, then the r3-era queue
+    assert pri[-49:] == r3_era_ledger
+    cohort_i = pri[:-49]
+    # the written arithmetic: N_new + 49 <= 50, so N_new <= 1
+    assert len(cohort_i) <= 1, cohort_i
+    assert cohort_i == ["stream_semantic_compacted_parity"]
     # every ledger name must actually be registered (a typo here
     # would silently drop a pinned slot from the driver window)
     queries = registry.all_queries()

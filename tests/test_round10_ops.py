@@ -1,0 +1,122 @@
+"""Round-10 operator tests: the semantic streaming-ingest parity
+query's own contract (the stream-vs-batch and compaction parity
+columns must be TRUE in every row — the DuckDB oracle pins them as
+literals, this pins them Spark-side with readable failures), plus
+the store-lifecycle invariants the registered query relies on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pitlapetl_spark import registry
+from tests.conftest import SF_SMOKE
+
+registry.load_all()
+Q = registry.QUERIES
+
+
+def test_semantic_parity_query_all_parities_true(spark):
+    rows = Q["stream_semantic_compacted_parity"](spark, SF_SMOKE).collect()
+    assert rows, "per-label fold must be non-empty"
+    assert all(r.stream_batch_parity for r in rows), [
+        (r.label, r.stream_batch_parity) for r in rows
+    ]
+    assert all(r.compacted_parity for r in rows), [
+        (r.label, r.compacted_parity) for r in rows
+    ]
+    # the double compaction (steady state + crash-leftover heal) must
+    # leave exactly ONE generation partition
+    assert all(r.store_partitions == 1 for r in rows)
+    # fixture sanity: the corpus actually contains semantic near-dups
+    # (an all-kept store would vacuously pass the parity columns)
+    assert sum(r.n_dropped for r in rows) > 0
+
+
+def test_semantic_ingest_drop_rule_is_earlier_arrival(spark, tmp_path):
+    """Unit probe of the sink's batch body: a later-batch vector that
+    duplicates an earlier DROPPED vector must still drop (the
+    full-store chain-robustness contract: the store holds kept AND
+    dropped rows), which a survivors-only store would let through."""
+    from pitlapetl_spark.streaming.runtime import _semantic_ingest_batch
+
+    # three near-identical vectors a(0) ~ b(1) ~ c(2) in one cluster:
+    # b drops against a intra-batch; c arrives later and must drop
+    # against the stored b (and a) even though b itself was dropped
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows0 = [(0, [1.0, 0.01, 0.0, 0.0], 0), (1, [1.0, 0.02, 0.0, 0.0], 0)]
+    rows1 = [(2, [1.0, 0.03, 0.0, 0.0], 0)]
+    schema = "vec_id long, embedding array<float>, label int"
+    cent = spark.createDataFrame(
+        [(0, base, 1.0), (1, [0.0, 0.0, 0.0, 1.0], 1.0)],
+        "label int, cv array<double>, cnrm double",
+    )
+    ingest = _semantic_ingest_batch(
+        cent, str(tmp_path / "store"), str(tmp_path / "corpus"), 100
+    )
+    ingest(spark.createDataFrame(rows0, schema), 0)
+    ingest(spark.createDataFrame(rows1, schema), 1)
+    corpus = {
+        r.vec_id
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert corpus == {0}
+    verdicts = {
+        r.vec_id: r.kept
+        for r in spark.read.parquet(str(tmp_path / "store"))
+        .select("vec_id", "kept")
+        .distinct()
+        .collect()
+    }
+    assert verdicts == {0: True, 1: False, 2: False}
+
+
+def test_url_canonicalization_rules_unit(spark):
+    """Each canonicalization rule on a hand-written raw URL, checked
+    against the hand-derived canonical form — the oracle checks the
+    derivation end-to-end; this pins the rules on inputs the
+    derivation never produces (empty path, fbclid/gclid, multi-run
+    slashes, https default port with www)."""
+    from pitlapetl_spark.operators.webgate import canonicalize_url
+
+    cases = [
+        # scheme+host case, www strip, http default port, fragment
+        ("HTTP://WWW.Foo.COM:80/A//B/?b=2&a=1#x", "http://foo.com/A/B?a=1&b=2"),
+        # https default port + www, tracking params all dropped
+        (
+            "HTTPS://www.Bar.com:443/p/?utm_source=x&fbclid=1&gclid=2",
+            "https://bar.com/p",
+        ),
+        # non-default port kept; empty path -> '/'
+        ("https://a.b:8080?z=9", "https://a.b:8080/?z=9"),
+        # bare root with trailing slashes collapses to '/'
+        ("http://h///", "http://h/"),
+        # path case preserved; params sorted; empty params dropped
+        ("http://h/CaseSensitive?b=1&&a=2", "http://h/CaseSensitive?a=2&b=1"),
+    ]
+    df = spark.createDataFrame(cases, "raw string, want string").select(
+        canonicalize_url(F.col("raw")).alias("got"), "want"
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.got, r.want)
+
+
+def test_url_gate_branches_all_populated(spark):
+    """The fixture derivation must exercise every verdict branch:
+    kept, canonical-dup, blocked — and dup flags never appear on
+    blocked rows (dedup runs among unblocked members only)."""
+    rows = Q["text_url_canonicalize_gate"](spark, SF_SMOKE).collect()
+    assert {(r.is_blocked, r.is_dup, r.kept) for r in rows} == {
+        (False, False, True),
+        (False, True, False),
+        (True, False, False),
+    }
+    # keep-lowest-doc_id: within each canonical group the kept member
+    # is the minimum unblocked doc_id
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        if not r.is_blocked:
+            groups[r.url_canon].append(r)
+    for g in groups.values():
+        kept = [r.doc_id for r in g if r.kept]
+        assert kept == [min(r.doc_id for r in g)]

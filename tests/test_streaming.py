@@ -1805,3 +1805,147 @@ def test_histogram_sink_bit_equal_to_batch_and_replays(spark, tmp_path):
         "overwrite"
     ).parquet(f"{store}/batch={sb}")
     assert _rows(read_histogram(spark, store), *cols) == want
+
+
+def test_semantic_ingest_matches_batch_semdedup_and_replays(spark, tmp_path):
+    """The embedding/semantic ingest sink (the third crawl-ingest
+    family member): run the REAL stream over the embeddings corpus
+    split into two id-ordered micro-batches with the frozen
+    label-centroid quantizer, and the dropped set must equal EXACTLY
+    the batch dedup_semantic_top2 pair set's vec_b side (the design
+    equivalence documented in runtime.py: full-store probing +
+    id-ordered arrival makes 'drop iff matched by any earlier vector'
+    the batch pair orientation). The store must hold ALL vectors with
+    the verdict flag, and a full replay on a fresh checkpoint must
+    converge to the identical corpus (batch-scoped overwrite +
+    store-minus-self)."""
+    import os
+    import time
+
+    from pitlapetl_spark.operators.similarity import (
+        _centroid_frame,
+        dedup_semantic_top2,
+    )
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        read_embeddings_stream,
+        run_semantic_ingest_sink,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    mid = (max(all_ids) + 1) // 2
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    emb.filter(F.col("vec_id") < mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    emb.filter(F.col("vec_id") >= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    cent = _centroid_frame(spark, SF_SMOKE)
+
+    def run(ckpt):
+        q = run_semantic_ingest_sink(
+            read_embeddings_stream(spark, src, max_files_per_trigger=1),
+            cent,
+            str(tmp_path / "store"),
+            str(tmp_path / "corpus"),
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+        return {
+            r.vec_id
+            for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+        }
+
+    got = run("ckpt1")
+    batch_drops = {
+        r.vec_b for r in dedup_semantic_top2(spark, SF_SMOKE).collect()
+    }
+    assert batch_drops, "fixture sanity: the batch twin flags pairs"
+    assert got == all_ids - batch_drops
+    # the store holds EVERY vector (kept and dropped) with the verdict
+    store = spark.read.parquet(str(tmp_path / "store"))
+    verdicts = {
+        r.vec_id: r.kept
+        for r in store.select("vec_id", "kept").distinct().collect()
+    }
+    assert set(verdicts) == all_ids
+    assert {v for v, k in verdicts.items() if not k} == batch_drops
+
+    # replay from scratch (fresh checkpoint, stores left in place)
+    again = run("ckpt2")
+    assert again == got
+
+
+def test_semantic_ingest_compaction_matches_uncompacted(spark, tmp_path):
+    """Aggressive generation compaction (compact_every=1) must (a)
+    produce the IDENTICAL corpus to the uncompacted run — compaction
+    can never change a dedup decision — (b) fold committed batch
+    partitions into a sealed generation, and (c) preserve the
+    assignment store's full row set exactly (the registered
+    stream_semantic_compacted_parity query checks the same invariant
+    at the driver's value-hash grain, plus a crash-leftover heal)."""
+    import os
+    import time
+
+    from pitlapetl_spark.operators.similarity import _centroid_frame
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        read_embeddings_stream,
+        run_semantic_ingest_sink,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    mid = 250
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    emb.filter(F.col("vec_id") < mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    emb.filter(F.col("vec_id") >= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    cent = _centroid_frame(spark, SF_SMOKE)
+
+    def run(tag: str, compact_every: int):
+        q = run_semantic_ingest_sink(
+            read_embeddings_stream(spark, src, max_files_per_trigger=1),
+            cent,
+            str(tmp_path / f"store_{tag}"),
+            str(tmp_path / f"corpus_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            compact_every=compact_every,
+        )
+        q.awaitTermination(300)
+        corpus = {
+            r.vec_id
+            for r in spark.read.parquet(
+                str(tmp_path / f"corpus_{tag}")
+            ).collect()
+        }
+        store_rows = {
+            (r.vec_id, r.label, tuple(r.v), r.nrm, r.kept)
+            for r in spark.read.parquet(str(tmp_path / f"store_{tag}"))
+            .drop("batch")
+            .collect()
+        }
+        parts = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(tmp_path / f"store_{tag}")
+            if d.startswith("batch=")
+        )
+        return corpus, store_rows, parts
+
+    corpus_u, store_u, parts_u = run("plain", compact_every=10**6)
+    corpus_c, store_c, parts_c = run("compact", compact_every=1)
+    assert corpus_c == corpus_u and corpus_u  # (a) decisions unchanged
+    assert store_c == store_u  # (c) full row set preserved
+    assert all(p >= 0 for p in parts_u)
+    # (b): batch 0 folded into a generation before batch 1 committed;
+    # batch 1's own partition is never folded (current-batch guard)
+    assert parts_c[0] < 0 and 0 not in parts_c and 1 in parts_c

@@ -192,8 +192,9 @@ def rounded_aliases(sql: str) -> list[tuple[str, int]]:
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+def main(sf_dir: str | None = None) -> int:
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pitlapetl_spark.registry import all_oracles
 
     con = duckdb.connect()
