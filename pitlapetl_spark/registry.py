@@ -140,7 +140,14 @@ _loaded = False
 #     returns probe (VERDICT r9 item 4: top-3 closes 80-100% of the
 #     top-2 residual at 1.83-1.85x mass, inside the <=2x ship bar);
 #   text_url_canonicalize_gate — the C4/RefinedWeb URL pre-gate
-#     (VERDICT r9 item 7), operators/webgate.py.
+#     (VERDICT r9 item 7), operators/webgate.py;
+#   text_quality_classifier_score — the model-APPLY half of the
+#     logreg quality gate (VERDICT r9 item 7's second candidate):
+#     shared deterministic fit, literal-weight broadcast scoring,
+#     stats.py.
+# Round-11 window arithmetic these spills imply: 3 never-verified +
+# 47 of the 50 r4-era refreshes = 50; the last 3 r4-era rows carry
+# to round 12.
 _PRIORITY: tuple[str, ...] = (
     # (i) new in round 10 — cap: 1, see the arithmetic note above
     "stream_semantic_compacted_parity",  # batch twin proving the

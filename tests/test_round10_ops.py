@@ -120,3 +120,27 @@ def test_url_gate_branches_all_populated(spark):
     for g in groups.values():
         kept = [r.doc_id for r in g if r.kept]
         assert kept == [min(r.doc_id for r in g)]
+
+
+def test_quality_scorer_agrees_with_trainer_accuracy(spark):
+    """The scoring pass and the trainer share one fit: the mean of
+    the scorer's per-doc `correct` flags must equal the trainer's
+    reported accuracy exactly (both round-6 of the same count/n)."""
+    scored = Q["text_quality_classifier_score"](spark, SF_SMOKE).collect()
+    acc_rows = Q["ml_logreg_gradient_descent"](spark, SF_SMOKE).collect()
+    got = round(sum(1 for r in scored if r.correct) / len(scored), 6)
+    assert got == acc_rows[0].accuracy
+    # the scores genuinely vary per document (a constant score would
+    # make the apply pass vacuous), and both verdict outcomes appear
+    assert len({r.quality_score for r in scored}) > 10
+    assert {r.correct for r in scored} == {True, False}
+
+
+def test_quality_scorer_plan_is_joinless_map(spark):
+    """The model rides as literals, so the scoring projection must
+    plan as a pure narrow map over the documents scan — no join
+    operator anywhere (the broadcast-model-apply shape)."""
+    df = Q["text_quality_classifier_score"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("FileScan parquet") == 1
