@@ -1010,3 +1010,94 @@ def test_morton_sql_matches_python_reference(spark):
             ref |= ((cx >> i) & 1) << (2 * i)
             ref |= ((cy >> i) & 1) << (2 * i + 1)
         assert z == ref, (cx, cy, z, ref)
+
+
+# --------------------------- URL canonicalizer (round 10, webgate)
+
+_schemes = st.sampled_from(["http", "https", "ftp"])
+_hosts = st.from_regex(
+    r"[a-z][a-z0-9]{0,6}(\.[a-z][a-z0-9]{0,6}){1,2}", fullmatch=True
+).filter(lambda h: not h.startswith("www."))
+# (a host whose FIRST label is literally 'www' is excluded: the
+# canonicalizer strips one leading 'www.' by design, so
+# 'www.x.y' and 'WWW.www.x.y' are the same canonical URL but
+# 'www.x.y' without the extra prefix is a DIFFERENT site — the
+# invariance property only holds for hosts that don't collide with
+# the prefix rule, which is the documented real-world trade of
+# www-stripping)
+_paths = st.lists(
+    st.from_regex(r"[A-Za-z0-9._~-]{1,8}", fullmatch=True), max_size=3
+).map(lambda segs: "/" + "/".join(segs) if segs else "")
+_params = st.lists(
+    st.tuples(
+        st.from_regex(r"[a-z][a-z0-9]{0,5}", fullmatch=True),
+        st.from_regex(r"[A-Za-z0-9]{0,6}", fullmatch=True),
+    ),
+    max_size=4,
+    unique_by=lambda kv: kv[0],
+)
+
+
+def _mangle(scheme, host, port, path, params, *, upper, www, track, frag, dupslash):
+    """A raw spelling of the URL under the given variation knobs."""
+    s = scheme.upper() if upper else scheme
+    h = ("WWW." if www else "") + (host.upper() if upper else host)
+    p = path.replace("/", "//") if dupslash else path
+    kv = list(params) + ([("utm_source", "x"), ("gclid", "1")] if track else [])
+    q = "&".join(f"{k}={v}" for k, v in kv)
+    return (
+        f"{s}://{h}{port}{p}"
+        + (f"?{q}" if q else "")
+        + ("#frag" if frag else "")
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    scheme=_schemes,
+    host=_hosts,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=_paths,
+    params=_params,
+    knobs=st.tuples(*[st.booleans()] * 5),
+)
+def test_url_canonicalize_invariance_and_idempotence(
+    scheme, host, port, path, params, knobs
+):
+    """Two properties the rule list implies but no single example
+    pins: (a) INVARIANCE — every raw spelling of the same URL (case,
+    www, tracking params, param order, duplicate slashes, fragment)
+    canonicalizes to the same string, for ANY generated URL, not just
+    the fixture's derivation classes; (b) IDEMPOTENCE — canonical
+    output fed back through the canonicalizer is a fixed point (a
+    canonicalizer that isn't idempotent silently builds two key
+    spaces the moment a pipeline re-canonicalizes stored URLs)."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.operators.webgate import canonicalize_url
+
+    spark = _get_spark()
+    upper, www, track, frag, dupslash = knobs
+    raw_a = _mangle(
+        scheme, host, port, path, params,
+        upper=upper, www=www, track=track, frag=frag, dupslash=dupslash,
+    )
+    raw_b = _mangle(
+        scheme, host, port, path, list(reversed(params)),
+        upper=not upper, www=False, track=not track, frag=False,
+        dupslash=False,
+    )
+    df = spark.createDataFrame([(raw_a, raw_b)], "a string, b string").select(
+        canonicalize_url(F.col("a")).alias("ca"),
+        canonicalize_url(F.col("b")).alias("cb"),
+    )
+    row = df.collect()[0]
+    assert row.ca == row.cb, (raw_a, raw_b, row.ca, row.cb)
+    # idempotence: re-canonicalize the canonical form
+    again = (
+        spark.createDataFrame([(row.ca,)], "c string")
+        .select(canonicalize_url(F.col("c")).alias("cc"))
+        .collect()[0]
+        .cc
+    )
+    assert again == row.ca, (row.ca, again)
