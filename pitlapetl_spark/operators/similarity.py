@@ -843,11 +843,31 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster key, never all-pairs.
 
 
-def _semantic_topm_oracle(m: int) -> str:
-    return f"""
-    WITH {_ORACLE_VECS},
-    {_ORACLE_CRANK},
-    assignm AS (SELECT vec_id, label FROM crank WHERE crk <= {m}),
+def cosine_col(av: str, an: str, bv: str, bn: str):
+    """Round-6 exact cosine between two (vector, norm) column pairs —
+    THE verify-stage expression, shared by the batch SemDeDup rungs
+    (`_semantic_topm`), the streaming semantic ingest sink
+    (streaming/runtime.py), and the top-m probe
+    (tools/semantic_topm_probe.py) so the tau gate's arithmetic can
+    never drift between the stream and its batch twin (round-10
+    review catch: three hand-copied twins of this expression)."""
+    return F.round(
+        F.expr(
+            f"aggregate(zip_with({av}, {bv}, (p, q) -> p * q), 0D,"
+            " (acc, t) -> acc + t)"
+        )
+        / (F.col(an) * F.col(bn)),
+        6,
+    )
+
+
+def semdedup_pair_ctes(m: int) -> str:
+    """The top-m SemDeDup candidate/score CTE chain (assignm →
+    cpairs → pdots → scored), shared by `_semantic_topm_oracle` and
+    the streaming parity query's oracle (batch_windows.py) so the two
+    oracles always test the SAME batch contract. Expects the
+    `{_ORACLE_VECS}` and `{_ORACLE_CRANK}` CTEs upstream."""
+    return f"""assignm AS (SELECT vec_id, label FROM crank WHERE crk <= {m}),
     cpairs AS (
         SELECT DISTINCT a1.vec_id AS vec_a, a2.vec_id AS vec_b
         FROM assignm a1
@@ -865,7 +885,14 @@ def _semantic_topm_oracle(m: int) -> str:
         FROM pdots
         JOIN norms na ON na.vec_id = vec_a
         JOIN norms nb ON nb.vec_id = vec_b
-    )
+    )"""
+
+
+def _semantic_topm_oracle(m: int) -> str:
+    return f"""
+    WITH {_ORACLE_VECS},
+    {_ORACLE_CRANK},
+    {semdedup_pair_ctes(m)}
     SELECT vec_a, vec_b, cosine
     FROM scored WHERE cosine >= {SEMDEDUP_TAU}
     """
@@ -917,14 +944,7 @@ def _semantic_topm(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(av, bv, (p, q) -> p * q), 0D,"
-                    " (acc, t) -> acc + t)"
-                )
-                / (F.col("an") * F.col("bn")),
-                6,
-            ).alias("cosine"),
+            cosine_col("av", "an", "bv", "bn").alias("cosine"),
         )
     )
     return scored.filter(F.col("cosine") >= SEMDEDUP_TAU)

@@ -11,9 +11,12 @@ order, fragment) keyed on doc_id residues, exactly the
 reconcile-style derived-input device (reconcile.py _v2): the oracle
 replays the same derivation, so every canonicalization rule is
 value-checked end-to-end rather than spot-tested. Ids congruent mod
-120 (lcm of the residue classes' moduli that feed the canonical
-parts) collide on the canonical URL through DIFFERENT raw spellings,
-so the dedup branch is exercised by construction.
+1320 (lcm of ALL the residue moduli that reach the canonical form —
+the kept :8080 port class, doc_id % 11, survives canonicalization,
+so 120 alone is not enough) collide on the canonical URL through
+DIFFERENT raw spellings; at 500 docs the mod-120-and-same-port
+classes supply hundreds of collisions, so the dedup branch is
+exercised by construction (319 dup rows at sf0.01).
 
 Canonicalization rules (each a documented, SQL-expressible
 transform — both engines implement them independently):

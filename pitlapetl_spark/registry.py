@@ -207,94 +207,8 @@ _PRIORITY: tuple[str, ...] = (
     "scalar_regex_suite",
 )
 
-# The round-9 window (kept for the ledger's history; superseded by
-# the round-10 list above):
-_PRIORITY_R9: tuple[str, ...] = (
-    # (g-spill) round-8 additions whose first driver row spilled past
-    # r8's 50-slot window — never-verified, so they lead (standing
-    # policy since r4); ship order
-    "window_reflected_balance",  # floor-at-zero running balance via
-    # the Skorokhod reflection closed form — a fold made windowable
-    "text_phrase_search",  # position-postings phrase adjacency join —
-    # the inverted-index answer to LIKE '%...%' corpus scans
-    "sessionize_capped",  # idle-gap + hard-max-duration sessions: the
-    # bot/always-on-device state bound the plain sessionizer lacks
-    "ml_cross_validation_stump",  # leakage-safe k-fold CV in one plan
-    # (train = total - heldout grain algebra, no per-fold re-scan)
-    "geo_dbscan_grid",  # grid DBSCAN: dense-cell components via
-    # 9-offset explode equi-joins, recursive-CTE oracle closure
-    "graph_pagerank_personalized",  # seed-teleport PPR: sparse rank
-    # frame + full-outer teleport join, shared memoized edge frame
-    "agg_hll_set_operations",  # HLL mergeability: union by register
-    # max (no input re-scan), intersection by inclusion-exclusion
-    "ts_holt_linear_trend",  # two-state (level+trend) smoothing fold,
-    # in-sample one-step forecast per day
-    # (red retest) the one red latest row on the board: r8 hash
-    # mismatch from 6-dp rounding at 1e7 magnitude under the 4e6
-    # Laplace scale — both engines now round noise/released_sum to
-    # 2 dp (cent precision, ~5e6x ulp headroom; VERDICT r8 item 1)
-    "privacy_dp_sum_bounded",
-    # (i) new in round 9 — grown in place as sessions add operators
-    # (cap: 7, see the arithmetic note above)
-    "dedup_semantic_top2",  # SemDeDup with top-2 centroid assignment:
-    # closes the measured centroid-boundary-split recall gap
-    # (VERDICT r8 item 4; SCALE.md semantic ladder)
-    "agg_theta_sketch_distinct_sum",  # replayable theta-style sketch
-    # (K-minimum-values distinct + distinct-sum estimate) — closes
-    # the registry's last rows-only waiver (VERDICT r8 item 7)
-    "dedup_minhash_lsh_preagg",  # banding join on pre-aggregated
-    # DISTINCT (band, sig) postings — the bench-headroom shape from
-    # VERDICT r8 item 3, registered as its own oracle-checked query
-    "stream_phash_compacted_parity",  # batch twin proving the pHash
-    # ingest store reads identically before/after generation
-    # compaction (VERDICT r8 item 5 extension, registered grain)
-    "window_hll_sliding_distinct",  # trailing-7-day distinct users
-    # from per-day HLL register frames merged by register max — the
-    # sketch twin of the exact rolling-distinct window, never
-    # re-scanning events
-    "dq_partition_merkle_diff",  # partition-grain count+xor-of-row-
-    # hash fingerprints between two snapshots: which partitions
-    # drifted, with no row-level join anywhere
-    "stream_watermark_lateness_audit",  # out-of-orderness vs the
-    # arrival-order high-water mark; prices candidate watermark
-    # delays by the events each would drop
-    # (h) the r2-era refresh queue (oldest driver evidence on the
-    # board), ledger order — all 34 fit this round
-    "pipeline_pretrain_filter",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard_capped",
-    "dedup_cluster_components",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_label_centroid_knn",
-    "pandas_udf_normalize",
-    "apply_in_pandas_zscore",
-    "mm_binary_features",
-    "mm_frame_sample",
-    "mm_metadata_stats",
-    "agg_collect_set_ordered",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "agg_salted_group_max",
-    "agg_stats_corr",
-    "dq_constraint_checks",
-    "dq_profile_lineitem",
-    "join_right_outer",
-    "sample_hash_systematic",
-    "sample_stratified_topn",
-    "scalar_array_ops",
-    "subquery_exists_semi",
-    "text_bigram_lm_score",
-    "text_fingerprint",
-    "text_gopher_rules",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_ratios",
-    "text_tfidf_top_term",
-    "text_token_stats",
-    "window_ntile_distribution",
-)
+# (The superseded round-9 window tuple lived here as _PRIORITY_R9;
+# git history preserves it — see the round-10 ledger commit.)
 
 
 def _priority_ordered(d: dict[str, object]) -> dict:

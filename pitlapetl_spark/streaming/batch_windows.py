@@ -468,34 +468,25 @@ N_SEM_INGEST_BATCHES = 3
 
 
 def _semantic_parity_oracle() -> str:
+    # the pair/score chain is SHARED with dedup_semantic_top2's
+    # oracle (similarity.semdedup_pair_ctes) so this oracle always
+    # tests the same batch contract the stream is compared against
+    # (round-10 review catch: a hand-copied twin could be retuned on
+    # one side only)
     from ..operators.similarity import (
         SEMDEDUP_TAU,
         _ORACLE_CRANK,
         _ORACLE_VECS,
+        semdedup_pair_ctes,
     )
 
     return f"""
     WITH {_ORACLE_VECS},
     {_ORACLE_CRANK},
-    assign2 AS (SELECT vec_id, label FROM crank WHERE crk <= 2),
-    cpairs AS (
-        SELECT DISTINCT a1.vec_id AS vec_a, a2.vec_id AS vec_b
-        FROM assign2 a1
-        JOIN assign2 a2 ON a1.label = a2.label AND a1.vec_id < a2.vec_id
-    ),
-    pdots AS (
-        SELECT p.vec_a, p.vec_b, sum(u1.x * u2.x) AS dot
-        FROM cpairs p
-        JOIN u u1 ON u1.vec_id = p.vec_a
-        JOIN u u2 ON u2.vec_id = p.vec_b AND u2.i = u1.i
-        GROUP BY 1, 2
-    ),
+    {semdedup_pair_ctes(2)},
     dropped AS (
         SELECT DISTINCT vec_b AS vec_id
-        FROM pdots
-        JOIN norms na ON na.vec_id = vec_a
-        JOIN norms nb ON nb.vec_id = vec_b
-        WHERE round(dot / (na.nrm * nb.nrm), 6) >= {SEMDEDUP_TAU}
+        FROM scored WHERE cosine >= {SEMDEDUP_TAU}
     )
     SELECT a.label,
            CAST(count(*) AS BIGINT) AS n_rows,
@@ -509,7 +500,7 @@ def _semantic_parity_oracle() -> str:
            CAST(1 AS INT) AS store_partitions,
            TRUE AS stream_batch_parity,
            TRUE AS compacted_parity
-    FROM assign2 a LEFT JOIN dropped d USING (vec_id)
+    FROM assignm a LEFT JOIN dropped d USING (vec_id)
     GROUP BY 1
     """
 
@@ -621,22 +612,34 @@ def stream_semantic_compacted_parity(
             )
         )
 
+        # FULL OUTER fold join: an inner join would silently DROP a
+        # label compaction lost entirely (fold(after) has no row for
+        # it) and every surviving row would still read parity=true —
+        # whole-label loss must instead surface as a row with the
+        # after-side counts zeroed and compacted_parity=false
+        # (round-10 review catch). eqNullSafe makes a one-sided null
+        # fail the equality instead of null-propagating to a null
+        # flag.
         parity = (
-            (F.col("n_rows") == F.col("pre_n_rows"))
-            & (F.col("n_docs") == F.col("pre_n_docs"))
-            & (F.col("n_dropped") == F.col("pre_n_dropped"))
-            & (F.col("sum_dropped_ids") == F.col("pre_sum_dropped_ids"))
+            F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
+            & F.col("n_docs").eqNullSafe(F.col("pre_n_docs"))
+            & F.col("n_dropped").eqNullSafe(F.col("pre_n_dropped"))
+            & F.col("sum_dropped_ids").eqNullSafe(
+                F.col("pre_sum_dropped_ids")
+            )
         )
         result = (
             fold(after)
-            .join(fold(pre, "pre_"), "label")
+            .join(fold(pre, "pre_"), "label", "full")
             .crossJoin(F.broadcast(mism))
             .select(
                 "label",
-                "n_rows",
-                "n_docs",
-                "n_dropped",
-                "sum_dropped_ids",
+                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                F.coalesce("sum_dropped_ids", F.lit(0)).alias(
+                    "sum_dropped_ids"
+                ),
                 F.lit(n_parts).cast("int").alias("store_partitions"),
                 (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
                 parity.alias("compacted_parity"),

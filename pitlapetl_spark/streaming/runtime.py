@@ -904,19 +904,13 @@ def _semantic_ingest_batch(
     hands the same function to foreachBatch."""
     import os as _os
 
-    from ..operators.similarity import SEMDEDUP_TAU, rank_against_centroids
+    from ..operators.similarity import (
+        SEMDEDUP_TAU,
+        cosine_col as _cos,
+        rank_against_centroids,
+    )
 
     cent = centroids.localCheckpoint(eager=True)
-
-    def _cos(av, an, bv, bn):
-        return F.round(
-            F.expr(
-                f"aggregate(zip_with({av}, {bv}, (p, q) -> p * q), 0D,"
-                " (acc, t) -> acc + t)"
-            )
-            / (F.col(an) * F.col(bn)),
-            6,
-        )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -982,11 +976,31 @@ def _semantic_ingest_batch(
             store = spark.read.parquet(store_path).filter(
                 F.col("batch") < batch_id
             )
+            # the self-pair guard is load-bearing for REPLAY AFTER
+            # COMPACTION: a folded generation partition is negative,
+            # so it passes the batch < current filter even for the
+            # batches whose rows it absorbed — a replayed batch would
+            # otherwise pair every vector with its OWN stored row
+            # (cosine 1.0 >= tau) and overwrite its corpus partition
+            # EMPTY (round-10 review catch; regression-tested in
+            # test_streaming). vec_id is the ingest key, so excluding
+            # the identical id never excludes a true re-ingest (a
+            # re-crawl arrives under a new id). Note the fold does
+            # lose arrival order BETWEEN folded batches: a full
+            # from-scratch reprocess against a folded store may drop
+            # a vector its first run kept (matched by a row that
+            # originally arrived later) — the supported replay window
+            # (Structured Streaming replays at most the last
+            # uncommitted batch, and only committed-older batches are
+            # ever folded) never hits this; a disaster-recovery full
+            # reprocess that wants exact first-run output must start
+            # from an uncompacted store copy.
             pairs_x = (
                 store.alias("s")
                 .join(
                     F.broadcast(assign.alias("x")),
-                    F.col("s.label") == F.col("x.label"),
+                    (F.col("s.label") == F.col("x.label"))
+                    & (F.col("s.vec_id") != F.col("x.vec_id")),
                 )
                 .select(
                     F.col("s.vec_id").alias("a_id"),

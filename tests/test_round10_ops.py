@@ -144,3 +144,48 @@ def test_quality_scorer_plan_is_joinless_map(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:800]
     assert plan.count("FileScan parquet") == 1
+
+
+def test_semantic_ingest_replay_after_compaction_no_self_drop(spark, tmp_path):
+    """Replay of a batch whose store rows were folded into a
+    GENERATION partition: the generation is negative so it passes the
+    batch < current probe filter and CONTAINS the replayed batch's
+    own rows — without the self-pair guard every vector would match
+    its own stored row (cosine 1.0) and the replay would overwrite
+    the corpus partition EMPTY (round-10 review catch). Vectors here
+    live in distinct clusters with no cross matches, so the replay
+    must reproduce the batch exactly."""
+    from pitlapetl_spark.streaming.runtime import (
+        _compact_partition_store,
+        _semantic_ingest_batch,
+    )
+
+    schema = "vec_id long, embedding array<float>, label int"
+    rows0 = [(0, [1.0, 0.0, 0.0, 0.0], 0)]
+    rows1 = [(1, [0.0, 1.0, 0.0, 0.0], 1)]
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 1.0), (1, [0.0, 1.0, 0.0, 0.0], 1.0),
+         (2, [0.0, 0.0, 1.0, 0.0], 1.0)],
+        "label int, cv array<double>, cnrm double",
+    )
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+    ingest = _semantic_ingest_batch(cent, store, corpus, compact_every=100)
+    ingest(spark.createDataFrame(rows0, schema), 0)
+    ingest(spark.createDataFrame(rows1, schema), 1)
+    # fold batches 0 and 1 into a generation (batch=-1)
+    _compact_partition_store(spark, store, current_batch=2, threshold=2)
+    import os
+
+    parts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch=")
+    )
+    assert parts == [-1]
+    # replay batch 1 (its rows now live ONLY in the generation)
+    ingest(spark.createDataFrame(rows1, schema), 1)
+    corpus1 = {
+        r.vec_id
+        for r in spark.read.parquet(f"{corpus}/batch=1").collect()
+    }
+    assert corpus1 == {1}, "replay self-dropped against the generation"

@@ -40,6 +40,7 @@ def topm_pairs(spark, sf_dir: str, m: int):
         SEMDEDUP_TAU,
         _centroid_ranked,
         _vectors,
+        cosine_col,
     )
 
     assign = (
@@ -79,16 +80,7 @@ def topm_pairs(spark, sf_dir: str, m: int):
         .select(
             "vec_a",
             "vec_b",
-            (
-                F.round(
-                    F.expr(
-                        "aggregate(zip_with(av, bv, (p, q) -> p * q), 0D,"
-                        " (acc, t) -> acc + t)"
-                    )
-                    / (F.col("an") * F.col("bn")),
-                    6,
-                )
-            ).alias("cosine"),
+            cosine_col("av", "an", "bv", "bn").alias("cosine"),
         )
         .filter(F.col("cosine") >= SEMDEDUP_TAU)
         .collect()
