@@ -563,15 +563,27 @@ def run_dedup_ingest_sink(
     Exactly-once: every output (corpus rows, signatures, bands) is
     written to a batch-scoped partition directory
     (``<path>/batch=<id>``) with overwrite semantics, and every store
-    read EXCLUDES the running batch's own partition — so a replayed
+    read admits only EARLIER-ARRIVED partitions (``batch < current``;
+    generations are negative, so always earlier) — so a replayed
     batch (including one that crashed BETWEEN the three writes)
-    recomputes against store-minus-self and overwrites its own
-    directories to the first run's exact result, instead of
+    recomputes against exactly what its first run saw and overwrites
+    its own directories to the first run's exact result, instead of
     append-duplicating or self-matching to empty (the previous append-based design documented a
     self-healing property that did not survive a crash between the
-    corpus and store appends). The store read is
-    existence-checked-then-strict: a transient READ failure on an
-    existing store raises instead of silently bootstrapping a
+    corpus and store appends). The store probe additionally excludes
+    SAME-doc_id matches: a generation partition may hold the
+    replayed batch's own rows (fresh-checkpoint reprocess against a
+    retained, compacted store — the disaster-recovery path), and
+    without the guard every doc would match its own stored signature
+    and the replay would empty the corpus partition (round-10 review
+    catch on the semantic sink; same class here — regression-tested
+    in test_streaming). doc_id is the ingest key, so the guard never
+    excludes a true re-crawl (new id). The fold does lose arrival
+    order BETWEEN folded batches — a full reprocess wanting exact
+    first-run output must start from an uncompacted store copy; the
+    supported one-batch replay window never hits this. The store
+    read is existence-checked-then-strict: a transient READ failure
+    on an existing store raises instead of silently bootstrapping a
     dedup-free batch.
 
     Store growth: the signature and band stores gain one partition per
@@ -652,25 +664,31 @@ def run_dedup_ingest_sink(
         # computed once at append time, nothing store-side re-hashes
         store = _read_if_exists(spark, store_path)
         if store is not None:
-            # exclude THIS batch's own partition (partition-pruned):
-            # on a replay the store already holds the batch's prior
+            # earlier-arrived partitions only (partition-pruned): on
+            # a replay the store already holds the batch's prior
             # output, and dedup against itself would empty `survivors`
             # — the overwrite below would then erase the batch instead
-            # of converging. Reading store-minus-self makes the replay
-            # recompute exactly the first run's result.
-            store = store.filter(F.col("batch") != batch_id)
+            # of converging. batch < current (not !=) so a
+            # fresh-checkpoint reprocess of an early batch also never
+            # sees LATER rows (docstring).
+            store = store.filter(F.col("batch") < batch_id)
         if store is None:
             survivors = sig_kept.select("doc_id")
         else:
             store_bands = spark.read.parquet(bands_path).filter(
-                F.col("batch") != batch_id
+                F.col("batch") < batch_id
             )
+            # the c.doc_id != x.doc_id guard is load-bearing for
+            # reprocess AFTER COMPACTION: a generation partition is
+            # negative, passes batch < current, and may hold this
+            # batch's own band rows (docstring)
             cand = (
                 store_bands.alias("c")
                 .join(
                     F.broadcast(bands.alias("x")),
                     (F.col("c.band_idx") == F.col("x.band_idx"))
-                    & (F.col("c.band_val") == F.col("x.band_val")),
+                    & (F.col("c.band_val") == F.col("x.band_val"))
+                    & (F.col("c.doc_id") != F.col("x.doc_id")),
                 )
                 .select(
                     F.col("x.doc_id").alias("doc_new"),
@@ -744,10 +762,12 @@ def run_media_phash_ingest_sink(
     store rows the candidate join matched.
 
     Exactly-once: the minhash sink's device verbatim — batch-scoped
-    overwrite partitions (``batch=<id>``), store reads exclude the
-    running batch's own partition, so a replay at ANY crash point
-    recomputes store-minus-self and overwrites to the first run's
-    exact result. Per-batch cost: O(batch) hashing + one band-store
+    overwrite partitions (``batch=<id>``), store reads admit only
+    earlier-arrived partitions (``batch < current``) and never the
+    same doc_id (the reprocess-after-compaction guard; see the
+    minhash sink's docstring), so a replay at ANY crash point
+    recomputes exactly what the first run saw and overwrites to the
+    first run's exact result. Per-batch cost: O(batch) hashing + one band-store
     scan (equi-join on the precomputed band key); the same
     bucket-pruning / KV migration noted on the minhash sink applies
     when the store scan dominates. The BAND store's committed
@@ -792,17 +812,25 @@ def run_media_phash_ingest_sink(
         )
         kept = bands.join(in_dups, "doc_id", "left_anti")
 
-        # (c) probe the persisted band store (minus self on replay)
+        # (c) probe the persisted band store — earlier-arrived
+        # partitions only, never the same doc_id: a generation
+        # partition (negative id) passes batch < current and may hold
+        # this batch's own rows on a fresh-checkpoint reprocess after
+        # compaction; without the guard every doc would hamming-match
+        # its own hash (distance 0) and the replay would empty the
+        # corpus partition (the minhash sink's docstring analysis,
+        # identical here)
         if _os.path.exists(store_path):
             store = spark.read.parquet(store_path).filter(
-                F.col("batch") != batch_id
+                F.col("batch") < batch_id
             )
             dups = (
                 store.alias("c")
                 .join(
                     F.broadcast(kept.alias("x")),
                     (F.col("c.band_id") == F.col("x.band_id"))
-                    & (F.col("c.band_val") == F.col("x.band_val")),
+                    & (F.col("c.band_val") == F.col("x.band_val"))
+                    & (F.col("c.doc_id") != F.col("x.doc_id")),
                 )
                 .filter(
                     ham(F.col("c.phash"), F.col("x.phash")) <= PHASH_HAM_MAX
@@ -965,10 +993,11 @@ def _semantic_ingest_batch(
         # (batch < current, kept and dropped alike) — precedence is
         # arrival order, so a replay of batch N reads exactly what
         # the first run read even when later batches' partitions
-        # already exist (strictly stronger than the minhash/pHash
-        # sinks' minus-self read: a `!=` filter would let a from-
-        # scratch replay of an early batch see LATER rows and drop
-        # vectors the first run kept). Generation partitions are
+        # already exist (a `!=` filter would let a from-scratch
+        # replay of an early batch see LATER rows and drop vectors
+        # the first run kept; the minhash/pHash sinks use the same
+        # batch < current filter since round 10). Generation
+        # partitions are
         # negative, so they always pass the filter — correct, because
         # only batches committed BEFORE any replayable batch are ever
         # folded (_compact_partition_store's invariant).

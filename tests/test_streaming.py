@@ -1949,3 +1949,106 @@ def test_semantic_ingest_compaction_matches_uncompacted(spark, tmp_path):
     # (b): batch 0 folded into a generation before batch 1 committed;
     # batch 1's own partition is never folded (current-batch guard)
     assert parts_c[0] < 0 and 0 not in parts_c and 1 in parts_c
+
+
+def test_dedup_ingest_reprocess_after_compaction_no_self_drop(spark, tmp_path):
+    """Fresh-checkpoint reprocess against a COMPACTED store (the
+    disaster-recovery path): the generation partition is negative, so
+    it passes the batch < current probe filter and holds the
+    replayed batches' own signature/band rows — without the
+    same-doc_id guard every doc would match its own stored signature
+    (estimate 1.0) and the reprocess would empty the corpus
+    (round-10 review catch, semantic-sink analysis applied to the
+    minhash sink). The reprocess must converge to the identical
+    corpus."""
+    import os
+    import time
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        _compact_partition_store,
+        read_documents_stream,
+        run_dedup_ingest_sink,
+    )
+
+    base = load_table(spark, SF_SMOKE, "documents").limit(12).collect()
+    b0 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base[:6]]
+    b1 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base[6:]]
+    b1.append((9_000_000,) + b0[0][1:])  # cross-batch re-crawl
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+
+    def run(ckpt):
+        q = run_dedup_ingest_sink(
+            read_documents_stream(spark, src, max_files_per_trigger=1),
+            store,
+            corpus,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+        return {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+    got = run("ckpt1")
+    assert got and 9_000_000 not in got
+    # fold ALL committed batches into one generation, then reprocess
+    _compact_partition_store(spark, store, current_batch=10**6, threshold=1)
+    _compact_partition_store(
+        spark, f"{store}_bands", current_batch=10**6, threshold=1
+    )
+    assert sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch=")
+    ) == [-1]
+    again = run("ckpt2")
+    assert again == got, "reprocess self-dropped against the generation"
+
+
+def test_phash_ingest_reprocess_after_compaction_no_self_drop(spark, tmp_path):
+    """The pHash twin of the minhash reprocess test: hamming distance
+    of a doc to its own folded hash is 0 <= PHASH_HAM_MAX, so without
+    the same-doc_id guard the reprocess empties the corpus."""
+    import os
+    import time
+
+    from pitlapetl_spark.sources import load_table
+    from pitlapetl_spark.streaming.runtime import (
+        _compact_partition_store,
+        read_documents_stream,
+        run_media_phash_ingest_sink,
+    )
+
+    base = load_table(spark, SF_SMOKE, "documents").limit(12).collect()
+    b0 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base[:6]]
+    b1 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base[6:]]
+    b1.append((9_000_000,) + b0[0][1:])
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+
+    def run(ckpt):
+        q = run_media_phash_ingest_sink(
+            read_documents_stream(spark, src, max_files_per_trigger=1),
+            store,
+            corpus,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+        return {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+    got = run("ckpt1")
+    assert got and 9_000_000 not in got
+    _compact_partition_store(spark, store, current_batch=10**6, threshold=1)
+    again = run("ckpt2")
+    assert again == got, "reprocess self-dropped against the generation"
