@@ -138,6 +138,92 @@ def probe_dedup_ingest(
 
 
 
+def probe_semantic_ingest(
+    spark,
+    vecs_per_batch: int,
+    n_batches: int,
+    compact_every: int,
+    dim: int = 16,
+    n_centroids: int = 8,
+) -> dict:
+    """Per-batch wall of the semantic embedding ingest sink across a
+    long run with generation compaction — the flat-per-batch evidence
+    the minhash sink carries (SCALE.md), for the round-10 family
+    member. Vectors are deterministic functions of (vec_id, i), all
+    distinct, so the probe measures the store lifecycle (score +
+    probe + write + amortized compaction), not drop volume."""
+    from pitlapetl_spark.streaming.runtime import (
+        read_embeddings_stream,
+        run_semantic_ingest_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_semprobe_")
+    try:
+        src = f"{tmp}/src"
+        cent = spark.createDataFrame(
+            [
+                (
+                    c,
+                    [
+                        float(1 + ((c * 7 + i * 3) % 5))
+                        if i % n_centroids == c
+                        else float((c + i) % 3)
+                        for i in range(dim)
+                    ],
+                )
+                for c in range(n_centroids)
+            ],
+            f"label int, cv array<double>",
+        ).withColumn(
+            "cnrm",
+            F.sqrt(F.expr("aggregate(cv, 0D, (acc, x) -> acc + x * x)")),
+        )
+        per_batch = []
+        for b in range(n_batches):
+            base = b * vecs_per_batch
+            rows = [
+                (
+                    base + i,
+                    [
+                        float(((base + i) * 31 + j * 17) % 13 - 6)
+                        for j in range(dim)
+                    ],
+                    0,
+                )
+                for i in range(vecs_per_batch)
+            ]
+            (
+                spark.createDataFrame(
+                    rows, "vec_id long, embedding array<float>, label int"
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            emb = read_embeddings_stream(spark, src, max_files_per_trigger=1)
+            t0 = time.perf_counter()
+            q = run_semantic_ingest_sink(
+                emb,
+                cent,
+                f"{tmp}/store",
+                f"{tmp}/corpus",
+                f"{tmp}/ckpt",
+                compact_every=compact_every,
+            )
+            q.awaitTermination(600)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        k = max(1, n_batches // 6)
+        return {
+            "vecs_per_batch": vecs_per_batch,
+            "compact_every": compact_every,
+            "first_k_mean": round(sum(per_batch[:k]) / k, 3),
+            "last_k_mean": round(sum(per_batch[-k:]) / k, 3),
+            "per_batch_sec": per_batch,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) -> dict:
     """Monitor sinks (CUSUM / PSI / k-anonymity / OOV): per-batch
     partials are fixed-size (types x days-touched, bins, QI x bands,
