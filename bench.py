@@ -294,26 +294,47 @@ def verify() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     queries = registry.all_queries()
-    verdicts: dict[str, dict] = {}
+
+    # PASS 1: min-of-3 for every headline query. Before judging
+    # anything, estimate the SESSION SHIFT — the median of t3/ref
+    # across all referenced queries. The clean reference is a
+    # cross-run per-query MIN, so a session in the documented slow
+    # mode (SCALE.md bimodality note: regressions scattered across
+    # UNTOUCHED queries, the co-tenant fingerprint loadavg cannot
+    # see) reads uniformly ~1.1-1.3x over it; judging raw deviations
+    # would then flag dozens of false 'persistent' verdicts. Each
+    # query is instead judged against ref * shift — only deviation
+    # BEYOND the session's global inflation counts.
+    first: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
-        if fn is None:
-            continue
-        t3 = _time_query(spark, fn, 3)
+        if fn is not None:
+            first[name] = _time_query(spark, fn, 3)
+    ratios = sorted(
+        first[n] / clean[n] for n in first if clean.get(n)
+    )
+    shift = ratios[len(ratios) // 2] if ratios else 1.0
+    shift = max(shift, 1.0)  # a fast session never EXCUSES a slowdown
+    print(f"session shift vs clean-min reference: x{shift:.3f} (median)")
+
+    # PASS 2: min-of-5 re-runs for the shift-adjusted deviants
+    verdicts: dict[str, dict] = {}
+    for name, t3 in first.items():
         ref = clean.get(name)
         if ref is None:
             verdicts[name] = {"verdict": "new", "min3": t3}
             print(f"{name}: new ({t3}s, no clean reference)")
             continue
-        dev = (t3 - ref) / ref
-        if abs(t3 - ref) <= _ABS_FLOOR or abs(dev) <= VERIFY_TOL:
+        adj = ref * shift
+        dev = (t3 - adj) / adj
+        if abs(t3 - adj) <= _ABS_FLOOR or abs(dev) <= VERIFY_TOL:
             verdicts[name] = {"verdict": "ok", "min3": t3, "clean": ref}
             continue
-        t5 = _time_query(spark, fn, _VERIFY_RERUNS)
-        dev5 = (t5 - ref) / ref
+        t5 = _time_query(spark, queries[name], _VERIFY_RERUNS)
+        dev5 = (t5 - adj) / adj
         verdict = (
             "load"
-            if (abs(t5 - ref) <= _ABS_FLOOR or abs(dev5) <= VERIFY_TOL)
+            if (abs(t5 - adj) <= _ABS_FLOOR or abs(dev5) <= VERIFY_TOL)
             else "persistent"
         )
         verdicts[name] = {
@@ -324,10 +345,11 @@ def verify() -> None:
             "dev": round(dev5, 3),
         }
         print(
-            f"{name}: {verdict} (clean {ref}s, min3 {t3}s, "
-            f"min5 {t5}s, dev {dev5:+.0%})"
+            f"{name}: {verdict} (clean {ref}s, shift-adj {adj:.3f}s, "
+            f"min3 {t3}s, min5 {t5}s, dev {dev5:+.0%})"
         )
     summary = {
+        "session_shift": round(shift, 3),
         "metric": "bench_verify",
         "tolerance": VERIFY_TOL,
         "reference": "BENCH_CLEAN.json",
