@@ -148,67 +148,80 @@ _loaded = False
 # Round-11 window arithmetic these spills imply: 3 never-verified +
 # 47 of the 50 r4-era refreshes = 50; the last 3 r4-era rows carry
 # to round 12.
+#
+# Round-11 policy (VERDICT.md r10 "Next round" item 1): the board
+# after round 10 reads — 3 queries NEVER driver-verified (the
+# round-10 spills above, all local-parity green), zero red, and the
+# oldest evidence is the 50-query r4-era tranche (histogram from
+# CORRECTNESS_r01..r10: 50 each r4..r10, recomputed this session).
+# The 50 slots go: the 3 never-verified spills first (standing
+# policy since r4), then the FIRST 47 of the 50-row r4-era refresh
+# queue in ledger order (= the order CORRECTNESS_r04.json verified
+# them). Arithmetic: 3 + 47 = 50 exactly, so the last 3 r4-era rows
+# (agg_pricing_summary, agg_cube, agg_distinct_counts) carry to
+# round 12, and any query REGISTERED in round 11 spills to round 12
+# as never-verified. Round-12 window arithmetic that implies:
+# N_new(r11) + 3 r4-era carry + (47 - N_new) of the 50 r5-era
+# refreshes = 50, so N_new <= 3 keeps round 12 able to clear its
+# whole r5-era backlog minus at most N_new rows (those spill to
+# r13's queue head). Round-11 additions are therefore capped at 3.
 _PRIORITY: tuple[str, ...] = (
-    # (i) new in round 10 — cap: 1, see the arithmetic note above
-    "stream_semantic_compacted_parity",  # batch twin proving the
-    # embedding/semantic streaming ingest store (frozen-quantizer
-    # top-2 centroid probe, generation-compacted) flags exactly the
-    # docs batch SemDeDup top-2 flags on the same corpus
-    # (h) the r3-era refresh queue (oldest driver evidence on the
-    # board, six rounds stale), ledger order — all 49 fit this round
-    "flagship_top_value_per_user",
-    "agg_approx_sketches",
-    "agg_group_minmax_stats",
-    "window_range_frame",
-    "asof_join_last_order",
-    "dedup_minhash_lsh",
-    "stream_tumbling_counts",
-    "stream_sliding_avg",
-    "stream_session_windows",
-    "sink_upsert_roundtrip",
-    "window_forward_fill",
-    "rollup_hierarchy_day_from_hour",
-    "sink_merge_scoped_roundtrip",
-    "text_boilerplate_lines",
-    "shuffle_epoch_shards",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "interval_merge_activity",
-    "sketch_mv_union",
-    "anomaly_rolling_zscore",
-    "dq_skew_profile",
-    "market_basket_pairs",
-    "window_cumulative_distinct_users",
-    "dedup_winnowing",
-    "temporal_pit_join",
-    "asof_join_tolerance",
-    "sessionize_events",
-    "window_share_of_total",
-    "scd2_user_value_history",
-    "funnel_view_click_purchase",
-    "cohort_retention_matrix",
-    "sim_topk_lsh_multiprobe",
-    "join_range_binned",
-    "incremental_mv_merge",
-    "kmeans_lloyd_clusters",
-    "sample_weighted_mix",
-    "agg_histogram_equi_width",
-    "pandas_udaf_weighted_mean",
-    "join_salted_skew",
-    "text_kl_domain_drift",
-    "dedup_keep_best",
-    "fuzzy_match_blocking",
-    "table_diff_reconcile",
-    "contamination_eval_overlap",
-    "pack_token_budget",
-    "split_train_holdout",
-    "scalar_date_math",
-    "scalar_regex_suite",
+    # (i) the round-10 spills — never driver-verified, lead the window
+    "dedup_semantic_top3",
+    "text_url_canonicalize_gate",
+    "text_quality_classifier_score",
+    # (h) the r4-era refresh queue, ledger order — first 47 of 50
+    "resample_daily_grid",
+    "agg_argmax_mode",
+    "sequence_event_trigrams",
+    "udtf_chunk_spans",
+    "dedup_winnowing_fast",
+    "dedup_incremental_minhash",
+    "dedup_repeated_spans",
+    "dedup_repeated_spans_fast",
+    "dedup_repeated_spans_apply",
+    "cdc_latest_state",
+    "winsorize_group_values",
+    "mix_token_allocation",
+    "agg_histogram_equi_depth",
+    "attribution_last_touch",
+    "featurize_hashed_ngrams",
+    "graph_pagerank_copurchase",
+    "window_ewma_daily",
+    "ab_test_variant_zscore",
+    "q6_forecast_revenue",
+    "q12_late_shipment_priority",
+    "q18_large_volume_customers",
+    "q4_order_priority_check",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_high_balance",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_breadth",
+    "q20_excess_suppliers",
+    "sim_topk_ivf_nprobe",
+    "dedup_semantic_semdedup",
+    "dsir_importance_weights",
+    "report_corpus_datacard",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_schema_evolution",
+    "sink_delete_roundtrip",
+    "churn_yearly_customers",
+    "rfm_customer_segments",
 )
 
-# (The superseded round-9 window tuple lived here as _PRIORITY_R9;
-# git history preserves it — see the round-10 ledger commit.)
+# (The superseded round-10 window tuple lived here; git history
+# preserves it — see the round-11 ledger commit.)
 
 
 def _priority_ordered(d: dict[str, object]) -> dict:
