@@ -454,8 +454,11 @@ def _compact_partition_store(
     Structured Streaming replays at most the one batch whose commit is
     missing from the checkpoint — every older batch is durable — so a
     folded batch can never be replayed, and a replay of the CURRENT
-    batch still sees exactly store-minus-self (generations are
-    negative, never equal to a real batch id).
+    batch still sees exactly the first run's view: the ingest sinks'
+    probes filter on the per-row ``src_batch`` origin id (stamped at
+    write time, preserved verbatim through this fold), which
+    excludes the replayed batch's own rows and later-arrived rows
+    even after they land inside a negative generation partition.
 
     Crash safety: the generation directory is written FIRST (Spark's
     ``_SUCCESS`` marker is the commit point), sources are deleted
@@ -570,18 +573,28 @@ def run_dedup_ingest_sink(
     its own directories to the first run's exact result, instead of
     append-duplicating or self-matching to empty (the previous append-based design documented a
     self-healing property that did not survive a crash between the
-    corpus and store appends). The store probe additionally excludes
-    SAME-doc_id matches: a generation partition may hold the
-    replayed batch's own rows (fresh-checkpoint reprocess against a
-    retained, compacted store — the disaster-recovery path), and
-    without the guard every doc would match its own stored signature
-    and the replay would empty the corpus partition (round-10 review
-    catch on the semantic sink; same class here — regression-tested
-    in test_streaming). doc_id is the ingest key, so the guard never
-    excludes a true re-crawl (new id). The fold does lose arrival
-    order BETWEEN folded batches — a full reprocess wanting exact
-    first-run output must start from an uncompacted store copy; the
-    supported one-batch replay window never hits this. The store
+    corpus and store appends). Every store row additionally carries
+    its ORIGIN batch id as a ``src_batch`` data column — stamped at
+    write time and preserved verbatim through generation folds — and
+    the probe filters ``src_batch < current`` alongside the
+    partition filter (the partition filter stays purely for
+    pruning): a generation partition (negative ``batch``) may hold
+    rows from ANY folded batch, including the replayed batch's own
+    rows (fresh-checkpoint reprocess against a retained, compacted
+    store — the disaster-recovery path) and rows that originally
+    arrived LATER, and the row-level provenance filter excludes
+    exactly the rows the first run never saw — so a full
+    from-scratch reprocess against a FOLDED store reproduces the
+    first run's output bit-exactly (regression-tested in
+    test_streaming; the semantic sink's reprocess test demonstrates
+    the later-arrival divergence the filter closes). This subsumes
+    the round-10 same-doc_id probe guard, which over-excluded: a
+    legitimately re-delivered doc_id with edited text (the
+    recurrence ``_compact_partition_store``'s docstring calls
+    legitimate) was never compared to its own earlier version
+    (ADVICE r10); under the provenance filter it dedups like any
+    other earlier-arrived row. Stores written before the src_batch
+    column migrate by stamping ``src_batch = batch`` once. The store
     read is existence-checked-then-strict: a transient READ failure
     on an existing store raises instead of silently bootstrapping a
     dedup-free batch.
@@ -664,31 +677,34 @@ def run_dedup_ingest_sink(
         # computed once at append time, nothing store-side re-hashes
         store = _read_if_exists(spark, store_path)
         if store is not None:
-            # earlier-arrived partitions only (partition-pruned): on
-            # a replay the store already holds the batch's prior
-            # output, and dedup against itself would empty `survivors`
-            # — the overwrite below would then erase the batch instead
-            # of converging. batch < current (not !=) so a
-            # fresh-checkpoint reprocess of an early batch also never
-            # sees LATER rows (docstring).
-            store = store.filter(F.col("batch") < batch_id)
+            # earlier-arrived ROWS only: on a replay the store
+            # already holds the batch's prior output, and dedup
+            # against itself would empty `survivors` — the overwrite
+            # below would then erase the batch instead of converging.
+            # The partition filter (batch < current) prunes whole
+            # directories; the row filter (src_batch < current) is
+            # the exact contract — inside a folded generation
+            # (batch = -g, always < current) it excludes the
+            # replayed batch's own rows AND later-arrived rows, so a
+            # fresh-checkpoint reprocess sees exactly the first
+            # run's view (docstring).
+            store = store.filter(
+                (F.col("batch") < batch_id)
+                & (F.col("src_batch") < batch_id)
+            )
         if store is None:
             survivors = sig_kept.select("doc_id")
         else:
             store_bands = spark.read.parquet(bands_path).filter(
-                F.col("batch") < batch_id
+                (F.col("batch") < batch_id)
+                & (F.col("src_batch") < batch_id)
             )
-            # the c.doc_id != x.doc_id guard is load-bearing for
-            # reprocess AFTER COMPACTION: a generation partition is
-            # negative, passes batch < current, and may hold this
-            # batch's own band rows (docstring)
             cand = (
                 store_bands.alias("c")
                 .join(
                     F.broadcast(bands.alias("x")),
                     (F.col("c.band_idx") == F.col("x.band_idx"))
-                    & (F.col("c.band_val") == F.col("x.band_val"))
-                    & (F.col("c.doc_id") != F.col("x.doc_id")),
+                    & (F.col("c.band_val") == F.col("x.band_val")),
                 )
                 .select(
                     F.col("x.doc_id").alias("doc_new"),
@@ -722,12 +738,16 @@ def run_dedup_ingest_sink(
         batch.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
             f"{corpus_path}/{sub}"
         )
-        sig.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            f"{store_path}/{sub}"
-        )
-        bands.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            f"{bands_path}/{sub}"
-        )
+        # store rows carry their origin batch id (src_batch) so the
+        # probe's row-level provenance filter survives generation
+        # folds (docstring); the corpus needs no stamp — it is never
+        # probed and its batch layout is already the directory name
+        sig.join(keep, "doc_id", "left_semi").withColumn(
+            "src_batch", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(f"{store_path}/{sub}")
+        bands.join(keep, "doc_id", "left_semi").withColumn(
+            "src_batch", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(f"{bands_path}/{sub}")
 
     return (
         docs.writeStream.foreachBatch(ingest_batch)
@@ -763,11 +783,13 @@ def run_media_phash_ingest_sink(
 
     Exactly-once: the minhash sink's device verbatim — batch-scoped
     overwrite partitions (``batch=<id>``), store reads admit only
-    earlier-arrived partitions (``batch < current``) and never the
-    same doc_id (the reprocess-after-compaction guard; see the
-    minhash sink's docstring), so a replay at ANY crash point
-    recomputes exactly what the first run saw and overwrites to the
-    first run's exact result. Per-batch cost: O(batch) hashing + one band-store
+    earlier-arrived ROWS (partition filter ``batch < current`` for
+    pruning, row-level ``src_batch < current`` provenance for
+    exactness through generation folds; see the minhash sink's
+    docstring), so a replay at ANY crash point — including a full
+    fresh-checkpoint reprocess against a folded store — recomputes
+    exactly what the first run saw and overwrites to the first
+    run's exact result. Per-batch cost: O(batch) hashing + one band-store
     scan (equi-join on the precomputed band key); the same
     bucket-pruning / KV migration noted on the minhash sink applies
     when the store scan dominates. The BAND store's committed
@@ -812,25 +834,26 @@ def run_media_phash_ingest_sink(
         )
         kept = bands.join(in_dups, "doc_id", "left_anti")
 
-        # (c) probe the persisted band store — earlier-arrived
-        # partitions only, never the same doc_id: a generation
-        # partition (negative id) passes batch < current and may hold
-        # this batch's own rows on a fresh-checkpoint reprocess after
-        # compaction; without the guard every doc would hamming-match
-        # its own hash (distance 0) and the replay would empty the
-        # corpus partition (the minhash sink's docstring analysis,
-        # identical here)
+        # (c) probe the persisted band store — earlier-arrived ROWS
+        # only: the partition filter (batch < current) prunes whole
+        # directories, and the row-level provenance filter
+        # (src_batch < current) makes reprocess-after-compaction
+        # exact — inside a folded generation it excludes both the
+        # replayed batch's own rows (which would hamming-match
+        # themselves at distance 0 and empty the corpus partition)
+        # and later-arrived rows the first run never saw (the
+        # minhash sink's docstring analysis, identical here)
         if _os.path.exists(store_path):
             store = spark.read.parquet(store_path).filter(
-                F.col("batch") < batch_id
+                (F.col("batch") < batch_id)
+                & (F.col("src_batch") < batch_id)
             )
             dups = (
                 store.alias("c")
                 .join(
                     F.broadcast(kept.alias("x")),
                     (F.col("c.band_id") == F.col("x.band_id"))
-                    & (F.col("c.band_val") == F.col("x.band_val"))
-                    & (F.col("c.doc_id") != F.col("x.doc_id")),
+                    & (F.col("c.band_val") == F.col("x.band_val")),
                 )
                 .filter(
                     ham(F.col("c.phash"), F.col("x.phash")) <= PHASH_HAM_MAX
@@ -850,9 +873,9 @@ def run_media_phash_ingest_sink(
         batch.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
             f"{corpus_path}/{sub}"
         )
-        bands.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            f"{store_path}/{sub}"
-        )
+        bands.join(keep, "doc_id", "left_semi").withColumn(
+            "src_batch", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(f"{store_path}/{sub}")
 
     return (
         docs.writeStream.foreachBatch(ingest_batch)
@@ -897,7 +920,7 @@ def run_media_phash_ingest_sink(
 #
 # 100-TB shape: per-batch cost is O(batch x K) broadcast quantizer
 # scoring + one cluster-key equi-join against the (partition-pruned,
-# minus-self) store — never all-pairs; exact cosine runs only on
+# provenance-filtered) store — never all-pairs; exact cosine runs only on
 # label-colliding candidate pairs, deduped on (pair) before scoring
 # (the <=4x top-2 mass bound measured in SCALE.md applies per batch).
 # The store gains one partition per batch and folds into generation
@@ -989,47 +1012,38 @@ def _semantic_ingest_batch(
             .distinct()
         )
 
-        # cross-batch: probe the store's EARLIER-ARRIVED rows only
-        # (batch < current, kept and dropped alike) — precedence is
-        # arrival order, so a replay of batch N reads exactly what
-        # the first run read even when later batches' partitions
-        # already exist (a `!=` filter would let a from-scratch
-        # replay of an early batch see LATER rows and drop vectors
-        # the first run kept; the minhash/pHash sinks use the same
-        # batch < current filter since round 10). Generation
-        # partitions are
-        # negative, so they always pass the filter — correct, because
-        # only batches committed BEFORE any replayable batch are ever
-        # folded (_compact_partition_store's invariant).
+        # cross-batch: probe the store's EARLIER-ARRIVED rows only,
+        # kept and dropped alike — precedence is arrival order, so a
+        # replay of batch N reads exactly what the first run read
+        # even when later batches' partitions already exist. The
+        # partition filter (batch < current) prunes whole
+        # directories; the row-level provenance filter
+        # (src_batch < current) is the exact contract: a folded
+        # generation partition is negative, passes the partition
+        # filter unconditionally, and may hold BOTH the replayed
+        # batch's own rows (which would pair with themselves at
+        # cosine 1.0 and overwrite the corpus partition EMPTY —
+        # round-10 review catch) and rows that originally arrived
+        # LATER (which would make a disaster-recovery from-scratch
+        # reprocess drop vectors the first run kept). Filtering on
+        # the per-row origin batch id — stamped at write time,
+        # preserved through folds — excludes exactly the rows the
+        # first run never saw, so full reprocess against a folded
+        # store is bit-exact (regression-tested in test_streaming).
+        # The former same-vec_id guard is subsumed and its
+        # over-exclusion removed: a re-delivered vec_id now dedups
+        # against its own earlier version like any other
+        # earlier-arrived row (ADVICE r10).
         if _os.path.exists(store_path):
             store = spark.read.parquet(store_path).filter(
-                F.col("batch") < batch_id
+                (F.col("batch") < batch_id)
+                & (F.col("src_batch") < batch_id)
             )
-            # the self-pair guard is load-bearing for REPLAY AFTER
-            # COMPACTION: a folded generation partition is negative,
-            # so it passes the batch < current filter even for the
-            # batches whose rows it absorbed — a replayed batch would
-            # otherwise pair every vector with its OWN stored row
-            # (cosine 1.0 >= tau) and overwrite its corpus partition
-            # EMPTY (round-10 review catch; regression-tested in
-            # test_streaming). vec_id is the ingest key, so excluding
-            # the identical id never excludes a true re-ingest (a
-            # re-crawl arrives under a new id). Note the fold does
-            # lose arrival order BETWEEN folded batches: a full
-            # from-scratch reprocess against a folded store may drop
-            # a vector its first run kept (matched by a row that
-            # originally arrived later) — the supported replay window
-            # (Structured Streaming replays at most the last
-            # uncommitted batch, and only committed-older batches are
-            # ever folded) never hits this; a disaster-recovery full
-            # reprocess that wants exact first-run output must start
-            # from an uncompacted store copy.
             pairs_x = (
                 store.alias("s")
                 .join(
                     F.broadcast(assign.alias("x")),
-                    (F.col("s.label") == F.col("x.label"))
-                    & (F.col("s.vec_id") != F.col("x.vec_id")),
+                    F.col("s.label") == F.col("x.label"),
                 )
                 .select(
                     F.col("s.vec_id").alias("a_id"),
@@ -1066,6 +1080,10 @@ def _semantic_ingest_batch(
             "v",
             "nrm",
             F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+            # origin batch id: the probe's row-level provenance
+            # filter reads this through generation folds (block
+            # comment above)
+            F.lit(batch_id).alias("src_batch"),
         ).write.mode("overwrite").parquet(f"{store_path}/{sub}")
 
     return ingest_batch

@@ -1954,13 +1954,15 @@ def test_semantic_ingest_compaction_matches_uncompacted(spark, tmp_path):
 def test_dedup_ingest_reprocess_after_compaction_no_self_drop(spark, tmp_path):
     """Fresh-checkpoint reprocess against a COMPACTED store (the
     disaster-recovery path): the generation partition is negative, so
-    it passes the batch < current probe filter and holds the
-    replayed batches' own signature/band rows — without the
-    same-doc_id guard every doc would match its own stored signature
-    (estimate 1.0) and the reprocess would empty the corpus
-    (round-10 review catch, semantic-sink analysis applied to the
-    minhash sink). The reprocess must converge to the identical
-    corpus."""
+    it passes the partition-level probe filter and holds the replayed
+    batches' own signature/band rows — without the row-level
+    ``src_batch < current`` provenance filter every doc would match
+    its own stored signature (estimate 1.0) and the reprocess would
+    empty the corpus. The reprocess must converge to the identical
+    corpus. Also pins the re-delivered-doc_id contract (ADVICE r10):
+    a doc_id re-delivered in a LATER batch with near-identical text
+    dedups against its own earlier version — the corpus holds exactly
+    one row for it, never one per delivery."""
     import os
     import time
 
@@ -1974,7 +1976,8 @@ def test_dedup_ingest_reprocess_after_compaction_no_self_drop(spark, tmp_path):
     base = load_table(spark, SF_SMOKE, "documents").limit(12).collect()
     b0 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base[:6]]
     b1 = [(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in base[6:]]
-    b1.append((9_000_000,) + b0[0][1:])  # cross-batch re-crawl
+    b1.append((9_000_000,) + b0[0][1:])  # cross-batch re-crawl, new id
+    b1.append(b0[1])  # same doc_id re-delivered with identical text
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     src = str(tmp_path / "src")
     os.makedirs(src)
@@ -1992,10 +1995,13 @@ def test_dedup_ingest_reprocess_after_compaction_no_self_drop(spark, tmp_path):
             str(tmp_path / ckpt),
         )
         q.awaitTermination(300)
-        return {r.doc_id for r in spark.read.parquet(corpus).collect()}
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
 
     got = run("ckpt1")
     assert got and 9_000_000 not in got
+    # the re-delivery deduped against its own batch-0 version: one
+    # corpus row, in the batch-0 partition only
+    assert got.count(b0[1][0]) == 1
     # fold ALL committed batches into one generation, then reprocess
     _compact_partition_store(spark, store, current_batch=10**6, threshold=1)
     _compact_partition_store(
@@ -2013,7 +2019,8 @@ def test_dedup_ingest_reprocess_after_compaction_no_self_drop(spark, tmp_path):
 def test_phash_ingest_reprocess_after_compaction_no_self_drop(spark, tmp_path):
     """The pHash twin of the minhash reprocess test: hamming distance
     of a doc to its own folded hash is 0 <= PHASH_HAM_MAX, so without
-    the same-doc_id guard the reprocess empties the corpus."""
+    the row-level ``src_batch < current`` provenance filter the
+    reprocess empties the corpus."""
     import os
     import time
 
@@ -2052,3 +2059,79 @@ def test_phash_ingest_reprocess_after_compaction_no_self_drop(spark, tmp_path):
     _compact_partition_store(spark, store, current_batch=10**6, threshold=1)
     again = run("ckpt2")
     assert again == got, "reprocess self-dropped against the generation"
+
+
+def test_semantic_ingest_full_reprocess_after_fold_is_exact(spark, tmp_path):
+    """The disaster-recovery divergence the src_batch provenance
+    column closes (VERDICT r10 item 4a): a generation fold loses the
+    BATCH BOUNDARIES between folded partitions, so a full
+    from-scratch reprocess filtering only on the partition id would
+    let batch 0 probe rows that originally arrived in batch 1 — and
+    drop vectors the first run KEPT. Constructed corpus: batch 0 has
+    A=[1,0] and D=[0,1] (cosine 0 < tau, both kept); batch 1 has
+    B~=A (dropped as A's dup, but STORED with kept=false — the
+    semantic store persists dropped rows for chain robustness).
+    After folding everything into one generation, a reprocess of
+    batch 0 would see B, pair A with it at cosine ~1 >= tau, and
+    drop A. The row-level ``src_batch < current`` filter excludes B
+    from batch 0's probe, so the reprocess must reproduce the first
+    run's corpus exactly."""
+    import os
+    import time
+
+    from pitlapetl_spark.sources import EMBEDDINGS
+    from pitlapetl_spark.streaming.runtime import (
+        _compact_partition_store,
+        read_embeddings_stream,
+        run_semantic_ingest_sink,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 1.0], 2.0**0.5)], "label int, cv array<double>, cnrm double"
+    )
+    b0 = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)]
+    b1 = [(10, [1.0, 0.001], 0)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(b0, EMBEDDINGS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b1, EMBEDDINGS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+
+    def run(ckpt):
+        q = run_semantic_ingest_sink(
+            read_embeddings_stream(spark, src, max_files_per_trigger=1),
+            cent,
+            store,
+            corpus,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(300)
+        return sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+
+    got = run("ckpt1")
+    assert got == [1, 2], "fixture sanity: B dropped as A's dup, A/D kept"
+    # B's row is in the store (kept=false) — the chain-robustness
+    # contract that makes the fold divergence reachable at all
+    stored = {
+        (r.vec_id, r.kept)
+        for r in spark.read.parquet(store).select("vec_id", "kept").collect()
+    }
+    assert (10, False) in stored
+    # fold EVERYTHING into one generation, then reprocess from scratch
+    _compact_partition_store(spark, store, current_batch=10**6, threshold=1)
+    assert sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch=")
+    ) == [-1]
+    again = run("ckpt2")
+    assert again == got, (
+        "full reprocess against the folded store diverged: batch 0 "
+        "probed a later-arrived row the first run never saw"
+    )
