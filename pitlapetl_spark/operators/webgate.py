@@ -146,8 +146,18 @@ def canonicalize_url(url: Column) -> Column:
 
 def extract_site(host_or_canon: Column) -> Column:
     """Registrable-site heuristic for the fixture's host space
-    (docstring: PSL lookup in production)."""
-    return F.regexp_extract(host_or_canon, r"(src[0-9]+\.example\.com)", 1)
+    (module docstring: PSL lookup in production). Accepts a bare
+    host or a canonical URL; the site is extracted from the HOST
+    component only and the match is anchored to the host's END —
+    a blocked-domain string in the path or query
+    (https://evil.com/src3.example.com) and a superdomain suffix
+    (src3.example.com.evil.com) both extract EMPTY rather than a
+    false site (ADVICE r10: the previous whole-string scan wrongly
+    blocked such URLs)."""
+    host = F.regexp_extract(
+        host_or_canon, r"^(?:[A-Za-z]+://)?([^/?#:]+)", 1
+    )
+    return F.regexp_extract(host, r"(?:^|\.)(src[0-9]+\.example\.com)$", 1)
 
 
 _ORACLE = f"""
@@ -221,7 +231,10 @@ _ORACLE = f"""
     ),
     gated AS (
         SELECT doc_id, url_canon,
-               regexp_extract(url_canon, '(src[0-9]+\\.example\\.com)', 1)
+               regexp_extract(
+                   regexp_extract(url_canon,
+                       '^(?:[A-Za-z]+://)?([^/?#:]+)', 1),
+                   '(?:^|\\.)(src[0-9]+\\.example\\.com)$', 1)
                    AS site
         FROM canon
     ),

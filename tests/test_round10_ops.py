@@ -189,3 +189,31 @@ def test_semantic_ingest_replay_after_compaction_no_self_drop(spark, tmp_path):
         for r in spark.read.parquet(f"{corpus}/batch=1").collect()
     }
     assert corpus1 == {1}, "replay self-dropped against the generation"
+
+
+def test_extract_site_host_anchored(spark):
+    """extract_site must read the HOST component only and anchor to
+    its end (ADVICE r10): a blocked-domain string in the path or
+    query must not extract, nor a superdomain suffix; the real host
+    extracts with or without scheme, port, or path."""
+    from pitlapetl_spark.operators.webgate import extract_site
+
+    cases = [
+        ("https://src3.example.com/a?b=1", "src3.example.com"),
+        ("src3.example.com", "src3.example.com"),
+        ("https://src3.example.com:8080/a", "src3.example.com"),
+        ("https://www.src3.example.com/a", "src3.example.com"),
+        # adversarial: blocked string in path / query — no match
+        ("https://evil.com/src3.example.com", ""),
+        ("https://evil.com/?u=src3.example.com", ""),
+        # superdomain suffix — no match
+        ("https://src3.example.com.evil.com/", ""),
+        ("src3.example.com.evil.com", ""),
+        # infix label — no match
+        ("https://a.src3.example.com.b.com/", ""),
+    ]
+    df = spark.createDataFrame(cases, "u string, want string").select(
+        extract_site(F.col("u")).alias("got"), "want"
+    )
+    for r in df.collect():
+        assert r.got == r.want, (r.got, r.want)
