@@ -201,6 +201,11 @@ HEADLINE = (
     # lifecycle plus two full dedup passes, the family's heaviest
     # registered query by design)
     "stream_semantic_compacted_parity",
+    # round 11: the URL front-door ingest parity roundtrip (the
+    # fourth crawl-ingest family member — exact-key dedup, so the
+    # wall is the store lifecycle + the batch gate twin, not a
+    # candidate join)
+    "stream_url_gate_compacted_parity",
 )
 
 

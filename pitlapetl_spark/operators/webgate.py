@@ -160,8 +160,13 @@ def extract_site(host_or_canon: Column) -> Column:
     return F.regexp_extract(host, r"(?:^|\.)(src[0-9]+\.example\.com)$", 1)
 
 
-_ORACLE = f"""
-    WITH raw AS (
+# The full derivation -> canonicalize -> gate CTE chain, shared
+# between the batch gate's oracle below and the streaming URL-ingest
+# parity oracle (streaming/batch_windows.py) — one chain, two
+# consumers, so the stream is always compared against exactly the
+# batch contract (the round-10 semantic-parity review catch: a
+# hand-copied twin could be retuned on one side only).
+GATE_CTES = f"""raw AS (
         SELECT doc_id,
                (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
                || '://'
@@ -246,7 +251,10 @@ _ORACLE = f"""
                         THEN doc_id END)
                    OVER (PARTITION BY url_canon) < doc_id AS is_dup
         FROM gated
-    )
+    )"""
+
+_ORACLE = f"""
+    WITH {GATE_CTES}
     SELECT doc_id, url_canon, site, is_blocked, is_dup,
            (NOT is_blocked) AND (NOT is_dup) AS kept
     FROM flagged

@@ -165,6 +165,19 @@ _loaded = False
 # refreshes = 50, so N_new <= 3 keeps round 12 able to clear its
 # whole r5-era backlog minus at most N_new rows (those spill to
 # r13's queue head). Round-11 additions are therefore capped at 3.
+#
+# Round-11 spills (registered this round, NOT in this window; enter
+# round 12 as the never-verified cohort and lead that window):
+#   stream_url_gate_compacted_parity — the streaming URL front-door
+#     sink's batch-parity query (VERDICT r10 item 5a; the fourth
+#     crawl-ingest family member, runtime.run_url_ingest_sink);
+#     local-parity green. N_new(r11) = 1, so round 12's window reads
+#     1 + 3 r4-era carry + 46 of the 50 r5-era refreshes = 50, with
+#     4 r5-era rows carrying to round 13.
+# (VERDICT r10 item 5b — corpus-global repeated-span dedup — turned
+# out to already exist: dedup_repeated_spans_apply, dedup.py, IS the
+# Lee-et-al cut pass, corpus-global by construction; no new
+# registration needed.)
 _PRIORITY: tuple[str, ...] = (
     # (i) the round-10 spills — never driver-verified, lead the window
     "dedup_semantic_top3",

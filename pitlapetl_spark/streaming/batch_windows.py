@@ -650,3 +650,197 @@ def stream_semantic_compacted_parity(
         return result.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------- URL ingest-store stream-vs-batch parity
+# VERDICT r10 item 5a, registered as a query: the streaming URL
+# front-door sink (runtime.run_url_ingest_sink — the fourth
+# crawl-ingest family member, and the one a real crawl runs FIRST)
+# must keep EXACTLY the documents the batch URL gate
+# (text_url_canonicalize_gate) keeps on the same corpus, and its
+# seen-URL store must read identically before and after generation
+# compaction. Same harness shape as the semantic parity query: drive
+# the sink's real per-batch body over id-ordered micro-batches, run
+# the real compactor twice (steady state + a crash-window leftover
+# heal), fold the compacted store and the corpus to the site grain,
+# and compare against a DuckDB oracle that recomputes the kept set
+# STRAIGHT from the batch gate's shared CTE chain
+# (operators/webgate.py GATE_CTES — one chain, two consumers, so the
+# stream is always compared against exactly the batch contract).
+#
+# Why stream == batch holds EXACTLY: the sink keeps the FIRST-SEEN
+# canonical URL (intra-batch: lowest doc_id wins the window;
+# cross-batch: earlier-arrived store rows win the anti-join), and
+# with id-ordered batches "first-seen" = "lowest doc_id among
+# unblocked members of the canonical group" — precisely the batch
+# gate's keep rule. Both sides share canonicalize_url/extract_site
+# (Spark) against the SAME oracle CTE chain the batch gate is
+# value-checked with, so neither canonicalization nor gating can
+# drift between the twins.
+#
+# 100-TB shape: the simulation is store-lifecycle-bound (the sink's
+# batch-partitioned parquet layout + amortized-O(1) compaction); the
+# parity fold is one aggregation at the site grain; the sink itself
+# never shuffles the store (broadcast semi/anti probe — the sink's
+# block comment).
+
+N_URL_INGEST_BATCHES = 3
+
+
+def _url_parity_oracle() -> str:
+    from ..operators.webgate import GATE_CTES
+
+    return f"""
+    WITH {GATE_CTES},
+    kept AS (
+        SELECT doc_id, url_canon, site FROM flagged
+        WHERE NOT is_blocked AND NOT is_dup
+    )
+    SELECT site,
+           CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+           CAST(1 AS INT) AS store_partitions,
+           TRUE AS stream_batch_parity,
+           TRUE AS compacted_parity
+    FROM kept GROUP BY 1
+    """
+
+
+@query("stream_url_gate_compacted_parity", oracle=_url_parity_oracle())
+def stream_url_gate_compacted_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive the URL ingest sink's real batch body over id-ordered
+    micro-batches of the documents table (raw URLs derived exactly
+    as the batch gate derives them), compact the seen-URL store
+    (steady state + crash-leftover heal), and return the per-site
+    fold of the compacted store and corpus alongside stream-vs-batch
+    and pre-vs-post-compaction parity checks (block comment
+    above)."""
+    import math as _math
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.webgate import (
+        derived_raw_url,
+        text_url_canonicalize_gate,
+    )
+    from .runtime import _compact_partition_store, _url_ingest_batch
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", derived_raw_url().alias("url_raw")
+    )
+    # id-ordered ranges (arrival order must equal id order for the
+    # stream-vs-batch equivalence — block comment); bounded scalar
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    width = _math.ceil((max_id + 1) / N_URL_INGEST_BATCHES)
+
+    root = _tempfile.mkdtemp(prefix="pitlap_url_parity_")
+    store, corpus = f"{root}/store", f"{root}/corpus"
+    try:
+        ingest = _url_ingest_batch(
+            store, corpus, compact_every=10 * N_URL_INGEST_BATCHES
+        )
+        for i in range(N_URL_INGEST_BATCHES):
+            ingest(
+                docs.filter(
+                    (F.col("doc_id") >= i * width)
+                    & (F.col("doc_id") < (i + 1) * width)
+                ),
+                i,
+            )
+        pre = (
+            spark.read.parquet(store)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+        # crash-window leftover: capture batch 1's sealed partition,
+        # fold everything, restore it — its rows now live in BOTH the
+        # generation and the leftover source; the next compaction
+        # must heal via full-row dedup
+        leftover = spark.read.parquet(f"{store}/batch=1").localCheckpoint(
+            eager=True
+        )
+        _compact_partition_store(
+            spark, store, current_batch=N_URL_INGEST_BATCHES, threshold=2
+        )
+        leftover.write.mode("overwrite").parquet(f"{store}/batch=1")
+        _compact_partition_store(
+            spark, store, current_batch=N_URL_INGEST_BATCHES + 1, threshold=1
+        )
+        n_parts = len(
+            [d for d in _os.listdir(store) if d.startswith("batch=")]
+        )
+        after = (
+            spark.read.parquet(store)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+
+        def fold(df: DataFrame, prefix: str = "") -> DataFrame:
+            return df.groupBy("site").agg(
+                F.countDistinct("url_canon")
+                .cast("long")
+                .alias(f"{prefix}n_urls"),
+                F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
+                F.sum("doc_id").cast("long").alias(f"{prefix}sum_ids"),
+            )
+
+        # stream-vs-batch kept-set equality: symmetric difference of
+        # the corpus doc_ids and the batch gate's kept doc_ids must
+        # be empty (one-row scalar)
+        s_kept = spark.read.parquet(corpus).select("doc_id").distinct()
+        b_kept = (
+            text_url_canonicalize_gate(spark, sf_dir)
+            .filter(F.col("kept"))
+            .select("doc_id")
+            .distinct()
+        )
+        mism = (
+            s_kept.withColumn("s", F.lit(1))
+            .join(b_kept.withColumn("b", F.lit(1)), "doc_id", "full")
+            .agg(
+                F.count(
+                    F.when(F.col("s").isNull() | F.col("b").isNull(), 1)
+                ).alias("n_mismatch")
+            )
+        )
+        # corpus fold at the site grain (n_kept): the store fold
+        # supplies n_urls/sum_kept_ids — two independent artifacts
+        # cross-checking each other
+        corp = (
+            spark.read.parquet(corpus)
+            .groupBy("site")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        )
+
+        # FULL OUTER fold join (the semantic parity query's
+        # round-10 review catch): whole-site loss in compaction must
+        # surface as compacted_parity=false, not vanish
+        parity = (
+            F.col("n_urls").eqNullSafe(F.col("pre_n_urls"))
+            & F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
+            & F.col("sum_ids").eqNullSafe(F.col("pre_sum_ids"))
+        )
+        result = (
+            fold(after)
+            .join(fold(pre, "pre_"), "site", "full")
+            .join(corp, "site", "full")
+            .crossJoin(F.broadcast(mism))
+            .select(
+                "site",
+                F.coalesce("n_urls", F.lit(0)).alias("n_urls"),
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.coalesce("sum_ids", F.lit(0)).alias("sum_kept_ids"),
+                F.lit(n_parts).cast("int").alias("store_partitions"),
+                (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
+                parity.alias("compacted_parity"),
+            )
+        )
+        # materialize before the temp dir is removed (the standing
+        # roundtrip-query device)
+        return result.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

@@ -1116,6 +1116,139 @@ def run_semantic_ingest_sink(
     )
 
 
+# ------------------------------------- URL front-door ingest sink
+# The streaming twin of the batch URL pre-gate
+# (operators/webgate.py, text_url_canonicalize_gate) — the fourth
+# member of the crawl-ingest dedup family, and the one that runs
+# FIRST in a real crawl: canonical-URL dedup at the frontier kills
+# re-crawls and mirror spellings before any content cost (fetch,
+# hash, embedding) is paid — webgate's own docstring says this is
+# where the win is (VERDICT r10 item 5a).
+#
+# Per micro-batch: (a) canonicalize the raw URL (webgate rules 1-6 —
+# narrow codegen'd string expressions, zero Python), (b) extract the
+# registrable site and drop blocklisted rows (literal IN; a
+# broadcast semi-join once the list outgrows a literal), (c) dedup
+# WITHIN the batch on the canonical URL (keep-lowest-doc_id — one
+# window, the batch gate's exact rule), (d) drop batch rows whose
+# canonical URL the store has already seen, (e) write survivors'
+# corpus rows and (url_canon, site, doc_id) store rows batch-scoped.
+#
+# Unlike the similarity sinks this is EXACT-KEY dedup, so the store
+# probe is two broadcast-friendly joins instead of a candidate
+# generation: store LEFT SEMI broadcast(batch urls) -> `seen` (at
+# most |batch| rows), then batch LEFT ANTI broadcast(seen). The
+# store is scanned but never shuffled, per-batch network cost is
+# O(batch); at corpus sizes where even the scan dominates, the
+# stated migration is the same bucket-pruned layout / KV probe the
+# minhash sink documents.
+#
+# Exactly-once: the family's device verbatim — batch-scoped
+# overwrite partitions, store reads admit only earlier-arrived ROWS
+# (partition filter for pruning + row-level src_batch provenance for
+# exactness through generation folds; the minhash sink's docstring
+# has the full analysis), generation compaction via
+# _compact_partition_store. With id-ordered arrival,
+# "first-seen canonical URL wins" is exactly the batch gate's
+# keep-lowest-doc_id rule — what the registered parity query
+# (stream_url_gate_compacted_parity, batch_windows.py) pins at the
+# driver's value-hash level.
+
+
+def _url_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
+    """Build the per-micro-batch body of the URL ingest sink (block
+    comment above). Exposed as a factory so the registered parity
+    query can drive the EXACT production code path with
+    deterministic id-ordered batches, while the streaming wrapper
+    hands the same function to foreachBatch. Input batches must
+    carry ``doc_id`` and a raw ``url_raw`` column; all other columns
+    ride through to the corpus."""
+    import os as _os
+
+    from ..operators.webgate import (
+        BLOCKED_SITES,
+        canonicalize_url,
+        extract_site,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _compact_partition_store(spark, store_path, batch_id, compact_every)
+        # (a)+(b): canonicalize, site-gate — one narrow map stage
+        batch = (
+            batch_df.withColumn(
+                "url_canon", canonicalize_url(F.col("url_raw"))
+            )
+            .withColumn("site", extract_site(F.col("url_canon")))
+            .filter(~F.col("site").isin(*BLOCKED_SITES))
+        )
+        # (c) intra-batch dedup: lowest doc_id per canonical URL
+        w = Window.partitionBy("url_canon")
+        kept = (
+            batch.withColumn("_mn", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("_mn"))
+            .drop("_mn")
+            .localCheckpoint(eager=True)
+        )
+        # (d) cross-batch: earlier-arrived store rows only; the
+        # store side is scanned with a BROADCAST semi-join on the
+        # batch's (small) url set, then the at-most-|batch| matches
+        # broadcast back for the anti-join — the store is never
+        # shuffled (block comment)
+        if _os.path.exists(store_path):
+            store = spark.read.parquet(store_path).filter(
+                (F.col("batch") < batch_id)
+                & (F.col("src_batch") < batch_id)
+            )
+            seen = (
+                store.join(
+                    F.broadcast(kept.select("url_canon")),
+                    "url_canon",
+                    "left_semi",
+                )
+                .select("url_canon")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            kept = kept.join(F.broadcast(seen), "url_canon", "left_anti")
+            kept = kept.localCheckpoint(eager=True)
+        # (e) batch-scoped overwrite writes: replay-idempotent
+        sub = f"batch={batch_id}"
+        kept.write.mode("overwrite").parquet(f"{corpus_path}/{sub}")
+        kept.select(
+            "url_canon",
+            "site",
+            "doc_id",
+            F.lit(batch_id).alias("src_batch"),
+        ).write.mode("overwrite").parquet(f"{store_path}/{sub}")
+
+    return ingest_batch
+
+
+def run_url_ingest_sink(
+    docs: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
+) -> StreamingQuery:
+    """Streaming crawl-frontier URL ingest with canonical-URL dedup
+    and blocklist gating — the batch URL pre-gate
+    (operators/webgate.py) run continuously (block comment above).
+    ``docs`` must carry ``doc_id`` and ``url_raw``."""
+    return (
+        docs.writeStream.foreachBatch(
+            _url_ingest_batch(store_path, corpus_path, compact_every)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ------------------------------------------------ CDC snapshot sink
 
 

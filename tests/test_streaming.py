@@ -2135,3 +2135,77 @@ def test_semantic_ingest_full_reprocess_after_fold_is_exact(spark, tmp_path):
         "full reprocess against the folded store diverged: batch 0 "
         "probed a later-arrived row the first run never saw"
     )
+
+
+def test_url_ingest_sink_dedups_blocks_and_replays(spark, tmp_path):
+    """The URL front-door sink end-to-end over a real stream:
+    blocklisted sites never reach corpus or store, canonical-URL
+    dups are dropped within a batch (keep-lowest-doc_id) and across
+    batches (first-seen wins), a full fresh-checkpoint replay
+    converges to the identical corpus, and a reprocess against a
+    FOLDED store stays exact (the src_batch provenance contract)."""
+    import os
+    import time
+
+    from pitlapetl_spark.streaming.runtime import (
+        _compact_partition_store,
+        run_url_ingest_sink,
+    )
+
+    b0 = [
+        (1, "https://src0.example.com/a?utm_source=x&q=1"),
+        (2, "HTTP://WWW.src1.example.com:80/b//c/"),
+        (3, "https://src3.example.com/x"),  # blocked site
+        (4, "HTTPS://www.SRC0.example.COM:443/a/?q=1#frag"),  # dup of 1
+    ]
+    b1 = [
+        (10, "https://src0.example.com/a?q=1&utm_campaign=y"),  # dup of 1
+        (11, "https://src1.example.com/new"),
+        (12, "https://src7.example.com/y"),  # blocked site
+    ]
+    schema = "doc_id long, url_raw string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_url_ingest_sink(
+            stream, store, corpus, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(300)
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+
+    got = run("ckpt1")
+    assert got == [1, 2, 11]
+    store_rows = spark.read.parquet(store).collect()
+    assert sorted(r.doc_id for r in store_rows) == [1, 2, 11]
+    assert all(r.site not in ("src3.example.com", "src7.example.com")
+               for r in store_rows)
+    # canonical forms landed in the store (spot-pin rule 1-6 output)
+    canons = {r.doc_id: r.url_canon for r in store_rows}
+    assert canons[1] == "https://src0.example.com/a?q=1"
+    assert canons[2] == "http://src1.example.com/b/c"
+
+    # full replay, fresh checkpoint, stores left in place
+    assert run("ckpt2") == got
+    # fold EVERYTHING into one generation, then reprocess from scratch
+    _compact_partition_store(spark, store, current_batch=10**6, threshold=1)
+    assert sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch=")
+    ) == [-1]
+    assert run("ckpt3") == got, "reprocess diverged against the generation"
