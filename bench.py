@@ -417,6 +417,10 @@ def verify() -> None:
         "queries": {
             n: v for n, v in verdicts.items() if v["verdict"] != "ok"
         },
+        # the full pass-1 min-of-3 map: the BENCH_CLEAN fold protocol
+        # (SCALE.md) takes per-query MINs across clean-host runs, and
+        # without this the ok-verdict timings were discarded
+        "min3": first,
     }
     Path(_REPO, "BENCH_VERIFY.json").write_text(json.dumps(summary, indent=1))
     # the driver captures only the LAST ~2000 chars of stdout (the
@@ -426,6 +430,7 @@ def verify() -> None:
     # first: they have no reference at all); BENCH_VERIFY.json keeps
     # everything
     line = dict(summary)
+    line.pop("min3", None)  # file-only; never fits the driver window
     worst = sorted(
         summary["queries"],
         key=lambda n: abs(summary["queries"][n].get("dev", float("inf"))),
