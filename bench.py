@@ -204,8 +204,12 @@ HEADLINE = (
     # round 11: the URL front-door ingest parity roundtrip (the
     # fourth crawl-ingest family member — exact-key dedup, so the
     # wall is the store lifecycle + the batch gate twin, not a
-    # candidate join)
+    # candidate join) and the exact-substring span-dedup ingest
+    # parity (the fifth member — the streaming Lee-et-al cut; the
+    # wall is the gram extraction run 1 + 2 times: per batch and in
+    # the batch twin recomputed for the cleaned-corpus comparison)
     "stream_url_gate_compacted_parity",
+    "stream_span_dedup_compacted_parity",
 )
 
 

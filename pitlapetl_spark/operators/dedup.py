@@ -1269,10 +1269,12 @@ def dedup_repeated_spans_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------- repeated-substring apply (cut)
 
-@query(
-    "dedup_repeated_spans_apply",
-    oracle=f"""
-    WITH toks AS (
+# The full tokenize -> gram -> canonical-occurrence -> island-merge
+# -> cut CTE chain, shared between the batch apply oracle below and
+# the streaming span-ingest parity oracle
+# (streaming/batch_windows.py) — one chain, two consumers, so the
+# stream is always compared against exactly the batch contract.
+SPAN_APPLY_CTES = f"""toks AS (
         SELECT doc_id, string_split({_SPAN_NORM}, ' ') AS t FROM documents
     ),
     grams AS (
@@ -1340,7 +1342,13 @@ def dedup_repeated_spans_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS cleaned_text,
                CAST(count(*) AS BIGINT) AS n_tokens_after
         FROM kept GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "dedup_repeated_spans_apply",
+    oracle=f"""
+    WITH {SPAN_APPLY_CTES}
     SELECT tk.doc_id,
            CAST(len(tk.t) AS BIGINT) AS n_tokens_before,
            coalesce(c.n_tokens_after, 0) AS n_tokens_after,
@@ -1405,6 +1413,17 @@ def dedup_repeated_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + SPAN_K).cast("long").alias("e"),
         )
     )
+    return span_cut_apply(toks, removable)
+
+
+def span_cut_apply(toks: DataFrame, removable: DataFrame) -> DataFrame:
+    """The CUT stage of the substring dedup, shared between the batch
+    apply query above and the streaming span-dedup ingest sink
+    (streaming/runtime.py): island-merge the removable (doc_id, s, e)
+    extents, then cut them from ``toks`` (doc_id, t) with a doc-local
+    higher-order-function filter — no corpus-token explode, no
+    Python. Docs with nothing to cut pass through via the left join
+    (n_spans_cut = 0), so the result is total over ``toks``."""
     merged = _merge_islands(removable).select(
         "doc_id",
         F.struct(

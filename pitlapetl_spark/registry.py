@@ -171,9 +171,14 @@ _loaded = False
 #   stream_url_gate_compacted_parity — the streaming URL front-door
 #     sink's batch-parity query (VERDICT r10 item 5a; the fourth
 #     crawl-ingest family member, runtime.run_url_ingest_sink);
-#     local-parity green. N_new(r11) = 1, so round 12's window reads
-#     1 + 3 r4-era carry + 46 of the 50 r5-era refreshes = 50, with
-#     4 r5-era rows carrying to round 13.
+#     local-parity green.
+#   stream_span_dedup_compacted_parity — the streaming exact-
+#     substring Lee-et-al cut's batch-parity query (the fifth family
+#     member, runtime.run_span_dedup_ingest_sink — the streaming
+#     twin of dedup_repeated_spans_apply); local-parity green.
+# N_new(r11) = 2, so round 12's window reads 2 + 3 r4-era carry +
+# 45 of the 50 r5-era refreshes = 50, with 5 r5-era rows carrying
+# to round 13 (inside the <= 3 cap).
 # (VERDICT r10 item 5b — corpus-global repeated-span dedup — turned
 # out to already exist: dedup_repeated_spans_apply, dedup.py, IS the
 # Lee-et-al cut pass, corpus-global by construction; no new

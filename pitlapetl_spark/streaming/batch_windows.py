@@ -844,3 +844,201 @@ def stream_url_gate_compacted_parity(
         return result.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------- span-dedup ingest stream-vs-batch parity
+# The fifth crawl-ingest family member's parity query: the streaming
+# exact-substring cut (runtime.run_span_dedup_ingest_sink) must
+# produce EXACTLY the cleaned corpus the batch Lee-et-al apply
+# (dedup_repeated_spans_apply) produces on the same documents, and
+# its first-seen gram store must read identically before and after
+# generation compaction. Same harness shape as the semantic and URL
+# parity queries: drive the sink's real per-batch body over
+# id-ordered micro-batches, run the real compactor twice (steady
+# state + crash-leftover heal), and compare the per-doc cleaned
+# output against a DuckDB oracle built from the SAME CTE chain as
+# the batch apply's oracle (dedup.SPAN_APPLY_CTES — one chain, two
+# consumers).
+#
+# Why stream == batch holds EXACTLY: the batch rule cuts every
+# occurrence of a repeated gram except the first by (doc_id, pos);
+# the first occurrence is NEVER cut, so the batch-0 output cannot
+# depend on batches it hasn't seen, and with id-ordered arrival
+# "earlier occurrence exists" (the stream's cut test: rn > 1 within
+# the batch, or gram in the store) is precisely "row_number over
+# (doc_id, pos) > 1" globally. Hash note: the sink grams with
+# xxhash64 (production), the oracle replays the md5 chain — cut
+# decisions are a function of gram equality only (the repeated-spans
+# twin argument), and the compared artifact is the cleaned TOKEN
+# TEXT, which is hash-independent.
+#
+# 100-TB shape: store rows ~ corpus distinct grams (the known
+# suffix-array-class cost of exact-substring dedup); the sink never
+# shuffles the store (broadcast gram-key probe); the parity compare
+# is one full-outer join at the doc grain.
+
+N_SPAN_INGEST_BATCHES = 3
+
+
+def _span_parity_oracle() -> str:
+    from ..operators.dedup import SPAN_APPLY_CTES
+
+    return f"""
+    WITH {SPAN_APPLY_CTES}
+    SELECT tk.doc_id,
+           CAST(len(tk.t) AS BIGINT) AS n_tokens_before,
+           coalesce(c.n_tokens_after, 0) AS n_tokens_after,
+           coalesce(n.n_spans_cut, 0) AS n_spans_cut,
+           md5(coalesce(c.cleaned_text, '')) AS cleaned_fp,
+           CAST(1 AS INT) AS store_partitions,
+           TRUE AS stream_batch_parity,
+           TRUE AS compacted_parity
+    FROM toks tk
+    LEFT JOIN cleaned c ON c.doc_id = tk.doc_id
+    LEFT JOIN nspans n ON n.doc_id = tk.doc_id
+    """
+
+
+@query("stream_span_dedup_compacted_parity", oracle=_span_parity_oracle())
+def stream_span_dedup_compacted_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive the span-dedup ingest sink's real batch body over
+    id-ordered micro-batches of the documents table, compact the
+    first-seen gram store (steady state + crash-leftover heal), and
+    return the per-doc cleaned fold alongside stream-vs-batch and
+    pre-vs-post-compaction parity checks (block comment above)."""
+    import math as _math
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.dedup import dedup_repeated_spans_apply
+    from .runtime import _compact_partition_store, _span_ingest_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # id-ordered ranges (arrival order must equal id order for the
+    # stream-vs-batch equivalence — block comment); bounded scalar
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    width = _math.ceil((max_id + 1) / N_SPAN_INGEST_BATCHES)
+
+    root = _tempfile.mkdtemp(prefix="pitlap_span_parity_")
+    store, corpus = f"{root}/store", f"{root}/corpus"
+    try:
+        ingest = _span_ingest_batch(
+            store, corpus, compact_every=10 * N_SPAN_INGEST_BATCHES
+        )
+        for i in range(N_SPAN_INGEST_BATCHES):
+            ingest(
+                docs.filter(
+                    (F.col("doc_id") >= i * width)
+                    & (F.col("doc_id") < (i + 1) * width)
+                ),
+                i,
+            )
+        pre = (
+            spark.read.parquet(store)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+        # crash-window leftover heal (the family harness step)
+        leftover = spark.read.parquet(f"{store}/batch=1").localCheckpoint(
+            eager=True
+        )
+        _compact_partition_store(
+            spark, store, current_batch=N_SPAN_INGEST_BATCHES, threshold=2
+        )
+        leftover.write.mode("overwrite").parquet(f"{store}/batch=1")
+        _compact_partition_store(
+            spark, store, current_batch=N_SPAN_INGEST_BATCHES + 1, threshold=1
+        )
+        n_parts = len(
+            [d for d in _os.listdir(store) if d.startswith("batch=")]
+        )
+        after = (
+            spark.read.parquet(store)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+
+        def fold(df: DataFrame, prefix: str = "") -> DataFrame:
+            # one-row scalar fold of the gram store (no small natural
+            # grain exists on a gram store; sums are DECIMAL so long
+            # hash values cannot overflow)
+            return df.agg(
+                F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
+                F.countDistinct("g").cast("long").alias(f"{prefix}n_g"),
+                F.sum(F.col("g").cast("decimal(38,0)")).alias(
+                    f"{prefix}sum_g"
+                ),
+                F.sum("doc_id").cast("long").alias(f"{prefix}sum_doc"),
+                F.sum("pos").cast("long").alias(f"{prefix}sum_pos"),
+            )
+
+        comp = (
+            fold(after)
+            .crossJoin(F.broadcast(fold(pre, "pre_")))
+            .select(
+                (
+                    F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
+                    & F.col("n_g").eqNullSafe(F.col("pre_n_g"))
+                    & F.col("sum_g").eqNullSafe(F.col("pre_sum_g"))
+                    & F.col("sum_doc").eqNullSafe(F.col("pre_sum_doc"))
+                    & F.col("sum_pos").eqNullSafe(F.col("pre_sum_pos"))
+                ).alias("compacted_ok")
+            )
+        )
+
+        # stream-vs-batch cleaned-corpus equality: full outer on
+        # doc_id over every output column (one-row scalar)
+        stream_out = spark.read.parquet(corpus).drop("batch")
+        batch_out = dedup_repeated_spans_apply(spark, sf_dir)
+        s = stream_out.select(
+            "doc_id",
+            F.col("n_tokens_before").alias("s_b"),
+            F.col("n_tokens_after").alias("s_a"),
+            F.col("n_spans_cut").alias("s_c"),
+            F.col("cleaned_text").alias("s_t"),
+        )
+        b = batch_out.select(
+            "doc_id",
+            F.col("n_tokens_before").alias("b_b"),
+            F.col("n_tokens_after").alias("b_a"),
+            F.col("n_spans_cut").alias("b_c"),
+            F.col("cleaned_text").alias("b_t"),
+        )
+        mism = (
+            s.join(b, "doc_id", "full")
+            .agg(
+                F.count(
+                    F.when(
+                        ~(
+                            F.col("s_b").eqNullSafe(F.col("b_b"))
+                            & F.col("s_a").eqNullSafe(F.col("b_a"))
+                            & F.col("s_c").eqNullSafe(F.col("b_c"))
+                            & F.col("s_t").eqNullSafe(F.col("b_t"))
+                        ),
+                        1,
+                    )
+                ).alias("n_mismatch")
+            )
+        )
+        result = (
+            stream_out.crossJoin(F.broadcast(mism))
+            .crossJoin(F.broadcast(comp))
+            .select(
+                "doc_id",
+                "n_tokens_before",
+                "n_tokens_after",
+                "n_spans_cut",
+                F.md5("cleaned_text").alias("cleaned_fp"),
+                F.lit(n_parts).cast("int").alias("store_partitions"),
+                (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
+                F.col("compacted_ok").alias("compacted_parity"),
+            )
+        )
+        # materialize before the temp dir is removed (the standing
+        # roundtrip-query device)
+        return result.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)

@@ -1249,6 +1249,172 @@ def run_url_ingest_sink(
     )
 
 
+# --------------------------- exact-substring span ingest sink
+# The FIFTH crawl-ingest family member: the streaming twin of the
+# batch Lee-et-al substring-dedup cut (operators/dedup.py
+# dedup_repeated_spans_apply — 'Deduplicating Training Data Makes
+# Language Models Better' semantics: every occurrence of a repeated
+# >= SPAN_K-token substring is cut except the globally FIRST one).
+# Run incrementally: the store persists the corpus's FIRST-SEEN gram
+# keys, and a batch occurrence is cut iff an earlier occurrence
+# exists — in the store (any gram already seen) or within the batch
+# (a lower-(doc_id, pos) occurrence). With id-ordered arrival
+# "earlier occurrence exists" is exactly the batch twin's
+# row_number-over-(doc_id, pos) > 1 rule, which is what the
+# registered parity query (stream_span_dedup_compacted_parity,
+# batch_windows.py) pins at the driver's value-hash level. The
+# contract is the SPAN_MIN_COUNT = 2 cut-all-but-first rule — the
+# only form that decomposes as "cut iff any earlier occurrence";
+# a higher min-count would need occurrence COUNTS in the store.
+#
+# Store shape: one row per DISTINCT gram in the corpus, the known
+# cost of exact-substring dedup at scale (a suffix-array-class
+# artifact: store rows ~ corpus token count). Per-batch cost is one
+# store scan with a broadcast semi-join on the batch's gram keys
+# (the store is never shuffled — the URL sink's probe device), plus
+# the batch-local gram extraction and the doc-local cut. Generation
+# compaction folds the per-batch partitions; at corpus sizes where
+# the scan dominates, the stated migration is the bucket-pruned
+# layout / KV probe the minhash sink documents.
+#
+# Exactly-once: the family device verbatim — batch-scoped overwrite
+# partitions, store reads admit only earlier-arrived ROWS (partition
+# filter for pruning + row-level src_batch provenance for exactness
+# through generation folds; the minhash sink's docstring has the
+# full analysis). gram hashes are xxhash64 (the production twin's
+# hash): cut decisions are a function of gram EQUALITY only, so any
+# injective hash yields the same cuts — the md5/xxhash64 twin
+# argument from the batch queries, which is also why the parity
+# oracle can replay the md5 chain.
+
+
+def _span_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
+    """Build the per-micro-batch body of the span-dedup ingest sink
+    (block comment above). Exposed as a factory so the registered
+    parity query can drive the EXACT production code path with
+    deterministic id-ordered batches, while the streaming wrapper
+    hands the same function to foreachBatch. Input batches must
+    carry ``doc_id`` and ``text``."""
+    import os as _os
+
+    from ..functions.text import norm_text
+    from ..operators.dedup import SPAN_K, span_cut_apply
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _compact_partition_store(spark, store_path, batch_id, compact_every)
+        toks = (
+            batch_df.select(
+                "doc_id", F.split(norm_text(F.col("text")), " ").alias("t")
+            )
+            .localCheckpoint(eager=True)
+        )
+        grams = (
+            toks.filter(F.size("t") >= SPAN_K)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(t) - {SPAN_K}), i -> "
+                        f"struct(i AS pos, xxhash64(array_join("
+                        f"slice(t, i + 1, {SPAN_K}), ' ')) AS g))"
+                    )
+                ).alias("x"),
+            )
+            .select(
+                "doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g")
+            )
+            # grams feeds the first-occurrence window, the store
+            # probe, and the removable set — one materialization
+            .localCheckpoint(eager=True)
+        )
+        # intra-batch canonical occurrence: the batch twin's exact
+        # window (first by (doc_id, pos) per gram)
+        occ_w = Window.partitionBy("g").orderBy("doc_id", "pos")
+        ranked = grams.withColumn("rn", F.row_number().over(occ_w))
+        # cross-batch: grams the store has already seen — broadcast
+        # the batch's (bounded) distinct gram keys against the store,
+        # broadcast the matches back; the store is never shuffled
+        if _os.path.exists(store_path):
+            store = spark.read.parquet(store_path).filter(
+                (F.col("batch") < batch_id)
+                & (F.col("src_batch") < batch_id)
+            )
+            seen = (
+                store.join(
+                    F.broadcast(grams.select("g").distinct()),
+                    "g",
+                    "left_semi",
+                )
+                .select("g")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        else:
+            seen = None
+        # removable: any occurrence with an earlier one — rn > 1
+        # (intra-batch) or gram already seen (cross-batch, where ALL
+        # batch occurrences lose to the stored first)
+        if seen is not None:
+            ranked = ranked.join(
+                F.broadcast(seen.withColumn("_seen", F.lit(True))),
+                "g",
+                "left",
+            )
+        else:
+            ranked = ranked.withColumn("_seen", F.lit(None).cast("boolean"))
+        removable = ranked.filter(
+            (F.col("rn") > 1) | F.col("_seen")
+        ).select(
+            "doc_id",
+            F.col("pos").cast("long").alias("s"),
+            (F.col("pos") + SPAN_K).cast("long").alias("e"),
+        )
+        cleaned = span_cut_apply(toks, removable).localCheckpoint(eager=True)
+        # new first-seen grams enter the store (provenance columns
+        # ride along for debuggability; src_batch is the probe's
+        # row-level filter key)
+        new_firsts = ranked.filter(
+            (F.col("rn") == 1) & F.col("_seen").isNull()
+        ).select(
+            "g",
+            "doc_id",
+            "pos",
+            F.lit(batch_id).alias("src_batch"),
+        )
+        # batch-scoped overwrite writes: replay-idempotent
+        sub = f"batch={batch_id}"
+        cleaned.write.mode("overwrite").parquet(f"{corpus_path}/{sub}")
+        new_firsts.write.mode("overwrite").parquet(f"{store_path}/{sub}")
+
+    return ingest_batch
+
+
+def run_span_dedup_ingest_sink(
+    docs: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
+) -> StreamingQuery:
+    """Streaming exact-substring dedup ingest — the batch Lee-et-al
+    cut (dedup_repeated_spans_apply) run continuously (block comment
+    above). ``docs`` must carry ``doc_id`` and ``text``; the corpus
+    output is the cleaned per-doc frame (n_tokens_before/after,
+    n_spans_cut, cleaned_text)."""
+    return (
+        docs.writeStream.foreachBatch(
+            _span_ingest_batch(store_path, corpus_path, compact_every)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ------------------------------------------------ CDC snapshot sink
 
 

@@ -2209,3 +2209,84 @@ def test_url_ingest_sink_dedups_blocks_and_replays(spark, tmp_path):
         if d.startswith("batch=")
     ) == [-1]
     assert run("ckpt3") == got, "reprocess diverged against the generation"
+
+
+def test_span_dedup_ingest_cuts_across_batches_and_replays(spark, tmp_path):
+    """The exact-substring span ingest sink end-to-end over a real
+    stream: a >= SPAN_K-token phrase first seen in batch 0 is CUT
+    from the batch-1 doc that repeats it (first occurrence kept —
+    the Lee-et-al rule), unique docs pass through uncut, a full
+    fresh-checkpoint replay converges to the identical corpus, and a
+    reprocess against a FOLDED gram store stays exact (without the
+    src_batch provenance filter every batch-0 gram would be 'seen'
+    in the generation and batch 0 would cut itself to nothing)."""
+    import os
+    import time
+
+    from pitlapetl_spark.streaming.runtime import (
+        _compact_partition_store,
+        run_span_dedup_ingest_sink,
+    )
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b0 = [
+        (1, "intro words one two three four five six seven " + phrase),
+        (2, "totally unique content lives here spanning nine ten tokens"),
+    ]
+    b1 = [
+        (10, "another prefix entirely different from before yes " + phrase
+             + " trailing bits"),
+        (11, "more unique content nothing repeated anywhere at all here"),
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_span_dedup_ingest_sink(
+            stream, store, corpus, str(tmp_path / ckpt)
+        )
+        q.awaitTermination(300)
+        return {
+            r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.n_spans_cut,
+                       r.cleaned_text)
+            for r in spark.read.parquet(corpus).collect()
+        }
+
+    got = run("ckpt1")
+    assert set(got) == {1, 2, 10, 11}
+    # first occurrence kept intact, unique docs untouched
+    for d in (1, 2, 11):
+        before, after, cut, text = got[d]
+        assert cut == 0 and before == after
+    assert phrase in got[1][3]
+    # the repeat is cut: the whole 10-token phrase leaves doc 10
+    before, after, cut, text = got[10]
+    assert cut == 1 and before - after == 10
+    assert "alpha" not in text and "kappa" not in text
+    assert text.startswith("another prefix") and text.endswith("trailing bits")
+
+    # full replay, fresh checkpoint, stores left in place
+    assert run("ckpt2") == got
+    # fold EVERYTHING into one generation, then reprocess from scratch
+    _compact_partition_store(spark, store, current_batch=10**6, threshold=1)
+    assert sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store)
+        if d.startswith("batch=")
+    ) == [-1]
+    assert run("ckpt3") == got, "reprocess diverged against the generation"
