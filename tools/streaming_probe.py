@@ -224,6 +224,134 @@ def probe_semantic_ingest(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_url_ingest(
+    spark, urls_per_batch: int, n_batches: int, compact_every: int
+) -> dict:
+    """Per-batch wall of the URL front-door ingest sink across a long
+    run with generation compaction — the flat-per-batch evidence the
+    other family members carry, for the round-11 member. URLs are
+    deterministic functions of doc_id with rotating raw-form variety
+    (case/www/port/params), all canonically distinct, so the probe
+    measures the store lifecycle (canonicalize + window + broadcast
+    probe + write + amortized compaction), not drop volume."""
+    from pitlapetl_spark.streaming.runtime import run_url_ingest_sink
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_urlprobe_")
+    try:
+        src = f"{tmp}/src"
+        per_batch = []
+        for b in range(n_batches):
+            base = b * urls_per_batch
+            rows = []
+            for i in range(urls_per_batch):
+                d = base + i
+                scheme = "HTTPS" if d % 2 else "https"
+                www = "WWW." if d % 3 == 0 else ""
+                port = ":443" if d % 5 == 0 else ""
+                q = "?utm_source=probe&id=%d" % d if d % 4 == 0 else "?id=%d" % d
+                rows.append(
+                    (d, f"{scheme}://{www}src{d % 20}.example.com{port}"
+                        f"/p//{d}{q}")
+                )
+            (
+                spark.createDataFrame(rows, "doc_id long, url_raw string")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            stream = (
+                spark.readStream.schema("doc_id long, url_raw string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            t0 = time.perf_counter()
+            q_ = run_url_ingest_sink(
+                stream,
+                f"{tmp}/store",
+                f"{tmp}/corpus",
+                f"{tmp}/ckpt",
+                compact_every=compact_every,
+            )
+            q_.awaitTermination(600)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        k = max(1, n_batches // 6)
+        return {
+            "urls_per_batch": urls_per_batch,
+            "compact_every": compact_every,
+            "first_k_mean": round(sum(per_batch[:k]) / k, 3),
+            "last_k_mean": round(sum(per_batch[-k:]) / k, 3),
+            "per_batch_sec": per_batch,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def probe_span_ingest(
+    spark,
+    docs_per_batch: int,
+    n_batches: int,
+    compact_every: int,
+    tokens_per_doc: int = 200,
+) -> dict:
+    """Per-batch wall of the exact-substring span-dedup ingest sink
+    across a long run with generation compaction. Token streams are
+    deterministic functions of (doc_id, position) over a 9973-word
+    vocabulary, so grams are almost all corpus-unique and the store
+    grows ~ (tokens - K + 1) rows per doc — the worst-case store
+    growth for this sink, which is exactly what the probe should
+    stress (the gram store IS the scale cost of substring dedup)."""
+    from pitlapetl_spark.streaming.runtime import run_span_dedup_ingest_sink
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_spanprobe_")
+    try:
+        src = f"{tmp}/src"
+        per_batch = []
+        for b in range(n_batches):
+            base = b * docs_per_batch
+            rows = [
+                (
+                    base + i,
+                    " ".join(
+                        f"w{((base + i) * 31 + j * 7) % 9973}"
+                        for j in range(tokens_per_doc)
+                    ),
+                )
+                for i in range(docs_per_batch)
+            ]
+            (
+                spark.createDataFrame(rows, "doc_id long, text string")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            t0 = time.perf_counter()
+            q_ = run_span_dedup_ingest_sink(
+                stream,
+                f"{tmp}/store",
+                f"{tmp}/corpus",
+                f"{tmp}/ckpt",
+                compact_every=compact_every,
+            )
+            q_.awaitTermination(600)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        k = max(1, n_batches // 6)
+        return {
+            "docs_per_batch": docs_per_batch,
+            "tokens_per_doc": tokens_per_doc,
+            "compact_every": compact_every,
+            "first_k_mean": round(sum(per_batch[:k]) / k, 3),
+            "last_k_mean": round(sum(per_batch[-k:]) / k, 3),
+            "per_batch_sec": per_batch,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) -> dict:
     """Monitor sinks (CUSUM / PSI / k-anonymity / OOV): per-batch
     partials are fixed-size (types x days-touched, bins, QI x bands,
@@ -477,7 +605,25 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=None,
                     help="pass an aggressive compaction cadence through "
                          "to the growth-probe sinks")
+    ap.add_argument("--url-batches", type=int, default=0,
+                    help="run the URL ingest long-run probe to N batches")
+    ap.add_argument("--span-batches", type=int, default=0,
+                    help="run the span-dedup ingest long-run probe to N "
+                         "batches")
     args = ap.parse_args()
+
+    if args.url_batches:
+        print(f"url ingest long-run probe ({args.url_batches} batches):")
+        print("  ", probe_url_ingest(
+            spark, 2_000, args.url_batches,
+            compact_every=args.compact_every or 8))
+        return
+    if args.span_batches:
+        print(f"span-dedup ingest long-run probe ({args.span_batches} batches):")
+        print("  ", probe_span_ingest(
+            spark, 100, args.span_batches,
+            compact_every=args.compact_every or 8))
+        return
 
     if args.monitor_growth:
         print(f"monitor-sink growth probe ({args.monitor_growth} batches):")
