@@ -56,74 +56,83 @@ def test_registry_size_and_oracle_coverage():
     assert not stale, f"oracles without queries: {sorted(stale)}"
 
 
-def test_round10_rotation_window_composition():
-    """The round-10 driver window (first 50 names) must follow the
-    pinned ledger (registry._PRIORITY comment): the board opened
-    clean (zero never-verified, zero red after round 9), so the one
-    round-10 cohort-(i) addition leads (never-verified outranks
-    stale, standing policy since r4), then the FULL 49-row r3-era
-    refresh queue in ledger order. Arithmetic: N_new + 49 = 50
-    exactly at the N_new = 1 cap — an accidental second addition or
-    a reorder would silently spend verification slots differently
-    than the documented policy."""
+def test_round11_rotation_window_composition():
+    """The round-11 driver window (first 50 names) must follow the
+    pinned ledger (registry._PRIORITY comment): the 3 round-10
+    spills lead (never-verified outranks stale, standing policy
+    since r4), then the FIRST 47 of the 50-row r4-era refresh queue
+    in CORRECTNESS_r04 order. Arithmetic: 3 + 47 = 50 exactly; the
+    last 3 r4-era rows (agg_pricing_summary, agg_cube,
+    agg_distinct_counts) carry to round 12, and the round's own
+    additions (the two ingest-sink parity queries) spill to round
+    12's cohort — they must NOT be in this window, or they would
+    silently displace a pinned refresh slot."""
     pri = list(registry._PRIORITY)
-    r3_era_ledger = [
-        "flagship_top_value_per_user",
-        "agg_approx_sketches",
-        "agg_group_minmax_stats",
-        "window_range_frame",
-        "asof_join_last_order",
-        "dedup_minhash_lsh",
-        "stream_tumbling_counts",
-        "stream_sliding_avg",
-        "stream_session_windows",
-        "sink_upsert_roundtrip",
-        "window_forward_fill",
-        "rollup_hierarchy_day_from_hour",
-        "sink_merge_scoped_roundtrip",
-        "text_boilerplate_lines",
-        "shuffle_epoch_shards",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q10_returned_items",
-        "interval_merge_activity",
-        "sketch_mv_union",
-        "anomaly_rolling_zscore",
-        "dq_skew_profile",
-        "market_basket_pairs",
-        "window_cumulative_distinct_users",
-        "dedup_winnowing",
-        "temporal_pit_join",
-        "asof_join_tolerance",
-        "sessionize_events",
-        "window_share_of_total",
-        "scd2_user_value_history",
-        "funnel_view_click_purchase",
-        "cohort_retention_matrix",
-        "sim_topk_lsh_multiprobe",
-        "join_range_binned",
-        "incremental_mv_merge",
-        "kmeans_lloyd_clusters",
-        "sample_weighted_mix",
-        "agg_histogram_equi_width",
-        "pandas_udaf_weighted_mean",
-        "join_salted_skew",
-        "text_kl_domain_drift",
-        "dedup_keep_best",
-        "fuzzy_match_blocking",
-        "table_diff_reconcile",
-        "contamination_eval_overlap",
-        "pack_token_budget",
-        "split_train_holdout",
-        "scalar_date_math",
-        "scalar_regex_suite",
+    never_verified = [
+        "dedup_semantic_top3",
+        "text_url_canonicalize_gate",
+        "text_quality_classifier_score",
     ]
-    # ledger structure: cohort (i) additions, then the r3-era queue
-    assert pri[-49:] == r3_era_ledger
-    cohort_i = pri[:-49]
-    # the written arithmetic: N_new + 49 <= 50, so N_new <= 1
-    assert len(cohort_i) <= 1, cohort_i
-    assert cohort_i == ["stream_semantic_compacted_parity"]
+    assert pri[:3] == never_verified
+    r4_era_head = [
+        "resample_daily_grid",
+        "agg_argmax_mode",
+        "sequence_event_trigrams",
+        "udtf_chunk_spans",
+        "dedup_winnowing_fast",
+        "dedup_incremental_minhash",
+        "dedup_repeated_spans",
+        "dedup_repeated_spans_fast",
+        "dedup_repeated_spans_apply",
+        "cdc_latest_state",
+        "winsorize_group_values",
+        "mix_token_allocation",
+        "agg_histogram_equi_depth",
+        "attribution_last_touch",
+        "featurize_hashed_ngrams",
+        "graph_pagerank_copurchase",
+        "window_ewma_daily",
+        "ab_test_variant_zscore",
+        "q6_forecast_revenue",
+        "q12_late_shipment_priority",
+        "q18_large_volume_customers",
+        "q4_order_priority_check",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q13_customer_distribution",
+        "q14_promo_effect",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q19_discounted_revenue",
+        "q21_suppliers_kept_waiting",
+        "q22_dormant_high_balance",
+        "q2_min_cost_supplier",
+        "q9_product_type_profit",
+        "q11_important_stock",
+        "q16_supplier_part_breadth",
+        "q20_excess_suppliers",
+        "sim_topk_ivf_nprobe",
+        "dedup_semantic_semdedup",
+        "dsir_importance_weights",
+        "report_corpus_datacard",
+        "source_csv_roundtrip",
+        "source_jsonl_roundtrip",
+        "source_orc_roundtrip",
+        "source_schema_evolution",
+        "sink_delete_roundtrip",
+        "churn_yearly_customers",
+        "rfm_customer_segments",
+    ]
+    assert pri[3:] == r4_era_head and len(pri) == 50
+    # the r12-carry rows and the round-11 spills stay OUT of the window
+    for name in (
+        "agg_pricing_summary",
+        "agg_cube",
+        "agg_distinct_counts",
+        "stream_url_gate_compacted_parity",
+        "stream_span_dedup_compacted_parity",
+    ):
+        assert name not in pri, name
     # every ledger name must actually be registered (a typo here
     # would silently drop a pinned slot from the driver window)
     queries = registry.all_queries()
