@@ -162,9 +162,9 @@ _loaded = False
 # round 12, and any query REGISTERED in round 11 spills to round 12
 # as never-verified. Round-12 window arithmetic that implies:
 # N_new(r11) + 3 r4-era carry + (47 - N_new) of the 50 r5-era
-# refreshes = 50, so N_new <= 3 keeps round 12 able to clear its
-# whole r5-era backlog minus at most N_new rows (those spill to
-# r13's queue head). Round-11 additions are therefore capped at 3.
+# refreshes = 50, so the r5-era carry to round 13 is (3 + N_new)
+# rows (those lead r13's refresh queue); N_new <= 3 bounds that
+# carry at 6. Round-11 additions are therefore capped at 3.
 #
 # Round-11 spills (registered this round, NOT in this window; enter
 # round 12 as the never-verified cohort and lead that window):

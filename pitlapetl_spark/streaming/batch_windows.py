@@ -464,6 +464,94 @@ def stream_phash_compacted_parity(
 # own batch-partitioned parquet layout + amortized-O(1) compaction);
 # the parity fold is one aggregation at the label grain.
 
+def _drive_compacted_ingest(
+    spark: SparkSession,
+    src: DataFrame,
+    id_col: str,
+    make_ingest,
+    n_batches: int,
+    read_corpus: bool = False,
+):
+    """Shared harness for the ingest-parity queries (semantic / URL /
+    span — one copy, three consumers, after the round-11 review
+    flagged the drift risk of the crash-heal choreography living in
+    each query): drive a sink's real per-batch body over id-ordered
+    micro-batches of ``src``, then run the real compactor TWICE —
+    steady state (all committed batches fold into a generation), then
+    a simulated crash-window leftover (batch 1's sealed partition
+    restored AFTER the fold, so its rows live in both the generation
+    and the leftover source) that the second compaction must heal via
+    full-row dedup. The capture/fold/restore/fold ORDER is
+    load-bearing — that is exactly why it lives here once.
+
+    ``make_ingest`` maps (store_path, corpus_path) to the per-batch
+    body. Returns (pre, after, corpus, n_parts): the store read minus
+    the partition column before/after compaction, the corpus read
+    (None unless ``read_corpus`` — the semantic query never reads its
+    corpus, and materializing it would change that benched query's
+    measured work), and the post-heal partition count. Every returned
+    frame is eagerly materialized (localCheckpoint) so callers keep
+    using them after the temp dir is removed."""
+    import math as _math
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .runtime import _compact_partition_store
+
+    # id-ordered ranges (arrival order must equal id order for the
+    # stream-vs-batch equivalence — each query's block comment); the
+    # max-id scalar is a bounded one-row collect
+    max_id = src.agg(F.max(id_col)).collect()[0][0]
+    width = _math.ceil((max_id + 1) / n_batches)
+
+    root = _tempfile.mkdtemp(prefix="pitlap_ingest_parity_")
+    store, corpus_path = f"{root}/store", f"{root}/corpus"
+    try:
+        ingest = make_ingest(store, corpus_path)
+        for i in range(n_batches):
+            ingest(
+                src.filter(
+                    (F.col(id_col) >= i * width)
+                    & (F.col(id_col) < (i + 1) * width)
+                ),
+                i,
+            )
+        pre = (
+            spark.read.parquet(store)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+        leftover = spark.read.parquet(f"{store}/batch=1").localCheckpoint(
+            eager=True
+        )
+        _compact_partition_store(
+            spark, store, current_batch=n_batches, threshold=2
+        )
+        leftover.write.mode("overwrite").parquet(f"{store}/batch=1")
+        _compact_partition_store(
+            spark, store, current_batch=n_batches + 1, threshold=1
+        )
+        n_parts = len(
+            [d for d in _os.listdir(store) if d.startswith("batch=")]
+        )
+        after = (
+            spark.read.parquet(store)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+        )
+        corpus = (
+            spark.read.parquet(corpus_path)
+            .drop("batch")
+            .localCheckpoint(eager=True)
+            if read_corpus
+            else None
+        )
+        return pre, after, corpus, n_parts
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
 N_SEM_INGEST_BATCHES = 3
 
 
@@ -515,141 +603,96 @@ def stream_semantic_compacted_parity(
     the per-label fold of the compacted store alongside stream-vs-
     batch and pre-vs-post-compaction parity checks (block comment
     above)."""
-    import math as _math
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from ..operators.similarity import (
         _centroid_frame,
         dedup_semantic_top2,
     )
-    from .runtime import _compact_partition_store, _semantic_ingest_batch
+    from .runtime import _semantic_ingest_batch
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # id-ordered ranges (arrival order must equal id order for the
-    # stream-vs-batch equivalence — block comment); the max-id scalar
-    # is a bounded one-row collect
-    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-    width = _math.ceil((max_id + 1) / N_SEM_INGEST_BATCHES)
-
-    root = _tempfile.mkdtemp(prefix="pitlap_sem_parity_")
-    store, corpus = f"{root}/store", f"{root}/corpus"
-    try:
-        ingest = _semantic_ingest_batch(
+    pre, after, _, n_parts = _drive_compacted_ingest(
+        spark,
+        emb,
+        "vec_id",
+        lambda store, corpus: _semantic_ingest_batch(
             _centroid_frame(spark, sf_dir),
             store,
             corpus,
             compact_every=10 * N_SEM_INGEST_BATCHES,  # no fold mid-run
-        )
-        for i in range(N_SEM_INGEST_BATCHES):
-            ingest(
-                emb.filter(
-                    (F.col("vec_id") >= i * width)
-                    & (F.col("vec_id") < (i + 1) * width)
-                ),
-                i,
-            )
-        pre = (
-            spark.read.parquet(store)
-            .drop("batch")
-            .localCheckpoint(eager=True)
-        )
-        # crash-window leftover: capture batch 1's sealed partition,
-        # fold everything, then restore it — its rows now live in BOTH
-        # the generation and the leftover source; the next compaction
-        # must heal via full-row dedup
-        leftover = spark.read.parquet(f"{store}/batch=1").localCheckpoint(
-            eager=True
-        )
-        _compact_partition_store(
-            spark, store, current_batch=N_SEM_INGEST_BATCHES, threshold=2
-        )
-        leftover.write.mode("overwrite").parquet(f"{store}/batch=1")
-        _compact_partition_store(
-            spark, store, current_batch=N_SEM_INGEST_BATCHES + 1, threshold=1
-        )
-        import os as _os
+        ),
+        N_SEM_INGEST_BATCHES,
+    )
 
-        n_parts = len(
-            [d for d in _os.listdir(store) if d.startswith("batch=")]
-        )
-        after = (
-            spark.read.parquet(store)
-            .drop("batch")
-            .localCheckpoint(eager=True)
+    def fold(df: DataFrame, prefix: str = "") -> DataFrame:
+        ndrop = F.when(~F.col("kept"), F.col("vec_id"))
+        return df.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
+            F.countDistinct("vec_id")
+            .cast("long")
+            .alias(f"{prefix}n_docs"),
+            F.countDistinct(ndrop)
+            .cast("long")
+            .alias(f"{prefix}n_dropped"),
+            F.sum(F.coalesce(ndrop, F.lit(0)))
+            .cast("long")
+            .alias(f"{prefix}sum_dropped_ids"),
         )
 
-        def fold(df: DataFrame, prefix: str = "") -> DataFrame:
-            ndrop = F.when(~F.col("kept"), F.col("vec_id"))
-            return df.groupBy("label").agg(
-                F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
-                F.countDistinct("vec_id")
-                .cast("long")
-                .alias(f"{prefix}n_docs"),
-                F.countDistinct(ndrop)
-                .cast("long")
-                .alias(f"{prefix}n_dropped"),
-                F.sum(F.coalesce(ndrop, F.lit(0)))
-                .cast("long")
-                .alias(f"{prefix}sum_dropped_ids"),
-            )
+    # stream-vs-batch drop-set equality: symmetric difference of
+    # the two vec_id sets must be empty (one-row scalar)
+    s_drop = after.filter(~F.col("kept")).select("vec_id").distinct()
+    b_drop = (
+        dedup_semantic_top2(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    mism = (
+        s_drop.withColumn("s", F.lit(1))
+        .join(b_drop.withColumn("b", F.lit(1)), "vec_id", "full")
+        .agg(
+            F.count(
+                F.when(F.col("s").isNull() | F.col("b").isNull(), 1)
+            ).alias("n_mismatch")
+        )
+    )
 
-        # stream-vs-batch drop-set equality: symmetric difference of
-        # the two vec_id sets must be empty (one-row scalar)
-        s_drop = after.filter(~F.col("kept")).select("vec_id").distinct()
-        b_drop = (
-            dedup_semantic_top2(spark, sf_dir)
-            .select(F.col("vec_b").alias("vec_id"))
-            .distinct()
+    # FULL OUTER fold join: an inner join would silently DROP a
+    # label compaction lost entirely (fold(after) has no row for
+    # it) and every surviving row would still read parity=true —
+    # whole-label loss must instead surface as a row with the
+    # after-side counts zeroed and compacted_parity=false
+    # (round-10 review catch). eqNullSafe makes a one-sided null
+    # fail the equality instead of null-propagating to a null
+    # flag.
+    parity = (
+        F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
+        & F.col("n_docs").eqNullSafe(F.col("pre_n_docs"))
+        & F.col("n_dropped").eqNullSafe(F.col("pre_n_dropped"))
+        & F.col("sum_dropped_ids").eqNullSafe(
+            F.col("pre_sum_dropped_ids")
         )
-        mism = (
-            s_drop.withColumn("s", F.lit(1))
-            .join(b_drop.withColumn("b", F.lit(1)), "vec_id", "full")
-            .agg(
-                F.count(
-                    F.when(F.col("s").isNull() | F.col("b").isNull(), 1)
-                ).alias("n_mismatch")
-            )
+    )
+    result = (
+        fold(after)
+        .join(fold(pre, "pre_"), "label", "full")
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "label",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.coalesce("sum_dropped_ids", F.lit(0)).alias(
+                "sum_dropped_ids"
+            ),
+            F.lit(n_parts).cast("int").alias("store_partitions"),
+            (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
+            parity.alias("compacted_parity"),
         )
-
-        # FULL OUTER fold join: an inner join would silently DROP a
-        # label compaction lost entirely (fold(after) has no row for
-        # it) and every surviving row would still read parity=true —
-        # whole-label loss must instead surface as a row with the
-        # after-side counts zeroed and compacted_parity=false
-        # (round-10 review catch). eqNullSafe makes a one-sided null
-        # fail the equality instead of null-propagating to a null
-        # flag.
-        parity = (
-            F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
-            & F.col("n_docs").eqNullSafe(F.col("pre_n_docs"))
-            & F.col("n_dropped").eqNullSafe(F.col("pre_n_dropped"))
-            & F.col("sum_dropped_ids").eqNullSafe(
-                F.col("pre_sum_dropped_ids")
-            )
-        )
-        result = (
-            fold(after)
-            .join(fold(pre, "pre_"), "label", "full")
-            .crossJoin(F.broadcast(mism))
-            .select(
-                "label",
-                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
-                F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
-                F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-                F.coalesce("sum_dropped_ids", F.lit(0)).alias(
-                    "sum_dropped_ids"
-                ),
-                F.lit(n_parts).cast("int").alias("store_partitions"),
-                (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
-                parity.alias("compacted_parity"),
-            )
-        )
-        # materialize before the temp dir is removed (the standing
-        # roundtrip-query device)
-        return result.localCheckpoint(eager=True)
-    finally:
-        _shutil.rmtree(root, ignore_errors=True)
+    )
+    # the inputs are all eagerly materialized by the harness (the
+    # standing roundtrip-query device); checkpoint the result too so
+    # the benched materialization cost stays where it always was
+    return result.localCheckpoint(eager=True)
 
 
 # --------------- URL ingest-store stream-vs-batch parity
@@ -718,132 +761,87 @@ def stream_url_gate_compacted_parity(
     fold of the compacted store and corpus alongside stream-vs-batch
     and pre-vs-post-compaction parity checks (block comment
     above)."""
-    import math as _math
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from ..operators.webgate import (
         derived_raw_url,
         text_url_canonicalize_gate,
     )
-    from .runtime import _compact_partition_store, _url_ingest_batch
+    from .runtime import _url_ingest_batch
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", derived_raw_url().alias("url_raw")
     )
-    # id-ordered ranges (arrival order must equal id order for the
-    # stream-vs-batch equivalence — block comment); bounded scalar
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    width = _math.ceil((max_id + 1) / N_URL_INGEST_BATCHES)
+    pre, after, corpus, n_parts = _drive_compacted_ingest(
+        spark,
+        docs,
+        "doc_id",
+        lambda store, corp: _url_ingest_batch(
+            store, corp, compact_every=10 * N_URL_INGEST_BATCHES
+        ),
+        N_URL_INGEST_BATCHES,
+        read_corpus=True,
+    )
 
-    root = _tempfile.mkdtemp(prefix="pitlap_url_parity_")
-    store, corpus = f"{root}/store", f"{root}/corpus"
-    try:
-        ingest = _url_ingest_batch(
-            store, corpus, compact_every=10 * N_URL_INGEST_BATCHES
-        )
-        for i in range(N_URL_INGEST_BATCHES):
-            ingest(
-                docs.filter(
-                    (F.col("doc_id") >= i * width)
-                    & (F.col("doc_id") < (i + 1) * width)
-                ),
-                i,
-            )
-        pre = (
-            spark.read.parquet(store)
-            .drop("batch")
-            .localCheckpoint(eager=True)
-        )
-        # crash-window leftover: capture batch 1's sealed partition,
-        # fold everything, restore it — its rows now live in BOTH the
-        # generation and the leftover source; the next compaction
-        # must heal via full-row dedup
-        leftover = spark.read.parquet(f"{store}/batch=1").localCheckpoint(
-            eager=True
-        )
-        _compact_partition_store(
-            spark, store, current_batch=N_URL_INGEST_BATCHES, threshold=2
-        )
-        leftover.write.mode("overwrite").parquet(f"{store}/batch=1")
-        _compact_partition_store(
-            spark, store, current_batch=N_URL_INGEST_BATCHES + 1, threshold=1
-        )
-        n_parts = len(
-            [d for d in _os.listdir(store) if d.startswith("batch=")]
-        )
-        after = (
-            spark.read.parquet(store)
-            .drop("batch")
-            .localCheckpoint(eager=True)
+    def fold(df: DataFrame, prefix: str = "") -> DataFrame:
+        return df.groupBy("site").agg(
+            F.countDistinct("url_canon")
+            .cast("long")
+            .alias(f"{prefix}n_urls"),
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
+            F.sum("doc_id").cast("long").alias(f"{prefix}sum_ids"),
         )
 
-        def fold(df: DataFrame, prefix: str = "") -> DataFrame:
-            return df.groupBy("site").agg(
-                F.countDistinct("url_canon")
-                .cast("long")
-                .alias(f"{prefix}n_urls"),
-                F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
-                F.sum("doc_id").cast("long").alias(f"{prefix}sum_ids"),
-            )
+    # stream-vs-batch kept-set equality: symmetric difference of
+    # the corpus doc_ids and the batch gate's kept doc_ids must
+    # be empty (one-row scalar)
+    s_kept = corpus.select("doc_id").distinct()
+    b_kept = (
+        text_url_canonicalize_gate(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .distinct()
+    )
+    mism = (
+        s_kept.withColumn("s", F.lit(1))
+        .join(b_kept.withColumn("b", F.lit(1)), "doc_id", "full")
+        .agg(
+            F.count(
+                F.when(F.col("s").isNull() | F.col("b").isNull(), 1)
+            ).alias("n_mismatch")
+        )
+    )
+    # corpus fold at the site grain (n_kept): the store fold
+    # supplies n_urls/sum_kept_ids — two independent artifacts
+    # cross-checking each other
+    corp = corpus.groupBy("site").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
 
-        # stream-vs-batch kept-set equality: symmetric difference of
-        # the corpus doc_ids and the batch gate's kept doc_ids must
-        # be empty (one-row scalar)
-        s_kept = spark.read.parquet(corpus).select("doc_id").distinct()
-        b_kept = (
-            text_url_canonicalize_gate(spark, sf_dir)
-            .filter(F.col("kept"))
-            .select("doc_id")
-            .distinct()
+    # FULL OUTER fold join (the semantic parity query's
+    # round-10 review catch): whole-site loss in compaction must
+    # surface as compacted_parity=false, not vanish
+    parity = (
+        F.col("n_urls").eqNullSafe(F.col("pre_n_urls"))
+        & F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
+        & F.col("sum_ids").eqNullSafe(F.col("pre_sum_ids"))
+    )
+    result = (
+        fold(after)
+        .join(fold(pre, "pre_"), "site", "full")
+        .join(corp, "site", "full")
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "site",
+            F.coalesce("n_urls", F.lit(0)).alias("n_urls"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("sum_ids", F.lit(0)).alias("sum_kept_ids"),
+            F.lit(n_parts).cast("int").alias("store_partitions"),
+            (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
+            parity.alias("compacted_parity"),
         )
-        mism = (
-            s_kept.withColumn("s", F.lit(1))
-            .join(b_kept.withColumn("b", F.lit(1)), "doc_id", "full")
-            .agg(
-                F.count(
-                    F.when(F.col("s").isNull() | F.col("b").isNull(), 1)
-                ).alias("n_mismatch")
-            )
-        )
-        # corpus fold at the site grain (n_kept): the store fold
-        # supplies n_urls/sum_kept_ids — two independent artifacts
-        # cross-checking each other
-        corp = (
-            spark.read.parquet(corpus)
-            .groupBy("site")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
-        )
-
-        # FULL OUTER fold join (the semantic parity query's
-        # round-10 review catch): whole-site loss in compaction must
-        # surface as compacted_parity=false, not vanish
-        parity = (
-            F.col("n_urls").eqNullSafe(F.col("pre_n_urls"))
-            & F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
-            & F.col("sum_ids").eqNullSafe(F.col("pre_sum_ids"))
-        )
-        result = (
-            fold(after)
-            .join(fold(pre, "pre_"), "site", "full")
-            .join(corp, "site", "full")
-            .crossJoin(F.broadcast(mism))
-            .select(
-                "site",
-                F.coalesce("n_urls", F.lit(0)).alias("n_urls"),
-                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                F.coalesce("sum_ids", F.lit(0)).alias("sum_kept_ids"),
-                F.lit(n_parts).cast("int").alias("store_partitions"),
-                (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
-                parity.alias("compacted_parity"),
-            )
-        )
-        # materialize before the temp dir is removed (the standing
-        # roundtrip-query device)
-        return result.localCheckpoint(eager=True)
-    finally:
-        _shutil.rmtree(root, ignore_errors=True)
+    )
+    # inputs eagerly materialized by the harness; checkpoint the
+    # result too (the standing roundtrip-query device)
+    return result.localCheckpoint(eager=True)
 
 
 # --------------- span-dedup ingest stream-vs-batch parity
@@ -908,137 +906,97 @@ def stream_span_dedup_compacted_parity(
     first-seen gram store (steady state + crash-leftover heal), and
     return the per-doc cleaned fold alongside stream-vs-batch and
     pre-vs-post-compaction parity checks (block comment above)."""
-    import math as _math
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from ..operators.dedup import dedup_repeated_spans_apply
-    from .runtime import _compact_partition_store, _span_ingest_batch
+    from .runtime import _span_ingest_batch
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # id-ordered ranges (arrival order must equal id order for the
-    # stream-vs-batch equivalence — block comment); bounded scalar
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    width = _math.ceil((max_id + 1) / N_SPAN_INGEST_BATCHES)
+    pre, after, corpus, n_parts = _drive_compacted_ingest(
+        spark,
+        docs,
+        "doc_id",
+        lambda store, corp: _span_ingest_batch(
+            store, corp, compact_every=10 * N_SPAN_INGEST_BATCHES
+        ),
+        N_SPAN_INGEST_BATCHES,
+        read_corpus=True,
+    )
 
-    root = _tempfile.mkdtemp(prefix="pitlap_span_parity_")
-    store, corpus = f"{root}/store", f"{root}/corpus"
-    try:
-        ingest = _span_ingest_batch(
-            store, corpus, compact_every=10 * N_SPAN_INGEST_BATCHES
-        )
-        for i in range(N_SPAN_INGEST_BATCHES):
-            ingest(
-                docs.filter(
-                    (F.col("doc_id") >= i * width)
-                    & (F.col("doc_id") < (i + 1) * width)
-                ),
-                i,
-            )
-        pre = (
-            spark.read.parquet(store)
-            .drop("batch")
-            .localCheckpoint(eager=True)
-        )
-        # crash-window leftover heal (the family harness step)
-        leftover = spark.read.parquet(f"{store}/batch=1").localCheckpoint(
-            eager=True
-        )
-        _compact_partition_store(
-            spark, store, current_batch=N_SPAN_INGEST_BATCHES, threshold=2
-        )
-        leftover.write.mode("overwrite").parquet(f"{store}/batch=1")
-        _compact_partition_store(
-            spark, store, current_batch=N_SPAN_INGEST_BATCHES + 1, threshold=1
-        )
-        n_parts = len(
-            [d for d in _os.listdir(store) if d.startswith("batch=")]
-        )
-        after = (
-            spark.read.parquet(store)
-            .drop("batch")
-            .localCheckpoint(eager=True)
+    def fold(df: DataFrame, prefix: str = "") -> DataFrame:
+        # one-row scalar fold of the gram store (no small natural
+        # grain exists on a gram store; sums are DECIMAL so long
+        # hash values cannot overflow)
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
+            F.countDistinct("g").cast("long").alias(f"{prefix}n_g"),
+            F.sum(F.col("g").cast("decimal(38,0)")).alias(
+                f"{prefix}sum_g"
+            ),
+            F.sum("doc_id").cast("long").alias(f"{prefix}sum_doc"),
+            F.sum("pos").cast("long").alias(f"{prefix}sum_pos"),
         )
 
-        def fold(df: DataFrame, prefix: str = "") -> DataFrame:
-            # one-row scalar fold of the gram store (no small natural
-            # grain exists on a gram store; sums are DECIMAL so long
-            # hash values cannot overflow)
-            return df.agg(
-                F.count(F.lit(1)).cast("long").alias(f"{prefix}n_rows"),
-                F.countDistinct("g").cast("long").alias(f"{prefix}n_g"),
-                F.sum(F.col("g").cast("decimal(38,0)")).alias(
-                    f"{prefix}sum_g"
-                ),
-                F.sum("doc_id").cast("long").alias(f"{prefix}sum_doc"),
-                F.sum("pos").cast("long").alias(f"{prefix}sum_pos"),
-            )
-
-        comp = (
-            fold(after)
-            .crossJoin(F.broadcast(fold(pre, "pre_")))
-            .select(
-                (
-                    F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
-                    & F.col("n_g").eqNullSafe(F.col("pre_n_g"))
-                    & F.col("sum_g").eqNullSafe(F.col("pre_sum_g"))
-                    & F.col("sum_doc").eqNullSafe(F.col("pre_sum_doc"))
-                    & F.col("sum_pos").eqNullSafe(F.col("pre_sum_pos"))
-                ).alias("compacted_ok")
-            )
+    comp = (
+        fold(after)
+        .crossJoin(F.broadcast(fold(pre, "pre_")))
+        .select(
+            (
+                F.col("n_rows").eqNullSafe(F.col("pre_n_rows"))
+                & F.col("n_g").eqNullSafe(F.col("pre_n_g"))
+                & F.col("sum_g").eqNullSafe(F.col("pre_sum_g"))
+                & F.col("sum_doc").eqNullSafe(F.col("pre_sum_doc"))
+                & F.col("sum_pos").eqNullSafe(F.col("pre_sum_pos"))
+            ).alias("compacted_ok")
         )
+    )
 
-        # stream-vs-batch cleaned-corpus equality: full outer on
-        # doc_id over every output column (one-row scalar)
-        stream_out = spark.read.parquet(corpus).drop("batch")
-        batch_out = dedup_repeated_spans_apply(spark, sf_dir)
-        s = stream_out.select(
+    # stream-vs-batch cleaned-corpus equality: full outer on
+    # doc_id over every output column (one-row scalar)
+    stream_out = corpus
+    batch_out = dedup_repeated_spans_apply(spark, sf_dir)
+    s = stream_out.select(
+        "doc_id",
+        F.col("n_tokens_before").alias("s_b"),
+        F.col("n_tokens_after").alias("s_a"),
+        F.col("n_spans_cut").alias("s_c"),
+        F.col("cleaned_text").alias("s_t"),
+    )
+    b = batch_out.select(
+        "doc_id",
+        F.col("n_tokens_before").alias("b_b"),
+        F.col("n_tokens_after").alias("b_a"),
+        F.col("n_spans_cut").alias("b_c"),
+        F.col("cleaned_text").alias("b_t"),
+    )
+    mism = (
+        s.join(b, "doc_id", "full")
+        .agg(
+            F.count(
+                F.when(
+                    ~(
+                        F.col("s_b").eqNullSafe(F.col("b_b"))
+                        & F.col("s_a").eqNullSafe(F.col("b_a"))
+                        & F.col("s_c").eqNullSafe(F.col("b_c"))
+                        & F.col("s_t").eqNullSafe(F.col("b_t"))
+                    ),
+                    1,
+                )
+            ).alias("n_mismatch")
+        )
+    )
+    result = (
+        stream_out.crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(comp))
+        .select(
             "doc_id",
-            F.col("n_tokens_before").alias("s_b"),
-            F.col("n_tokens_after").alias("s_a"),
-            F.col("n_spans_cut").alias("s_c"),
-            F.col("cleaned_text").alias("s_t"),
+            "n_tokens_before",
+            "n_tokens_after",
+            "n_spans_cut",
+            F.md5("cleaned_text").alias("cleaned_fp"),
+            F.lit(n_parts).cast("int").alias("store_partitions"),
+            (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
+            F.col("compacted_ok").alias("compacted_parity"),
         )
-        b = batch_out.select(
-            "doc_id",
-            F.col("n_tokens_before").alias("b_b"),
-            F.col("n_tokens_after").alias("b_a"),
-            F.col("n_spans_cut").alias("b_c"),
-            F.col("cleaned_text").alias("b_t"),
-        )
-        mism = (
-            s.join(b, "doc_id", "full")
-            .agg(
-                F.count(
-                    F.when(
-                        ~(
-                            F.col("s_b").eqNullSafe(F.col("b_b"))
-                            & F.col("s_a").eqNullSafe(F.col("b_a"))
-                            & F.col("s_c").eqNullSafe(F.col("b_c"))
-                            & F.col("s_t").eqNullSafe(F.col("b_t"))
-                        ),
-                        1,
-                    )
-                ).alias("n_mismatch")
-            )
-        )
-        result = (
-            stream_out.crossJoin(F.broadcast(mism))
-            .crossJoin(F.broadcast(comp))
-            .select(
-                "doc_id",
-                "n_tokens_before",
-                "n_tokens_after",
-                "n_spans_cut",
-                F.md5("cleaned_text").alias("cleaned_fp"),
-                F.lit(n_parts).cast("int").alias("store_partitions"),
-                (F.col("n_mismatch") == 0).alias("stream_batch_parity"),
-                F.col("compacted_ok").alias("compacted_parity"),
-            )
-        )
-        # materialize before the temp dir is removed (the standing
-        # roundtrip-query device)
-        return result.localCheckpoint(eager=True)
-    finally:
-        _shutil.rmtree(root, ignore_errors=True)
+    )
+    # inputs eagerly materialized by the harness; checkpoint the
+    # result too (the standing roundtrip-query device)
+    return result.localCheckpoint(eager=True)

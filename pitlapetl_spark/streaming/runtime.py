@@ -524,6 +524,21 @@ def _compact_partition_store(
         _shutil.rmtree(p, ignore_errors=True)
 
 
+def _with_src_batch(df):
+    """Ensure the row-level provenance column on a store read, with
+    the one-time legacy migration the sink docstrings promise: a
+    store persisted before src_batch existed is stamped
+    ``src_batch = batch`` (the partition id) — identical to the
+    stamped value for uncompacted partitions, and the
+    pre-provenance semantics for any legacy generation partition,
+    the best available information for rows folded before
+    provenance existed. Without this, upgrading a long-lived
+    deployment would crash the first probe on UNRESOLVED_COLUMN."""
+    if "src_batch" in df.columns:
+        return df
+    return df.withColumn("src_batch", F.col("batch"))
+
+
 def read_documents_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -593,8 +608,9 @@ def run_dedup_ingest_sink(
     recurrence ``_compact_partition_store``'s docstring calls
     legitimate) was never compared to its own earlier version
     (ADVICE r10); under the provenance filter it dedups like any
-    other earlier-arrived row. Stores written before the src_batch
-    column migrate by stamping ``src_batch = batch`` once. The store
+    other earlier-arrived row. Stores persisted before the src_batch
+    column existed are migrated ON READ by stamping
+    ``src_batch = batch`` (``_with_src_batch``). The store
     read is existence-checked-then-strict: a transient READ failure
     on an existing store raises instead of silently bootstrapping a
     dedup-free batch.
@@ -688,14 +704,16 @@ def run_dedup_ingest_sink(
             # replayed batch's own rows AND later-arrived rows, so a
             # fresh-checkpoint reprocess sees exactly the first
             # run's view (docstring).
-            store = store.filter(
+            store = _with_src_batch(store).filter(
                 (F.col("batch") < batch_id)
                 & (F.col("src_batch") < batch_id)
             )
         if store is None:
             survivors = sig_kept.select("doc_id")
         else:
-            store_bands = spark.read.parquet(bands_path).filter(
+            store_bands = _with_src_batch(
+                spark.read.parquet(bands_path)
+            ).filter(
                 (F.col("batch") < batch_id)
                 & (F.col("src_batch") < batch_id)
             )
@@ -844,7 +862,9 @@ def run_media_phash_ingest_sink(
         # and later-arrived rows the first run never saw (the
         # minhash sink's docstring analysis, identical here)
         if _os.path.exists(store_path):
-            store = spark.read.parquet(store_path).filter(
+            store = _with_src_batch(
+                spark.read.parquet(store_path)
+            ).filter(
                 (F.col("batch") < batch_id)
                 & (F.col("src_batch") < batch_id)
             )
@@ -1035,7 +1055,9 @@ def _semantic_ingest_batch(
         # against its own earlier version like any other
         # earlier-arrived row (ADVICE r10).
         if _os.path.exists(store_path):
-            store = spark.read.parquet(store_path).filter(
+            store = _with_src_batch(
+                spark.read.parquet(store_path)
+            ).filter(
                 (F.col("batch") < batch_id)
                 & (F.col("src_batch") < batch_id)
             )
@@ -1198,7 +1220,9 @@ def _url_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
         # broadcast back for the anti-join — the store is never
         # shuffled (block comment)
         if _os.path.exists(store_path):
-            store = spark.read.parquet(store_path).filter(
+            store = _with_src_batch(
+                spark.read.parquet(store_path)
+            ).filter(
                 (F.col("batch") < batch_id)
                 & (F.col("src_batch") < batch_id)
             )
@@ -1338,7 +1362,9 @@ def _span_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
         # the batch's (bounded) distinct gram keys against the store,
         # broadcast the matches back; the store is never shuffled
         if _os.path.exists(store_path):
-            store = spark.read.parquet(store_path).filter(
+            store = _with_src_batch(
+                spark.read.parquet(store_path)
+            ).filter(
                 (F.col("batch") < batch_id)
                 & (F.col("src_batch") < batch_id)
             )

@@ -2290,3 +2290,36 @@ def test_span_dedup_ingest_cuts_across_batches_and_replays(spark, tmp_path):
         if d.startswith("batch=")
     ) == [-1]
     assert run("ckpt3") == got, "reprocess diverged against the generation"
+
+
+def test_ingest_probe_migrates_legacy_store_without_src_batch(spark, tmp_path):
+    """A store persisted BEFORE the src_batch provenance column
+    existed must not crash the upgraded probe (UNRESOLVED_COLUMN
+    inside foreachBatch would kill the stream on the first batch
+    after an upgrade — round-11 review catch): _with_src_batch stamps
+    src_batch = batch on read, so legacy rows keep the pre-provenance
+    partition semantics and dedup still applies."""
+    import os
+
+    from pitlapetl_spark.streaming.runtime import _url_ingest_batch
+
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+    # a legacy batch-0 store partition: NO src_batch column
+    spark.createDataFrame(
+        [("https://src0.example.com/a", "src0.example.com", 1)],
+        "url_canon string, site string, doc_id long",
+    ).write.mode("overwrite").parquet(f"{store}/batch=0")
+
+    ingest = _url_ingest_batch(store, corpus, compact_every=10**6)
+    batch = spark.createDataFrame(
+        [
+            (10, "https://src0.example.com/a"),  # dup of the legacy row
+            (11, "https://src1.example.com/new"),
+        ],
+        "doc_id long, url_raw string",
+    )
+    ingest(batch, 1)  # must not raise
+    kept = sorted(
+        r.doc_id for r in spark.read.parquet(f"{corpus}/batch=1").collect()
+    )
+    assert kept == [11], "legacy store row failed to dedup the re-crawl"

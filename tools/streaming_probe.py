@@ -231,9 +231,12 @@ def probe_url_ingest(
     run with generation compaction — the flat-per-batch evidence the
     other family members carry, for the round-11 member. URLs are
     deterministic functions of doc_id with rotating raw-form variety
-    (case/www/port/params), all canonically distinct, so the probe
-    measures the store lifecycle (canonicalize + window + broadcast
-    probe + write + amortized compaction), not drop volume."""
+    (case/www/port/params), all canonically distinct and all on
+    UNBLOCKED sites (src20..src39 — BLOCKED_SITES covers only
+    src3/7/11, and a gated row would shrink the measured store
+    growth), so the probe measures the store lifecycle (canonicalize
+    + window + broadcast probe + write + amortized compaction), not
+    drop volume."""
     from pitlapetl_spark.streaming.runtime import run_url_ingest_sink
 
     tmp = tempfile.mkdtemp(prefix="pitlap_urlprobe_")
@@ -250,7 +253,7 @@ def probe_url_ingest(
                 port = ":443" if d % 5 == 0 else ""
                 q = "?utm_source=probe&id=%d" % d if d % 4 == 0 else "?id=%d" % d
                 rows.append(
-                    (d, f"{scheme}://{www}src{d % 20}.example.com{port}"
+                    (d, f"{scheme}://{www}src{20 + d % 20}.example.com{port}"
                         f"/p//{d}{q}")
                 )
             (
