@@ -321,6 +321,29 @@ def _time_query(spark, fn, runs: int) -> float:
     return round(best, 3)
 
 
+def _session_shift(
+    first: dict[str, float], clean: dict[str, float]
+) -> tuple[float, float, bool, int]:
+    """Estimate the session shift from the pinned canaries: returns
+    (measured_shift, judging_shift, unverifiable, n_canaries).
+    measured = median first/clean over _SHIFT_CANARIES present in
+    both maps, clamped >= 1 (a fast session never excuses a
+    slowdown). judging = measured unless it exceeds _SHIFT_BOUND —
+    then normalization is refused (judging = 1.0) and the session is
+    flagged unverifiable. Pure so the triage-critical arithmetic is
+    unit-testable without a SparkSession (tests/test_bench_verify)."""
+    ratios = sorted(
+        first[n] / clean[n]
+        for n in _SHIFT_CANARIES
+        if n in first and clean.get(n)
+    )
+    measured = max(ratios[len(ratios) // 2] if ratios else 1.0, 1.0)
+    unverifiable = measured > _SHIFT_BOUND
+    return measured, (1.0 if unverifiable else measured), unverifiable, len(
+        ratios
+    )
+
+
 def verify() -> None:
     clean_path = Path(_REPO, "BENCH_CLEAN.json")
     clean = json.loads(clean_path.read_text())["queries"]
@@ -349,19 +372,13 @@ def verify() -> None:
         fn = queries.get(name)
         if fn is not None:
             first[name] = _time_query(spark, fn, 3)
-    ratios = sorted(
-        first[n] / clean[n]
-        for n in _SHIFT_CANARIES
-        if n in first and clean.get(n)
-    )
-    measured_shift = max(ratios[len(ratios) // 2] if ratios else 1.0, 1.0)
-    # a fast session never EXCUSES a slowdown (the max above)
-    unverifiable = measured_shift > _SHIFT_BOUND
     # judging shift: the measured value, unless the session is
     # unverifiable — then normalization is refused (judge raw) but
     # the MEASURED value still goes to the JSON so triage can see
     # whether the host read x1.31 or x5.0
-    shift = 1.0 if unverifiable else measured_shift
+    measured_shift, shift, unverifiable, n_canaries = _session_shift(
+        first, clean
+    )
     if unverifiable:
         print(
             f"UNVERIFIABLE SESSION: canary shift x{measured_shift:.3f} "
@@ -371,7 +388,7 @@ def verify() -> None:
         )
     print(
         f"session shift vs clean-min reference: x{measured_shift:.3f} "
-        f"(median over {len(ratios)} canaries; judging with x{shift:.3f})"
+        f"(median over {n_canaries} canaries; judging with x{shift:.3f})"
     )
 
     # PASS 2: min-of-5 re-runs for the shift-adjusted deviants
@@ -412,7 +429,7 @@ def verify() -> None:
     summary = {
         "session_shift": round(measured_shift, 3),
         "judging_shift": round(shift, 3),
-        "shift_canaries": len(ratios),
+        "shift_canaries": n_canaries,
         "unverifiable": unverifiable,
         "metric": "bench_verify",
         "tolerance": VERIFY_TOL,
