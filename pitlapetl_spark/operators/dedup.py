@@ -1376,12 +1376,25 @@ def dedup_repeated_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (token, index) pairs — no explode of the corpus tokens, no
     Python. Docs with nothing to cut pass through via the left join
     (n_spans_cut = 0), so the operator is total over the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    return repeated_spans_apply_for(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def repeated_spans_apply_for(
+    docs: DataFrame,
+    gram_hash: str = f"md5(array_join(slice(t, i + 1, {SPAN_K}), ' '))",
+) -> DataFrame:
+    """The substring-dedup cut over ANY (doc_id, text) frame — the
+    frame-parameterized form of ``dedup_repeated_spans_apply`` (its
+    docstring has the semantics and the plan analysis), public for
+    pipelines and for the property tests that pin the streaming
+    span-ingest sink's equivalence on arbitrary corpora (the
+    ``repeated_spans_for`` precedent)."""
     toks = docs.select(
         "doc_id", F.split(norm_text(F.col("text")), " ").alias("t")
     )
     toks = toks.localCheckpoint(eager=False)  # reused for grams AND the cut
-    gram_hash = f"md5(array_join(slice(t, i + 1, {SPAN_K}), ' '))"
     grams = (
         toks.filter(F.size("t") >= SPAN_K)
         .select(

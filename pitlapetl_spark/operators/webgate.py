@@ -269,8 +269,19 @@ def text_url_canonicalize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept verdict. One narrow map stage + one window on the canonical
     key (module docstring)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    canon = docs.select(
-        "doc_id", canonicalize_url(derived_raw_url()).alias("url_canon")
+    return url_gate_verdicts(
+        docs.select("doc_id", derived_raw_url().alias("url_raw"))
+    )
+
+
+def url_gate_verdicts(df: DataFrame) -> DataFrame:
+    """The URL gate over ANY (doc_id, url_raw) frame — the
+    frame-parameterized form of ``text_url_canonicalize_gate`` (its
+    docstring has the rules), public for pipelines and for the
+    property tests that pin the streaming URL-ingest sink's
+    equivalence on arbitrary corpora."""
+    canon = df.select(
+        "doc_id", canonicalize_url(F.col("url_raw")).alias("url_canon")
     ).withColumn("site", extract_site(F.col("url_canon")))
     blocked = F.col("site").isin(*BLOCKED_SITES)
     w = Window.partitionBy("url_canon")

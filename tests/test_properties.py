@@ -1101,3 +1101,132 @@ def test_url_canonicalize_invariance_and_idempotence(
         .cc
     )
     assert again == row.ca, (row.ca, again)
+
+
+# ------- stream-vs-batch ingest equivalence (round 11 sinks)
+# The parity QUERIES pin the equivalence on the fixture corpus; these
+# properties pin it on arbitrary corpora and arbitrary id-ordered
+# batch splits — including the edge shapes the fixture never produces
+# (empty batches, all-blocked batches, a whole corpus in one batch,
+# every doc a duplicate).
+
+_url_tail = st.lists(
+    st.tuples(
+        st.integers(0, 30),          # canonical-group selector
+        st.booleans(),               # blocked site?
+        st.booleans(),               # mangled raw spelling?
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(tail=_url_tail, n_batches=st.integers(1, 4))
+def test_url_ingest_stream_equals_batch_gate_property(tail, n_batches):
+    """For ANY corpus of raw URLs and ANY id-ordered batch split, the
+    URL ingest sink's kept set equals the batch gate's kept set on
+    the same rows (first-seen == lowest-doc_id among unblocked
+    members of each canonical group)."""
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.operators.webgate import url_gate_verdicts
+    from pitlapetl_spark.streaming.runtime import _url_ingest_batch
+
+    spark = _get_spark()
+    rows = []
+    for i, (grp, blocked, mangled) in enumerate(tail):
+        site = "src3" if blocked else f"src{grp % 3}"
+        raw = (
+            f"HTTPS://WWW.{site}.EXAMPLE.COM/g//{grp}/?utm_source=x&k={grp}"
+            if mangled
+            else f"https://{site}.example.com/g/{grp}?k={grp}"
+        )
+        rows.append((i, raw))
+    df = spark.createDataFrame(rows, "doc_id long, url_raw string")
+    want = sorted(
+        r.doc_id for r in url_gate_verdicts(df).filter("kept").collect()
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_urlprop_")
+    try:
+        ingest = _url_ingest_batch(f"{tmp}/store", f"{tmp}/corpus", 10**6)
+        width = math.ceil(len(rows) / n_batches)
+        for b in range(n_batches):
+            ingest(
+                df.filter(
+                    (F.col("doc_id") >= b * width)
+                    & (F.col("doc_id") < (b + 1) * width)
+                ),
+                b,
+            )
+        got = sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{tmp}/corpus").collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == want, (rows, n_batches, got, want)
+
+
+_span_corpus = st.lists(
+    st.lists(st.integers(0, 3), min_size=0, max_size=24),  # token ids
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(corpus=_span_corpus, n_batches=st.integers(1, 4))
+def test_span_ingest_stream_equals_batch_apply_property(corpus, n_batches):
+    """For ANY corpus of token sequences (tiny 4-word vocabulary, so
+    >= SPAN_K-gram repeats are common within AND across docs) and ANY
+    id-ordered batch split, the span ingest sink's cleaned corpus
+    equals the batch Lee-et-al apply on the same frame — including
+    docs shorter than SPAN_K (pass through) and docs cut to empty."""
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.operators.dedup import repeated_spans_apply_for
+    from pitlapetl_spark.streaming.runtime import _span_ingest_batch
+
+    spark = _get_spark()
+    rows = [
+        (i, " ".join(f"w{t}" for t in toks)) for i, toks in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (r.doc_id, r.n_tokens_before, r.n_tokens_after, r.n_spans_cut,
+         r.cleaned_text)
+        for r in repeated_spans_apply_for(df).collect()
+    }
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_spanprop_")
+    try:
+        ingest = _span_ingest_batch(f"{tmp}/store", f"{tmp}/corpus", 10**6)
+        width = math.ceil(len(rows) / n_batches)
+        for b in range(n_batches):
+            ingest(
+                df.filter(
+                    (F.col("doc_id") >= b * width)
+                    & (F.col("doc_id") < (b + 1) * width)
+                ),
+                b,
+            )
+        got = {
+            (r.doc_id, r.n_tokens_before, r.n_tokens_after, r.n_spans_cut,
+             r.cleaned_text)
+            for r in spark.read.parquet(f"{tmp}/corpus")
+            .drop("batch")
+            .collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == want, (rows, n_batches)
