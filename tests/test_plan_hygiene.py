@@ -1025,3 +1025,17 @@ def test_minhash_preagg_single_band_shuffle(spark):
     for line in plan.splitlines():
         if "Join" in line and "band_val" in line:
             raise AssertionError(f"banding join resurfaced: {line}")
+
+
+def test_url_gate_single_exchange_no_join(spark):
+    """The URL gate's documented shape (webgate module docstring):
+    rules 1-6 are narrow map-side string expressions, the blocklist
+    is a literal IN, and the ONLY shuffle is the window on the
+    canonical URL — no join anywhere, exactly one Exchange."""
+    plan = _plan(Q["text_url_canonicalize_gate"](spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if "Exchange" in ln and "reused" not in ln.lower()
+    )
+    assert n_exchanges == 1, f"expected the single window exchange, got {n_exchanges}:\n{plan}"
+    assert "Window" in plan
