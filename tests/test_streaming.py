@@ -2323,3 +2323,144 @@ def test_ingest_probe_migrates_legacy_store_without_src_batch(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{corpus}/batch=1").collect()
     )
     assert kept == [11], "legacy store row failed to dedup the re-crawl"
+
+
+def test_url_ingest_shared_checkpoint_restart_and_post_fold_dedup(
+    spark, tmp_path
+):
+    """The URL sink's twin of the minhash shared-checkpoint test:
+    restart from the SAME checkpoint is a no-op (corpus and store
+    row-identical), and a batch arriving AFTER the store has folded
+    into a generation still dedups against it (src_batch provenance
+    admits folded earlier rows)."""
+    import os
+    import time
+
+    from pitlapetl_spark.streaming.runtime import run_url_ingest_sink
+
+    schema = "doc_id long, url_raw string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i + 1, f"https://src{i}.example.com/p/{i}")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_url_ingest_sink(stream, store, corpus, ck, compact_every=2)
+        q.awaitTermination(240)
+
+    run()
+
+    def snap(path):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).drop("batch").collect()
+        )
+
+    before = (snap(corpus), snap(store))
+    # compaction fired mid-run (compact_every=2): a generation exists
+    assert any(
+        int(d.split("=", 1)[1]) < 0
+        for d in os.listdir(store)
+        if d.startswith("batch=")
+    )
+    run()  # same checkpoint, nothing new
+    assert (snap(corpus), snap(store)) == before
+
+    # new batch after restart: a re-spelling of doc 1's canonical URL
+    # (now folded) must be dropped; a fresh URL kept
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [
+            (10, "HTTPS://WWW.src0.example.com:443/p//0"),
+            (11, "https://src9.example.com/fresh"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    ids = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 2, 3, 11}, ids
+
+
+def test_span_ingest_shared_checkpoint_restart_and_post_fold_cut(
+    spark, tmp_path
+):
+    """The span sink's twin: restart from the SAME checkpoint is a
+    no-op, and a doc arriving AFTER the gram store has folded still
+    has its repeated span cut against the generation."""
+    import os
+    import time
+
+    from pitlapetl_spark.streaming.runtime import run_span_dedup_ingest_sink
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = [
+        "one singular sentence with no repeats anywhere in it at all",
+        "second wholly distinct sentence likewise free of any repeats",
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, "leading filler words here before the phrase " + phrase)],
+        [(2, uniq[0])],
+        [(3, uniq[1])],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_span_dedup_ingest_sink(
+            stream, store, corpus, ck, compact_every=2
+        )
+        q.awaitTermination(240)
+
+    run()
+
+    def snap(path):
+        return sorted(
+            tuple(r) for r in spark.read.parquet(path).drop("batch").collect()
+        )
+
+    before = (snap(corpus), snap(store))
+    assert any(
+        int(d.split("=", 1)[1]) < 0
+        for d in os.listdir(store)
+        if d.startswith("batch=")
+    )
+    run()  # same checkpoint, nothing new
+    assert (snap(corpus), snap(store)) == before
+
+    # a late doc repeating the (folded) phrase gets it cut
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(10, "completely new preamble then " + phrase + " and a tail")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    row = {
+        r.doc_id: r
+        for r in spark.read.parquet(corpus).collect()
+    }[10]
+    assert row.n_spans_cut == 1
+    assert "alpha" not in row.cleaned_text and "kappa" not in row.cleaned_text
