@@ -71,9 +71,10 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def oracle_shingles_cte(k: int = SHINGLE_K) -> str:
+def oracle_shingles_cte(k: int = SHINGLE_K, src: str = "documents") -> str:
     """DuckDB CTE body producing the same (doc_id, s) shingle rows from
-    ``documents`` — 1-based list indexing, same guard semantics."""
+    ``src`` (a table or prior CTE with doc_id + text columns) —
+    1-based list indexing, same guard semantics."""
     parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
     return f"""
     SELECT doc_id, unnest(list_distinct(
@@ -82,7 +83,7 @@ def oracle_shingles_cte(k: int = SHINGLE_K) -> str:
              ELSE [] END)) AS s
     FROM (SELECT doc_id,
                  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-          FROM documents)
+          FROM {src})
     """
 
 

@@ -1274,8 +1274,14 @@ def dedup_repeated_spans_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the streaming span-ingest parity oracle
 # (streaming/batch_windows.py) — one chain, two consumers, so the
 # stream is always compared against exactly the batch contract.
-SPAN_APPLY_CTES = f"""toks AS (
-        SELECT doc_id, string_split({_SPAN_NORM}, ' ') AS t FROM documents
+def span_apply_ctes(src: str = "documents") -> str:
+    """The chain above, rebased on ``src`` (a table or prior CTE with
+    doc_id + text columns). The composed crawl-ingest pipeline oracle
+    runs it on the URL gate's kept set — the cut decisions are
+    corpus-global over whatever corpus the stage actually sees, so
+    the source must be a parameter, not a constant."""
+    return f"""toks AS (
+        SELECT doc_id, string_split({_SPAN_NORM}, ' ') AS t FROM {src}
     ),
     grams AS (
         SELECT doc_id,
@@ -1343,6 +1349,9 @@ SPAN_APPLY_CTES = f"""toks AS (
                CAST(count(*) AS BIGINT) AS n_tokens_after
         FROM kept GROUP BY doc_id
     )"""
+
+
+SPAN_APPLY_CTES = span_apply_ctes()
 
 
 @query(

@@ -183,63 +183,90 @@ _loaded = False
 # out to already exist: dedup_repeated_spans_apply, dedup.py, IS the
 # Lee-et-al cut pass, corpus-global by construction; no new
 # registration needed.)
+#
+# Round-12 policy (VERDICT.md r11 "Next round" item 1): the board
+# after round 11 reads — 2 queries NEVER driver-verified (the
+# round-11 sink-parity spills above, both local-parity green +
+# property/restart-tested), zero red, and the evidence histogram
+# (recomputed this session from CORRECTNESS_r01..r11) is 3 r4-era,
+# 50 each r5..r7, 49 r8, 50 each r9..r11. The 50 slots go: the 2
+# never-verified spills first (standing policy since r4), then the
+# 3 r4-era carries in r4 ledger order (agg_pricing_summary,
+# agg_cube, agg_distinct_counts — the exact tail the round-11
+# arithmetic predicted), then the FIRST 45 of the 50-row r5-era
+# refresh queue in ledger order (= CORRECTNESS_r05.json order).
+# Arithmetic: 2 + 3 + 45 = 50 exactly, so the last 5 r5-era rows
+# (scalar_string_math, setop_except_all, setop_intersect,
+# setop_union_all_by_name, setop_union_distinct) carry to round 13
+# and lead its refresh queue; any query REGISTERED in round 12
+# spills to round 13 as never-verified. Round-13 window arithmetic
+# that implies: N_new(r12) + 5 r5-era carry + (45 - N_new) of the
+# remaining r5/r6-era refreshes = 50, bounding round-12 additions
+# at 3 (standing cap).
+#
+# Round-12 spills (registered this round, NOT in this window; enter
+# round 13 as the never-verified cohort and lead that window):
+#   stream_ingest_pipeline_parity — the composed crawl-ingest
+#     pipeline (URL gate -> span cut -> minhash ingest) end-to-end
+#     batch-parity query (VERDICT r11 item 4); local-parity green.
 _PRIORITY: tuple[str, ...] = (
-    # (i) the round-10 spills — never driver-verified, lead the window
-    "dedup_semantic_top3",
-    "text_url_canonicalize_gate",
-    "text_quality_classifier_score",
-    # (h) the r4-era refresh queue, ledger order — first 47 of 50
-    "resample_daily_grid",
-    "agg_argmax_mode",
-    "sequence_event_trigrams",
-    "udtf_chunk_spans",
-    "dedup_winnowing_fast",
-    "dedup_incremental_minhash",
-    "dedup_repeated_spans",
-    "dedup_repeated_spans_fast",
-    "dedup_repeated_spans_apply",
-    "cdc_latest_state",
-    "winsorize_group_values",
-    "mix_token_allocation",
-    "agg_histogram_equi_depth",
-    "attribution_last_touch",
-    "featurize_hashed_ngrams",
-    "graph_pagerank_copurchase",
-    "window_ewma_daily",
-    "ab_test_variant_zscore",
-    "q6_forecast_revenue",
-    "q12_late_shipment_priority",
-    "q18_large_volume_customers",
-    "q4_order_priority_check",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q21_suppliers_kept_waiting",
-    "q22_dormant_high_balance",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_breadth",
-    "q20_excess_suppliers",
-    "sim_topk_ivf_nprobe",
-    "dedup_semantic_semdedup",
-    "dsir_importance_weights",
-    "report_corpus_datacard",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "sink_delete_roundtrip",
-    "churn_yearly_customers",
-    "rfm_customer_segments",
+    # (i) the round-11 spills — never driver-verified, lead the window
+    "stream_url_gate_compacted_parity",
+    "stream_span_dedup_compacted_parity",
+    # (ii) the 3 r4-era carries, r4 ledger order
+    "agg_pricing_summary",
+    "agg_cube",
+    "agg_distinct_counts",
+    # (iii) the r5-era refresh queue, ledger order — first 45 of 50
+    "source_python_datasource",
+    "map_in_arrow_revenue",
+    "json_variant_get",
+    "pipeline_pretrain_to_shards",
+    "dedup_bloom_prefilter",
+    "sample_reservoir_per_group",
+    "agg_heavy_hitters_cms",
+    "text_chunk_sliding_tokens",
+    "curriculum_quality_order",
+    "anomaly_iqr_outliers",
+    "text_bpe_pair_stats",
+    "asof_join_nearest",
+    "window_debounce_events",
+    "ml_linear_fit_closed_form",
+    "text_pmi_cooccurrence",
+    "pipeline_rag_chunk_dedup",
+    "graph_label_propagation",
+    "agg_pivot",
+    "agg_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "filter_equality_first_row",
+    "filter_flag_and_range",
+    "filter_isin_null_safe",
+    "filter_notnull_derived",
+    "join_broadcast_lookup",
+    "join_full_outer",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_theta_band",
+    "json_deep_path_standings",
+    "json_doc_assembly",
+    "json_doc_roundtrip",
+    "json_get_path",
+    "json_map_explode",
+    "json_map_functions",
+    "json_schema_parse",
+    "project_composite_key",
+    "project_literal_params",
+    "project_rename_camel",
+    "scalar_conditional_default",
+    "scalar_format_iso8601",
+    "scalar_format_laptime",
 )
 
-# (The superseded round-10 window tuple lived here; git history
-# preserves it — see the round-11 ledger commit.)
+# (The superseded round-11 window tuple lived here; git history
+# preserves it — see the round-12 ledger commit.)
 
 
 def _priority_ordered(d: dict[str, object]) -> dict:

@@ -503,6 +503,17 @@ def _drive_compacted_ingest(
     # stream-vs-batch equivalence — each query's block comment); the
     # max-id scalar is a bounded one-row collect
     max_id = src.agg(F.max(id_col)).collect()[0][0]
+    if max_id is None:
+        raise ValueError(
+            f"ingest-parity harness: source has no rows (max({id_col}) "
+            "is NULL) — every parity query needs a non-empty fixture"
+        )
+    if n_batches < 2:
+        raise ValueError(
+            "ingest-parity harness needs n_batches >= 2: the "
+            "crash-window heal step restores a non-final committed "
+            "partition after the fold"
+        )
     width = _math.ceil((max_id + 1) / n_batches)
 
     root = _tempfile.mkdtemp(prefix="pitlap_ingest_parity_")
@@ -522,13 +533,29 @@ def _drive_compacted_ingest(
             .drop("batch")
             .localCheckpoint(eager=True)
         )
-        leftover = spark.read.parquet(f"{store}/batch=1").localCheckpoint(
-            eager=True
+        # the crash-leftover partition must be one the ingest loop
+        # actually WROTE (an empty middle batch early-returns without
+        # writing its directory — hard-coding batch=1 would then
+        # crash the read; ADVICE r11)
+        written = sorted(
+            int(d.split("=", 1)[1])
+            for d in _os.listdir(store)
+            if d.startswith("batch=")
         )
+        assert written, (
+            "ingest-parity harness: no store partitions were written "
+            f"by {n_batches} batches over {max_id + 1} ids"
+        )
+        leftover_id = written[0]
+        leftover = spark.read.parquet(
+            f"{store}/batch={leftover_id}"
+        ).localCheckpoint(eager=True)
         _compact_partition_store(
             spark, store, current_batch=n_batches, threshold=2
         )
-        leftover.write.mode("overwrite").parquet(f"{store}/batch=1")
+        leftover.write.mode("overwrite").parquet(
+            f"{store}/batch={leftover_id}"
+        )
         _compact_partition_store(
             spark, store, current_batch=n_batches + 1, threshold=1
         )
@@ -999,4 +1026,264 @@ def stream_span_dedup_compacted_parity(
     )
     # inputs eagerly materialized by the harness; checkpoint the
     # result too (the standing roundtrip-query device)
+    return result.localCheckpoint(eager=True)
+
+
+# --------------- composed crawl-ingest pipeline stream-vs-batch parity
+# The five crawl-ingest sinks are each proven in isolation; a real
+# 100-TB pipeline CHAINS them, and ordering effects are exactly what
+# the per-sink parity queries cannot see: the URL gate changes which
+# documents every downstream store ever ingests, and the span cut
+# changes the text the minhash stage shingles (VERDICT r11 item 4).
+# This query drives the three text-side sinks' REAL per-batch bodies
+# (_url_ingest_batch -> _span_ingest_batch -> _dedup_ingest_batch) as
+# one chained body over id-ordered micro-batches — each stage
+# consuming the previous stage's batch-scoped corpus partition, the
+# production composition shape — and pins the per-document outcome of
+# every stage against a DuckDB oracle that composes the SAME CTE
+# chains the stages' own oracles use (webgate.GATE_CTES +
+# dedup.span_apply_ctes rebased on the gated set) plus an UNROLLED
+# N-batch replay of the minhash sink's decision procedure
+# (intra-batch: lower-id band-colliding estimate>=0.7 wins;
+# cross-batch: estimate>=0.7 against any earlier batch's SURVIVOR
+# store rows — survivors-only is the sink's store contract, so the
+# kept set is chain-sequential across batches and the oracle must
+# replay it batch by batch rather than state it as one closed form).
+#
+# Why stream == this oracle EXACTLY, stage by stage: (1) URL gate —
+# with id-ordered arrival, intra-batch keep-lowest + cross-batch
+# first-seen equals the batch gate's global min-doc_id-per-URL rule
+# (the r11 hypothesis property); (2) span cut — the first occurrence
+# by (doc_id, pos) is never cut, so per-batch rn>1-or-seen equals the
+# corpus-global row_number rule over the GATED corpus (the span
+# parity argument, unchanged by the gate because the gate only
+# shrinks the corpus the rule ranges over); (3) minhash — no
+# equivalence argument needed: the oracle replays the sink's exact
+# per-batch procedure, unrolled for the fixed batch count.
+#
+# 100-TB shape: the chain adds NO new shuffle beyond the member
+# sinks' own (gate: one window; span: token-linear gram explode +
+# broadcast store probe; minhash: banded candidate space + broadcast
+# batch side); the final per-doc assembly is three doc_id equi-joins
+# at the document grain. Docs whose cleaned text yields no shingles
+# (< SHINGLE_K tokens after cutting) have no minhash signature and
+# are dropped by the minhash stage on both sides by construction.
+
+N_PIPE_BATCHES = 3
+
+
+def _pipeline_parity_oracle() -> str:
+    from ..functions.text import (
+        SHINGLE_K,
+        oracle_minhash_base_sql,
+        oracle_minhash_sig_cols,
+        oracle_shingles_cte,
+    )
+    from ..operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        span_apply_ctes,
+    )
+    from ..operators.webgate import GATE_CTES
+    from .runtime import DEDUP_INGEST_EST_THRESHOLD
+
+    def est(x: str, y: str) -> str:
+        agree = " + ".join(
+            f"(CASE WHEN {x}.h{j} = {y}.h{j} THEN 1 ELSE 0 END)"
+            for j in range(N_HASHES)
+        )
+        return f"(({agree}) / {N_HASHES}.0)"
+
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, b, {k} AS band_idx, md5({e}) AS band_val FROM sigb".format(
+            k=k,
+            e=" || '|' || ".join(
+                f"h{k * ROWS_PER_BAND + r}::VARCHAR"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for k in range(N_BANDS)
+    )
+    # unrolled sequential minhash replay: batch i's intra-survivors
+    # (k0) drop against the ACCUMULATED survivors of batches < i
+    replay = ["s0 AS (SELECT doc_id FROM k0 WHERE b = 0)"]
+    prev = "s0"
+    for i in range(1, N_PIPE_BATCHES):
+        replay.append(
+            f"""x{i} AS (
+        SELECT DISTINCT nb.doc_id
+        FROM bands cb
+        JOIN bands nb ON cb.band_idx = nb.band_idx
+             AND cb.band_val = nb.band_val
+        JOIN k0 kn ON kn.doc_id = nb.doc_id AND kn.b = {i}
+        JOIN {prev} sv ON sv.doc_id = cb.doc_id
+        JOIN sig sx ON sx.doc_id = cb.doc_id
+        JOIN sig sy ON sy.doc_id = nb.doc_id
+        WHERE {est("sx", "sy")} >= {DEDUP_INGEST_EST_THRESHOLD}
+    )"""
+        )
+        replay.append(
+            f"s{i} AS (SELECT doc_id FROM k0 WHERE b = {i} "
+            f"AND doc_id NOT IN (SELECT doc_id FROM x{i}))"
+        )
+        replay.append(
+            f"sacc{i} AS (SELECT doc_id FROM {prev} "
+            f"UNION ALL SELECT doc_id FROM s{i})"
+        )
+        prev = f"sacc{i}"
+
+    return f"""
+    WITH {GATE_CTES},
+    g_kept AS (
+        SELECT doc_id FROM flagged WHERE NOT is_blocked AND NOT is_dup
+    ),
+    gdocs AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN g_kept USING (doc_id)
+    ),
+    {span_apply_ctes("gdocs")},
+    cdocs AS (
+        SELECT tk.doc_id,
+               coalesce(c.cleaned_text, '') AS text,
+               CAST(coalesce(c.n_tokens_after, 0) AS BIGINT)
+                   AS n_tokens_after
+        FROM toks tk LEFT JOIN cleaned c ON c.doc_id = tk.doc_id
+    ),
+    sh0 AS ({oracle_shingles_cte(SHINGLE_K, "cdocs")}),
+    shb AS (SELECT doc_id, {oracle_minhash_base_sql()} FROM sh0),
+    sig AS (
+        SELECT doc_id, {oracle_minhash_sig_cols(N_HASHES)}
+        FROM shb GROUP BY doc_id
+    ),
+    wd AS (
+        SELECT (max(doc_id) + {N_PIPE_BATCHES}) // {N_PIPE_BATCHES}
+               AS width
+        FROM documents
+    ),
+    sigb AS (
+        SELECT sig.*, CAST(sig.doc_id // wd.width AS INT) AS b
+        FROM sig, wd
+    ),
+    bands AS ({band_rows}),
+    intra AS (
+        SELECT DISTINCT bb.doc_id
+        FROM bands a
+        JOIN bands bb ON a.b = bb.b AND a.band_idx = bb.band_idx
+             AND a.band_val = bb.band_val AND a.doc_id < bb.doc_id
+        JOIN sig sx ON sx.doc_id = a.doc_id
+        JOIN sig sy ON sy.doc_id = bb.doc_id
+        WHERE {est("sx", "sy")} >= {DEDUP_INGEST_EST_THRESHOLD}
+    ),
+    k0 AS (
+        SELECT sigb.doc_id, sigb.b FROM sigb
+        WHERE sigb.doc_id NOT IN (SELECT doc_id FROM intra)
+    ),
+    {",".join(replay)}
+    SELECT d.doc_id,
+           g.doc_id IS NOT NULL AS gate_kept,
+           cd.n_tokens_after AS n_tokens_after,
+           mk.doc_id IS NOT NULL AS final_kept
+    FROM documents d
+    LEFT JOIN g_kept g ON g.doc_id = d.doc_id
+    LEFT JOIN cdocs cd ON cd.doc_id = d.doc_id
+    LEFT JOIN {prev} mk ON mk.doc_id = d.doc_id
+    """
+
+
+@query("stream_ingest_pipeline_parity", oracle=_pipeline_parity_oracle())
+def stream_ingest_pipeline_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drive the URL-gate -> span-cut -> minhash crawl-ingest chain
+    end-to-end over id-ordered micro-batches — each stage the REAL
+    production per-batch body, each consuming the previous stage's
+    batch-scoped corpus partition — and return the per-document
+    outcome of every stage (block comment above)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..operators.webgate import derived_raw_url
+    from .runtime import (
+        _dedup_ingest_batch,
+        _span_ingest_batch,
+        _url_ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", derived_raw_url().alias("url_raw")
+    )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    # integer ceil — exact on both engines (the oracle's wd CTE)
+    width = (max_id + N_PIPE_BATCHES) // N_PIPE_BATCHES
+
+    root = _tempfile.mkdtemp(prefix="pitlap_pipeline_parity_")
+    never = 10 * N_PIPE_BATCHES  # compaction off: the per-sink
+    # parity queries own the compaction choreography; this query
+    # pins the CHAIN
+    try:
+        u_corp = f"{root}/url_corpus"
+        s_corp = f"{root}/span_corpus"
+        m_corp = f"{root}/mh_corpus"
+        url_ing = _url_ingest_batch(f"{root}/url_store", u_corp, never)
+        span_ing = _span_ingest_batch(f"{root}/span_store", s_corp, never)
+        mh_ing = _dedup_ingest_batch(f"{root}/mh_store", m_corp, never)
+        for i in range(N_PIPE_BATCHES):
+            url_ing(
+                docs.filter(
+                    (F.col("doc_id") >= i * width)
+                    & (F.col("doc_id") < (i + 1) * width)
+                ),
+                i,
+            )
+            # each stage early-returns (writing nothing) on an empty
+            # batch, so downstream stages gate on partition existence
+            p = f"{u_corp}/batch={i}"
+            if not _os.path.exists(p):
+                continue
+            span_ing(spark.read.parquet(p).select("doc_id", "text"), i)
+            p = f"{s_corp}/batch={i}"
+            if not _os.path.exists(p):
+                continue
+            mh_ing(
+                spark.read.parquet(p).select(
+                    "doc_id", F.col("cleaned_text").alias("text")
+                ),
+                i,
+            )
+        # eager reads — the temp stores are removed in finally
+        g = (
+            spark.read.parquet(u_corp)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        sp = (
+            spark.read.parquet(s_corp)
+            .select("doc_id", "n_tokens_after")
+            .localCheckpoint(eager=True)
+        )
+        mh = (
+            spark.read.parquet(m_corp)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+            if _os.path.exists(m_corp)
+            else spark.createDataFrame([], "doc_id long")
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    result = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(g.withColumn("_g", F.lit(True)), "doc_id", "left")
+        .join(sp, "doc_id", "left")
+        .join(mh.withColumn("_m", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_g", F.lit(False)).alias("gate_kept"),
+            F.col("n_tokens_after").cast("long").alias("n_tokens_after"),
+            F.coalesce("_m", F.lit(False)).alias("final_kept"),
+        )
+    )
     return result.localCheckpoint(eager=True)

@@ -526,17 +526,38 @@ def _compact_partition_store(
 
 def _with_src_batch(df):
     """Ensure the row-level provenance column on a store read, with
-    the one-time legacy migration the sink docstrings promise: a
-    store persisted before src_batch existed is stamped
-    ``src_batch = batch`` (the partition id) — identical to the
-    stamped value for uncompacted partitions, and the
-    pre-provenance semantics for any legacy generation partition,
-    the best available information for rows folded before
-    provenance existed. Without this, upgrading a long-lived
-    deployment would crash the first probe on UNRESOLVED_COLUMN."""
+    the one-time legacy migration the sink docstrings promise.
+    Without this, upgrading a long-lived deployment would crash the
+    first probe on UNRESOLVED_COLUMN. Two legacy cases:
+
+    - An UNCOMPACTED legacy partition (``batch >= 0``) holds exactly
+      the rows its own batch wrote, so ``src_batch = batch`` is the
+      TRUE origin — the migration is exact.
+    - A legacy GENERATION partition (``batch < 0``) mixes rows from
+      every batch the pre-provenance fold swallowed; their origin is
+      unrecoverable. Stamping the partition id here would be a
+      forgery: ``-g`` passes every ``src_batch < current`` probe
+      filter, so on a fresh-checkpoint reprocess the replayed
+      batch's OWN folded rows would re-enter its probe and
+      self-match everything (estimate 1.0 / hamming 0 / cosine 1.0),
+      overwriting the corpus partition empty — the exact bug the
+      provenance column closed (ADVICE r11). These rows are stamped
+      NULL (= origin unknown) instead; the three pre-provenance-era
+      probes (minhash / pHash / semantic) admit NULL rows under the
+      pre-provenance SELF-KEY guard (``store.key != batch.key``),
+      which restores the old semantics for old rows: self-rows are
+      excluded exactly, but rows that originally arrived LATER than
+      the replayed batch are visible on reprocess (the documented
+      pre-provenance inexactness) until the store is rewritten with
+      real provenance. Sinks born WITH provenance (URL, span) never
+      have legacy generations; their probes drop NULL rows outright
+      (the ``src_batch < current`` conjunct is null-rejecting)."""
     if "src_batch" in df.columns:
         return df
-    return df.withColumn("src_batch", F.col("batch"))
+    return df.withColumn(
+        "src_batch",
+        F.when(F.col("batch") >= 0, F.col("batch")).cast("long"),
+    )
 
 
 def read_documents_stream(
@@ -551,78 +572,18 @@ def read_documents_stream(
     return reader.parquet(path)
 
 
-def run_dedup_ingest_sink(
-    docs: DataFrame,
+def _dedup_ingest_batch(
     store_path: str,
     corpus_path: str,
-    checkpoint: str,
     compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
-) -> StreamingQuery:
-    """Streaming crawl ingest with incremental near-dup dedup — the
-    recurring production shape behind ``dedup_incremental_minhash``
-    run continuously: every micro-batch (a) computes its minhash
-    signatures, (b) dedups WITHIN the batch (band self-join,
-    keep-lowest-doc_id), (c) probes the persisted BAND TABLE with the
-    (broadcast-small) batch bands and drops batch docs whose
-    signature-estimated Jaccard against any stored doc clears the
-    threshold, then (d) writes the survivors' rows, signatures, and
-    band rows, so the next batch dedups against them too.
-
-    The dedup decision is the SIGNATURE ESTIMATE (fraction of
-    agreeing minhash slots — the standard unbiased Jaccard
-    estimator), not an exact-shingle verify: the store persists O(1)
-    signature + band rows per doc, never shingle sets. Per-batch
-    store-side cost is one scan of the band table (equi-join on the
-    precomputed band key — nothing is re-hashed per batch) plus one
-    scan of the signature table for the estimate join; a point-lookup
-    KV store would cut those scans to O(collisions), which is the
-    stated migration path at corpus sizes where the scans dominate.
-
-    Exactly-once: every output (corpus rows, signatures, bands) is
-    written to a batch-scoped partition directory
-    (``<path>/batch=<id>``) with overwrite semantics, and every store
-    read admits only EARLIER-ARRIVED partitions (``batch < current``;
-    generations are negative, so always earlier) — so a replayed
-    batch (including one that crashed BETWEEN the three writes)
-    recomputes against exactly what its first run saw and overwrites
-    its own directories to the first run's exact result, instead of
-    append-duplicating or self-matching to empty (the previous append-based design documented a
-    self-healing property that did not survive a crash between the
-    corpus and store appends). Every store row additionally carries
-    its ORIGIN batch id as a ``src_batch`` data column — stamped at
-    write time and preserved verbatim through generation folds — and
-    the probe filters ``src_batch < current`` alongside the
-    partition filter (the partition filter stays purely for
-    pruning): a generation partition (negative ``batch``) may hold
-    rows from ANY folded batch, including the replayed batch's own
-    rows (fresh-checkpoint reprocess against a retained, compacted
-    store — the disaster-recovery path) and rows that originally
-    arrived LATER, and the row-level provenance filter excludes
-    exactly the rows the first run never saw — so a full
-    from-scratch reprocess against a FOLDED store reproduces the
-    first run's output bit-exactly (regression-tested in
-    test_streaming; the semantic sink's reprocess test demonstrates
-    the later-arrival divergence the filter closes). This subsumes
-    the round-10 same-doc_id probe guard, which over-excluded: a
-    legitimately re-delivered doc_id with edited text (the
-    recurrence ``_compact_partition_store``'s docstring calls
-    legitimate) was never compared to its own earlier version
-    (ADVICE r10); under the provenance filter it dedups like any
-    other earlier-arrived row. Stores persisted before the src_batch
-    column existed are migrated ON READ by stamping
-    ``src_batch = batch`` (``_with_src_batch``). The store
-    read is existence-checked-then-strict: a transient READ failure
-    on an existing store raises instead of silently bootstrapping a
-    dedup-free batch.
-
-    Store growth: the signature and band stores gain one partition per
-    batch; once ``compact_every`` committed partitions accumulate they
-    are folded into a negative-id generation partition
-    (``_compact_partition_store`` — write-then-delete, replay-safe
-    because folded batches are checkpoint-committed and can never be
-    replayed). The CORPUS is deliberately left un-compacted: its
-    batch layout is a downstream consumer contract, and it is never
-    scanned by the ingest path."""
+):
+    """Build the per-micro-batch body of the minhash ingest sink
+    (run_dedup_ingest_sink's docstring). Exposed as a factory —
+    the same device as _semantic_ingest_batch / _url_ingest_batch /
+    _span_ingest_batch — so the composed crawl-ingest pipeline
+    parity query can drive the EXACT production code path with
+    deterministic id-ordered batches, while the streaming wrapper
+    hands the same function to foreachBatch."""
     import os as _os
 
     from ..operators.dedup import N_HASHES, _band_rows, minhash_signatures
@@ -704,9 +665,15 @@ def run_dedup_ingest_sink(
             # replayed batch's own rows AND later-arrived rows, so a
             # fresh-checkpoint reprocess sees exactly the first
             # run's view (docstring).
+            # NULL src_batch = legacy generation row of unknown
+            # origin (_with_src_batch): admitted, but only under the
+            # pre-provenance self-key guard in the pair join below
             store = _with_src_batch(store).filter(
                 (F.col("batch") < batch_id)
-                & (F.col("src_batch") < batch_id)
+                & (
+                    (F.col("src_batch") < batch_id)
+                    | F.col("src_batch").isNull()
+                )
             )
         if store is None:
             survivors = sig_kept.select("doc_id")
@@ -715,14 +682,24 @@ def run_dedup_ingest_sink(
                 spark.read.parquet(bands_path)
             ).filter(
                 (F.col("batch") < batch_id)
-                & (F.col("src_batch") < batch_id)
+                & (
+                    (F.col("src_batch") < batch_id)
+                    | F.col("src_batch").isNull()
+                )
             )
             cand = (
                 store_bands.alias("c")
                 .join(
                     F.broadcast(bands.alias("x")),
                     (F.col("c.band_idx") == F.col("x.band_idx"))
-                    & (F.col("c.band_val") == F.col("x.band_val")),
+                    & (F.col("c.band_val") == F.col("x.band_val"))
+                    # legacy rows (origin unknown) get the
+                    # pre-provenance self-key guard instead of the
+                    # provenance filter (_with_src_batch docstring)
+                    & (
+                        F.col("c.src_batch").isNotNull()
+                        | (F.col("c.doc_id") != F.col("x.doc_id"))
+                    ),
                 )
                 .select(
                     F.col("x.doc_id").alias("doc_new"),
@@ -767,8 +744,90 @@ def run_dedup_ingest_sink(
             "src_batch", F.lit(batch_id)
         ).write.mode("overwrite").parquet(f"{bands_path}/{sub}")
 
+    return ingest_batch
+
+
+def run_dedup_ingest_sink(
+    docs: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
+) -> StreamingQuery:
+    """Streaming crawl ingest with incremental near-dup dedup — the
+    recurring production shape behind ``dedup_incremental_minhash``
+    run continuously: every micro-batch (a) computes its minhash
+    signatures, (b) dedups WITHIN the batch (band self-join,
+    keep-lowest-doc_id), (c) probes the persisted BAND TABLE with the
+    (broadcast-small) batch bands and drops batch docs whose
+    signature-estimated Jaccard against any stored doc clears the
+    threshold, then (d) writes the survivors' rows, signatures, and
+    band rows, so the next batch dedups against them too.
+
+    The dedup decision is the SIGNATURE ESTIMATE (fraction of
+    agreeing minhash slots — the standard unbiased Jaccard
+    estimator), not an exact-shingle verify: the store persists O(1)
+    signature + band rows per doc, never shingle sets. Per-batch
+    store-side cost is one scan of the band table (equi-join on the
+    precomputed band key — nothing is re-hashed per batch) plus one
+    scan of the signature table for the estimate join; a point-lookup
+    KV store would cut those scans to O(collisions), which is the
+    stated migration path at corpus sizes where the scans dominate.
+
+    Exactly-once: every output (corpus rows, signatures, bands) is
+    written to a batch-scoped partition directory
+    (``<path>/batch=<id>``) with overwrite semantics, and every store
+    read admits only EARLIER-ARRIVED partitions (``batch < current``;
+    generations are negative, so always earlier) — so a replayed
+    batch (including one that crashed BETWEEN the three writes)
+    recomputes against exactly what its first run saw and overwrites
+    its own directories to the first run's exact result, instead of
+    append-duplicating or self-matching to empty (the previous append-based design documented a
+    self-healing property that did not survive a crash between the
+    corpus and store appends). Every store row additionally carries
+    its ORIGIN batch id as a ``src_batch`` data column — stamped at
+    write time and preserved verbatim through generation folds — and
+    the probe filters ``src_batch < current`` alongside the
+    partition filter (the partition filter stays purely for
+    pruning): a generation partition (negative ``batch``) may hold
+    rows from ANY folded batch, including the replayed batch's own
+    rows (fresh-checkpoint reprocess against a retained, compacted
+    store — the disaster-recovery path) and rows that originally
+    arrived LATER, and the row-level provenance filter excludes
+    exactly the rows the first run never saw — so a full
+    from-scratch reprocess against a FOLDED store reproduces the
+    first run's output bit-exactly (regression-tested in
+    test_streaming; the semantic sink's reprocess test demonstrates
+    the later-arrival divergence the filter closes). This subsumes
+    the round-10 same-doc_id probe guard, which over-excluded: a
+    legitimately re-delivered doc_id with edited text (the
+    recurrence ``_compact_partition_store``'s docstring calls
+    legitimate) was never compared to its own earlier version
+    (ADVICE r10); under the provenance filter it dedups like any
+    other earlier-arrived row. Stores persisted before the src_batch
+    column existed are migrated ON READ (``_with_src_batch``):
+    uncompacted legacy partitions get their true origin stamped;
+    legacy GENERATION rows (origin unrecoverable) are stamped NULL
+    and probed under the pre-provenance self-key guard — exact
+    self-exclusion, but reprocess-vs-first-run exactness for those
+    rows only returns once the store is rewritten with real
+    provenance (the _with_src_batch docstring, ADVICE r11). The store
+    read is existence-checked-then-strict: a transient READ failure
+    on an existing store raises instead of silently bootstrapping a
+    dedup-free batch.
+
+    Store growth: the signature and band stores gain one partition per
+    batch; once ``compact_every`` committed partitions accumulate they
+    are folded into a negative-id generation partition
+    (``_compact_partition_store`` — write-then-delete, replay-safe
+    because folded batches are checkpoint-committed and can never be
+    replayed). The CORPUS is deliberately left un-compacted: its
+    batch layout is a downstream consumer contract, and it is never
+    scanned by the ingest path."""
     return (
-        docs.writeStream.foreachBatch(ingest_batch)
+        docs.writeStream.foreachBatch(
+            _dedup_ingest_batch(store_path, corpus_path, compact_every)
+        )
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -862,18 +921,28 @@ def run_media_phash_ingest_sink(
         # and later-arrived rows the first run never saw (the
         # minhash sink's docstring analysis, identical here)
         if _os.path.exists(store_path):
+            # NULL src_batch = legacy generation row (origin
+            # unknown): admitted under the pre-provenance self-key
+            # guard in the join below (_with_src_batch docstring)
             store = _with_src_batch(
                 spark.read.parquet(store_path)
             ).filter(
                 (F.col("batch") < batch_id)
-                & (F.col("src_batch") < batch_id)
+                & (
+                    (F.col("src_batch") < batch_id)
+                    | F.col("src_batch").isNull()
+                )
             )
             dups = (
                 store.alias("c")
                 .join(
                     F.broadcast(kept.alias("x")),
                     (F.col("c.band_id") == F.col("x.band_id"))
-                    & (F.col("c.band_val") == F.col("x.band_val")),
+                    & (F.col("c.band_val") == F.col("x.band_val"))
+                    & (
+                        F.col("c.src_batch").isNotNull()
+                        | (F.col("c.doc_id") != F.col("x.doc_id"))
+                    ),
                 )
                 .filter(
                     ham(F.col("c.phash"), F.col("x.phash")) <= PHASH_HAM_MAX
@@ -1055,17 +1124,27 @@ def _semantic_ingest_batch(
         # against its own earlier version like any other
         # earlier-arrived row (ADVICE r10).
         if _os.path.exists(store_path):
+            # NULL src_batch = legacy generation row (origin
+            # unknown): admitted under the pre-provenance self-key
+            # guard in the join below (_with_src_batch docstring)
             store = _with_src_batch(
                 spark.read.parquet(store_path)
             ).filter(
                 (F.col("batch") < batch_id)
-                & (F.col("src_batch") < batch_id)
+                & (
+                    (F.col("src_batch") < batch_id)
+                    | F.col("src_batch").isNull()
+                )
             )
             pairs_x = (
                 store.alias("s")
                 .join(
                     F.broadcast(assign.alias("x")),
-                    F.col("s.label") == F.col("x.label"),
+                    (F.col("s.label") == F.col("x.label"))
+                    & (
+                        F.col("s.src_batch").isNotNull()
+                        | (F.col("s.vec_id") != F.col("x.vec_id"))
+                    ),
                 )
                 .select(
                     F.col("s.vec_id").alias("a_id"),

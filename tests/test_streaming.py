@@ -2297,8 +2297,9 @@ def test_ingest_probe_migrates_legacy_store_without_src_batch(spark, tmp_path):
     existed must not crash the upgraded probe (UNRESOLVED_COLUMN
     inside foreachBatch would kill the stream on the first batch
     after an upgrade — round-11 review catch): _with_src_batch stamps
-    src_batch = batch on read, so legacy rows keep the pre-provenance
-    partition semantics and dedup still applies."""
+    src_batch = batch on read for UNCOMPACTED legacy partitions (the
+    true origin — each positive partition holds only its own batch's
+    writes), so dedup still applies exactly."""
     import os
 
     from pitlapetl_spark.streaming.runtime import _url_ingest_batch
@@ -2323,6 +2324,99 @@ def test_ingest_probe_migrates_legacy_store_without_src_batch(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{corpus}/batch=1").collect()
     )
     assert kept == [11], "legacy store row failed to dedup the re-crawl"
+
+
+def test_with_src_batch_stamps_null_for_legacy_generations(spark):
+    """_with_src_batch's two migration cases (its docstring, ADVICE
+    r11): an uncompacted legacy partition (batch >= 0) gets its TRUE
+    origin stamped; a legacy GENERATION partition (batch < 0) mixes
+    rows of unrecoverable origin and must be stamped NULL — stamping
+    the partition id would forge a value that passes every
+    ``src_batch < current`` probe filter and re-admits a replayed
+    batch's own folded rows (the self-match-to-empty bug the
+    provenance column exists to close)."""
+    from pitlapetl_spark.streaming.runtime import _with_src_batch
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 3), (3, -1), (4, -2)], "doc_id long, batch int"
+    )
+    got = {
+        r.doc_id: r.src_batch for r in _with_src_batch(df).collect()
+    }
+    assert got == {1: 0, 2: 3, 3: None, 4: None}
+    # already-provenanced frames pass through untouched
+    stamped = spark.createDataFrame(
+        [(1, -1, 5)], "doc_id long, batch int, src_batch int"
+    )
+    assert _with_src_batch(stamped) is stamped
+
+
+def test_ingest_reprocess_against_legacy_compacted_store(spark, tmp_path):
+    """Fresh-checkpoint reprocess against a PRE-PROVENANCE compacted
+    store (ADVICE r11 medium): the generation partition holds the
+    replayed batch's own folded rows WITHOUT src_batch. The forged
+    ``src_batch = batch`` stamp would let every vector self-match at
+    cosine 1.0 and overwrite its corpus partition EMPTY — exactly the
+    round-10 bug the provenance column closed. Under the NULL stamp +
+    pre-provenance self-key guard, self rows are excluded and the
+    reprocess reproduces the first run (the fixture keeps cross-batch
+    cosines below tau, so the documented legacy later-arrival
+    inexactness cannot fire and the assertion is exact)."""
+    import os
+
+    from pitlapetl_spark.streaming.runtime import (
+        _compact_partition_store,
+        _semantic_ingest_batch,
+    )
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 1.0], 2.0**0.5)], "label int, cv array<double>, cnrm double"
+    )
+    store, corpus = str(tmp_path / "store"), str(tmp_path / "corpus")
+    emb = "vec_id long, embedding array<float>, label int"
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)], emb
+    )
+    # cosine vs both batch-0 vectors below tau (0.35): 0.316 vs A,
+    # -0.949 vs D — all three keep
+    b1 = spark.createDataFrame([(10, [1.0, -3.0], 0)], emb)
+
+    def drive():
+        ingest = _semantic_ingest_batch(
+            cent, store, corpus, compact_every=10**6
+        )
+        ingest(b0, 0)
+        ingest(b1, 1)
+        return sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+
+    got = drive()
+    assert got == [1, 2, 10], "fixture sanity: no dups anywhere"
+
+    # fold everything into one generation, then simulate a
+    # PRE-PROVENANCE fold by stripping src_batch from it
+    _compact_partition_store(spark, store, current_batch=10**6, threshold=1)
+    gens = [
+        d for d in os.listdir(store) if d.startswith("batch=-")
+    ]
+    assert gens == ["batch=-1"]
+    gen = f"{store}/batch=-1"
+    legacy = (
+        spark.read.parquet(gen).localCheckpoint(eager=True).drop("src_batch")
+    )
+    legacy.write.mode("overwrite").parquet(gen)
+
+    # from-scratch reprocess (fresh "checkpoint" = rerun the bodies):
+    # must converge to the first run, not self-annihilate to empty
+    again = drive()
+    assert again == got, (
+        "reprocess against a legacy (pre-provenance) generation "
+        "diverged — self-rows re-entered the probe"
+    )
+    # and specifically: the corpus partitions are NON-empty (the
+    # failure mode is overwrite-to-empty, which a lenient >=0-row
+    # check would miss)
+    for b in (0, 1):
+        assert spark.read.parquet(f"{corpus}/batch={b}").count() > 0
 
 
 def test_url_ingest_shared_checkpoint_restart_and_post_fold_dedup(
@@ -2464,3 +2558,75 @@ def test_span_ingest_shared_checkpoint_restart_and_post_fold_cut(
     }[10]
     assert row.n_spans_cut == 1
     assert "alpha" not in row.cleaned_text and "kappa" not in row.cleaned_text
+
+
+def test_chained_pipeline_span_cut_changes_minhash_verdict(spark, tmp_path):
+    """The ordering effect the composed pipeline parity query exists
+    to pin (stream_ingest_pipeline_parity's block comment): two docs
+    sharing a long boilerplate prefix are minhash near-dups on RAW
+    text (the later one would be dropped), but the span stage cuts
+    the boilerplate from the later doc (first occurrence kept in the
+    earlier one), leaving unique tails with zero shingle overlap — so
+    the CHAINED pipeline keeps both. Runs the real batch bodies both
+    ways and asserts the verdicts differ."""
+    import os
+
+    from pitlapetl_spark.streaming.runtime import (
+        _dedup_ingest_batch,
+        _span_ingest_batch,
+        _url_ingest_batch,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(600))
+    doc_a = boiler + " " + " ".join(f"alpha{i}" for i in range(10))
+    doc_b = boiler + " " + " ".join(f"beta{i}" for i in range(10))
+    schema = "doc_id long, url_raw string, text string"
+    b0 = spark.createDataFrame(
+        [(1, "https://src0.example.com/a", doc_a)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(10, "https://src1.example.com/b", doc_b)], schema
+    )
+
+    # chained: url gate -> span cut -> minhash, per batch
+    root = str(tmp_path / "chain")
+    url_ing = _url_ingest_batch(f"{root}/us", f"{root}/uc", 10**6)
+    span_ing = _span_ingest_batch(f"{root}/ss", f"{root}/sc", 10**6)
+    mh_ing = _dedup_ingest_batch(f"{root}/ms", f"{root}/mc", 10**6)
+    for i, b in ((0, b0), (1, b1)):
+        url_ing(b, i)
+        gated = spark.read.parquet(f"{root}/uc/batch={i}")
+        span_ing(gated.select("doc_id", "text"), i)
+        cleaned = spark.read.parquet(f"{root}/sc/batch={i}")
+        mh_ing(
+            cleaned.select(
+                "doc_id", F.col("cleaned_text").alias("text")
+            ),
+            i,
+        )
+    chained_kept = sorted(
+        r.doc_id for r in spark.read.parquet(f"{root}/mc").collect()
+    )
+    assert chained_kept == [1, 10], (
+        "span stage failed to break the boilerplate near-dup: the "
+        "chained pipeline must keep both docs"
+    )
+    # sanity: the span stage really did cut doc 10's boilerplate
+    cut = {
+        r.doc_id: r.n_spans_cut
+        for r in spark.read.parquet(f"{root}/sc").collect()
+    }
+    assert cut[1] == 0 and cut[10] >= 1
+
+    # unchained: minhash directly on raw text drops the later doc
+    root2 = str(tmp_path / "raw")
+    mh_raw = _dedup_ingest_batch(f"{root2}/ms", f"{root2}/mc", 10**6)
+    for i, b in ((0, b0), (1, b1)):
+        mh_raw(b.select("doc_id", "text"), i)
+    raw_kept = sorted(
+        r.doc_id for r in spark.read.parquet(f"{root2}/mc").collect()
+    )
+    assert raw_kept == [1], (
+        "fixture sanity: on raw text the boilerplate must make doc "
+        "10 a minhash near-dup of doc 1"
+    )

@@ -613,6 +613,9 @@ def main() -> None:
     ap.add_argument("--span-batches", type=int, default=0,
                     help="run the span-dedup ingest long-run probe to N "
                          "batches")
+    ap.add_argument("--span-docs", type=int, default=100,
+                    help="docs per batch for the span probe (scale the "
+                         "store mass independently of batch count)")
     args = ap.parse_args()
 
     if args.url_batches:
@@ -622,9 +625,12 @@ def main() -> None:
             compact_every=args.compact_every or 8))
         return
     if args.span_batches:
-        print(f"span-dedup ingest long-run probe ({args.span_batches} batches):")
+        print(
+            f"span-dedup ingest long-run probe ({args.span_batches} "
+            f"batches x {args.span_docs} docs):"
+        )
         print("  ", probe_span_ingest(
-            spark, 100, args.span_batches,
+            spark, args.span_docs, args.span_batches,
             compact_every=args.compact_every or 8))
         return
 
