@@ -1378,7 +1378,12 @@ def run_url_ingest_sink(
 # the batch-local gram extraction and the doc-local cut. Generation
 # compaction folds the per-batch partitions; at corpus sizes where
 # the scan dominates, the stated migration is the bucket-pruned
-# layout / KV probe the minhash sink documents.
+# layout / KV probe the minhash sink documents. Measured headroom
+# (SCALE.md round-12 knee probe): NO knee through 100 batches /
+# 4.6M store rows — per-batch wall flat (1.2 s at 100 docs/batch,
+# 2.1 s at 1,000 docs/batch) with the scan term invisible under the
+# fixed lifecycle cost; re-probe when a deployment's store passes
+# ~10^8 grams.
 #
 # Exactly-once: the family device verbatim — batch-scoped overwrite
 # partitions, store reads admit only earlier-arrived ROWS (partition

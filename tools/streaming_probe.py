@@ -355,6 +355,89 @@ def probe_span_ingest(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_pipeline_ingest(
+    spark,
+    docs_per_batch: int,
+    n_batches: int,
+    compact_every: int,
+    tokens_per_doc: int = 200,
+) -> dict:
+    """Per-batch wall of the COMPOSED crawl-ingest chain (URL gate ->
+    span cut -> minhash ingest — the stream_ingest_pipeline_parity
+    production shape) across a long run. Drives the three sinks' real
+    batch bodies directly (the parity query's device), so the
+    measured wall is the chain itself, not stream-restart overhead.
+    Text is the span probe's worst-case generator (near-all-unique
+    grams => maximal span-store growth); every 7th doc re-spells an
+    earlier doc's URL (cross-batch URL dups) so the gate stage does
+    real work."""
+    from pitlapetl_spark.streaming.runtime import (
+        _dedup_ingest_batch,
+        _span_ingest_batch,
+        _url_ingest_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pitlap_pipeprobe_")
+    try:
+        u_corp, s_corp, m_corp = (
+            f"{tmp}/uc", f"{tmp}/sc", f"{tmp}/mc",
+        )
+        url_ing = _url_ingest_batch(f"{tmp}/us", u_corp, compact_every)
+        span_ing = _span_ingest_batch(f"{tmp}/ss", s_corp, compact_every)
+        mh_ing = _dedup_ingest_batch(f"{tmp}/ms", m_corp, compact_every)
+        per_batch = []
+        for b in range(n_batches):
+            base = b * docs_per_batch
+            rows = [
+                (
+                    base + i,
+                    "https://site{h}.example.com/p/{p}".format(
+                        h=(base + i) % 97,
+                        # every 7th doc re-crawls an earlier URL
+                        p=(base + i) // 7 if (base + i) % 7 == 0
+                        else base + i,
+                    ),
+                    " ".join(
+                        f"w{((base + i) * 31 + j * 7) % 9973}"
+                        for j in range(tokens_per_doc)
+                    ),
+                )
+                for i in range(docs_per_batch)
+            ]
+            batch = spark.createDataFrame(
+                rows, "doc_id long, url_raw string, text string"
+            )
+            t0 = time.perf_counter()
+            url_ing(batch, b)
+            import os as _os
+            p = f"{u_corp}/batch={b}"
+            if _os.path.exists(p):
+                span_ing(
+                    spark.read.parquet(p).select("doc_id", "text"), b
+                )
+                p2 = f"{s_corp}/batch={b}"
+                if _os.path.exists(p2):
+                    mh_ing(
+                        spark.read.parquet(p2).select(
+                            "doc_id",
+                            F.col("cleaned_text").alias("text"),
+                        ),
+                        b,
+                    )
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        k = max(1, n_batches // 6)
+        return {
+            "docs_per_batch": docs_per_batch,
+            "tokens_per_doc": tokens_per_doc,
+            "compact_every": compact_every,
+            "first_k_mean": round(sum(per_batch[:k]) / k, 3),
+            "last_k_mean": round(sum(per_batch[-k:]) / k, 3),
+            "per_batch_sec": per_batch,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) -> dict:
     """Monitor sinks (CUSUM / PSI / k-anonymity / OOV): per-batch
     partials are fixed-size (types x days-touched, bins, QI x bands,
@@ -613,6 +696,9 @@ def main() -> None:
     ap.add_argument("--span-batches", type=int, default=0,
                     help="run the span-dedup ingest long-run probe to N "
                          "batches")
+    ap.add_argument("--pipeline-batches", type=int, default=0,
+                    help="run the composed crawl-ingest chain probe "
+                         "(URL gate -> span cut -> minhash) to N batches")
     ap.add_argument("--span-docs", type=int, default=100,
                     help="docs per batch for the span probe (scale the "
                          "store mass independently of batch count)")
@@ -622,6 +708,15 @@ def main() -> None:
         print(f"url ingest long-run probe ({args.url_batches} batches):")
         print("  ", probe_url_ingest(
             spark, 2_000, args.url_batches,
+            compact_every=args.compact_every or 8))
+        return
+    if args.pipeline_batches:
+        print(
+            f"composed ingest pipeline long-run probe "
+            f"({args.pipeline_batches} batches x {args.span_docs} docs):"
+        )
+        print("  ", probe_pipeline_ingest(
+            spark, args.span_docs, args.pipeline_batches,
             compact_every=args.compact_every or 8))
         return
     if args.span_batches:
