@@ -211,10 +211,9 @@ HEADLINE = (
     "stream_url_gate_compacted_parity",
     "stream_span_dedup_compacted_parity",
     # round 12: the composed crawl-ingest pipeline parity (URL gate
-    # -> span cut -> minhash chained per micro-batch over 3 batches —
-    # the wall is three store lifecycles in sequence plus the
-    # composed batch oracle's per-stage twins; the family's
-    # end-to-end composition entry)
+    # -> span cut -> minhash -> semantic chained per micro-batch over
+    # 3 batches — the wall is four store lifecycles in sequence; the
+    # family's end-to-end composition entry)
     "stream_ingest_pipeline_parity",
 )
 

@@ -861,13 +861,17 @@ def cosine_col(av: str, an: str, bv: str, bn: str):
     )
 
 
-def semdedup_pair_ctes(m: int) -> str:
+def semdedup_pair_ctes(m: int, assign_src: str = "crank") -> str:
     """The top-m SemDeDup candidate/score CTE chain (assignm →
     cpairs → pdots → scored), shared by `_semantic_topm_oracle` and
-    the streaming parity query's oracle (batch_windows.py) so the two
+    the streaming parity queries' oracles (batch_windows.py) so the
     oracles always test the SAME batch contract. Expects the
-    `{_ORACLE_VECS}` and `{_ORACLE_CRANK}` CTEs upstream."""
-    return f"""assignm AS (SELECT vec_id, label FROM crank WHERE crk <= {m}),
+    `{_ORACLE_VECS}` and `{_ORACLE_CRANK}` CTEs upstream;
+    ``assign_src`` (a CTE with crank's columns) lets the composed
+    pipeline oracle restrict the assignment universe to the corpus
+    the semantic stage actually SEES (the minhash survivors) without
+    forking the chain."""
+    return f"""assignm AS (SELECT vec_id, label FROM {assign_src} WHERE crk <= {m}),
     cpairs AS (
         SELECT DISTINCT a1.vec_id AS vec_a, a2.vec_id AS vec_b
         FROM assignm a1

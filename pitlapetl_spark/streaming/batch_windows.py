@@ -1035,20 +1035,26 @@ def stream_span_dedup_compacted_parity(
 # the per-sink parity queries cannot see: the URL gate changes which
 # documents every downstream store ever ingests, and the span cut
 # changes the text the minhash stage shingles (VERDICT r11 item 4).
-# This query drives the three text-side sinks' REAL per-batch bodies
-# (_url_ingest_batch -> _span_ingest_batch -> _dedup_ingest_batch) as
-# one chained body over id-ordered micro-batches — each stage
-# consuming the previous stage's batch-scoped corpus partition, the
-# production composition shape — and pins the per-document outcome of
-# every stage against a DuckDB oracle that composes the SAME CTE
-# chains the stages' own oracles use (webgate.GATE_CTES +
-# dedup.span_apply_ctes rebased on the gated set) plus an UNROLLED
-# N-batch replay of the minhash sink's decision procedure
-# (intra-batch: lower-id band-colliding estimate>=0.7 wins;
-# cross-batch: estimate>=0.7 against any earlier batch's SURVIVOR
-# store rows — survivors-only is the sink's store contract, so the
-# kept set is chain-sequential across batches and the oracle must
-# replay it batch by batch rather than state it as one closed form).
+# This query drives FOUR sinks' REAL per-batch bodies
+# (_url_ingest_batch -> _span_ingest_batch -> _dedup_ingest_batch ->
+# _semantic_ingest_batch) as one chained body over id-ordered
+# micro-batches — each stage consuming the previous stage's
+# batch-scoped corpus partition (the semantic stage consuming the
+# minhash survivors' embeddings, vec_id == doc_id), the production
+# composition shape — and pins the per-document outcome of every
+# stage against a DuckDB oracle that composes the SAME CTE chains the
+# stages' own oracles use (webgate.GATE_CTES + dedup.span_apply_ctes
+# rebased on the gated set + similarity.semdedup_pair_ctes restricted
+# to the minhash survivors) plus an UNROLLED N-batch replay of the
+# minhash sink's decision procedure (intra-batch: lower-id
+# band-colliding estimate>=0.7 wins; cross-batch: estimate>=0.7
+# against any earlier batch's SURVIVOR store rows — survivors-only is
+# the minhash store's contract, so its kept set is chain-sequential
+# across batches and the oracle must replay it batch by batch rather
+# than state it as one closed form; the SEMANTIC store by contrast
+# persists kept AND dropped rows, which makes its drop set
+# order-independent under id-ordered arrival — one declarative pair
+# pass, no unrolling).
 #
 # Why stream == this oracle EXACTLY, stage by stage: (1) URL gate —
 # with id-ordered arrival, intra-batch keep-lowest + cross-batch
@@ -1059,7 +1065,12 @@ def stream_span_dedup_compacted_parity(
 # parity argument, unchanged by the gate because the gate only
 # shrinks the corpus the rule ranges over); (3) minhash — no
 # equivalence argument needed: the oracle replays the sink's exact
-# per-batch procedure, unrolled for the fixed batch count.
+# per-batch procedure, unrolled for the fixed batch count;
+# (4) semantic — with the store persisting every ingested row, "b
+# drops iff some earlier-arrived a shares a top-2 cluster at
+# cosine >= tau" equals the batch pair rule over the survivor
+# corpus (the stream_semantic_compacted_parity argument, restricted
+# to the corpus this stage actually sees).
 #
 # 100-TB shape: the chain adds NO new shuffle beyond the member
 # sinks' own (gate: one window; span: token-linear gram explode +
@@ -1084,6 +1095,12 @@ def _pipeline_parity_oracle() -> str:
         N_HASHES,
         ROWS_PER_BAND,
         span_apply_ctes,
+    )
+    from ..operators.similarity import (
+        SEMDEDUP_TAU,
+        _ORACLE_CRANK,
+        _ORACLE_VECS,
+        semdedup_pair_ctes,
     )
     from ..operators.webgate import GATE_CTES
     from .runtime import DEDUP_INGEST_EST_THRESHOLD
@@ -1179,15 +1196,28 @@ def _pipeline_parity_oracle() -> str:
         SELECT sigb.doc_id, sigb.b FROM sigb
         WHERE sigb.doc_id NOT IN (SELECT doc_id FROM intra)
     ),
-    {",".join(replay)}
+    {",".join(replay)},
+    {_ORACLE_VECS.strip().rstrip()},
+    {_ORACLE_CRANK.strip().rstrip()},
+    crank_surv AS (
+        SELECT c.* FROM crank c
+        JOIN {prev} mh ON mh.doc_id = c.vec_id
+    ),
+    {semdedup_pair_ctes(2, "crank_surv")},
+    sem_dropped AS (
+        SELECT DISTINCT vec_b AS vec_id
+        FROM scored WHERE cosine >= {SEMDEDUP_TAU}
+    )
     SELECT d.doc_id,
            g.doc_id IS NOT NULL AS gate_kept,
            cd.n_tokens_after AS n_tokens_after,
-           mk.doc_id IS NOT NULL AS final_kept
+           mk.doc_id IS NOT NULL AS minhash_kept,
+           (mk.doc_id IS NOT NULL AND sd.vec_id IS NULL) AS final_kept
     FROM documents d
     LEFT JOIN g_kept g ON g.doc_id = d.doc_id
     LEFT JOIN cdocs cd ON cd.doc_id = d.doc_id
     LEFT JOIN {prev} mk ON mk.doc_id = d.doc_id
+    LEFT JOIN sem_dropped sd ON sd.vec_id = d.doc_id
     """
 
 
@@ -1195,18 +1225,21 @@ def _pipeline_parity_oracle() -> str:
 def stream_ingest_pipeline_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Drive the URL-gate -> span-cut -> minhash crawl-ingest chain
-    end-to-end over id-ordered micro-batches — each stage the REAL
-    production per-batch body, each consuming the previous stage's
-    batch-scoped corpus partition — and return the per-document
-    outcome of every stage (block comment above)."""
+    """Drive the URL-gate -> span-cut -> minhash -> semantic
+    crawl-ingest chain end-to-end over id-ordered micro-batches —
+    each stage the REAL production per-batch body, each consuming
+    the previous stage's batch-scoped corpus partition — and return
+    the per-document outcome of every stage (block comment
+    above)."""
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
+    from ..operators.similarity import _centroid_frame
     from ..operators.webgate import derived_raw_url
     from .runtime import (
         _dedup_ingest_batch,
+        _semantic_ingest_batch,
         _span_ingest_batch,
         _url_ingest_batch,
     )
@@ -1226,9 +1259,17 @@ def stream_ingest_pipeline_parity(
         u_corp = f"{root}/url_corpus"
         s_corp = f"{root}/span_corpus"
         m_corp = f"{root}/mh_corpus"
+        e_corp = f"{root}/sem_corpus"
         url_ing = _url_ingest_batch(f"{root}/url_store", u_corp, never)
         span_ing = _span_ingest_batch(f"{root}/span_store", s_corp, never)
         mh_ing = _dedup_ingest_batch(f"{root}/mh_store", m_corp, never)
+        sem_ing = _semantic_ingest_batch(
+            _centroid_frame(spark, sf_dir),
+            f"{root}/sem_store",
+            e_corp,
+            never,
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
         for i in range(N_PIPE_BATCHES):
             url_ing(
                 docs.filter(
@@ -1252,6 +1293,21 @@ def stream_ingest_pipeline_parity(
                 ),
                 i,
             )
+            p = f"{m_corp}/batch={i}"
+            if not _os.path.exists(p):
+                continue
+            # stage 4: semantic dedup over the minhash survivors'
+            # embeddings (vec_id == doc_id in the fixture contract)
+            sem_ing(
+                emb.join(
+                    spark.read.parquet(p)
+                    .select(F.col("doc_id").alias("vec_id"))
+                    .distinct(),
+                    "vec_id",
+                    "left_semi",
+                ),
+                i,
+            )
         # eager reads — the temp stores are removed in finally
         g = (
             spark.read.parquet(u_corp)
@@ -1270,6 +1326,13 @@ def stream_ingest_pipeline_parity(
             if _os.path.exists(m_corp)
             else spark.createDataFrame([], "doc_id long")
         )
+        sem = (
+            spark.read.parquet(e_corp)
+            .select(F.col("vec_id").alias("doc_id"))
+            .localCheckpoint(eager=True)
+            if _os.path.exists(e_corp)
+            else spark.createDataFrame([], "doc_id long")
+        )
     finally:
         _shutil.rmtree(root, ignore_errors=True)
 
@@ -1279,11 +1342,13 @@ def stream_ingest_pipeline_parity(
         .join(g.withColumn("_g", F.lit(True)), "doc_id", "left")
         .join(sp, "doc_id", "left")
         .join(mh.withColumn("_m", F.lit(True)), "doc_id", "left")
+        .join(sem.withColumn("_s", F.lit(True)), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("_g", F.lit(False)).alias("gate_kept"),
             F.col("n_tokens_after").cast("long").alias("n_tokens_after"),
-            F.coalesce("_m", F.lit(False)).alias("final_kept"),
+            F.coalesce("_m", F.lit(False)).alias("minhash_kept"),
+            F.coalesce("_s", F.lit(False)).alias("final_kept"),
         )
     )
     return result.localCheckpoint(eager=True)

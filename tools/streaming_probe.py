@@ -91,16 +91,22 @@ def probe_dedup_ingest(
     tmp = tempfile.mkdtemp(prefix="pitlap_dprobe_")
     try:
         src = f"{tmp}/src"
-        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        # round-12 instrument fix: the original 10-word cyclic
+        # vocabulary made every doc's shingle SET identical (all ten
+        # cyclic 3-grams, jaccard 1.0) — everything after the first
+        # doc deduped away and the store's ROW mass never grew, so
+        # the long-run rows measured the per-batch partition-listing
+        # term only. Tokens are now unique per (doc, position):
+        # nothing dedups, the store grows its true worst case
+        # (+1 signature +4 band rows per doc), and the final store
+        # row count is REPORTED so growth claims stay measured.
         per_batch = []
         for b in range(n_batches):
             base = b * docs_per_batch
             rows = [
                 (
                     base + i,
-                    " ".join(
-                        words[(base + i + j) % len(words)] for j in range(40)
-                    ),
+                    " ".join(f"w{base + i}t{j}" for j in range(40)),
                     "en",
                     "probe",
                     200,
@@ -126,9 +132,13 @@ def probe_dedup_ingest(
             )
             q.awaitTermination(600)
             per_batch.append(round(time.perf_counter() - t0, 3))
+        store_rows = spark.read.parquet(f"{tmp}/store").count()
+        band_rows = spark.read.parquet(f"{tmp}/store_bands").count()
         return {
             "docs_per_batch": docs_per_batch,
             "compact_every": compact_every,
+            "store_rows_final": store_rows,
+            "band_rows_final": band_rows,
             "per_batch_sec": per_batch,
             "docs_per_sec": round(docs_per_batch / (sum(per_batch) / n_batches)),
         }
@@ -297,12 +307,18 @@ def probe_span_ingest(
     tokens_per_doc: int = 200,
 ) -> dict:
     """Per-batch wall of the exact-substring span-dedup ingest sink
-    across a long run with generation compaction. Token streams are
-    deterministic functions of (doc_id, position) over a 9973-word
-    vocabulary, so grams are almost all corpus-unique and the store
-    grows ~ (tokens - K + 1) rows per doc — the worst-case store
-    growth for this sink, which is exactly what the probe should
-    stress (the gram store IS the scale cost of substring dedup)."""
+    across a long run with generation compaction. Tokens are unique
+    per (doc_id, position) — "w{doc_id}p{j}" — so every gram is
+    corpus-unique and the store grows exactly (tokens - K + 1) rows
+    per doc, the TRUE worst case for this sink (the gram store IS the
+    scale cost of substring dedup). The round-12 instrument fix: the
+    previous generator drew tokens from a 9,973-word cyclic
+    vocabulary whose gram content was a pure function of
+    (31*doc_id + 7*pos) mod 9973 — the store CAPPED at 9,973 rows and
+    every doc after the ~52nd was fully cut, so the "store growth"
+    the r11 long-run claimed to stress never happened. The probe now
+    REPORTS the measured store row count so a growth claim can never
+    again outrun the instrument."""
     from pitlapetl_spark.streaming.runtime import run_span_dedup_ingest_sink
 
     tmp = tempfile.mkdtemp(prefix="pitlap_spanprobe_")
@@ -315,8 +331,7 @@ def probe_span_ingest(
                 (
                     base + i,
                     " ".join(
-                        f"w{((base + i) * 31 + j * 7) % 9973}"
-                        for j in range(tokens_per_doc)
+                        f"w{base + i}p{j}" for j in range(tokens_per_doc)
                     ),
                 )
                 for i in range(docs_per_batch)
@@ -342,11 +357,13 @@ def probe_span_ingest(
             )
             q_.awaitTermination(600)
             per_batch.append(round(time.perf_counter() - t0, 3))
+        store_rows = spark.read.parquet(f"{tmp}/store").count()
         k = max(1, n_batches // 6)
         return {
             "docs_per_batch": docs_per_batch,
             "tokens_per_doc": tokens_per_doc,
             "compact_every": compact_every,
+            "store_rows_final": store_rows,
             "first_k_mean": round(sum(per_batch[:k]) / k, 3),
             "last_k_mean": round(sum(per_batch[-k:]) / k, 3),
             "per_batch_sec": per_batch,
@@ -363,43 +380,85 @@ def probe_pipeline_ingest(
     tokens_per_doc: int = 200,
 ) -> dict:
     """Per-batch wall of the COMPOSED crawl-ingest chain (URL gate ->
-    span cut -> minhash ingest — the stream_ingest_pipeline_parity
-    production shape) across a long run. Drives the three sinks' real
+    span cut -> minhash -> semantic — the stream_ingest_pipeline_parity
+    production shape) across a long run. Drives the four sinks' real
     batch bodies directly (the parity query's device), so the
     measured wall is the chain itself, not stream-restart overhead.
-    Text is the span probe's worst-case generator (near-all-unique
-    grams => maximal span-store growth); every 7th doc re-spells an
-    earlier doc's URL (cross-batch URL dups) so the gate stage does
-    real work."""
+    Every stage does REAL work and passes real mass downstream: every
+    7th doc re-spells an earlier doc's URL (gate drops it); each doc
+    opens with a shared 12-token boilerplate header (the span stage
+    cuts it from every doc after the first) followed by per-(doc,pos)
+    unique tokens (maximal gram-store growth, nothing else cut);
+    embeddings are diverse direction vectors (period-9973 generator —
+    the round-12 instrument fix: a period-13 generator made every
+    vector a cosine-1.0 dup, and the original cyclic-vocabulary text
+    generator let the span stage cut every doc after the ~52nd to
+    nothing, starving every downstream stage). Reports final
+    store/corpus row counts so flow-through is measured, not
+    assumed."""
+    import os as _os
+
     from pitlapetl_spark.streaming.runtime import (
         _dedup_ingest_batch,
+        _semantic_ingest_batch,
         _span_ingest_batch,
         _url_ingest_batch,
     )
 
+    dim, n_cent = 16, 8
+    cent = spark.createDataFrame(
+        [
+            (
+                c,
+                [
+                    float(1 + ((c * 7 + i * 3) % 5))
+                    if i % n_cent == c
+                    else float((c + i) % 3)
+                    for i in range(dim)
+                ],
+            )
+            for c in range(n_cent)
+        ],
+        "label int, cv array<double>",
+    ).withColumn(
+        "cnrm",
+        F.sqrt(F.expr("aggregate(cv, 0D, (acc, x) -> acc + x * x)")),
+    )
+
     tmp = tempfile.mkdtemp(prefix="pitlap_pipeprobe_")
     try:
-        u_corp, s_corp, m_corp = (
-            f"{tmp}/uc", f"{tmp}/sc", f"{tmp}/mc",
+        u_corp, s_corp, m_corp, e_corp = (
+            f"{tmp}/uc", f"{tmp}/sc", f"{tmp}/mc", f"{tmp}/ec",
         )
         url_ing = _url_ingest_batch(f"{tmp}/us", u_corp, compact_every)
         span_ing = _span_ingest_batch(f"{tmp}/ss", s_corp, compact_every)
         mh_ing = _dedup_ingest_batch(f"{tmp}/ms", m_corp, compact_every)
+        sem_ing = _semantic_ingest_batch(
+            cent, f"{tmp}/es", e_corp, compact_every
+        )
         per_batch = []
         for b in range(n_batches):
             base = b * docs_per_batch
             rows = [
                 (
                     base + i,
+                    # every 7th doc re-crawls doc (id // 7)'s URL
+                    # (host AND path — the r12 flow-count check
+                    # caught the first version re-spelling only the
+                    # path under its own host, which dups nothing)
                     "https://site{h}.example.com/p/{p}".format(
-                        h=(base + i) % 97,
-                        # every 7th doc re-crawls an earlier URL
+                        h=(
+                            ((base + i) // 7) % 97
+                            if (base + i) % 7 == 0
+                            else (base + i) % 97
+                        ),
                         p=(base + i) // 7 if (base + i) % 7 == 0
                         else base + i,
                     ),
-                    " ".join(
-                        f"w{((base + i) * 31 + j * 7) % 9973}"
-                        for j in range(tokens_per_doc)
+                    "h0 h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 h11 "
+                    + " ".join(
+                        f"w{base + i}p{j}"
+                        for j in range(tokens_per_doc - 12)
                     ),
                 )
                 for i in range(docs_per_batch)
@@ -409,7 +468,6 @@ def probe_pipeline_ingest(
             )
             t0 = time.perf_counter()
             url_ing(batch, b)
-            import os as _os
             p = f"{u_corp}/batch={b}"
             if _os.path.exists(p):
                 span_ing(
@@ -424,12 +482,52 @@ def probe_pipeline_ingest(
                         ),
                         b,
                     )
+                    p3 = f"{m_corp}/batch={b}"
+                    if _os.path.exists(p3):
+                        # stage 4: deterministic per-doc embeddings
+                        # (the semantic probe's generator) for the
+                        # minhash survivors
+                        surv = spark.read.parquet(p3).select(
+                            F.col("doc_id").alias("vec_id")
+                        )
+                        sem_ing(
+                            surv.select(
+                                "vec_id",
+                                # hash-mixed components: arithmetic
+                                # ramps (the first two generators)
+                                # make near-parallel vectors — every
+                                # doc dups and the stage starves
+                                F.expr(
+                                    f"transform(sequence(0, {dim - 1}), "
+                                    "j -> CAST(xxhash64(concat("
+                                    "CAST(vec_id AS STRING), 'x', "
+                                    "CAST(j AS STRING))) % 1009 "
+                                    "AS FLOAT) / 101.0)"
+                                ).alias("embedding"),
+                                F.lit(0).alias("label"),
+                            ),
+                            b,
+                        )
             per_batch.append(round(time.perf_counter() - t0, 3))
+        counts = {
+            name: (
+                spark.read.parquet(path).count()
+                if _os.path.exists(path)
+                else 0
+            )
+            for name, path in (
+                ("url_corpus", u_corp),
+                ("span_store", f"{tmp}/ss"),
+                ("mh_corpus", m_corp),
+                ("sem_corpus", e_corp),
+            )
+        }
         k = max(1, n_batches // 6)
         return {
             "docs_per_batch": docs_per_batch,
             "tokens_per_doc": tokens_per_doc,
             "compact_every": compact_every,
+            "flow": counts,
             "first_k_mean": round(sum(per_batch[:k]) / k, 3),
             "last_k_mean": round(sum(per_batch[-k:]) / k, 3),
             "per_batch_sec": per_batch,
