@@ -484,8 +484,37 @@ def _compact_partition_store(
     import os as _os
     import shutil as _shutil
 
-    if not _os.path.exists(root):
+    committed, gens = _foldable_partitions(root, current_batch)
+    if committed is None or len(committed) < threshold:
         return
+    sources = list(committed.values()) + list(gens.values())
+    target = _os.path.join(root, f"batch={min(gens, default=0) - 1}")
+    merged = spark.read.parquet(*sources).dropDuplicates()
+    merged.write.mode("overwrite").parquet(target)
+    for p in sources:
+        _shutil.rmtree(p, ignore_errors=True)
+
+
+def _foldable_partitions(
+    root: str, current_batch: int
+) -> tuple[dict[int, str] | None, dict[int, str]]:
+    """Shared partition-listing step of the store folds (generation
+    compaction above, quantizer relabeling below): enumerate
+    ``batch=<id>`` partitions, remove crashed marker-less GENERATION
+    dirs (their rows all still live in the sources they were folding,
+    so a partial dir mistaken for a foldable source would lose data on
+    source deletion), and return the fold-eligible sets —
+    ``(committed, generations)``. Only sealed partitions are
+    eligible: the current batch's dir is about to be overwritten by
+    this very run, and a marker-less positive dir belongs to an
+    uncommitted batch that Structured Streaming will replay (its
+    replay overwrites the dir in place). Returns ``(None, {})`` when
+    the store does not exist."""
+    import os as _os
+    import shutil as _shutil
+
+    if not _os.path.exists(root):
+        return None, {}
     parts: dict[int, str] = {}
     for d in _os.listdir(root):
         if d.startswith("batch="):
@@ -497,31 +526,15 @@ def _compact_partition_store(
     def _sealed(path: str) -> bool:
         return _os.path.exists(_os.path.join(path, "_SUCCESS"))
 
-    # a marker-less NEGATIVE dir is a generation write that crashed
-    # before commit: its rows all still live in the sources it was
-    # folding, so it is garbage — remove it before it can be mistaken
-    # for a foldable source (reading a partial dir then deleting the
-    # real sources would lose data)
     for b, p in list(parts.items()):
         if b < 0 and not _sealed(p):
             _shutil.rmtree(p, ignore_errors=True)
             del parts[b]
-    # only fold sealed partitions: the current batch's dir is about to
-    # be overwritten by this very run, and a marker-less positive dir
-    # belongs to an uncommitted batch that Structured Streaming will
-    # replay (its replay overwrites the dir in place)
     committed = {
         b: p for b, p in parts.items() if 0 <= b != current_batch and _sealed(p)
     }
-    if len(committed) < threshold:
-        return
     gens = {b: p for b, p in parts.items() if b < 0}
-    sources = list(committed.values()) + list(gens.values())
-    target = _os.path.join(root, f"batch={min(gens, default=0) - 1}")
-    merged = spark.read.parquet(*sources).dropDuplicates()
-    merged.write.mode("overwrite").parquet(target)
-    for p in sources:
-        _shutil.rmtree(p, ignore_errors=True)
+    return committed, gens
 
 
 def _with_src_batch(df):
@@ -558,6 +571,294 @@ def _with_src_batch(df):
         "src_batch",
         F.when(F.col("batch") >= 0, F.col("batch")).cast("long"),
     )
+
+
+# --------------------------- corpus-sized quantizer (SemDeDup K rule)
+# A frozen K-centroid quantizer makes the semantic sink's per-batch
+# candidate mass grow linearly with the store: candidates per batch
+# ~ batch x (store rows sharing a top-2 cluster) ~ batch x store/K.
+# The SemDeDup production rule sizes K WITH the corpus (cluster count
+# grows so per-cluster mass stays ~constant) — the round-12 composed
+# pipeline probe measured the frozen-K=8 tail climbing 10-25 s/batch
+# exactly as that term predicts (SCALE.md). The machinery below is
+# that rule, built on the store's own fold device:
+#
+# - At deterministic schedule batches (batch_id % compact_every == 0)
+#   the sink counts the store's earlier-arrived DISTINCT vectors; when
+#   that exceeds target x K_active it fits a new quantizer with
+#   K = ceil(n / target) and RELABELS the whole store under it via a
+#   super-compaction (same write-generation-then-delete-sources commit
+#   protocol as _compact_partition_store, so a crash at any point
+#   heals on replay; old-label/new-label crash duplicates collapse
+#   because the fold recomputes labels BEFORE its full-row
+#   dropDuplicates).
+# - Fitted quantizers persist under ``{store}/_quantizer/qbatch=<N>``
+#   (underscore prefix = invisible to the store's own partition
+#   discovery); the ACTIVE quantizer at batch N is the newest sealed
+#   version with qbatch <= N, else the caller's frozen frame. Store
+#   labels are always under the active version: rows written between
+#   requantizations are assigned under it, and each requantization
+#   rewrites everything older.
+# - Replay exactness: the trigger condition, the fit (seeded by a
+#   deterministic hash order, one Lloyd step), and the relabel are all
+#   pure functions of the store rows with ``src_batch < batch_id`` —
+#   the exact set the first run saw — so a single-batch replay or a
+#   fresh-checkpoint full reprocess re-derives bit-identical
+#   quantizers on the same schedule. The one reprocess wrinkle: at
+#   replay batch N the store may carry labels (and persisted
+#   ``qbatch`` dirs) from FUTURE first-run requantizations; versions
+#   with qbatch > N are detected by listing, the store is relabeled
+#   back under the version active at N, and the stale dirs are
+#   deleted (the reprocess recreates them identically when it reaches
+#   their batches).
+#
+# The fit is deliberately coarse — K hash-sampled seed vectors plus
+# one Lloyd refinement — because the quantizer only shapes the
+# CANDIDATE space; the kept/dropped verdict is always the exact
+# cosine at tau. Quantizer quality affects cost (cluster balance)
+# and the usual SemDeDup straddle-miss class (mitigated by top-2
+# assignment), never the verify arithmetic.
+
+_QUANTIZER_DIR = "_quantizer"
+
+# requantize only once the distinct-vector count exceeds this factor
+# times target x K_active: a geometric growth schedule, so the sum of
+# all relabel rewrites over a store's lifetime is O(final store size)
+_REQUANT_GROWTH = 2
+
+
+def _quantizer_versions(store_path: str) -> dict[int, str]:
+    """Sealed persisted quantizer versions: {qbatch: path}."""
+    import os as _os
+
+    qroot = _os.path.join(store_path, _QUANTIZER_DIR)
+    if not _os.path.exists(qroot):
+        return {}
+    out: dict[int, str] = {}
+    for d in _os.listdir(qroot):
+        if not d.startswith("qbatch="):
+            continue
+        try:
+            b = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        p = _os.path.join(qroot, d)
+        if _os.path.exists(_os.path.join(p, "_SUCCESS")):
+            out[b] = p
+    return out
+
+
+def _fit_quantizer(vecs: DataFrame, k: int) -> DataFrame:
+    """Deterministic coarse quantizer over a (vec_id, v, nrm) frame:
+    K seed vectors in xxhash64(vec_id) order (a reproducible
+    pseudo-random sample — TakeOrdered, no full sort), one Lloyd
+    step (nearest-seed assignment, per-dimension mean), seed kept
+    verbatim for any cluster the step left empty or degenerate.
+    Returns the (label, cv, cnrm) contract frame of
+    rank_against_centroids."""
+    from ..operators.similarity import rank_against_centroids
+
+    order = [
+        F.xxhash64(F.col("vec_id").cast("string")),
+        F.col("vec_id"),
+        # tie-break for a re-delivered vec_id carrying two vectors
+        F.xxhash64(F.col("v")),
+    ]
+    seeds = (
+        vecs.filter(F.col("nrm") > 0)
+        .orderBy(*order)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(*order)) - 1).alias(
+                "label"
+            ),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # one Lloyd step: nearest seed (crk=1), element-wise mean
+    means = (
+        rank_against_centroids(vecs, seeds)
+        .filter(F.col("crk") == 1)
+        .join(vecs, "vec_id")
+        .select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, cx))),"
+                " s -> s.cx)"
+            ).alias("mv")
+        )
+        .withColumn(
+            "mnrm",
+            F.sqrt(F.expr("aggregate(mv, 0D, (acc, x) -> acc + x * x)")),
+        )
+    )
+    return (
+        seeds.join(means, "label", "left")
+        .select(
+            "label",
+            F.when(F.col("mnrm") > 0, F.col("mv"))
+            .otherwise(F.col("cv"))
+            .alias("cv"),
+            F.when(F.col("mnrm") > 0, F.col("mnrm"))
+            .otherwise(F.col("cnrm"))
+            .alias("cnrm"),
+        )
+    )
+
+
+def _relabel_store(
+    spark: SparkSession, store_path: str, current_batch: int, cent: DataFrame
+) -> None:
+    """Rewrite every fold-eligible store partition with top-2 labels
+    recomputed under ``cent`` — a super-compaction sharing
+    _compact_partition_store's commit protocol (write the new
+    generation, _SUCCESS is the commit point, delete sources after).
+    Labels are recomputed BEFORE the full-row dropDuplicates, so a
+    crash-window copy labeled under the previous quantizer collapses
+    with its relabeled twin instead of surviving as a phantom row."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..operators.similarity import rank_against_centroids
+
+    committed, gens = _foldable_partitions(store_path, current_batch)
+    if committed is None:
+        return
+    sources = list(committed.values()) + list(gens.values())
+    if not sources:
+        return
+    base = spark.read.parquet(*sources)
+    if "src_batch" not in base.columns:
+        # leaf-path reads carry no ``batch`` partition column, so the
+        # _with_src_batch migration cannot recover per-batch origins
+        # here; a provenance-less store relabels under the NULL =
+        # origin-unknown semantics (the probes' legacy self-key guard)
+        base = base.withColumn("src_batch", F.lit(None).cast("long"))
+    base = base.drop("label").dropDuplicates()
+    # re-assign per physical row; the rank window keys on the row's
+    # own identity (vec_id, origin batch, vector) so a legitimately
+    # re-delivered vec_id with a different vector ranks independently
+    scored = (
+        base.alias("q")
+        .join(F.broadcast(cent).alias("c"))
+        .select(
+            "q.*",
+            F.col("c.label").alias("label"),
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(q.v, c.cv, (x, y) -> x * y), 0D,"
+                    " (acc, x) -> acc + x)"
+                )
+                / (F.col("q.nrm") * F.col("c.cnrm")),
+                6,
+            ).alias("ccos"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "src_batch", "v").orderBy(
+        F.col("ccos").desc(), "label"
+    )
+    relabeled = (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= 2)
+        .select("vec_id", "label", "v", "nrm", "kept", "src_batch")
+        .dropDuplicates()
+    )
+    target = _os.path.join(store_path, f"batch={min(gens, default=0) - 1}")
+    relabeled.write.mode("overwrite").parquet(target)
+    for p in sources:
+        if p != target:
+            _shutil.rmtree(p, ignore_errors=True)
+
+
+def _maybe_requantize(
+    spark: SparkSession,
+    store_path: str,
+    batch_id: int,
+    frozen: DataFrame,
+    target: int,
+    check_every: int,
+    k_cache: dict,
+) -> DataFrame:
+    """Return the ACTIVE quantizer frame for ``batch_id``, fitting and
+    installing a larger one first when the schedule and the store's
+    distinct-vector count call for it (block comment above).
+    ``k_cache`` memoizes loaded versions across the closure's batches
+    ({version_id: checkpointed frame}); version -1 is the frozen
+    fallback."""
+    import os as _os
+    import shutil as _shutil
+
+    versions = _quantizer_versions(store_path)
+    # fresh-checkpoint reprocess guard: versions fitted by a FUTURE
+    # first-run batch are stale here — relabel the store back under
+    # the version active at this batch and drop them (the reprocess
+    # re-derives them identically on schedule)
+    stale = {b: p for b, p in versions.items() if b > batch_id}
+    if stale:
+        versions = {b: p for b, p in versions.items() if b <= batch_id}
+        active = (
+            spark.read.parquet(versions[max(versions)])
+            if versions
+            else frozen
+        )
+        _relabel_store(spark, store_path, batch_id, active)
+        for p in stale.values():
+            _shutil.rmtree(p, ignore_errors=True)
+        k_cache.clear()
+
+    def _load_active() -> DataFrame:
+        vid = max(versions) if versions else -1
+        if vid not in k_cache:
+            frame = (
+                spark.read.parquet(versions[vid]) if vid >= 0 else frozen
+            )
+            k_cache[vid] = frame.localCheckpoint(eager=True)
+        return k_cache[vid]
+
+    if batch_id in versions:
+        # this batch already fitted a quantizer in a previous attempt
+        # — a crash may have landed between the quantizer commit and
+        # the relabel commit, leaving store labels under the OLD
+        # version. Re-run the relabel (idempotent on an already
+        # relabeled store) before probing.
+        active = _load_active()
+        _relabel_store(spark, store_path, batch_id, active)
+        return active
+    if batch_id <= 0 or batch_id % check_every != 0:
+        return _load_active()
+    if not _os.path.exists(store_path):
+        return _load_active()
+    earlier = _with_src_batch(spark.read.parquet(store_path)).filter(
+        (F.col("batch") < batch_id)
+        & ((F.col("src_batch") < batch_id) | F.col("src_batch").isNull())
+    )
+    vecs = earlier.select("vec_id", "v", "nrm").dropDuplicates(
+        ["vec_id", "v"]
+    )
+    n = vecs.filter(F.col("nrm") > 0).count()
+    k_active = _load_active().count()
+    # x2 hysteresis: geometric growth schedule, so total relabel work
+    # over a store's lifetime is O(final store size), not quadratic
+    if n <= _REQUANT_GROWTH * target * k_active:
+        return _load_active()
+    k_new = -(-n // target)  # ceil
+    fitted = _fit_quantizer(
+        vecs.localCheckpoint(eager=True), k_new
+    ).localCheckpoint(eager=True)
+    qdir = _os.path.join(
+        store_path, _QUANTIZER_DIR, f"qbatch={batch_id}"
+    )
+    fitted.write.mode("overwrite").parquet(qdir)
+    _relabel_store(spark, store_path, batch_id, fitted)
+    k_cache.clear()
+    k_cache[batch_id] = fitted
+    versions[batch_id] = qdir
+    return fitted
 
 
 def read_documents_stream(
@@ -1036,12 +1337,21 @@ def _semantic_ingest_batch(
     store_path: str,
     corpus_path: str,
     compact_every: int,
+    requantize_target: int | None = None,
 ):
     """Build the per-micro-batch body of the semantic ingest sink
     (block comment above). Exposed as a factory so the registered
     parity query can drive the EXACT production code path with
     deterministic id-ordered batches, while the streaming wrapper
-    hands the same function to foreachBatch."""
+    hands the same function to foreachBatch.
+
+    ``requantize_target`` (vectors per cluster) opts into the
+    corpus-sized quantizer (SemDeDup K rule — block comment at
+    _maybe_requantize): ``centroids`` then seeds version -1 and the
+    sink grows K with the store on the compaction schedule. Default
+    None keeps the frozen-quantizer contract exactly (the registered
+    parity query's mode); the two modes share one store schema but a
+    given store should run under one mode for its lifetime."""
     import os as _os
 
     from ..operators.similarity import (
@@ -1051,12 +1361,26 @@ def _semantic_ingest_batch(
     )
 
     cent = centroids.localCheckpoint(eager=True)
+    k_cache: dict = {}
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         _compact_partition_store(spark, store_path, batch_id, compact_every)
+        active = (
+            _maybe_requantize(
+                spark,
+                store_path,
+                batch_id,
+                cent,
+                requantize_target,
+                compact_every,
+                k_cache,
+            )
+            if requantize_target is not None
+            else cent
+        )
         batch = batch_df.localCheckpoint(eager=True)
         vecs = batch.select(
             "vec_id",
@@ -1065,10 +1389,10 @@ def _semantic_ingest_batch(
             "nrm",
             F.sqrt(F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")),
         )
-        # top-2 overlapping assignment against the frozen quantizer —
+        # top-2 overlapping assignment against the active quantizer —
         # the shared scorer, so stream == batch by construction
         assign = (
-            rank_against_centroids(vecs, cent)
+            rank_against_centroids(vecs, active)
             .filter(F.col("crk") <= 2)
             .select("vec_id", "label")
             .join(vecs, "vec_id")
@@ -1197,17 +1521,24 @@ def run_semantic_ingest_sink(
     corpus_path: str,
     checkpoint: str,
     compact_every: int = DEDUP_INGEST_COMPACT_EVERY,
+    requantize_target: int | None = None,
 ) -> StreamingQuery:
     """Streaming EMBEDDING ingest with semantic (cosine) near-dup
     dedup — the SemDeDup twin of ``run_dedup_ingest_sink`` (block
-    comment above): per batch, top-2 frozen-quantizer assignment,
+    comment above): per batch, top-2 quantizer assignment,
     intra-batch pair probe, full-store cluster-key probe, exact
     cosine on deduped candidates only, batch-scoped overwrite writes
-    with generation compaction from day one."""
+    with generation compaction from day one. ``requantize_target``
+    opts into the corpus-sized quantizer (_semantic_ingest_batch
+    docstring); default None = frozen quantizer."""
     return (
         emb.writeStream.foreachBatch(
             _semantic_ingest_batch(
-                centroids, store_path, corpus_path, compact_every
+                centroids,
+                store_path,
+                corpus_path,
+                compact_every,
+                requantize_target=requantize_target,
             )
         )
         .outputMode("append")

@@ -378,6 +378,7 @@ def probe_pipeline_ingest(
     n_batches: int,
     compact_every: int,
     tokens_per_doc: int = 200,
+    requant_target: int | None = None,
 ) -> dict:
     """Per-batch wall of the COMPOSED crawl-ingest chain (URL gate ->
     span cut -> minhash -> semantic — the stream_ingest_pipeline_parity
@@ -434,7 +435,14 @@ def probe_pipeline_ingest(
         span_ing = _span_ingest_batch(f"{tmp}/ss", s_corp, compact_every)
         mh_ing = _dedup_ingest_batch(f"{tmp}/ms", m_corp, compact_every)
         sem_ing = _semantic_ingest_batch(
-            cent, f"{tmp}/es", e_corp, compact_every
+            cent,
+            f"{tmp}/es",
+            e_corp,
+            compact_every,
+            # opt-in corpus-sized quantizer (the SemDeDup K rule) —
+            # the knob that bounds the semantic stage's per-batch
+            # candidate mass as the store grows
+            requantize_target=requant_target,
         )
         per_batch = []
         for b in range(n_batches):
@@ -522,6 +530,12 @@ def probe_pipeline_ingest(
                 ("sem_corpus", e_corp),
             )
         }
+        from pitlapetl_spark.streaming.runtime import _quantizer_versions
+
+        qv = _quantizer_versions(f"{tmp}/es")
+        counts["sem_quantizer_k"] = (
+            spark.read.parquet(qv[max(qv)]).count() if qv else n_cent
+        )
         k = max(1, n_batches // 6)
         return {
             "docs_per_batch": docs_per_batch,
@@ -800,6 +814,10 @@ def main() -> None:
     ap.add_argument("--span-docs", type=int, default=100,
                     help="docs per batch for the span probe (scale the "
                          "store mass independently of batch count)")
+    ap.add_argument("--pipeline-requant", type=int, default=None,
+                    help="pipeline probe: enable the semantic stage's "
+                         "corpus-sized quantizer with this target "
+                         "cluster size (vectors per cluster)")
     args = ap.parse_args()
 
     if args.url_batches:
@@ -815,7 +833,8 @@ def main() -> None:
         )
         print("  ", probe_pipeline_ingest(
             spark, args.span_docs, args.pipeline_batches,
-            compact_every=args.compact_every or 8))
+            compact_every=args.compact_every or 8,
+            requant_target=args.pipeline_requant))
         return
     if args.span_batches:
         print(
