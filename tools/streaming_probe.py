@@ -550,6 +550,95 @@ def probe_pipeline_ingest(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_semantic_mass(
+    spark,
+    vecs_per_batch: int,
+    n_batches: int,
+    compact_every: int,
+    requant_target: int | None = None,
+    dim: int = 16,
+    n_centroids: int = 8,
+) -> dict:
+    """A/B instrument for the semantic stage's candidate-mass term.
+
+    The composed-pipeline probe's semantic store (~2k vectors) is too
+    small for the frozen-K linear term to clear the ~7 s/batch
+    lifecycle noise floor (the round-12 re-measure showed the earlier
+    'climbing tail' was session load). This probe feeds the semantic
+    batch body alone at a vector rate where the term is unambiguous:
+    per-batch candidate pairs ~ batch x 2(top-2) x store_rows/K, so
+    at 2,000 vecs/batch a frozen K=8 reaches ~40M pairs/batch by
+    batch 24 while the corpus-sized quantizer (requant_target) holds
+    pairs/batch ~constant at batch x 4 x target. Embeddings are
+    hash-mixed unique directions (the round-12 instrument-audit
+    generator — arithmetic ramps make near-parallel vectors and
+    degenerate cluster geometry). Reports final store rows and
+    quantizer K so the claim is measured, not assumed."""
+    from pitlapetl_spark.streaming.runtime import (
+        _quantizer_versions,
+        _semantic_ingest_batch,
+    )
+
+    cent = spark.createDataFrame(
+        [
+            (
+                c,
+                [
+                    float(1 + ((c * 7 + i * 3) % 5))
+                    if i % n_centroids == c
+                    else float((c + i) % 3)
+                    for i in range(dim)
+                ],
+            )
+            for c in range(n_centroids)
+        ],
+        "label int, cv array<double>",
+    ).withColumn(
+        "cnrm",
+        F.sqrt(F.expr("aggregate(cv, 0D, (acc, x) -> acc + x * x)")),
+    )
+    tmp = tempfile.mkdtemp(prefix="pitlap_semmass_")
+    try:
+        store, corpus = f"{tmp}/store", f"{tmp}/corpus"
+        sem = _semantic_ingest_batch(
+            cent, store, corpus, compact_every,
+            requantize_target=requant_target,
+        )
+        per_batch = []
+        for b in range(n_batches):
+            base = b * vecs_per_batch
+            batch = spark.range(base, base + vecs_per_batch).select(
+                F.col("id").alias("vec_id"),
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), "
+                    "j -> CAST(xxhash64(concat(CAST(id AS STRING), 'x', "
+                    "CAST(j AS STRING))) % 1009 AS FLOAT) / 101.0)"
+                ).alias("embedding"),
+                F.lit(0).alias("label"),
+            )
+            t0 = time.perf_counter()
+            sem(batch, b)
+            per_batch.append(round(time.perf_counter() - t0, 3))
+        qv = _quantizer_versions(store)
+        k = max(1, n_batches // 6)
+        return {
+            "vecs_per_batch": vecs_per_batch,
+            "compact_every": compact_every,
+            "requant_target": requant_target,
+            "store_rows": spark.read.parquet(store).count(),
+            "quantizer_k": (
+                spark.read.parquet(qv[max(qv)]).count()
+                if qv
+                else n_centroids
+            ),
+            "first_k_mean": round(sum(per_batch[:k]) / k, 3),
+            "last_k_mean": round(sum(per_batch[-k:]) / k, 3),
+            "per_batch_sec": per_batch,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def probe_monitor_sink(spark, kind: str, rows_per_batch: int, n_batches: int) -> dict:
     """Monitor sinks (CUSUM / PSI / k-anonymity / OOV): per-batch
     partials are fixed-size (types x days-touched, bins, QI x bands,
@@ -818,7 +907,27 @@ def main() -> None:
                     help="pipeline probe: enable the semantic stage's "
                          "corpus-sized quantizer with this target "
                          "cluster size (vectors per cluster)")
+    ap.add_argument("--sem-mass-batches", type=int, default=0,
+                    help="run the semantic candidate-mass A/B probe "
+                         "to N batches")
+    ap.add_argument("--sem-mass-vecs", type=int, default=2_000,
+                    help="vectors per batch for the mass probe")
+    ap.add_argument("--sem-mass-requant", type=int, default=None,
+                    help="mass probe: corpus-sized quantizer target "
+                         "cluster size (None = frozen K)")
     args = ap.parse_args()
+
+    if args.sem_mass_batches:
+        print(
+            f"semantic candidate-mass probe ({args.sem_mass_batches} "
+            f"batches x {args.sem_mass_vecs} vecs, "
+            f"requant={args.sem_mass_requant}):"
+        )
+        print("  ", probe_semantic_mass(
+            spark, args.sem_mass_vecs, args.sem_mass_batches,
+            compact_every=args.compact_every or 8,
+            requant_target=args.sem_mass_requant))
+        return
 
     if args.url_batches:
         print(f"url ingest long-run probe ({args.url_batches} batches):")
