@@ -205,6 +205,69 @@ def test_fresh_reprocess_with_future_versions_is_exact(spark, tmp_path):
     assert list(_quantizer_versions(store)) == ref_versions
 
 
+def test_streaming_requant_with_checkpoint_restart(spark, tmp_path):
+    """End-to-end wiring: the REAL stream (readStream + checkpoint +
+    availableNow) with requantize_target set requantizes on schedule,
+    keeps the right corpus, and a restart from the SAME checkpoint
+    over newly arrived files continues the version history instead of
+    resetting it."""
+    import time
+
+    from pitlapetl_spark.streaming.runtime import (
+        read_embeddings_stream,
+        run_semantic_ingest_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = _batches(spark)
+    for b in range(4):
+        batches[b].coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    store, corpus = str(tmp_path / "s"), str(tmp_path / "c")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = run_semantic_ingest_sink(
+            read_embeddings_stream(spark, src, max_files_per_trigger=1),
+            _frozen_cent(spark),
+            store,
+            corpus,
+            ckpt,
+            compact_every=2,
+            requantize_target=2,
+        )
+        q.awaitTermination(300)
+
+    run()
+    assert _corpus_kept(spark, corpus) == [
+        0, 1, 2, 3, 10, 11, 12, 13, 20, 21, 22, 23, 30, 31, 32, 33,
+    ]
+    assert list(_quantizer_versions(store)) == [2]
+
+    # two scaled copies of earlier vectors arrive: cosine-1.0 dups
+    # under any quantizer; the restart continues from the checkpoint
+    # (batch 4 = a schedule batch; 17 distinct earlier vectors >
+    # 2 x target x K_active(4) = 16 -> second requantize)
+    spark.createDataFrame(
+        [(40, [x * 2.0 for x in _e(0, -1.0)], 0),
+         (41, [x * 3.0 for x in _e(4)], 0)],
+        EMB,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert _corpus_kept(spark, corpus) == [
+        0, 1, 2, 3, 10, 11, 12, 13, 20, 21, 22, 23, 30, 31, 32, 33,
+    ]
+    assert sorted(_quantizer_versions(store)) == [2, 4]
+    st = spark.read.parquet(store)
+    verdicts = {
+        r.vec_id: r.kept
+        for r in st.select("vec_id", "kept").distinct().collect()
+    }
+    assert verdicts[40] is False and verdicts[41] is False
+
+
 def test_frozen_mode_creates_no_quantizer_state(spark, tmp_path):
     """Default requantize_target=None is the untouched frozen
     contract: no _quantizer directory ever appears."""
