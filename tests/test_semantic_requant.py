@@ -268,6 +268,100 @@ def test_streaming_requant_with_checkpoint_restart(spark, tmp_path):
     assert verdicts[40] is False and verdicts[41] is False
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_batches=st.integers(3, 4),
+    vecs_per_batch=st.integers(3, 8),
+    n_dups=st.integers(1, 3),
+)
+@settings(
+    max_examples=4, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_requant_verdicts_sound_and_exact_dups_complete(
+    spark, seed, n_batches, vecs_per_batch, n_dups
+):
+    """The quantizer (frozen or grown) only shapes the CANDIDATE set;
+    the verdict is always exact cosine at tau. Two properties must
+    therefore hold on ARBITRARY corpora and batch splits, whatever
+    the requantization history: (a) SOUNDNESS — every dropped vector
+    has some earlier-arrived vector at cosine >= tau (no false
+    drops, ever); (b) EXACT-DUP COMPLETENESS — a planted identical
+    copy of an earlier vector always drops, because identical
+    vectors share their top-2 assignment under ANY quantizer (and
+    the store persists dropped rows, so the original being dropped
+    cannot hide the copy)."""
+    import math
+    import random
+    import tempfile
+
+    from pitlapetl_spark.operators.similarity import SEMDEDUP_TAU
+
+    rng = random.Random(seed)
+    dim = DIM
+    pos = []  # arrival-ordered (vec_id, vector)
+    for b in range(n_batches):
+        for i in range(vecs_per_batch):
+            v = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+            while sum(x * x for x in v) < 1e-3:
+                v = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+            pos.append((b * 100 + i, v))
+    # plant exact copies of earlier vectors at later positions
+    planted = set()
+    for _ in range(n_dups):
+        j = rng.randrange(1, len(pos))
+        i = rng.randrange(0, j)
+        if pos[j][0] in planted or pos[i][0] in planted:
+            continue
+        pos[j] = (pos[j][0], list(pos[i][1]))
+        planted.add(pos[j][0])
+
+    d = tempfile.mkdtemp(prefix="pitlap_requant_prop_")
+    ingest = _semantic_ingest_batch(
+        _frozen_cent(spark),  # DIM matches the generated vectors
+        f"{d}/store",
+        f"{d}/corpus",
+        compact_every=2,
+        requantize_target=2,
+    )
+    for b in range(n_batches):
+        rows = [
+            (vid, [float(x) for x in v], 0)
+            for vid, v in pos
+            if vid // 100 == b
+        ]
+        ingest(spark.createDataFrame(rows, EMB), b)
+
+    kept = {
+        r.vec_id: r.kept
+        for r in spark.read.parquet(f"{d}/store")
+        .select("vec_id", "kept")
+        .distinct()
+        .collect()
+    }
+    assert set(kept) == {vid for vid, _ in pos}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    # (a) soundness: a dropped vector has an earlier true match
+    for j, (vid, v) in enumerate(pos):
+        if not kept[vid]:
+            assert any(
+                cos(pos[i][1], v) >= SEMDEDUP_TAU - 1e-6
+                for i in range(j)
+            ), f"vec {vid} dropped with no earlier match >= tau"
+    # (b) exact-dup completeness: planted copies always drop
+    for vid in planted:
+        assert kept[vid] is False, f"planted exact dup {vid} kept"
+
+
 def test_frozen_mode_creates_no_quantizer_state(spark, tmp_path):
     """Default requantize_target=None is the untouched frozen
     contract: no _quantizer directory ever appears."""
