@@ -658,6 +658,10 @@ def _fit_quantizer(vecs: DataFrame, k: int) -> DataFrame:
     rank_against_centroids."""
     from ..operators.similarity import rank_against_centroids
 
+    # zero-norm vectors can neither seed nor score (cosine undefined;
+    # ANSI division) — the ingest path itself rejects them loudly, so
+    # none should reach here, but the fit must not be the crash site
+    vecs = vecs.filter(F.col("nrm") > 0)
     order = [
         F.xxhash64(F.col("vec_id").cast("string")),
         F.col("vec_id"),
@@ -665,8 +669,7 @@ def _fit_quantizer(vecs: DataFrame, k: int) -> DataFrame:
         F.xxhash64(F.col("v")),
     ]
     seeds = (
-        vecs.filter(F.col("nrm") > 0)
-        .orderBy(*order)
+        vecs.orderBy(*order)
         .limit(k)
         .select(
             (F.row_number().over(Window.orderBy(*order)) - 1).alias(
@@ -1360,6 +1363,11 @@ def _semantic_ingest_batch(
         rank_against_centroids,
     )
 
+    if requantize_target is not None and requantize_target < 1:
+        raise ValueError(
+            "requantize_target is a cluster size in vectors; got "
+            f"{requantize_target!r}"
+        )
     cent = centroids.localCheckpoint(eager=True)
     k_cache: dict = {}
 

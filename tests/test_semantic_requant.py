@@ -362,6 +362,40 @@ def test_requant_verdicts_sound_and_exact_dups_complete(
         assert kept[vid] is False, f"planted exact dup {vid} kept"
 
 
+def test_fit_quantizer_edges(spark):
+    """Direct _fit_quantizer edges: k capped by available nonzero-norm
+    vectors; labels dense from 0; empty Lloyd clusters keep their seed
+    vector; zero-norm vectors never seed."""
+    from pitlapetl_spark.streaming.runtime import _fit_quantizer
+
+    vecs = spark.createDataFrame(
+        [(i, _e(i % DIM), float(1)) for i in range(5)]
+        + [(99, [0.0] * DIM, 0.0)],
+        "vec_id long, v array<double>, nrm double",
+    )
+    fitted = _fit_quantizer(vecs, 3).collect()
+    assert sorted(r.label for r in fitted) == [0, 1, 2]
+    assert all(r.cnrm > 0 for r in fitted)
+
+    # k larger than the pool: every nonzero vector seeds, no more
+    fitted = _fit_quantizer(vecs, 10).collect()
+    assert len(fitted) == 5
+    assert sorted(r.label for r in fitted) == list(range(5))
+
+
+def test_requantize_target_validated(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="requantize_target"):
+        _semantic_ingest_batch(
+            _frozen_cent(spark),
+            str(tmp_path / "s"),
+            str(tmp_path / "c"),
+            compact_every=2,
+            requantize_target=0,
+        )
+
+
 def test_frozen_mode_creates_no_quantizer_state(spark, tmp_path):
     """Default requantize_target=None is the untouched frozen
     contract: no _quantizer directory ever appears."""
