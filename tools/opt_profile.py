@@ -23,6 +23,11 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame  # noqa: E402
+
+try:  # Spark 4: the concrete class overrides the abstract base's methods
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+except ImportError:  # Spark 3
+    ClassicDataFrame = DataFrame
 from pyspark.sql.readwriter import DataFrameWriter  # noqa: E402
 
 from pitlapetl_spark import registry  # noqa: E402
@@ -54,7 +59,7 @@ def _wrap(cls, name):
 
 
 for action in ("localCheckpoint", "collect", "toPandas", "isEmpty", "count"):
-    _wrap(DataFrame, action)
+    _wrap(ClassicDataFrame, action)
 for action in ("parquet", "save", "csv", "orc", "json"):
     _wrap(DataFrameWriter, action)
 
