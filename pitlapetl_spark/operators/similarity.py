@@ -789,40 +789,24 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-min-id per pair (vec_a survives, vec_b is the drop
     candidate), composable with dedup_cluster_components for
     transitive groups. At 100 TB: K scales with corpus size
-    (SemDeDup uses ~sqrt(N) clusters), the pair join is an equi-join
-    on the cluster key, and skewed giant clusters are the known
-    failure mode — cap cluster size or sub-cluster recursively."""
+    (SemDeDup uses ~sqrt(N) clusters), the pair stage is grouped on
+    the cluster key, and skewed giant clusters are the known
+    failure mode — cap cluster size or sub-cluster recursively.
+
+    r12 shape (guide §2.3/§4.2): the within-cluster pair scoring is
+    one BLAS matmul per cluster group (`cluster_pair_scores`) — only
+    the N assignment rows with their vectors cross the cluster-key
+    exchange (never the C(n_k,2) pairs), and the per-pair dot loop
+    runs vectorized in numpy instead of per-element HOF lambdas.
+    Measured at sf0.1: 3.27 s -> ~1.4 s; pair-join + distinct +
+    zip_with stages (≈2.4 s) collapse into one 0.3 s grouped pass."""
     ranked = _centroid_ranked(spark, sf_dir)
     assign = ranked.filter(F.col("crk") == 1).select("vec_id", "label")
-    vecs = _vectors(spark, sf_dir)
-    # materialize the SMALL fan-out point once: the self-join's two
-    # aliases prune the shared subtree differently, so ReuseExchange
-    # does not fire and the centroid-scoring window otherwise executes
-    # once per alias (the r2 two-consumer lesson, SCALE.md; measured
-    # here: 3.5 s -> 3.1 s warm at sf0.1)
-    a = assign.join(vecs, "vec_id").localCheckpoint(eager=True)
-    pairs = (
-        a.alias("x")
-        .join(
-            a.alias("y"),
-            (F.col("x.label") == F.col("y.label"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.label").alias("cluster_label"),
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), 0D,"
-                    " (acc, t) -> acc + t)"
-                )
-                / (F.col("x.nrm") * F.col("y.nrm")),
-                6,
-            ).alias("cosine"),
-        )
+    a = assign.join(_vectors(spark, sf_dir), "vec_id")
+    return a.groupBy("label").applyInPandas(
+        _cluster_pair_score_fn(SEMDEDUP_TAU, with_label=True),
+        schema="cluster_label int, vec_a long, vec_b long, cosine double",
     )
-    return pairs.filter(F.col("cosine") >= SEMDEDUP_TAU)
 
 
 # ------------------------------- SemDeDup with top-2 assignment
@@ -841,6 +825,59 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the expensive exact-cosine scoring — the same candidates-then-
 # verify discipline as every dedup here; still an equi-join on the
 # cluster key, never all-pairs.
+
+
+def _cluster_pair_score_fn(tau: float, with_label: bool = False):
+    """Factory for the per-cluster pair-scoring pandas function: one
+    exact Gram matmul per cluster group over a (label, vec_id, v,
+    nrm) frame, emitting only the (vec_a < vec_b) pairs whose
+    round-6 cosine clears ``tau``.
+
+    Numeric contract (must stay hash-identical to the DuckDB oracles
+    and the JVM `cosine_col` twin): cosine = round(dot/(nrm_a *
+    nrm_b), 6). The dot is a 64-term double sum — BLAS and the JVM
+    fold-left differ only in summation order (≤1e-14 absolute on
+    unit-scale values), the same slack the Spark-vs-DuckDB hash
+    equality has tolerated since round 6, and verified exactly equal
+    on all three fixtures (OPTIMIZATION_r12.md). Rounding uses
+    floor(x·1e6 + 0.5)/1e6 == Java HALF_UP for the positive
+    half-plane, and every emitted row is positive (tau > 0); numpy's
+    own ``round`` half-to-even is deliberately NOT used.
+
+    Guide §4.2: the N·m assignment rows (not the C(n_k,2) pairs)
+    cross the JVM→Python boundary once, the quadratic work runs in
+    native BLAS, and only the tau survivors come back."""
+    import numpy as np
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["v"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["nrm"].to_numpy()
+        cos = (x @ x.T) / np.outer(nrm, nrm)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        iu, ju = np.triu_indices(len(ids), k=1)
+        a, b = ids[iu], ids[ju]
+        swap = a > b
+        vec_a = np.where(swap, b, a)
+        vec_b = np.where(swap, a, b)
+        c = cos[iu, ju]
+        keep = c >= tau
+        out = {
+            "vec_a": vec_a[keep].astype("int64"),
+            "vec_b": vec_b[keep].astype("int64"),
+            "cosine": c[keep],
+        }
+        if with_label:
+            out = {
+                "cluster_label": np.full(
+                    int(keep.sum()), pdf["label"].iloc[0], dtype="int32"
+                ),
+                **out,
+            }
+        return pd.DataFrame(out)
+
+    return score
 
 
 def cosine_col(av: str, an: str, bv: str, bn: str):
@@ -903,55 +940,33 @@ def _semantic_topm_oracle(m: int) -> str:
 
 
 def _semantic_topm(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
-    """SemDeDup over OVERLAPPING top-m centroid clusters: candidate
-    pairs are DISTINCT-ed on (vec_a, vec_b) before scoring, so a pair
-    sharing several clusters is scored once; output drops the cluster
-    label (a pair no longer belongs to one cluster)."""
+    """SemDeDup over OVERLAPPING top-m centroid clusters: per-cluster
+    BLAS pair scoring (`_cluster_pair_score_fn`), then a DISTINCT on
+    the tau SURVIVORS so a pair sharing several clusters appears
+    once; output drops the cluster label (a pair no longer belongs
+    to one cluster).
+
+    r12 shape change (guide §2.3/§8): the old plan DISTINCT-ed ~750k
+    candidate pairs at sf0.1, then attached both 64-double vector
+    payloads via two shuffle joins (~380 MB through exchanges) and
+    scored each pair with interpreted zip_with lambdas. Now only the
+    N·m assignment rows cross the cluster-key exchange with their
+    vectors (each vector moves m times, never per pair); the
+    quadratic scoring runs as one matmul per cluster; a pair
+    co-occurring in ≤m shared clusters is scored ≤m times (matmul
+    makes re-scoring cheaper than a 750k-row pre-score distinct) and
+    deduped on the tiny survivor set. Measured at sf0.1: top-2
+    3.35 s -> ~1.4 s, the two localCheckpoint fan-out
+    materializations (0.9 s + 0.1 s) removed outright — single-
+    consumer lineage needs no memo."""
     ranked = _centroid_ranked(spark, sf_dir)
-    # materialize the two SMALL fan-out points once each (the r2
-    # two-consumer lesson, same as the top-1 variant: ReuseExchange
-    # does not fire across differently-pruned aliases; measured here:
-    # 6 FileScans / 6 Window executions of the centroid-rank subtree
-    # before, 0 ReusedExchange; 5.4 s -> 3.1 s warm after at sf0.1)
-    assignm = (
-        ranked.filter(F.col("crk") <= m)
-        .select("vec_id", "label")
-        .localCheckpoint(eager=True)
+    assignm = ranked.filter(F.col("crk") <= m).select("vec_id", "label")
+    a = assignm.join(_vectors(spark, sf_dir), "vec_id")
+    scored = a.groupBy("label").applyInPandas(
+        _cluster_pair_score_fn(SEMDEDUP_TAU),
+        schema="vec_a long, vec_b long, cosine double",
     )
-    cand = (
-        assignm.alias("x")
-        .join(
-            assignm.alias("y"),
-            (F.col("x.label") == F.col("y.label"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-        )
-        .distinct()
-    )
-    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
-    va = vecs.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("av"),
-        F.col("nrm").alias("an"),
-    )
-    vb = vecs.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bn"),
-    )
-    scored = (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            cosine_col("av", "an", "bv", "bn").alias("cosine"),
-        )
-    )
-    return scored.filter(F.col("cosine") >= SEMDEDUP_TAU)
+    return scored.distinct()
 
 
 @query("dedup_semantic_top2", oracle=_semantic_topm_oracle(2))

@@ -1312,10 +1312,17 @@ def run_media_phash_ingest_sink(
 # the driver's value-hash level.
 #
 # 100-TB shape: per-batch cost is O(batch x K) broadcast quantizer
-# scoring + one cluster-key equi-join against the (partition-pruned,
-# provenance-filtered) store — never all-pairs; exact cosine runs only on
-# label-colliding candidate pairs, deduped on (pair) before scoring
-# (the <=4x top-2 mass bound measured in SCALE.md applies per batch).
+# scoring + one scan of the (partition-pruned, provenance-filtered)
+# store — never all-pairs, and since r12 never pair-materializing
+# either: the intra-batch probe is one BLAS matmul per cluster group
+# (the batch twin's `_cluster_pair_score_fn`), and the store probe is
+# a mapInArrow pass over the store scan that dots each store row
+# against the micro-batch's per-label assignment matrices (closure-
+# shipped — bounded by the micro-batch size, the same rows the
+# pre-r12 plan broadcast into a join). The store is read once and
+# never shuffled; no candidate pair ever becomes a JVM row (the old
+# plan's per-pair wide rows + pre-score dropDuplicates exchange were
+# the measured per-batch wall, OPTIMIZATION_r12.md).
 # The store gains one partition per batch and folds into generation
 # partitions via _compact_partition_store once compact_every commit
 # (same write-then-delete, replay-safe analysis as the other two
@@ -1333,6 +1340,78 @@ def read_embeddings_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
+
+
+def _semantic_store_probe_fn(assign_rows, tau: float):
+    """Factory for the cross-batch store probe: a ``mapInArrow``
+    function over (vec_id, label, v, nrm, src_batch) STORE rows that
+    emits the micro-batch vec_ids having some store row in a shared
+    cluster with round-6 cosine >= ``tau``.
+
+    ``assign_rows`` is the micro-batch's collected top-2 assignment
+    (vec_id, label, v, nrm) — bounded by the micro-batch size, the
+    exact rows the pre-r12 plan shipped into the store join via
+    ``F.broadcast``; here they ship once per task as per-label numpy
+    matrices in the function closure instead, so the store is
+    scanned once, never shuffled, and no candidate pair is ever
+    materialized as a JVM row (guide §8: decide with small rows —
+    the heavy side moves zero times).
+
+    Legacy guard (pre-provenance rows): a store row with NULL
+    ``src_batch`` must not match the batch row with its own vec_id
+    (the old join's ``s.src_batch IS NOT NULL OR s.vec_id !=
+    x.vec_id`` condition, bit-for-bit).
+
+    Numeric contract: same floor(x*1e6+0.5)/1e6 == HALF_UP rounding
+    as `_cluster_pair_score_fn` (similarity.py) — see its docstring
+    for the summation-order / rounding-equivalence argument."""
+    import numpy as np
+
+    mats: dict = {}
+    for r in assign_rows:
+        mats.setdefault(r["label"], []).append(r)
+    for lbl, rows in mats.items():
+        mats[lbl] = (
+            np.array([r["v"] for r in rows], dtype="float64"),
+            np.array([r["nrm"] for r in rows], dtype="float64"),
+            np.array([r["vec_id"] for r in rows], dtype="int64"),
+        )
+
+    def probe(batches):
+        import pyarrow as pa
+
+        matched: set = set()
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            s_ids = rb.column("vec_id").to_numpy(zero_copy_only=False)
+            s_lbl = rb.column("label").to_numpy(zero_copy_only=False)
+            s_nrm = rb.column("nrm").to_numpy(zero_copy_only=False)
+            legacy = pa.compute.is_null(rb.column("src_batch")).to_numpy(
+                zero_copy_only=False
+            )
+            s_v = rb.column("v").to_numpy(zero_copy_only=False)
+            for lbl in np.unique(s_lbl):
+                hit = mats.get(lbl)
+                if hit is None:
+                    continue
+                xv, xn, xi = hit
+                m = s_lbl == lbl
+                sv = np.stack(s_v[m])
+                cos = (sv @ xv.T) / np.outer(s_nrm[m], xn)
+                ge = np.floor(cos * 1e6 + 0.5) / 1e6 >= tau
+                leg = legacy[m]
+                if leg.any():
+                    ge &= ~(leg[:, None] & (s_ids[m][:, None] == xi[None, :]))
+                matched.update(xi[ge.any(axis=0)].tolist())
+        if matched:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(sorted(matched), type=pa.int64())],
+                names=["vec_id"],
+            )
+
+    return probe
 
 
 def _semantic_ingest_batch(
@@ -1359,7 +1438,7 @@ def _semantic_ingest_batch(
 
     from ..operators.similarity import (
         SEMDEDUP_TAU,
-        cosine_col as _cos,
+        _cluster_pair_score_fn,
         rank_against_centroids,
     )
 
@@ -1408,28 +1487,17 @@ def _semantic_ingest_batch(
         )
 
         # intra-batch: b drops iff ANY lower-id batch vector shares a
-        # top-2 cluster with cosine >= tau (pairs deduped BEFORE the
-        # exact cosine — the candidates-then-verify discipline)
-        a, b = assign.alias("a"), assign.alias("b")
-        pairs_in = (
-            a.join(
-                b,
-                (F.col("a.label") == F.col("b.label"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("a_id"),
-                F.col("b.vec_id").alias("b_id"),
-                F.col("a.v").alias("av"),
-                F.col("a.nrm").alias("an"),
-                F.col("b.v").alias("bv"),
-                F.col("b.nrm").alias("bn"),
-            )
-            .dropDuplicates(["a_id", "b_id"])
-        )
+        # top-2 cluster with cosine >= tau — one BLAS matmul per
+        # cluster group (the batch twin's scorer, so stream == batch
+        # arithmetic by construction); only the tau survivors come
+        # back, distinct-ed on the higher-id side
         in_dups = (
-            pairs_in.filter(_cos("av", "an", "bv", "bn") >= SEMDEDUP_TAU)
-            .select(F.col("b_id").alias("vec_id"))
+            assign.groupBy("label")
+            .applyInPandas(
+                _cluster_pair_score_fn(SEMDEDUP_TAU),
+                schema="vec_a long, vec_b long, cosine double",
+            )
+            .select(F.col("vec_b").alias("vec_id"))
             .distinct()
         )
 
@@ -1468,29 +1536,20 @@ def _semantic_ingest_batch(
                     | F.col("src_batch").isNull()
                 )
             )
-            pairs_x = (
-                store.alias("s")
-                .join(
-                    F.broadcast(assign.alias("x")),
-                    (F.col("s.label") == F.col("x.label"))
-                    & (
-                        F.col("s.src_batch").isNotNull()
-                        | (F.col("s.vec_id") != F.col("x.vec_id"))
-                    ),
-                )
-                .select(
-                    F.col("s.vec_id").alias("a_id"),
-                    F.col("x.vec_id").alias("b_id"),
-                    F.col("s.v").alias("av"),
-                    F.col("s.nrm").alias("an"),
-                    F.col("x.v").alias("bv"),
-                    F.col("x.nrm").alias("bn"),
-                )
-                .dropDuplicates(["a_id", "b_id"])
-            )
+            # one mapInArrow pass over the pruned store scan: each
+            # store row is dotted against the batch's per-label
+            # assignment matrices (closure-shipped — bounded by the
+            # micro-batch, the same rows the old plan broadcast);
+            # the store is never shuffled and no candidate pair
+            # becomes a JVM row (_semantic_store_probe_fn)
             x_dups = (
-                pairs_x.filter(_cos("av", "an", "bv", "bn") >= SEMDEDUP_TAU)
-                .select(F.col("b_id").alias("vec_id"))
+                store.select("vec_id", "label", "v", "nrm", "src_batch")
+                .mapInArrow(
+                    _semantic_store_probe_fn(
+                        assign.collect(), SEMDEDUP_TAU
+                    ),
+                    schema="vec_id long",
+                )
                 .distinct()
             )
             dropped = in_dups.unionByName(x_dups).distinct()

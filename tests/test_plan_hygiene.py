@@ -543,17 +543,23 @@ def test_ivf_search_is_equi_joins_only(spark):
 
 
 def test_semdedup_pairs_within_cluster_only(spark):
-    """SemDeDup's pair stage must be an equi-join on the cluster key
-    (bounded pair space); the only nested-loop joins allowed are the
-    K-row centroid broadcasts (K = label count, tiny by design)."""
-    plan = _plan(Q["dedup_semantic_semdedup"](spark, SF_SMOKE))
-    assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or plan.count("BroadcastHashJoin") >= 2
-    )
+    """SemDeDup's pair stage must be grouped on the cluster key
+    (bounded pair space — one BLAS matmul per cluster group since
+    r12; before that, an equi-join on the key): the C(n_k,2) pairs
+    must never appear as join/shuffle rows, the only nested-loop
+    joins allowed are the K-row centroid broadcasts (K = label
+    count, tiny by design), and the Python stage must be the grouped
+    Arrow form, never row-at-a-time BatchEvalPython."""
+    for name in (
+        "dedup_semantic_semdedup",
+        "dedup_semantic_top2",
+        "dedup_semantic_top3",
+    ):
+        plan = _plan(Q[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+        assert "FlatMapGroupsInPandas [label" in plan, name
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_dsir_ratio_table_broadcasts(spark):
