@@ -367,7 +367,15 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped-Jaccard dedup, applied to the classic co-occurrence
     analytics query."""
     li = load_table(spark, sf_dir, "lineitem")
-    bk = li.select("l_orderkey", "l_partkey").distinct()
+    # one fact scan + one distinct, shared: bk feeds the item counts
+    # AND both self-join sides — without the lineage cut each consumer
+    # re-ran the full lineitem scan + distinct shuffle (observed: 5
+    # FileScans in the basket plan; guide §1.2)
+    bk = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     items = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     tot = bk.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     a, b = bk.alias("a"), bk.alias("b")
@@ -1238,7 +1246,15 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same footer-gated broadcast. Cosine from exact integer
     counts — no float drift."""
     li = load_table(spark, sf_dir, "lineitem")
-    bk = li.select("l_orderkey", "l_partkey").distinct()
+    # one fact scan + one distinct, shared: bk feeds the item counts
+    # AND both self-join sides — without the lineage cut each consumer
+    # re-ran the full lineitem scan + distinct shuffle (observed: 5
+    # FileScans in the basket plan; guide §1.2)
+    bk = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     items = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a, b = bk.alias("a"), bk.alias("b")
     pairs = (

@@ -99,6 +99,11 @@ def agg_heavy_hitters_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(CMS_DEPTH)
         ],
     )
+    # the sketch is DEPTH x WIDTH counters; each of the CMS_DEPTH
+    # broadcast builds below consumes one depth slice — without the
+    # lineage cut every build re-ran the full events scan + sketch
+    # aggregate (observed: 5 FileScans in the plan for a 1,024-row
+    # sketch; guide §1.2)
     sketch = (
         rows.select(
             F.posexplode(
@@ -107,6 +112,7 @@ def agg_heavy_hitters_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("depth", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     est = rows
     for j in range(CMS_DEPTH):

@@ -85,12 +85,28 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     community; each round every node adopts its most frequent
     neighbor label (ties -> smallest label)."""
     edges = copurchase_edges_cached(spark, sf_dir)
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)  # size gate below + round-1 join
     )
+    # The label frame is one (long, long) row per node — the same
+    # node-count-sized frame PageRank broadcasts (PR_BROADCAST_MAX_
+    # NODES discipline). Broadcasting it makes each round's edge join
+    # map-side against the stationary edge frame; the only exchange
+    # left per round is the map-side-combined (dst, label) count —
+    # the old plan shuffled the full edge frame every round.
+    LPA_BROADCAST_MAX_NODES = 1_000_000
+    n_nodes = labels.count()
     for _ in range(LPA_ROUNDS):
+        lside = (
+            F.broadcast(labels)
+            if n_nodes <= LPA_BROADCAST_MAX_NODES
+            else labels
+        )
         counted = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(lside, edges.src == lside.node)
             .groupBy(F.col("dst").alias("n2"), "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

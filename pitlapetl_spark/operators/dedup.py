@@ -109,12 +109,19 @@ def _pair_jaccard(
     sh: DataFrame,
     candidates: DataFrame | None = None,
     sizes: DataFrame | None = None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle rows; optionally restricted to a
     (doc_a, doc_b) candidate set (the LSH verify stage). ``sizes``
     lets a caller that already aggregated per-doc shingle counts (the
     minhash signature groupBy shuffles on the same doc_id key) pass
-    them in instead of paying a second full scan+shuffle of ``sh``."""
+    them in instead of paying a second full scan+shuffle of ``sh``.
+    ``docs`` (the pre-explode documents frame ``sh`` was built from)
+    lets the candidate restriction apply BEFORE the shingle explode:
+    the semi-join then drops whole documents at the scan grain and
+    only candidate docs ever pay the tokenize+explode (guide §2.3
+    project early — the old post-explode semi-join shingled the
+    ENTIRE corpus first and threw most of it away)."""
     if sizes is None:
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
@@ -126,15 +133,19 @@ def _pair_jaccard(
             .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
+        if docs is not None:
+            sh = shingle_rows(
+                docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+            )
+        else:
+            sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
         # ... and materialize the restriction once: the self-join
         # below consumes it twice, and the two sides stop being
         # canonically-equal subtrees after alias/prune, so without
-        # this each side re-runs the full corpus scan + shingle
+        # this each side re-runs the restricted scan + shingle
         # explode + semi-join (observed: 2 FileScans, 0
         # ReusedExchange). O(candidate docs x shingles) rows only.
-        sh = sh.join(
-            F.broadcast(cand_docs), "doc_id", "left_semi"
-        ).localCheckpoint(eager=True)
+        sh = sh.localCheckpoint(eager=True)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -352,7 +363,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, candidates=cand, sizes=sizes)
+    return _pair_jaccard(sh, candidates=cand, sizes=sizes, docs=docs)
 
 
 @query("dedup_minhash_lsh_preagg", oracle=_oracle_minhash_lsh())
@@ -400,7 +411,7 @@ def dedup_minhash_lsh_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return _pair_jaccard(sh, candidates=cand, sizes=sizes)
+    return _pair_jaccard(sh, candidates=cand, sizes=sizes, docs=docs)
 
 
 # ------------------------------------------------- incremental minhash
@@ -472,7 +483,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch docs that near-duplicate an existing corpus doc."""
     docs = load_table(spark, sf_dir, "documents")
     is_batch = (F.col("doc_id") % INCR_MOD) == INCR_REM
-    sh = shingle_rows(docs)
     # one signature pass over everything here (the test corpus has no
     # persisted store); the SPLIT below is what production replaces
     # with a table read — the plan downstream of `sig` is identical
@@ -496,11 +506,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # exact-Jaccard verification restricted to candidate docs on both
-    # sides (same candidate-restriction discipline as _pair_jaccard)
+    # sides (same candidate-restriction discipline as _pair_jaccard),
+    # applied BEFORE the shingle explode: only candidate docs pay the
+    # tokenize+explode — the old post-explode semi-joins shingled the
+    # whole corpus twice more after the signature pass (guide §2.3)
     new_docs = cand.select(F.col("doc_new").alias("doc_id")).distinct()
     old_docs = cand.select(F.col("dup_of").alias("doc_id")).distinct()
-    sh_new = sh.join(F.broadcast(new_docs), "doc_id", "left_semi")
-    sh_old = sh.join(F.broadcast(old_docs), "doc_id", "left_semi")
+    sh_new = shingle_rows(
+        docs.join(F.broadcast(new_docs), "doc_id", "left_semi")
+    )
+    sh_old = shingle_rows(
+        docs.join(F.broadcast(old_docs), "doc_id", "left_semi")
+    )
     inter = (
         sh_new.alias("x")
         .join(sh_old.alias("y"), F.col("x.s") == F.col("y.s"))
@@ -1087,21 +1104,23 @@ def repeated_spans_for(docs: DataFrame, gram_hash: str) -> DataFrame:
             )
         ).alias("x"),
     ).select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
-    # grams feeds two consumers (the occurrence count and the span
-    # probe); without a cache each would re-scan documents and re-run
-    # the extraction — at 100 TB a second full corpus pass. Same
-    # single-materialization discipline as winnowing's fps cache.
-    grams = grams.localCheckpoint(eager=False)
-    repeated = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    # corpus-wide occurrence count as a window COUNT over the gram
+    # key instead of the old aggregate + semi-join-back: the former
+    # plan shuffled the gram rows TWICE (once into the count agg,
+    # once into the join) and needed a lineage cut so the two
+    # consumers shared one extraction — one window pass shuffles them
+    # once, needs no materialization, and the filter is the same
+    # n_occ >= SPAN_MIN_COUNT predicate (guide §2.4: two operations
+    # keyed the same way share one exchange).
+    w_g = Window.partitionBy("g")
+    spans = (
+        grams.withColumn("n_occ", F.count(F.lit(1)).over(w_g))
         .filter(F.col("n_occ") >= SPAN_MIN_COUNT)
-        .select("g")
-    )
-    spans = grams.join(repeated, "g", "left_semi").select(
-        "doc_id",
-        F.col("pos").cast("long").alias("s"),
-        (F.col("pos") + SPAN_K).cast("long").alias("e"),
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("s"),
+            (F.col("pos") + SPAN_K).cast("long").alias("e"),
+        )
     )
     return _merge_islands(spans).select(
         "doc_id",
@@ -1379,14 +1398,25 @@ def dedup_repeated_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     token counts.
 
     Plan: the canonical-occurrence choice is ONE window over the gram
-    key (row_number per g — the same shuffle key as the repeat count,
-    so no extra exchange shape); removable extents island-merge per
-    doc; the cut itself is a doc-local higher-order-function filter
-    over (token, index) pairs — no explode of the corpus tokens, no
+    key (row_number per g); removable extents island-merge per doc;
+    the cut itself is a doc-local higher-order-function filter over
+    (token, index) pairs — no explode of the corpus tokens, no
     Python. Docs with nothing to cut pass through via the left join
-    (n_spans_cut = 0), so the operator is total over the corpus."""
+    (n_spans_cut = 0), so the operator is total over the corpus.
+
+    Gram hash: xxhash64 (the production hash the streaming span sink
+    already uses) — cut decisions are a function of gram EQUALITY
+    only and the output carries no hash column, so any injective hash
+    yields bit-identical cleaned text while the long key shuffles and
+    sorts 4x less data than the 32-char md5 string (guide §2.3
+    narrower types). The DuckDB oracle replays the md5 chain — the
+    same cross-hash twin argument as ``dedup_repeated_spans_fast``
+    and the sink's parity oracle; the md5 default on
+    ``repeated_spans_apply_for`` stays so the stream==batch property
+    test remains a real cross-hash check."""
     return repeated_spans_apply_for(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents"),
+        gram_hash=f"xxhash64(array_join(slice(t, i + 1, {SPAN_K}), ' '))",
     )
 
 
@@ -1417,17 +1447,16 @@ def repeated_spans_apply_for(
         )
         .select("doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g"))
     )
-    grams = grams.localCheckpoint(eager=False)
-    repeated = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") >= SPAN_MIN_COUNT)
-        .select("g")
-    )
+    # Non-first occurrences directly from ONE row_number window over
+    # the gram key: rn > 1 already implies the gram repeats, so the
+    # old occurrence-count aggregate + semi-join-back (two more gram
+    # shuffles, plus the lineage cut they forced) computed nothing the
+    # window does not — the oracle's occ CTE filters to repeated grams
+    # first, but ranks within a gram group are unchanged by dropping
+    # other groups, so the surviving rows are identical (guide §2.4).
     occ_w = Window.partitionBy("g").orderBy("doc_id", "pos")
     removable = (
-        grams.join(repeated, "g", "left_semi")
-        .withColumn("rn", F.row_number().over(occ_w))
+        grams.withColumn("rn", F.row_number().over(occ_w))
         .filter(F.col("rn") > 1)
         .select(
             "doc_id",

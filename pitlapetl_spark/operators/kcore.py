@@ -65,10 +65,25 @@ def kcore_nodes(spark: SparkSession, sf_dir: str, k: int = KCORE_K) -> DataFrame
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     alive = deg.filter(F.col("deg") >= k).select("src").localCheckpoint()
     n_alive = alive.count()
+    # The alive set is one LONG per surviving node — node-count-sized,
+    # exactly the frame PageRank already broadcasts. Broadcasting it
+    # into both semi-joins makes every peeling round map-side against
+    # the stationary edge frame: the only exchange left per round is
+    # the partial-aggregated degree count, where the old plan shuffled
+    # the full edge frame TWICE per round (src then dst key). The gate
+    # is the same node-count discipline as PR_BROADCAST_MAX_NODES;
+    # past it (web-scale graphs) the shuffle semi-joins below are the
+    # Pregel shape the module docstring describes.
+    KCORE_BROADCAST_MAX_NODES = 1_000_000
     for _ in range(KCORE_MAX_ROUNDS):
+        aside = (
+            F.broadcast(alive) if n_alive <= KCORE_BROADCAST_MAX_NODES else alive
+        )
         surv = (
-            edges.join(alive, "src", "left_semi")
-            .join(alive.select(F.col("src").alias("dst")), "dst", "left_semi")
+            edges.join(aside, "src", "left_semi")
+            .join(
+                aside.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
         )

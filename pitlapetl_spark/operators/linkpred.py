@@ -110,8 +110,32 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut, each side re-ran the orders-lineitem join + distinct
     # + degree pipeline (found by review; the xcorr self-join pattern)
     contrib = contrib.localCheckpoint(eager=False)
-    a = contrib.alias("a")
+    # The checkpointed frame is AQE-coalesced to a handful of
+    # partitions (it is only ~tens of MB) — fine for the broadcast
+    # build side, but the PROBE side fans each row out into its
+    # pair space map-side, so leaving it on 1-2 partitions would
+    # serialize the whole pair generation on as many cores
+    # (measured: 22 s vs 9.6 s at sf0.1 without this). Round-robin
+    # the cheap pre-explosion rows across the cluster first — the
+    # same spread-before-expensive-map device as winnowing's
+    # repartition (guide §2.5 input skew).
+    a = contrib.repartition(
+        spark.sparkContext.defaultParallelism
+    ).alias("a")
     b = contrib.select("c", "p").alias("b")
+    # Broadcast the (c, p)-only probe side while it fits (two longs
+    # per row; the degree cap already bounded the per-customer
+    # expansion): pair generation becomes map-side over the one
+    # materialized contribution frame and the only exchange left is
+    # the partial-aggregated pair count — the old sort-merge
+    # self-join shuffled and sorted BOTH full copies on c first
+    # (guide §3.1). The row-count gate reads the memoized bipartite
+    # frame (an eager localCheckpoint — counting it is metadata-
+    # cheap); past the gate the shuffle self-join below is the
+    # documented web-scale shape.
+    AA_BROADCAST_MAX_ROWS = 5_000_000
+    if cp.count() <= AA_BROADCAST_MAX_ROWS:
+        b = F.broadcast(b)
     return (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))

@@ -352,7 +352,12 @@ def mm_phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming verify are narrow JVM expressions."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     h = phash_frame(docs)
-    bands = phash_band_rows(h)
+    # the band frame feeds BOTH sides of the bucket self-join; without
+    # a lineage cut each side re-runs the Python hash extraction over
+    # every payload (observed: 2 MapInPandas nodes in the plan — at
+    # 100 TB that is the decode pass twice; guide §4: the opaque
+    # Python stage defeats Spark's subtree reuse)
+    bands = phash_band_rows(h).localCheckpoint(eager=False)
     a = bands.select(
         F.col("band_id").alias("bi"),
         F.col("band_val").alias("bv"),

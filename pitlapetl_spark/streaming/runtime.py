@@ -917,9 +917,12 @@ def _dedup_ingest_batch(
         bands_path = f"{store_path}_bands"
         _compact_partition_store(spark, store_path, batch_id, compact_every)
         _compact_partition_store(spark, bands_path, batch_id, compact_every)
-        batch = batch_df.localCheckpoint(eager=True)
-        sig = minhash_signatures(batch).localCheckpoint(eager=True)
-        bands = _band_rows(sig).localCheckpoint(eager=True)
+        # lazy lineage cuts (each frame has 2+ consumers): the frames
+        # materialize once inside their first consumer's job instead
+        # of as three separate eager jobs per micro-batch
+        batch = batch_df.localCheckpoint(eager=False)
+        sig = minhash_signatures(batch).localCheckpoint(eager=False)
+        bands = _band_rows(sig).localCheckpoint(eager=False)
 
         # (b) intra-batch dedup: keep the lowest doc_id of every
         # estimated-dup pair inside the batch (band self-join — the
@@ -945,9 +948,12 @@ def _dedup_ingest_batch(
             F.col("doc_id").alias("dup"),
             *[F.col(f"h{j}").alias(f"dh{j}") for j in range(N_HASHES)],
         )
+        # the signature sides are micro-batch-bounded (one narrow row
+        # per batch doc) — broadcast them so the pair verify never
+        # shuffles (guide §3.1)
         in_dups = (
-            cand_in.join(s1, "keep")
-            .join(s2, "dup")
+            cand_in.join(F.broadcast(s1), "keep")
+            .join(F.broadcast(s2), "dup")
             .filter(_est("kh", "dh") >= DEDUP_INGEST_EST_THRESHOLD)
             .select(F.col("dup").alias("doc_id"))
             .distinct()
@@ -1019,9 +1025,18 @@ def _dedup_ingest_batch(
                 F.col("doc_id").alias("dup_of"),
                 *[F.col(f"h{j}").alias(f"sh{j}") for j in range(N_HASHES)],
             )
+            # attach the batch-side signatures to the (bounded)
+            # candidate set first, then probe the STORE signature
+            # scan with the result broadcast — the old join order
+            # (cand ⋈ ssig on dup_of) shuffled the full store
+            # signature table on the candidate key, violating the
+            # sink family's store-never-shuffled contract (guide
+            # §8: audit how decisions re-attach to the payload)
             dups = (
-                cand.join(F.broadcast(bsig), "doc_new")
-                .join(ssig, "dup_of")
+                ssig.join(
+                    F.broadcast(cand.join(F.broadcast(bsig), "doc_new")),
+                    "dup_of",
+                )
                 .filter(_est("bh", "sh") >= DEDUP_INGEST_EST_THRESHOLD)
                 .select("doc_new")
                 .distinct()
@@ -1683,19 +1698,23 @@ def _url_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
             .withColumn("site", extract_site(F.col("url_canon")))
             .filter(~F.col("site").isin(*BLOCKED_SITES))
         )
-        # (c) intra-batch dedup: lowest doc_id per canonical URL
+        # (c) intra-batch dedup: lowest doc_id per canonical URL.
+        # Lazy lineage cut: the frame feeds the store probe AND the
+        # two writes — it materializes once inside its first
+        # consumer's job rather than as a separate eager job.
         w = Window.partitionBy("url_canon")
         kept = (
             batch.withColumn("_mn", F.min("doc_id").over(w))
             .filter(F.col("doc_id") == F.col("_mn"))
             .drop("_mn")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # (d) cross-batch: earlier-arrived store rows only; the
         # store side is scanned with a BROADCAST semi-join on the
         # batch's (small) url set, then the at-most-|batch| matches
         # broadcast back for the anti-join — the store is never
-        # shuffled (block comment)
+        # shuffled (block comment). ``seen`` is consumed exactly once
+        # by the broadcast build, so it needs no checkpoint.
         if _os.path.exists(store_path):
             store = _with_src_batch(
                 spark.read.parquet(store_path)
@@ -1711,10 +1730,9 @@ def _url_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
                 )
                 .select("url_canon")
                 .distinct()
-                .localCheckpoint(eager=True)
             )
             kept = kept.join(F.broadcast(seen), "url_canon", "left_anti")
-            kept = kept.localCheckpoint(eager=True)
+            kept = kept.localCheckpoint(eager=False)
         # (e) batch-scoped overwrite writes: replay-idempotent
         sub = f"batch={batch_id}"
         kept.write.mode("overwrite").parquet(f"{corpus_path}/{sub}")
@@ -1811,11 +1829,15 @@ def _span_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
             return
         spark = batch_df.sparkSession
         _compact_partition_store(spark, store_path, batch_id, compact_every)
+        # lazy lineage cuts: toks feeds the gram extraction AND the
+        # final cut, grams feeds the store probe AND the occurrence
+        # window — each materializes once inside its first consumer's
+        # job rather than as a separate eager job of its own
         toks = (
             batch_df.select(
                 "doc_id", F.split(norm_text(F.col("text")), " ").alias("t")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         grams = (
             toks.filter(F.size("t") >= SPAN_K)
@@ -1832,17 +1854,23 @@ def _span_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
             .select(
                 "doc_id", F.col("x.pos").alias("pos"), F.col("x.g").alias("g")
             )
-            # grams feeds the first-occurrence window, the store
-            # probe, and the removable set — one materialization
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # intra-batch canonical occurrence: the batch twin's exact
-        # window (first by (doc_id, pos) per gram)
-        occ_w = Window.partitionBy("g").orderBy("doc_id", "pos")
-        ranked = grams.withColumn("rn", F.row_number().over(occ_w))
+        # intra-batch canonical occurrence as a HASH AGGREGATE (min
+        # (doc_id, pos) struct per gram) instead of the old
+        # row_number window: the window shuffled AND globally sorted
+        # every gram row per batch; the aggregate partial-combines
+        # map-side and shuffles only ~one row per distinct batch
+        # gram, with no sort anywhere (guide §2.3 "aggregate before
+        # you shuffle"). The cut test "an earlier occurrence exists"
+        # is (doc_id, pos) > min over the gram group — precisely the
+        # old rn > 1 — so the removable set is bit-identical.
+        firsts = grams.groupBy("g").agg(
+            F.min(F.struct("doc_id", "pos")).alias("f")
+        )
         # cross-batch: grams the store has already seen — broadcast
         # the batch's (bounded) distinct gram keys against the store,
-        # broadcast the matches back; the store is never shuffled
+        # broadcast the matches back; the store is never shuffled.
         if _os.path.exists(store_path):
             store = _with_src_batch(
                 spark.read.parquet(store_path)
@@ -1852,49 +1880,62 @@ def _span_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
             )
             seen = (
                 store.join(
-                    F.broadcast(grams.select("g").distinct()),
+                    F.broadcast(firsts.select("g")),
                     "g",
                     "left_semi",
                 )
                 .select("g")
                 .distinct()
-                .localCheckpoint(eager=True)
             )
-        else:
-            seen = None
-        # removable: any occurrence with an earlier one — rn > 1
-        # (intra-batch) or gram already seen (cross-batch, where ALL
-        # batch occurrences lose to the stored first)
-        if seen is not None:
-            ranked = ranked.join(
+            firsts = firsts.join(
                 F.broadcast(seen.withColumn("_seen", F.lit(True))),
                 "g",
                 "left",
             )
         else:
-            ranked = ranked.withColumn("_seen", F.lit(None).cast("boolean"))
-        removable = ranked.filter(
-            (F.col("rn") > 1) | F.col("_seen")
-        ).select(
-            "doc_id",
-            F.col("pos").cast("long").alias("s"),
-            (F.col("pos") + SPAN_K).cast("long").alias("e"),
+            firsts = firsts.withColumn(
+                "_seen", F.lit(None).cast("boolean")
+            )
+        # firsts is one row per distinct batch gram — micro-batch-
+        # bounded, the same frame the store probe already broadcasts,
+        # so broadcasting it back onto the gram rows keeps the whole
+        # occurrence marking map-side; one lazy lineage cut shares
+        # the aggregate between the broadcast build and the store
+        # append below
+        firsts = firsts.localCheckpoint(eager=False)
+        # removable: any occurrence with an earlier one — a lower
+        # (doc_id, pos) within the batch, or the gram already in the
+        # store (where ALL batch occurrences lose to the stored
+        # first)
+        removable = (
+            grams.join(F.broadcast(firsts), "g")
+            .filter(
+                F.col("_seen")
+                | (F.struct("doc_id", "pos") != F.col("f"))
+            )
+            .select(
+                "doc_id",
+                F.col("pos").cast("long").alias("s"),
+                (F.col("pos") + SPAN_K).cast("long").alias("e"),
+            )
         )
-        cleaned = span_cut_apply(toks, removable).localCheckpoint(eager=True)
         # new first-seen grams enter the store (provenance columns
         # ride along for debuggability; src_batch is the probe's
         # row-level filter key)
-        new_firsts = ranked.filter(
-            (F.col("rn") == 1) & F.col("_seen").isNull()
-        ).select(
+        new_firsts = firsts.filter(F.col("_seen").isNull()).select(
             "g",
-            "doc_id",
-            "pos",
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.pos").alias("pos"),
             F.lit(batch_id).alias("src_batch"),
         )
-        # batch-scoped overwrite writes: replay-idempotent
+        # batch-scoped overwrite writes: replay-idempotent. The
+        # cleaned frame is consumed only by its write — it streams
+        # straight into the parquet sink with no pre-write
+        # checkpoint (the write IS its materialization).
         sub = f"batch={batch_id}"
-        cleaned.write.mode("overwrite").parquet(f"{corpus_path}/{sub}")
+        span_cut_apply(toks, removable).write.mode("overwrite").parquet(
+            f"{corpus_path}/{sub}"
+        )
         new_firsts.write.mode("overwrite").parquet(f"{store_path}/{sub}")
 
     return ingest_batch

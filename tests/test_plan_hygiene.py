@@ -407,16 +407,17 @@ def test_q22_anti_join_scans_filtered_orders(spark):
 
 
 def test_repeated_spans_no_cartesian_one_fact_agg(spark):
-    """The repeated-span plan must stay equi-only: gram count is a
-    hash agg on the hash key, the join back a semi join on the same
-    key, the island merge a per-doc window — nothing corpus-quadratic,
-    for either hash twin."""
+    """The repeated-span plan must stay join-free (round-12 shape):
+    the corpus-wide occurrence count is a window COUNT over the gram
+    key — one shuffle of the gram rows, replacing the old aggregate +
+    semi-join-back — and the island merge is a per-doc window.
+    Nothing corpus-quadratic, for either hash twin."""
     for name in ("dedup_repeated_spans", "dedup_repeated_spans_fast"):
         plan = _plan(Q[name](spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-        assert "LeftSemi" in plan, name
-        assert "partial_" in plan, name
+        assert "Join" not in plan, name
+        assert "Window" in plan, name
 
 
 def test_cdc_latest_state_single_key_shuffle(spark):
