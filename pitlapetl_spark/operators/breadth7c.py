@@ -1113,6 +1113,11 @@ def text_collocation_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("k11"))
     )
+    # lazy lineage cut at the BIGRAM-VOCAB grain: big feeds the two
+    # marginals, the corpus total and the cells join — four
+    # consumers, each a separate corpus tokenize+aggregate before
+    # (guide §1.2; the plan scanned documents 4x)
+    big = big.localCheckpoint(eager=False)
     lx = big.groupBy("x").agg(F.sum("k11").alias("cx"))
     ry = big.groupBy("y").agg(F.sum("k11").alias("cy"))
     nn = big.agg(F.sum("k11").alias("n"))

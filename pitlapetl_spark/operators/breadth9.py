@@ -132,7 +132,13 @@ def agg_theta_sketch_distinct_sum(
         .alias("u"),
         "val",
     ).distinct()
-    sketch = hashed.orderBy("u").limit(THETA_K)
+    # lazy lineage cuts: hashed feeds the sketch build AND the exact
+    # verifier; the K-row sketch feeds the theta fold AND the below
+    # filter — without the cuts each consumer re-ran the
+    # orders⋈customer join + md5 + distinct (guide §1.2; the plan
+    # scanned orders and customer 3x each before)
+    hashed = hashed.localCheckpoint(eager=False)
+    sketch = hashed.orderBy("u").limit(THETA_K).localCheckpoint(eager=False)
     th = sketch.agg(
         F.count(F.lit(1)).cast("long").alias("n_retained"),
         F.max("u").alias("theta_num"),
@@ -266,8 +272,16 @@ def window_hll_sliding_distinct(
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", F.col("ts")).alias("d1"), "user_id"
     )
-    days = ev.select("d1").distinct()
-    r = hll_rho_frame(ev, "user_id", passthrough=("d1",))
+    # ONE events scan: every downstream consumer (day spine, register
+    # frame, exact verifier) is a function of the DISTINCT (day, user)
+    # set — register maxes are multiplicity-invariant (max(rho) over
+    # duplicate rows is unchanged) and the verifier is a countDistinct
+    # — so dedup once, cut lineage once, and derive all three from the
+    # cut (guide §1.2; the plan scanned events 4x before: spine,
+    # registers, verifier, plus the spine's second semi-join build)
+    upairs = ev.distinct().localCheckpoint(eager=False)
+    days = upairs.select("d1").distinct()
+    r = hll_rho_frame(upairs, "user_id", passthrough=("d1",))
     dregs = r.groupBy("d1", "bucket").agg(F.max("rho").alias("m_j"))
     # each day-register contributes to <= 7 target-day windows: explode
     # the TINY register frame (days x m rows), then keep only target
@@ -289,7 +303,6 @@ def window_hll_sliding_distinct(
         .agg(F.max("m_j").alias("m_j"))
     )
     est = hll_estimate_frame(wregs, grain=("day",))
-    upairs = ev.distinct()
     exact = (
         upairs.select(F.explode(offs).alias("off"), "d1", "user_id")
         .select(
@@ -413,6 +426,10 @@ def dq_partition_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("u"),
     )
+    # one lazy lineage cut: base feeds BOTH fingerprint folds (and the
+    # replica derivation) — without it each side re-scans orders and
+    # re-runs the md5+conv uniform per row (guide §1.2)
+    base = base.localCheckpoint(eager=False)
     replica = base.filter(F.col("u") % MERKLE_DROP_MOD != 3).select(
         "o_orderkey",
         F.when(

@@ -604,10 +604,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(norm_text(F.col("text")), " ")).alias("w"),
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # hash each distinct (doc, term) ONCE in a projection; the 16
+    # per-bit aggregate expressions then probe substrings of the
+    # precomputed hex — inlining F.md5("w") into every bit term asked
+    # the aggregate to evaluate 16 md5 calls per input row (whether
+    # codegen's subexpression elimination catches all 16 is
+    # plan-shape-dependent; hoisting makes it structural)
+    tf = tf.withColumn("h", F.md5("w"))
     bit_sums = [
         F.sum(
             F.when(
-                F.substring(F.md5("w"), i + 1, 1).isin(*_HEX_HIGH), F.col("cnt")
+                F.substring(F.col("h"), i + 1, 1).isin(*_HEX_HIGH), F.col("cnt")
             ).otherwise(-F.col("cnt"))
         ).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
@@ -992,44 +999,64 @@ def _winnow_pairs(
     # Replaces the old explode + Window(partitionBy doc_id) + distinct
     # formulation: no 300x-row shuffle-and-sort, no (doc, fp) distinct
     # exchange — measured 5.3s -> ~2s on the md5 twin at sf0.1.
-    fps = (
+    fparr = (
         hashed.repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, n_pos - {WINNOW_W} + 1), "
-                        f"j -> array_min(slice(hs, j, {WINNOW_W})))"
-                    )
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, n_pos - {WINNOW_W} + 1), "
+                    f"j -> array_min(slice(hs, j, {WINNOW_W})))"
                 )
-            ).alias("fp"),
+            ).alias("fps"),
         )
-        # materialize ONCE via localCheckpoint: the extraction feeds
-        # four consumers (DF cap, both sides of the pair self-join,
-        # sizes). An earlier revision repartitioned on fp and
-        # persist()ed so the downstream joins would be exchange-free —
-        # HONEST re-measurement (after fixing the bench to not time
+        # materialize ONCE via localCheckpoint, at the DOC grain (one
+        # array row per doc — ~40x fewer rows than the exploded form
+        # the earlier revision checkpointed): the extraction feeds the
+        # fingerprint explode below AND the doc-local sizes projection.
+        # An earlier revision repartitioned on fp and persist()ed so
+        # the downstream joins would be exchange-free — HONEST
+        # re-measurement (after fixing the bench to not time
         # CacheManager hits) showed that variant ~2x SLOWER at sf0.1
         # (7.5s vs 3.8s): the repartition exchange + cache write cost
-        # more than the three small exchanges they saved, and the
-        # persisted table leaked a session-lifetime cache entry per
-        # invocation. localCheckpoint is also honest by construction:
-        # each invocation builds a fresh RDD, so min-of-N benches
-        # recompute every run.
+        # more than the exchanges they saved, and the persisted table
+        # leaked a session-lifetime cache entry per invocation.
+        # localCheckpoint is also honest by construction: each
+        # invocation builds a fresh RDD, so min-of-N benches recompute
+        # every run.
         .localCheckpoint(eager=True)
     )
-    capped = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= WINNOW_DF_CAP
-    ).select("fp")
-    live = fps.join(capped, "fp", "left_semi")
-    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a, b = live.alias("a"), live.alias("b")
+    # n_fp is the distinct-fingerprint count per doc == the array size
+    # — computed doc-locally off the checkpoint; the old formulation
+    # re-shuffled every exploded (doc_id, fp) row into a doc_id
+    # aggregate just to recount what the array already knows.
+    sizes = fparr.select("doc_id", F.size("fps").alias("n_fp"))
+    fps = fparr.select("doc_id", F.explode("fps").alias("fp"))
+    # DF cap + inverted-index pairing in ONE fp exchange (guide §2.3:
+    # aggregate before you shuffle again): group the doc ids per
+    # fingerprint — (doc_id, fp) is distinct by construction, so the
+    # group SIZE is the document frequency and the old count-aggregate
+    # + semi-join-back + fp-keyed self-join (three more fps-sized
+    # exchanges) collapse into this one aggregate. Pairs are generated
+    # doc-locally from the sorted group; the DF cap bounds each group
+    # at WINNOW_DF_CAP docs -> C(cap,2) pairs, exactly the bounded
+    # pair space the join produced.
+    groups = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_DF_CAP))
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), "
+                "b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     shared = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
@@ -1599,18 +1626,29 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-perturbed (new content)."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(norm_text(F.col("text"))).alias("fp")
-    corpus = docs.select(fp).distinct()
-    batch = (
-        docs.filter(F.col("doc_id") % 10 == 2)
-        .select((F.col("doc_id") + 1000000).alias("doc_id"), fp)
-        .unionByName(
-            docs.filter(F.col("doc_id") % 10 == 7).select(
-                (F.col("doc_id") + 2000000).alias("doc_id"),
-                F.md5(
-                    norm_text(F.concat(F.col("text"), F.lit(" fresh crawl suffix")))
-                ).alias("fp"),
+    # one lazy lineage cut: the corpus fingerprint set feeds BOTH the
+    # bit-set build and the exact verify join — without it each
+    # consumer re-scanned documents and re-ran the md5+distinct
+    # (guide §1.2; this query's plan scanned documents SEVEN times
+    # before this pass: 2x corpus, 2x the two-scan batch union, each
+    # doubled again by the hits/misses fan-out below)
+    corpus = docs.select(fp).distinct().localCheckpoint(eager=False)
+    # the synthetic re-crawl batch in ONE scan: both modulo cohorts
+    # come off the same pass with branch expressions instead of a
+    # union of two separately-scanned, separately-hashed legs
+    m = F.col("doc_id") % 10
+    batch = docs.filter(m.isin(2, 7)).select(
+        (
+            F.col("doc_id")
+            + F.when(m == 2, F.lit(1000000)).otherwise(F.lit(2000000))
+        ).alias("doc_id"),
+        F.when(m == 2, F.md5(norm_text(F.col("text"))))
+        .otherwise(
+            F.md5(
+                norm_text(F.concat(F.col("text"), F.lit(" fresh crawl suffix")))
             )
         )
+        .alias("fp"),
     )
     cbits = (
         corpus.select(F.explode(F.array(*_bloom_bits_spark("fp"))).alias("bit"))
@@ -1625,6 +1663,9 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "fp")
         .agg((F.coalesce(F.sum("_set"), F.lit(0)) == BLOOM_K).alias("bloom_hit"))
     )
+    # the scored frame fans out to the hits/misses branches — cut it
+    # once so the whole bit-probe aggregate runs once, not per branch
+    scored = scored.localCheckpoint(eager=False)
     hits = scored.filter(F.col("bloom_hit"))
     verified = hits.join(
         corpus.withColumn("_dup", F.lit(1)), "fp", "left"

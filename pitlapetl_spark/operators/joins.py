@@ -238,17 +238,26 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # pre-aggregate the point side to the DAY grain before the join
+    # (guide §2.3 / §3.4: collapse the build side before an exploding
+    # join): the count an interval wants is additive over days, so
+    # joining per-day counts instead of per-order rows cuts the join
+    # output from (intervals x matching orders) to (intervals x
+    # matching days) — ~12x fewer rows at sf0.1 (~12.5 urgent
+    # orders/day) and growing with data density at scale, while the
+    # day-grain frame itself is calendar-bounded (one row per day
+    # regardless of data size), which is also what makes it safely
+    # broadcastable at ANY scale factor.
     ord_ = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(
-            "o_orderkey",
-            F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("od"),
-        )
+        .select(F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("od"))
+        .groupBy("od")
+        .agg(F.count(F.lit(1)).alias("n_od"))
         .withColumn("bin", F.floor(F.col("od") / RANGE_BIN_DAYS))
     )
     joined = li.join(
-        ord_,
+        F.broadcast(ord_),
         (li.bin == ord_.bin)
         & (ord_.od >= li.d0)
         & (ord_.od <= li.d1),
@@ -256,7 +265,11 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "l_orderkey", "l_linenumber", (F.col("d1") - F.col("d0")).alias("window_days")
-    ).agg(F.count("o_orderkey").alias("n_urgent_in_window"))
+    ).agg(
+        F.coalesce(F.sum("n_od"), F.lit(0))
+        .cast("long")
+        .alias("n_urgent_in_window")
+    )
 
 
 # -------------------------------------------------------- salted skew join

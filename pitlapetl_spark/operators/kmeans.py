@@ -141,6 +141,12 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
+    # one lazy lineage cut: the narrow (vec_id, v) frame feeds every
+    # assignment pass (KMEANS_ITERS + the final one) plus the init —
+    # without it each pass re-scans the parquet and re-runs the
+    # double-cast transform (guide §1.2: pay the scan once per
+    # invocation, not once per iteration)
+    emb = emb.localCheckpoint(eager=False)
     cent = _centroid_init(emb).localCheckpoint(eager=False)
     for _ in range(KMEANS_ITERS):
         assigned = _assign(emb, cent)

@@ -183,27 +183,50 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         F.round(F.lit(1.0) / F.lit(n).cast("long"), 12).alias("pr"),
     )
-    ed = edges.join(deg, "src")  # (src, dst, outdeg), reused every round
-    ed = ed.localCheckpoint(eager=False)
     # The rank frame is one row per NODE — orders of magnitude smaller
     # than the edge list. While it fits an executor (size-gated on the
     # exact node count already in hand, same discipline as the
-    # market-basket broadcast), broadcast it: every iteration's join
-    # becomes map-side against the stationary edge partitioning and the
-    # only exchange left per round is the dst-key partial aggregate.
-    # Past the gate (web-scale graphs) the plain src-key shuffle join
-    # below is the Pregel shape the 100-TB notes describe.
-    # ~1M rows of (string node id, decimal rank) is tens of MB
-    # serialized — comfortably under default driver/broadcast
-    # limits; a 10M-row gate would court maxResultSize/OOM right
-    # at the boundary. Past the gate: the Pregel shuffle join.
+    # market-basket broadcast), the per-edge contribution
+    # round(pr/outdeg, 12) is computed at the NODE grain (a tiny
+    # node⋈node broadcast join — outdeg is a function of src alone, so
+    # the value per edge is identical) and the resulting (node, w)
+    # frame is broadcast straight into the RAW memoized edge list:
+    # every iteration's join is map-side against the stationary edge
+    # partitioning, the only exchange per round is the dst-key partial
+    # aggregate, and the old (src, dst, outdeg) build join — a full
+    # edge-list shuffle+sort per invocation just to staple outdeg onto
+    # every edge — disappears (guide §2.2: shuffle the node table, not
+    # the edge table). deg is a checkpointed scan, so its per-round
+    # broadcast reuses one exchange.
+    # ~1M rows of (long node id, decimal contribution) is tens of MB
+    # serialized — comfortably under default driver/broadcast limits;
+    # a 10M-row gate would court maxResultSize/OOM right at the
+    # boundary. Past the gate (web-scale graphs): the plain src-key
+    # Pregel shuffle join the 100-TB notes describe, with outdeg
+    # stapled to the edge list once.
     PR_BROADCAST_MAX_NODES = 1_000_000
+    small = n <= PR_BROADCAST_MAX_NODES
+    if not small:
+        ed = edges.join(deg, "src")  # (src, dst, outdeg), reused every round
+        ed = ed.localCheckpoint(eager=False)
     for it in range(PR_ITERS):
-        contrib = F.round(F.col("pr") / F.col("outdeg"), 12).cast(_DEC)
-        rside = F.broadcast(ranks) if n <= PR_BROADCAST_MAX_NODES else ranks
+        if small:
+            w = (
+                ranks.join(F.broadcast(deg), ranks["node"] == deg["src"])
+                .select(
+                    "node",
+                    F.round(F.col("pr") / F.col("outdeg"), 12)
+                    .cast(_DEC)
+                    .alias("w"),
+                )
+            )
+            joined = edges.join(F.broadcast(w), edges["src"] == w["node"])
+            contrib = F.col("w")
+        else:
+            joined = ed.join(ranks, ed["src"] == ranks["node"])
+            contrib = F.round(F.col("pr") / F.col("outdeg"), 12).cast(_DEC)
         ranks = (
-            ed.join(rside, ed.src == rside.node)
-            .groupBy(F.col("dst").alias("node2"))
+            joined.groupBy(F.col("dst").alias("node2"))
             .agg(
                 F.round(
                     F.lit(0.15) / F.lit(n).cast("long")

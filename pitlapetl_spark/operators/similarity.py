@@ -365,6 +365,14 @@ def _lsh_ltables_plan(
     idx = vecs.select(
         "vec_id", F.posexplode(buckets).alias("tbl", "bucket")
     )
+    # the n_tables x planes interpreted dot-product projections are
+    # the dominant extraction cost, and the posting frame feeds BOTH
+    # sides of the candidate join — one lazy lineage cut makes the
+    # extraction run once instead of once per side (the mm_phash /
+    # basket repeated-subtree fix, guide §1.2); the cut frame is the
+    # NARROW (vec_id, tbl, bucket) index, L rows per vector, no
+    # vector payloads
+    idx = idx.localCheckpoint(eager=False)
     qidx = idx.filter(F.col("vec_id") < N_QUERIES)
     cand = (
         F.broadcast(qidx.alias("q"))

@@ -753,6 +753,12 @@ def _logreg_train(
     weights, n). The model state crossing the driver per iteration is
     3 doubles (bounded-driver-data discipline)."""
     feats = _logreg_feats(spark, sf_dir)
+    # one lazy lineage cut: the narrow 4-column feature frame is
+    # aggregated LOGREG_ITERS + 1 times (each GD step + the accuracy
+    # pass) — without it every iteration re-scans the documents
+    # parquet and recomputes the feature expressions (guide §1.2);
+    # the n count below doubles as the materializing action
+    feats = feats.localCheckpoint(eager=False)
     n = feats.count()
     w = [0.0, 0.0, 0.0]
     dec = "decimal(28,12)"

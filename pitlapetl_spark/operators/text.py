@@ -726,6 +726,14 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> struct(toks[i] AS x, toks[i + 2] AS y))
           ELSE array() END)
     """
+    # NOT lineage-cut (tried and REVERTED this round): checkpointing
+    # the pair and/or vocab aggregates reads as "5 corpus scans -> 2"
+    # in the static plan, but the five subtrees evaluate as PARALLEL
+    # jobs (four are broadcast builds) while a lazy checkpoint
+    # serializes them behind one materialization — focused 5-round
+    # A/B measured the cut versions +37..50% WALL on this host.
+    # The repeated work is real at the byte level but wall-optimal
+    # here; revisit only if broadcast-build parallelism disappears.
     pairs = (
         t.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.x", "p.y")

@@ -463,7 +463,13 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, (size(words)-1) div {LINE_WORDS}), "
         f"i -> array_join(slice(words, i*{LINE_WORDS}+1, {LINE_WORDS}), ' '))"
     )
-    lines = (
+    # line assembly lands at the DOC grain and is lineage-cut ONCE:
+    # the exploded line view feeds three consumers (DF aggregate,
+    # anti-join probe, per-doc totals) and each used to re-scan the
+    # parquet and re-run the split + slice/join transform (guide
+    # §1.2); the per-doc line COUNT is the array size, no exploded
+    # aggregate needed
+    la = (
         docs.select(
             "doc_id",
             F.split(
@@ -473,7 +479,11 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("words"),
         )
-        .select("doc_id", F.posexplode(lines_arr).alias("line_no", "line"))
+        .select("doc_id", lines_arr.alias("lines"))
+        .localCheckpoint(eager=False)
+    )
+    lines = la.select(
+        "doc_id", F.posexplode("lines").alias("line_no", "line")
     )
     boiler = (
         lines.groupBy("line")
@@ -489,7 +499,9 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cleaned"),
         F.count(F.lit(1)).alias("n_kept_lines"),
     )
-    total = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    total = la.select(
+        "doc_id", F.size("lines").cast("long").alias("n_lines")
+    )
     return total.join(cleaned, "doc_id", "left").select(
         "doc_id",
         "n_lines",

@@ -754,6 +754,10 @@ def window_month_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("tot"),
     )
+    # one lazy lineage cut: the (key, month) aggregate feeds BOTH the
+    # spine derivation and the join back — without it the fact scan
+    # and the aggregate run twice (guide §1.2)
+    monthly = monthly.localCheckpoint(eager=False)
     spine = (
         monthly.groupBy("custkey")
         .agg(F.min("mon").alias("mn"), F.max("mon").alias("mx"))

@@ -383,10 +383,20 @@ def stream_phash_compacted_parity(
         batched = bands.withColumn(
             "b", F.pmod(F.col("doc_id"), F.lit(N_SIM_INGEST_BATCHES))
         )
-        for i in range(N_SIM_INGEST_BATCHES):
-            batched.filter(F.col("b") == i).drop("b").write.mode(
-                "overwrite"
-            ).parquet(f"{store}/batch={i}")
+        # all N simulated batch partitions in ONE write job (the
+        # filtered per-batch loop re-scanned the checkpointed band
+        # frame N times and paid N job floors for the same bytes);
+        # partitionBy lays out the identical batch=<i> directories the
+        # real sink's per-batch overwrite produces, except the
+        # _SUCCESS commit marker lands at the ROOT — seal each batch
+        # dir explicitly so the real compactor sees the same N
+        # committed partitions the sequential writes produced
+        batched.withColumnRenamed("b", "batch").write.partitionBy(
+            "batch"
+        ).mode("overwrite").parquet(store)
+        for d in _os.listdir(store):
+            if d.startswith("batch="):
+                open(f"{store}/{d}/_SUCCESS", "w").close()
         # steady-state fold: all committed batches -> one generation
         _compact_partition_store(
             spark, store, current_batch=N_SIM_INGEST_BATCHES, threshold=2
