@@ -349,9 +349,10 @@ BASKET_BROADCAST_MAX_ITEMS = 10_000_000
 )
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity (frequently-bought-together): top pairs
-    by lift with support and confidence. The pair generation is a
-    SELF-JOIN CO-PARTITIONED ON THE BASKET KEY — expansion is bounded
-    by max-basket-size² per order (TPC-H baskets are ≤ ~13 lines;
+    by lift with support and confidence. Pair generation is
+    BASKET-LOCAL over one grouped basket array (one exchange on the
+    basket key, no self-join) — expansion is bounded by
+    max-basket-size² per order (TPC-H baskets are ≤ ~13 lines;
     a retail 100-TB fact keeps the same bound), never corpus-quadratic.
     Item counts (distinct-part grain) join back onto the pair
     aggregate with a SIZE-GATED broadcast: the item dimension is
@@ -367,28 +368,42 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped-Jaccard dedup, applied to the classic co-occurrence
     analytics query."""
     li = load_table(spark, sf_dir, "lineitem")
-    # one fact scan + one distinct, shared: bk feeds the item counts
-    # AND both self-join sides — without the lineage cut each consumer
-    # re-ran the full lineitem scan + distinct shuffle (observed: 5
-    # FileScans in the basket plan; guide §1.2)
-    bk = (
+    # ONE exchange builds the per-order basket arrays straight off the
+    # scan (collect_set = the old select-distinct, folded into the
+    # same shuffle); pairs are then enumerated BASKET-LOCALLY from the
+    # sorted array — the r12 single-exchange device shared with
+    # dedup_minhash_lsh_preagg's bucket pre-aggregation and the
+    # winnowing fp groups. The old shape shuffled the distinct
+    # (order, part) frame twice more (both self-join sides keyed on
+    # l_orderkey) and sort-merge-joined them to produce exactly these
+    # C(basket_size, 2) pairs (guide §2.4: remove shuffles outright).
+    # Expansion stays bounded by max-basket-size² per order; the
+    # basket-grain array frame is the lineage cut (one row per order,
+    # narrower than the exploded pair rows ever were).
+    baskets = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint(eager=False)
     )
-    items = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    tot = bk.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a, b = bk.alias("a"), bk.alias("b")
+    items = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= BASKET_MIN_PAIR)
     )
@@ -1238,35 +1253,42 @@ def rec_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Sarwar et al. 2001), the RANKING twin of market_basket_pairs'
     global lift shortlist.
 
-    Scale shape: same bounded machinery as the basket query — the
-    pair space is co-partitioned on the basket key and bounded by
-    max-basket-size² per order; DIRECTED pairs (a <> b, not a < b)
-    because each item ranks its own neighbor list. The per-item top-k
+    Scale shape: same bounded machinery as the basket query — pairs
+    are enumerated basket-locally from one grouped basket array,
+    bounded by max-basket-size² per order; DIRECTED pairs (a <> b,
+    not a < b) because each item ranks its own neighbor list. The per-item top-k
     window runs at pair grain (already bounded); item counts join
     with the same footer-gated broadcast. Cosine from exact integer
     counts — no float drift."""
     li = load_table(spark, sf_dir, "lineitem")
-    # one fact scan + one distinct, shared: bk feeds the item counts
-    # AND both self-join sides — without the lineage cut each consumer
-    # re-ran the full lineitem scan + distinct shuffle (observed: 5
-    # FileScans in the basket plan; guide §1.2)
-    bk = (
+    # ONE exchange builds the per-order basket arrays (collect_set =
+    # the old select-distinct folded into the same shuffle); DIRECTED
+    # pairs are enumerated basket-locally — the same single-exchange
+    # device as market_basket_pairs above (guide §2.4), expansion
+    # still bounded by max-basket-size² per order.
+    baskets = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
         .localCheckpoint(eager=False)
     )
-    items = bk.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a, b = bk.alias("a"), bk.alias("b")
+    items = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x ->"
+                    " transform(filter(ps, y -> y != x),"
+                    " y -> struct(x AS item, y AS neighbor))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("item"),
-            F.col("b.l_partkey").alias("neighbor"),
-        )
+        .select("p.item", "p.neighbor")
+        .groupBy("item", "neighbor")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= CF_MIN_PAIR)
     )

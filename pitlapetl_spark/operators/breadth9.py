@@ -112,6 +112,16 @@ def _theta_oracle() -> str:
     """
 
 
+def _theta_sketch_frame(hashed: DataFrame) -> DataFrame:
+    """K-smallest retention over the hashed key frame. orderBy+limit
+    so Spark plans it as TakeOrderedAndProject (per-partition top-K
+    heaps + a K-row driver merge), never a global Sort of the hashed
+    keys — the property tests/test_plan_hygiene pins on THIS builder
+    (the registered query wraps it in a lazy lineage cut, which hides
+    the subplan from the final explain)."""
+    return hashed.orderBy("u").limit(THETA_K)
+
+
 @query("agg_theta_sketch_distinct_sum", oracle=_theta_oracle())
 def agg_theta_sketch_distinct_sum(
     spark: SparkSession, sf_dir: str
@@ -138,7 +148,7 @@ def agg_theta_sketch_distinct_sum(
     # orders⋈customer join + md5 + distinct (guide §1.2; the plan
     # scanned orders and customer 3x each before)
     hashed = hashed.localCheckpoint(eager=False)
-    sketch = hashed.orderBy("u").limit(THETA_K).localCheckpoint(eager=False)
+    sketch = _theta_sketch_frame(hashed).localCheckpoint(eager=False)
     th = sketch.agg(
         F.count(F.lit(1)).cast("long").alias("n_retained"),
         F.max("u").alias("theta_num"),

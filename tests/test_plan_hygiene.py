@@ -1017,9 +1017,28 @@ def test_lateness_audit_single_window_single_agg(spark):
 def test_theta_sketch_is_takeordered_not_global_sort(spark):
     """The K-smallest retention must plan as TakeOrderedAndProject
     (per-partition top-K + merge), never a full global Sort of the
-    hashed keys."""
+    hashed keys. Since the r12 lineage cuts the sketch subplan is
+    hidden behind a Scan ExistingRDD in the registered query's final
+    explain, so the TakeOrdered property is pinned on the sketch
+    BUILDER (the exact frame the query checkpoints), and the final
+    plan is pinned to the checkpointed shape with no global sort."""
+    from pyspark.sql import functions as F
+
+    from pitlapetl_spark.operators.breadth9 import _theta_sketch_frame
+
+    # xxhash64 breaks Range's natural ordering and the row count
+    # exceeds THETA_K — otherwise the optimizer legitimately
+    # eliminates the sort (input already ordered) and the limit
+    # (maxRows <= K) and the probe would assert on an empty plan
+    hashed = spark.range(1000).select(
+        F.xxhash64("id").alias("u"),
+        F.lit(1.0).cast("decimal(18,2)").alias("val"),
+    )
+    sub = _plan(_theta_sketch_frame(hashed))
+    assert "TakeOrderedAndProject" in sub, sub
     plan = _plan(Q["agg_theta_sketch_distinct_sum"](spark, SF_SMOKE))
-    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan, plan  # the lineage cut held
+    assert "Sort " not in plan, plan  # no global sort resurfaced
 
 
 def test_minhash_preagg_single_band_shuffle(spark):
