@@ -1048,6 +1048,10 @@ def analytics_herfindahl_market(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum((_revenue()).cast(REV_DEC)).alias("r"))
+        # lazy cut: rev feeds the nation totals AND the share join —
+        # uncut, each re-ran the fact join + aggregate (observed: 2
+        # scans of each table; guide §1.2). Nation x supplier rows.
+        .localCheckpoint(eager=False)
     )
     tot = rev.groupBy("nation").agg(
         F.sum("r").alias("t"), F.count(F.lit(1)).alias("n_suppliers")

@@ -388,13 +388,18 @@ def resample_daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    # the day-grain aggregate is cut once and the spine's bounds and
+    # series list derive from IT (identical values: every src row
+    # lands in a daily group) — uncut, bounds and the distinct series
+    # each re-scanned and re-aggregated the fact (observed: 3 events
+    # scans; guide §1.2). Day x series rows only.
     daily = src.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
-    )
-    bounds = src.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    ).localCheckpoint(eager=False)
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
     spine = (
-        src.select("event_type")
+        daily.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -706,10 +711,13 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxx").cast("double")
         - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
     ) / (F.col("n") - 1)
+    # lazy cut of the strata-count-sized weight frame: it feeds the
+    # total scalar AND the allocation — uncut, each re-ran the full
+    # moments aggregate (observed: 3 lineitem scans; guide §1.2)
     w = m.select(
         "l_returnflag",
         F.round(F.col("n") * F.sqrt(s2), 6).cast("decimal(28,6)").alias("wh"),
-    )
+    ).localCheckpoint(eager=False)
     tot = w.agg(F.sum("wh").alias("tw"))  # one-row scalar broadcast
     alloc = (
         w.crossJoin(F.broadcast(tot))

@@ -43,6 +43,8 @@ from ..functions.text import (
     oracle_minhash_sig_cols,
     oracle_shingles_cte,
     shingle_rows,
+    shingles,
+    tokens,
 )
 from ..registry import query
 from ..sources import load_table
@@ -175,7 +177,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_ngram_jaccard_capped`` below, which drops stop-shingles
     before the join."""
     docs = load_table(spark, sf_dir, "documents")
-    return _pair_jaccard(shingle_rows(docs))
+    # DOC-GRAIN lineage cut (the winnowing device): the shingle
+    # arrays are computed once, sizes are the doc-local array size
+    # (no count aggregate, no extra exchange), and both self-join
+    # sides explode from the cut instead of re-scanning + re-
+    # tokenizing the corpus (4 documents scans -> 1; guide §1.2)
+    arrs = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select("doc_id", shingles("_toks").alias("ss"))
+        .localCheckpoint(eager=False)
+    )
+    sh = arrs.select("doc_id", F.explode("ss").alias("s"))
+    sizes = arrs.select("doc_id", F.size("ss").alias("n"))
+    return _pair_jaccard(sh, sizes=sizes)
 
 
 # ------------------------------------------- capped-shingle jaccard
@@ -219,14 +233,23 @@ def capped_shingle_rows(docs: DataFrame, df_cap: int = DF_CAP) -> DataFrame:
     only across partitions) and a self-semi-join on shingle — both
     shuffle on the same key the downstream inverted-index join uses,
     so AQE coalesces them into the same exchange layout."""
-    sh = shingle_rows(docs)
+    # two lazy lineage cuts (guide §1.2): the raw shingle rows feed
+    # the DF aggregate AND the semi-join probe (2 corpus scans -> 1),
+    # and the capped output feeds the caller's sizes aggregate plus
+    # both inverted-index self-join sides (observed: 8 documents
+    # scans in dedup_ngram_jaccard_capped's plan before, 1 after —
+    # each self-join side re-ran scan+tokenize+explode+cap). The
+    # materialized frames are the inverted index itself — the same
+    # rows the join shuffles — so the block-storage cost is bounded
+    # by work the query already does.
+    sh = shingle_rows(docs).localCheckpoint(eager=False)
     rare = (
         sh.groupBy("s")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") <= df_cap)
         .select("s")
     )
-    return sh.join(rare, "s", "left_semi")
+    return sh.join(rare, "s", "left_semi").localCheckpoint(eager=False)
 
 
 @query("dedup_ngram_jaccard_capped", oracle=_PAIR_JACCARD_CAPPED_SQL)
@@ -767,8 +790,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (zip_with + aggregate), doubles end-to-end."""
     from .similarity import _bucket_expr_spark
 
-    bucketed = _crawl_vectors(spark, sf_dir).withColumn(
-        "bucket", F.expr(_bucket_expr_spark()).cast("int")
+    # lazy lineage cut: both self-join sides consume the bucketed
+    # frame — uncut, each side re-scanned embeddings twice (the union)
+    # and re-ran the cast + norm + 16-plane bucket projection
+    # (observed: 4 embeddings scans; guide §1.2)
+    bucketed = (
+        _crawl_vectors(spark, sf_dir)
+        .withColumn("bucket", F.expr(_bucket_expr_spark()).cast("int"))
+        .localCheckpoint(eager=False)
     )
     return _cosine_pairs_in(bucketed)
 
@@ -1775,9 +1804,9 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(contained, container) pairs with shingle containment >=
     CONTAINMENT_T over DF-capped shingle sets (block comment above).
     One intersection pass serves both directions."""
-    sh = capped_shingle_rows(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=True
-    )
+    # capped_shingle_rows self-cuts its output (multi-consumer in
+    # every caller); no second checkpoint needed
+    sh = capped_shingle_rows(load_table(spark, sf_dir, "documents"))
     # cont is consumed twice (both direction projections) — cut it
     # too; it is pair-count-sized
     cont = containment_pairs(sh).localCheckpoint(eager=True)

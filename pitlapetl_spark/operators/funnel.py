@@ -133,10 +133,16 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned on it, and only the final tiny matrix aggregate
     re-keys. No window functions, no self-join of the raw fact."""
     events = load_table(spark, sf_dir, "events")
-    firsts = events.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort_day")
+    # ONE events scan: the first-day frame derives from the cut
+    # distinct (user, day) frame (min over distinct days == min over
+    # all events at day grain) — the window_hll_sliding_distinct
+    # device; uncut, firsts re-scanned + re-aggregated the fact
+    active = (
+        events.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    active = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    firsts = active.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
         active.join(firsts, "user_id")
         .groupBy(
@@ -283,10 +289,14 @@ def funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel physics); approx_percentile is the drop-in at extreme
     scale — documented trade, exact here for parity."""
     events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # lazy cut: v feeds the conversion join AND the viewer-count
+    # scalar — uncut, the scalar re-ran the view scan + aggregate
+    # (observed: 3 events scans; guide §1.2). User-grain rows only.
     v = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     e = events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("t_p")
@@ -606,9 +616,12 @@ def analytics_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative lifetime value per cohort member by cohort age in
     months (block comment above)."""
     orders = load_table(spark, sf_dir, "orders")
+    # lazy cut: firsts feeds the cohort sizes AND the revenue join —
+    # uncut, each consumer re-ran the orders scan + first-order
+    # aggregate (guide §1.2). Customer-grain rows only.
     firsts = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
-    )
+    ).localCheckpoint(eager=False)
     sizes = firsts.groupBy("cohort_month").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )

@@ -59,7 +59,10 @@ def dq_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col(c).cast("decimal(20,8)")).cast("double") / F.count(c), 6
             ).alias(f"{c}__avg"),
         ]
-    one = li.agg(*aggs)
+    # lazy cut of the ONE-ROW aggregate: each per-column union branch
+    # re-ran the full table aggregate without it (observed: 4
+    # lineitem scans; guide §1.2)
+    one = li.agg(*aggs).localCheckpoint(eager=False)
     per_col = [
         one.select(
             F.lit(c).alias("column_name"),

@@ -175,6 +175,13 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     same keys from one co-partitioned full-outer join over row hashes.
     All four statuses are populated by construction, so the query
     proves every branch of the diff logic."""
-    events = load_table(spark, sf_dir, "events")
+    # lazy cut of the projected fact: the v1 hash side and BOTH v2
+    # union branches re-scanned events without it (observed: 3 events
+    # scans; guide §1.2)
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "value", "event_type")
+        .localCheckpoint(eager=False)
+    )
     diff = table_diff(events, _v2(events), "event_id", ["value", "event_type"])
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_keys"))

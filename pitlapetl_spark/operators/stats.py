@@ -2535,13 +2535,16 @@ def ml_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(decimal_mean8("value").alias("m"))
+    # lazy cut: idx feeds both pairwise-slope self-join sides AND the
+    # OLS aggregate — uncut, each re-ran the daily fact aggregate +
+    # window (observed: 3 events scans; guide §1.2). Day-grain rows.
     idx = daily.select(
         "event_type",
         "m",
         F.datediff(
             F.col("day"), F.min("day").over(Window.partitionBy("event_type"))
         ).alias("t"),
-    )
+    ).localCheckpoint(eager=False)
     a, b = idx.alias("a"), idx.alias("b")
     slopes = a.join(
         b,
@@ -2933,6 +2936,13 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hk.alias("hk"),
         F.substring(hk, 1, 1).alias("h"),
     )
+    # lazy lineage cuts (guide §1.2): base feeds the train moments,
+    # the calibration residuals and the test coverage (3 fact scans
+    # -> 1, md5 split key computed once); the flag-count-sized model
+    # and q frames fan out to every downstream join/broadcast —
+    # uncut, each re-derivation re-ran its whole upstream including
+    # another fact scan (observed: 7 lineitem scans in the plan).
+    base = base.localCheckpoint(eager=False)
     xd = F.col("x").cast("decimal(18,2)")
     yd = F.col("y").cast("decimal(18,4)")
     mo = (
@@ -2953,7 +2963,7 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_train"),
         slope.alias("slope"),
         F.round((sy - slope * sx) / n, 8).alias("icept"),
-    )
+    ).localCheckpoint(eager=False)
     resid = F.round(F.abs(F.col("y") - (F.col("slope") * F.col("x") + F.col("icept"))), 6)
     cal = (
         base.filter(F.col("h").between("8", "b"))
@@ -2973,7 +2983,7 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = calr.groupBy("flag").agg(
         F.max("nc").cast("long").alias("n_cal"),
         F.max(F.when(F.col("rn") == q_rank, F.col("r"))).alias("q90"),
-    )
+    ).localCheckpoint(eager=False)
     test = (
         base.filter(F.col("h") > "b")
         .join(F.broadcast(model), "flag")

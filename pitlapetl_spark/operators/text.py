@@ -230,7 +230,12 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-statistics shape (the DF side is vocabulary-sized, tiny
     relative to the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    # lazy cut: the token rows feed the TF aggregate AND the DF
+    # build — uncut, each re-scanned and re-tokenized the corpus
+    # (guide §1.2; one corpus pass instead of two)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=False)
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = docs.count()
@@ -289,16 +294,29 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram-context counts, both broadcastable vocabulary-sized
     tables) + one scoring join; same two-pass shape as TF-IDF."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
-    )
-    from pyspark.sql import Window
-
-    w_next = Window.partitionBy("doc_id").orderBy("pos")
+    # bigrams are DOC-LOCAL: adjacent token pairs come straight off
+    # the token array (guarded so <2-token docs yield none — sequence
+    # counts DOWN on negative spans). The previous shape exploded
+    # every token and ran a lead() WINDOW over (doc_id, pos) — a full
+    # shuffle + sort of the token table just to pair neighbors the
+    # array already has adjacent (guide §2.4 remove shuffles
+    # outright). One lazy cut shares the pair rows across the two
+    # count aggregates and the scoring probe (3 corpus scans -> 1).
     bigrams = (
-        toks.withColumn("w2", F.lead("w").over(w_next))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.col("w").alias("w1"), "w2")
+        docs.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(t[i - 1] AS w1, t[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .localCheckpoint(eager=False)
     )
     freq = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
@@ -392,7 +410,14 @@ def text_kl_domain_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(F.split(norm_text(F.col("text")), " ")).alias("w")
     )
-    lw = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    # the (lang, w) aggregate fans out to the per-lang totals, the
+    # corpus distribution and the final KL join — the docstring's
+    # "reuses that aggregate" was aspirational (Catalyst re-ran the
+    # explode + aggregate per consumer: 4 documents scans observed);
+    # the lazy cut makes the reuse structural (vocab x lang rows)
+    lw = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     lt = lw.groupBy("lang").agg(F.sum("c").alias("t"))
     cw = lw.groupBy("w").agg(F.sum("c").alias("cc"))
     tt = cw.agg(F.sum("cc").alias("tt"))
@@ -1308,7 +1333,12 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     half against a train-half top-K vocabulary (block comment
     above)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    # lazy cut: the train-half vocabulary build and the held-out
+    # scoring pass are disjoint filters of the SAME token rows —
+    # uncut, each re-scanned and re-tokenized the corpus (guide §1.2)
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).localCheckpoint(eager=False)
     vocab = (
         toks.filter(F.col("doc_id") % 2 == 0)
         .groupBy("w")

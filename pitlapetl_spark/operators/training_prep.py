@@ -808,8 +808,10 @@ def pipeline_release_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     d = gate_scored(docs)
-    # materialized: the containment machinery consumes it three times
-    sh = capped_shingle_rows(docs).localCheckpoint(eager=True)
+    # capped_shingle_rows self-cuts its output (it is multi-consumer
+    # in every caller) — a second checkpoint here would just duplicate
+    # the inverted index in block storage
+    sh = capped_shingle_rows(docs)
     # shared with dedup_containment_capped — the Spark twin of the
     # shared oracle fragment; consumed twice below, so cut
     cont = containment_pairs(sh).localCheckpoint(eager=True)

@@ -138,12 +138,16 @@ def test_quality_scorer_agrees_with_trainer_accuracy(spark):
 
 def test_quality_scorer_plan_is_joinless_map(spark):
     """The model rides as literals, so the scoring projection must
-    plan as a pure narrow map over the documents scan — no join
-    operator anywhere (the broadcast-model-apply shape)."""
+    plan as a pure narrow map over ONE scan — no join operator
+    anywhere (the broadcast-model-apply shape). Since the r12 shared
+    feature-frame lineage cut (_logreg_train), the scan the map runs
+    over is the materialized feature RDD rather than the parquet
+    file; either way exactly one scan feeds the projection."""
     df = Q["text_quality_classifier_score"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:800]
-    assert plan.count("FileScan parquet") == 1
+    n_scans = plan.count("FileScan parquet") + plan.count("Scan ExistingRDD")
+    assert n_scans == 1, plan[:800]
 
 
 def test_semantic_ingest_replay_after_compaction_no_self_drop(spark, tmp_path):
