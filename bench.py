@@ -479,28 +479,84 @@ def verify() -> None:
 # stdout and json-parses the final line (BENCH_r07.json came back
 # ``"parsed": null`` when the 67-query map outgrew that window, losing
 # the round's machine-readable totals — VERDICT r7 "What's wrong" #1).
-# The driver line must therefore fit the capture window whole: keep
-# the totals exact, and if the per-query map doesn't fit, drop the
-# CHEAPEST entries first (regression triage cares about the heavy
-# tail) while declaring how many seconds were trimmed.
-_DRIVER_LINE_BUDGET = 1800  # bytes; capture window is ~2000
+# The window is EXACTLY 2000 chars (the "tail" fields of
+# BENCH_r10/r11/r12.json all measure 2000), and the JSON line is the
+# last thing printed, so a line up to ~budget bytes survives whole.
+#
+# Round-13 fix (VERDICT r12 "What's wrong" #2): the old trim dropped
+# the CHEAPEST entries, so a query that got FASTER round-over-round
+# fell out of the printed map and the driver mislabeled it
+# "dropped_from_bench" (4 such artifacts in PERF_r12.json). Literal
+# loss-free name presence cannot fit: the 82 headline names alone sum
+# to ~1.83 KB, so names + JSON framing exceed the 2000-char window
+# with ZERO per-query values (~2.02 KB) — arithmetic in
+# OPTIMIZATION_r13.md. The closest achievable contract, implemented
+# here:
+#   1. entries already in the PREVIOUS driver round's parsed map
+#      (committed BENCH_r<N>.json, highest N) are PROTECTED — they
+#      never fall out, so round-over-round presence is loss-free and
+#      "dropped_from_bench" can only mean an actual drop;
+#   2. remaining slots go to the costliest entries (regression
+#      triage reads the heavy tail), values compacted to 2 decimals
+#      to fit more of them;
+#   3. the omitted remainder is declared by count, by residual
+#      seconds, and by an 8-hex md5 of the comma-joined sorted
+#      omitted names — verifiable against the committed
+#      BENCH_FULL.json full map (same commit), so omission is
+#      auditable even though the names themselves cannot fit.
+_DRIVER_LINE_BUDGET = 1960  # bytes; capture window measured at 2000
+
+
+def _prev_driver_names(repo: str = _REPO) -> set[str]:
+    """Query names the most recent driver bench round actually parsed
+    (``BENCH_r<N>.json["parsed"]["queries"]``, highest N committed).
+    These are protected from the driver-line trim: a name the driver
+    saw last round must never vanish from the printed map merely
+    because the query got cheaper."""
+    import re
+
+    best, names = -1, set()
+    for p in Path(repo).glob("BENCH_r*.json"):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        try:
+            parsed = json.loads(p.read_text()).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        qmap = parsed.get("queries") or {}
+        if qmap and int(m.group(1)) > best:
+            best, names = int(m.group(1)), set(qmap)
+    return names
 
 
 def _driver_line(result: dict, budget: int = _DRIVER_LINE_BUDGET) -> str:
     line = json.dumps(result)
     if len(line) <= budget:
         return line
+    import hashlib
+
     timings = result["queries"]
-    by_cost = sorted(timings, key=timings.get, reverse=True)
-    for keep in range(len(by_cost) - 1, 0, -1):
-        kept = {n: timings[n] for n in by_cost[:keep]}
-        omitted = [n for n in by_cost[keep:]]
+    protected = _prev_driver_names() & set(timings)
+    order = sorted(
+        timings, key=lambda n: (n not in protected, -timings[n], n)
+    )
+    for keep in range(len(order) - 1, 0, -1):
+        kept = {n: round(timings[n], 2) for n in order[:keep]}
+        omitted = sorted(order[keep:])
         trimmed = dict(result)
         trimmed["queries"] = kept
         trimmed["queries_omitted"] = len(omitted)
-        trimmed["omitted_sec"] = round(sum(timings[n] for n in omitted), 3)
+        # the residual against the exact total, so kept + omitted_sec
+        # reconciles to "value" despite the 2-decimal compaction
+        trimmed["omitted_sec"] = round(
+            result["value"] - sum(kept.values()), 3
+        )
+        trimmed["omitted_md5"] = hashlib.md5(
+            ",".join(omitted).encode()
+        ).hexdigest()[:8]
         trimmed["full_map"] = "BENCH_FULL.json"
-        line = json.dumps(trimmed)
+        line = json.dumps(trimmed, separators=(",", ":"))
         if len(line) <= budget:
             return line
     return line  # single-entry map; nothing left to trim

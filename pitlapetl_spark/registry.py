@@ -209,64 +209,91 @@ _loaded = False
 #   stream_ingest_pipeline_parity — the composed crawl-ingest
 #     pipeline (URL gate -> span cut -> minhash ingest) end-to-end
 #     batch-parity query (VERDICT r11 item 4); local-parity green.
+#
+# Round-13 policy (VERDICT.md r12 "Next round" item 1): this round
+# the verdict OVERRIDES the plain oldest-evidence rotation — the
+# round-12 optimization pass rewrote ~30 numerically-sensitive
+# query bodies (semantic BLAS family, winnowing, basket pairs,
+# span apply's xxhash64 keys, graph broadcast gates, scan-cut
+# sweep) of which only 5 fell inside the r12 window; the rest rest
+# on local parity only. The 50 slots therefore go: the 1 round-12
+# spill (never verified, standing policy), then the 32-query
+# rewrite cohort (every r12-touched query whose RESULT arithmetic
+# was restructured and that r12 did not verify — the verdict's
+# explicit list plus the be126d8 sweep members with plan-level
+# rewrites), then the 5 r5-era carries in r5 ledger order, then
+# the first 12 of the r6-era refresh queue (CORRECTNESS_r06.json
+# order) not already claimed by the cohort. Arithmetic: 1 + 32 +
+# 5 + 12 = 50 exactly. Evidence board
+# after r12 (recomputed this session): 1 never-verified, 5 r5-era,
+# 50 r6-era, then 50 each r7..r12 (49 at r8). The r6-era rows NOT
+# refreshed here (33 of 50, minus the 5 cohort members that are
+# themselves r6-era) lead round 14's refresh queue; round-13
+# registers no new queries (optimization round), so no spill.
 _PRIORITY: tuple[str, ...] = (
-    # (i) the round-11 spills — never driver-verified, lead the window
-    "stream_url_gate_compacted_parity",
-    "stream_span_dedup_compacted_parity",
-    # (ii) the 3 r4-era carries, r4 ledger order
-    "agg_pricing_summary",
-    "agg_cube",
-    "agg_distinct_counts",
-    # (iii) the r5-era refresh queue, ledger order — first 45 of 50
-    "source_python_datasource",
-    "map_in_arrow_revenue",
-    "json_variant_get",
-    "pipeline_pretrain_to_shards",
-    "dedup_bloom_prefilter",
-    "sample_reservoir_per_group",
-    "agg_heavy_hitters_cms",
-    "text_chunk_sliding_tokens",
-    "curriculum_quality_order",
-    "anomaly_iqr_outliers",
-    "text_bpe_pair_stats",
-    "asof_join_nearest",
-    "window_debounce_events",
-    "ml_linear_fit_closed_form",
-    "text_pmi_cooccurrence",
-    "pipeline_rag_chunk_dedup",
-    "graph_label_propagation",
-    "agg_pivot",
-    "agg_rollup",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "filter_equality_first_row",
-    "filter_flag_and_range",
-    "filter_isin_null_safe",
-    "filter_notnull_derived",
-    "join_broadcast_lookup",
-    "join_full_outer",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_theta_band",
-    "json_deep_path_standings",
-    "json_doc_assembly",
-    "json_doc_roundtrip",
-    "json_get_path",
-    "json_map_explode",
-    "json_map_functions",
-    "json_schema_parse",
-    "project_composite_key",
-    "project_literal_params",
-    "project_rename_camel",
-    "scalar_conditional_default",
-    "scalar_format_iso8601",
-    "scalar_format_laptime",
+    # (i) the round-12 spill — never driver-verified, leads the window
+    "stream_ingest_pipeline_parity",
+    # (ii) the round-12 heavy-rewrite cohort (VERDICT r12 "Next
+    # round" item 1): every numerically-sensitive r12 optimization
+    # that did NOT fall in the r12 verification window, ordered
+    # family-first the way the verdict lists them
+    "dedup_semantic_semdedup",
+    "dedup_semantic_top2",
+    "dedup_semantic_top3",
+    "stream_semantic_compacted_parity",
+    "dedup_winnowing",
+    "dedup_winnowing_fast",
+    "market_basket_pairs",
+    "rec_item_item_cosine",
+    "dedup_repeated_spans",
+    "dedup_repeated_spans_fast",
+    "dedup_repeated_spans_apply",
+    "graph_pagerank_copurchase",
+    "graph_kcore_decomposition",
+    "graph_adamic_adar",
+    "join_range_binned",
+    "window_hll_sliding_distinct",
+    "agg_theta_sketch_distinct_sum",
+    "sim_topk_pq_adc",
+    "mm_phash_hamming_near_dup",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_preagg",
+    "dedup_incremental_minhash",
+    "ml_logreg_gradient_descent",
+    "sim_topk_lsh_ltables",
+    "text_bigram_lm_score",
+    "dedup_ngram_jaccard_capped",
+    "ml_conformal_interval",
+    "kmeans_lloyd_clusters",
+    "dq_partition_merkle_diff",
+    "text_boilerplate_lines",
+    "window_month_spine_densify",
+    "stream_phash_compacted_parity",
+    # (iii) the 5 r5-era carries, r5 ledger order (the exact tail the
+    # round-12 arithmetic predicted)
+    "scalar_string_math",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_union_all_by_name",
+    "setop_union_distinct",
+    # (iv) the r6-era refresh queue, ledger order — first 12 not
+    # already claimed by the rewrite cohort above
+    "survival_kaplan_meier",
+    "analytics_gini_spend",
+    "stats_chi2_independence",
+    "stats_quantile_normalize",
+    "ml_naive_bayes_langid",
+    "text_readability_flesch",
+    "funnel_conversion_lag",
+    "agg_weighted_median",
+    "anomaly_mad_robust_zscore",
+    "window_interpolate_linear",
+    "stats_mann_whitney",
+    "stats_ks_two_sample",
 )
 
-# (The superseded round-11 window tuple lived here; git history
-# preserves it — see the round-12 ledger commit.)
+# (The superseded round-11 and round-12 window tuples lived here;
+# git history preserves them — see the round-12/-13 ledger commits.)
 
 
 def _priority_ordered(d: dict[str, object]) -> dict:

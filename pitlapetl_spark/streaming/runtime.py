@@ -1453,7 +1453,7 @@ def _semantic_ingest_batch(
 
     from ..operators.similarity import (
         SEMDEDUP_TAU,
-        _cluster_pair_score_fn,
+        cluster_pair_scores,
         rank_against_centroids,
     )
 
@@ -1503,13 +1503,14 @@ def _semantic_ingest_batch(
 
         # intra-batch: b drops iff ANY lower-id batch vector shares a
         # top-2 cluster with cosine >= tau — one BLAS matmul per
-        # cluster group (the batch twin's scorer, so stream == batch
-        # arithmetic by construction); only the tau survivors come
-        # back, distinct-ed on the higher-id side
+        # cluster group (the batch twin's scorer with the same
+        # giant-cluster skew cap, so stream == batch arithmetic by
+        # construction); only the tau survivors come back,
+        # distinct-ed on the higher-id side
         in_dups = (
-            assign.groupBy("label")
-            .applyInPandas(
-                _cluster_pair_score_fn(SEMDEDUP_TAU),
+            cluster_pair_scores(
+                assign,
+                SEMDEDUP_TAU,
                 schema="vec_a long, vec_b long, cosine double",
             )
             .select(F.col("vec_b").alias("vec_id"))

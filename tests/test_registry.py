@@ -56,87 +56,77 @@ def test_registry_size_and_oracle_coverage():
     assert not stale, f"oracles without queries: {sorted(stale)}"
 
 
-def test_round12_rotation_window_composition():
-    """The round-12 driver window (first 50 names) must follow the
-    pinned ledger (registry._PRIORITY comment): the 2 round-11
-    sink-parity spills lead (never-verified outranks stale, standing
-    policy since r4), then the 3 r4-era carries in CORRECTNESS_r04
-    order, then the FIRST 45 of the 50-row r5-era refresh queue in
-    CORRECTNESS_r05 order. Arithmetic: 2 + 3 + 45 = 50 exactly; the
-    last 5 r5-era rows (scalar_string_math + the four setops) carry
-    to round 13, and the round's own additions (the composed
-    crawl-ingest pipeline parity query) spill to round 13's cohort —
-    they must NOT be in this window, or they would silently displace
-    a pinned refresh slot."""
+def test_round13_rotation_window_composition():
+    """The round-13 driver window (first 50 names) must follow the
+    pinned ledger (registry._PRIORITY comment). This round the
+    rotation is verdict-directed (VERDICT r12 "Next round" item 1):
+    the 1 round-12 spill leads (never-verified outranks stale,
+    standing policy since r4), then the 32-query round-12
+    heavy-rewrite cohort (numerically-restructured bodies that r12
+    did not driver-verify), then the 5 r5-era carries in
+    CORRECTNESS_r05 order, then the first 12 of the r6-era refresh
+    queue in CORRECTNESS_r06 order not already claimed by the
+    cohort. Arithmetic: 1 + 32 + 5 + 12 = 50 exactly; the remaining
+    r6-era rows lead round 14's refresh queue."""
     pri = list(registry._PRIORITY)
-    never_verified = [
-        "stream_url_gate_compacted_parity",
-        "stream_span_dedup_compacted_parity",
+    never_verified = ["stream_ingest_pipeline_parity"]
+    rewrite_cohort = [
+        "dedup_semantic_semdedup",
+        "dedup_semantic_top2",
+        "dedup_semantic_top3",
+        "stream_semantic_compacted_parity",
+        "dedup_winnowing",
+        "dedup_winnowing_fast",
+        "market_basket_pairs",
+        "rec_item_item_cosine",
+        "dedup_repeated_spans",
+        "dedup_repeated_spans_fast",
+        "dedup_repeated_spans_apply",
+        "graph_pagerank_copurchase",
+        "graph_kcore_decomposition",
+        "graph_adamic_adar",
+        "join_range_binned",
+        "window_hll_sliding_distinct",
+        "agg_theta_sketch_distinct_sum",
+        "sim_topk_pq_adc",
+        "mm_phash_hamming_near_dup",
+        "dedup_minhash_lsh",
+        "dedup_minhash_lsh_preagg",
+        "dedup_incremental_minhash",
+        "ml_logreg_gradient_descent",
+        "sim_topk_lsh_ltables",
+        "text_bigram_lm_score",
+        "dedup_ngram_jaccard_capped",
+        "ml_conformal_interval",
+        "kmeans_lloyd_clusters",
+        "dq_partition_merkle_diff",
+        "text_boilerplate_lines",
+        "window_month_spine_densify",
+        "stream_phash_compacted_parity",
     ]
-    r4_carries = [
-        "agg_pricing_summary",
-        "agg_cube",
-        "agg_distinct_counts",
-    ]
-    r5_era_head = [
-        "source_python_datasource",
-        "map_in_arrow_revenue",
-        "json_variant_get",
-        "pipeline_pretrain_to_shards",
-        "dedup_bloom_prefilter",
-        "sample_reservoir_per_group",
-        "agg_heavy_hitters_cms",
-        "text_chunk_sliding_tokens",
-        "curriculum_quality_order",
-        "anomaly_iqr_outliers",
-        "text_bpe_pair_stats",
-        "asof_join_nearest",
-        "window_debounce_events",
-        "ml_linear_fit_closed_form",
-        "text_pmi_cooccurrence",
-        "pipeline_rag_chunk_dedup",
-        "graph_label_propagation",
-        "agg_pivot",
-        "agg_rollup",
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "filter_equality_first_row",
-        "filter_flag_and_range",
-        "filter_isin_null_safe",
-        "filter_notnull_derived",
-        "join_broadcast_lookup",
-        "join_full_outer",
-        "join_left_anti",
-        "join_left_outer",
-        "join_left_semi",
-        "join_theta_band",
-        "json_deep_path_standings",
-        "json_doc_assembly",
-        "json_doc_roundtrip",
-        "json_get_path",
-        "json_map_explode",
-        "json_map_functions",
-        "json_schema_parse",
-        "project_composite_key",
-        "project_literal_params",
-        "project_rename_camel",
-        "scalar_conditional_default",
-        "scalar_format_iso8601",
-        "scalar_format_laptime",
-    ]
-    assert pri == never_verified + r4_carries + r5_era_head
-    assert len(pri) == 50
-    # the r13-carry rows and the round-12 spills stay OUT of the window
-    for name in (
+    r5_carries = [
         "scalar_string_math",
         "setop_except_all",
         "setop_intersect",
         "setop_union_all_by_name",
         "setop_union_distinct",
-        "stream_ingest_pipeline_parity",
-    ):
-        assert name not in pri, name
+    ]
+    r6_era_head = [
+        "survival_kaplan_meier",
+        "analytics_gini_spend",
+        "stats_chi2_independence",
+        "stats_quantile_normalize",
+        "ml_naive_bayes_langid",
+        "text_readability_flesch",
+        "funnel_conversion_lag",
+        "agg_weighted_median",
+        "anomaly_mad_robust_zscore",
+        "window_interpolate_linear",
+        "stats_mann_whitney",
+        "stats_ks_two_sample",
+    ]
+    assert pri == never_verified + rewrite_cohort + r5_carries + r6_era_head
+    assert len(pri) == 50
     # every ledger name must actually be registered (a typo here
     # would silently drop a pinned slot from the driver window)
     queries = registry.all_queries()

@@ -35,7 +35,7 @@ RUNS = int(os.environ.get("OPT_SNAP_RUNS", "3"))
 def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
-    out_dir = REPO / "plans" / "r12"
+    out_dir = REPO / "plans" / os.environ.get("OPT_SNAP_DIR", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     registry.load_all()
