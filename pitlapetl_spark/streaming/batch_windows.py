@@ -601,6 +601,87 @@ def _drive_compacted_ingest(
 N_SEM_INGEST_BATCHES = 3
 
 
+def _run_pipelined_stages(stages, n_batches: int) -> None:
+    """Run a chained multi-stage ingest simulation with one driver
+    thread per stage: stage s processes its batches strictly in
+    order, and batch i of stage s starts only after batch i of stage
+    s-1 finished (the corpus-partition handoff). Equivalent to the
+    sequential nested loop — same writes, same order within every
+    store — but the per-batch driver floors of different stages
+    overlap (guide §2.6). On any stage failure every downstream wait
+    is released and the first error re-raised."""
+    import threading
+
+    from pyspark import InheritableThread
+
+    done = [
+        [threading.Event() for _ in range(n_batches)] for _ in stages
+    ]
+    errs: list[BaseException] = []
+
+    def runner(s: int) -> None:
+        try:
+            for i in range(n_batches):
+                if s > 0:
+                    done[s - 1][i].wait()
+                if errs:
+                    return
+                stages[s](i)
+                done[s][i].set()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs.append(e)
+        finally:
+            # release downstream waiters even on failure/early return
+            for ev in done[s]:
+                ev.set()
+
+    threads = [
+        InheritableThread(target=runner, args=(s,), daemon=True)
+        for s in range(len(stages))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+
+
+def _prefetch_frame(build):
+    """Build and eagerly localCheckpoint a DataFrame on a background
+    driver thread, returning a zero-arg handle that joins the thread
+    and yields the materialized frame (re-raising any failure).
+
+    The parity queries' batch-twin side (the batch dedup/gate rerun
+    the stream is compared against) is INDEPENDENT of the ingest
+    loop, and the loop's wall is mostly single-threaded driver work
+    (per-batch Catalyst analysis, store listings) that leaves the
+    executors idle — so computing the twin concurrently hides it
+    almost entirely (guide §2.6 overlap independent jobs; VERDICT
+    r12 item 5). InheritableThread keeps job-description/group
+    thread-locals correct under concurrent driver threads."""
+    from pyspark import InheritableThread
+
+    box: dict = {}
+
+    def run() -> None:
+        try:
+            box["df"] = build().localCheckpoint(eager=True)
+        except BaseException as e:  # noqa: BLE001 — surfaced at join
+            box["err"] = e
+
+    t = InheritableThread(target=run, daemon=True)
+    t.start()
+
+    def handle() -> DataFrame:
+        t.join()
+        if "err" in box:
+            raise box["err"]
+        return box["df"]
+
+    return handle
+
+
 def _semantic_parity_oracle() -> str:
     # the pair/score chain is SHARED with dedup_semantic_top2's
     # oracle (similarity.semdedup_pair_ctes) so this oracle always
@@ -656,6 +737,13 @@ def stream_semantic_compacted_parity(
     from .runtime import _semantic_ingest_batch
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # batch-twin drop set, prefetched concurrently with the ingest
+    # loop below (independent work; _prefetch_frame docstring)
+    b_drop_handle = _prefetch_frame(
+        lambda: dedup_semantic_top2(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
     pre, after, _, n_parts = _drive_compacted_ingest(
         spark,
         emb,
@@ -687,11 +775,7 @@ def stream_semantic_compacted_parity(
     # stream-vs-batch drop-set equality: symmetric difference of
     # the two vec_id sets must be empty (one-row scalar)
     s_drop = after.filter(~F.col("kept")).select("vec_id").distinct()
-    b_drop = (
-        dedup_semantic_top2(spark, sf_dir)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
+    b_drop = b_drop_handle()
     mism = (
         s_drop.withColumn("s", F.lit(1))
         .join(b_drop.withColumn("b", F.lit(1)), "vec_id", "full")
@@ -816,6 +900,14 @@ def stream_url_gate_compacted_parity(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", derived_raw_url().alias("url_raw")
     )
+    # batch-twin kept set, prefetched concurrently with the ingest
+    # loop below (independent work; _prefetch_frame docstring)
+    b_kept_handle = _prefetch_frame(
+        lambda: text_url_canonicalize_gate(spark, sf_dir)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .distinct()
+    )
     pre, after, corpus, n_parts = _drive_compacted_ingest(
         spark,
         docs,
@@ -840,12 +932,7 @@ def stream_url_gate_compacted_parity(
     # the corpus doc_ids and the batch gate's kept doc_ids must
     # be empty (one-row scalar)
     s_kept = corpus.select("doc_id").distinct()
-    b_kept = (
-        text_url_canonicalize_gate(spark, sf_dir)
-        .filter(F.col("kept"))
-        .select("doc_id")
-        .distinct()
-    )
+    b_kept = b_kept_handle()
     mism = (
         s_kept.withColumn("s", F.lit(1))
         .join(b_kept.withColumn("b", F.lit(1)), "doc_id", "full")
@@ -956,6 +1043,11 @@ def stream_span_dedup_compacted_parity(
     from .runtime import _span_ingest_batch
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # batch-twin cleaned corpus, prefetched concurrently with the
+    # ingest loop below (independent work; _prefetch_frame docstring)
+    batch_out_handle = _prefetch_frame(
+        lambda: dedup_repeated_spans_apply(spark, sf_dir)
+    )
     pre, after, corpus, n_parts = _drive_compacted_ingest(
         spark,
         docs,
@@ -998,7 +1090,7 @@ def stream_span_dedup_compacted_parity(
     # stream-vs-batch cleaned-corpus equality: full outer on
     # doc_id over every output column (one-row scalar)
     stream_out = corpus
-    batch_out = dedup_repeated_spans_apply(spark, sf_dir)
+    batch_out = batch_out_handle()
     s = stream_out.select(
         "doc_id",
         F.col("n_tokens_before").alias("s_b"),
@@ -1300,7 +1392,10 @@ def stream_ingest_pipeline_parity(
         emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(
             eager=False
         )
-        for i in range(N_PIPE_BATCHES):
+
+        # each stage early-returns (writing nothing) on an empty
+        # batch, so downstream stages gate on partition existence
+        def _url_stage(i: int) -> None:
             url_ing(
                 docs.filter(
                     (F.col("doc_id") >= i * width)
@@ -1308,36 +1403,57 @@ def stream_ingest_pipeline_parity(
                 ),
                 i,
             )
-            # each stage early-returns (writing nothing) on an empty
-            # batch, so downstream stages gate on partition existence
+
+        def _span_stage(i: int) -> None:
             p = f"{u_corp}/batch={i}"
-            if not _os.path.exists(p):
-                continue
-            span_ing(spark.read.parquet(p).select("doc_id", "text"), i)
+            if _os.path.exists(p):
+                span_ing(
+                    spark.read.parquet(p).select("doc_id", "text"), i
+                )
+
+        def _mh_stage(i: int) -> None:
             p = f"{s_corp}/batch={i}"
-            if not _os.path.exists(p):
-                continue
-            mh_ing(
-                spark.read.parquet(p).select(
-                    "doc_id", F.col("cleaned_text").alias("text")
-                ),
-                i,
-            )
+            if _os.path.exists(p):
+                mh_ing(
+                    spark.read.parquet(p).select(
+                        "doc_id", F.col("cleaned_text").alias("text")
+                    ),
+                    i,
+                )
+
+        def _sem_stage(i: int) -> None:
             p = f"{m_corp}/batch={i}"
-            if not _os.path.exists(p):
-                continue
-            # stage 4: semantic dedup over the minhash survivors'
-            # embeddings (vec_id == doc_id in the fixture contract)
-            sem_ing(
-                emb.join(
-                    spark.read.parquet(p)
-                    .select(F.col("doc_id").alias("vec_id"))
-                    .distinct(),
-                    "vec_id",
-                    "left_semi",
-                ),
-                i,
-            )
+            if _os.path.exists(p):
+                # stage 4: semantic dedup over the minhash survivors'
+                # embeddings (vec_id == doc_id, the fixture contract)
+                sem_ing(
+                    emb.join(
+                        spark.read.parquet(p)
+                        .select(F.col("doc_id").alias("vec_id"))
+                        .distinct(),
+                        "vec_id",
+                        "left_semi",
+                    ),
+                    i,
+                )
+
+        # Software-pipelined chain (guide §2.6 overlap independent
+        # jobs): stage s of batch i depends ONLY on stage s-1 of
+        # batch i (its corpus partition) and stage s of batch i-1
+        # (its own store order), never on a LATER batch of an earlier
+        # stage — so url(i+1) can run while span(i) runs, etc. One
+        # driver thread per stage, each consuming its batches in
+        # order and signalling the stage below per batch; store
+        # contents, batch order within each stage, and therefore
+        # every result row are identical to the sequential loop. The
+        # sequential chain paid 4 stages x N batches of back-to-back
+        # per-batch driver floors (Catalyst per-frame analysis) on an
+        # idle cluster; the pipeline overlaps them to ~(4 + N - 1)
+        # slots.
+        _run_pipelined_stages(
+            [_url_stage, _span_stage, _mh_stage, _sem_stage],
+            N_PIPE_BATCHES,
+        )
         # eager reads — the temp stores are removed in finally
         g = (
             spark.read.parquet(u_corp)

@@ -537,6 +537,52 @@ def _foldable_partitions(
     return committed, gens
 
 
+def _parallel_writes(*thunks) -> None:
+    """Run a batch body's independent final write jobs concurrently
+    from driver threads (guide §2.6 overlap independent jobs): by
+    write time every shared dependency is an already-materialized (or
+    block-manager-deduplicated lazy) localCheckpoint, so the writes
+    only re-scan cached blocks plus their own small tails — running
+    them sequentially just stacks job floors and per-write Catalyst
+    planning on an idle cluster. The writes are batch-scoped
+    overwrites, replay-idempotent at ANY crash point in ANY order
+    (each sink's standing argument), so concurrency does not change
+    the recovery contract. Any failure propagates after all threads
+    finish — the batch fails exactly as a sequential write would."""
+    from pyspark import InheritableThread
+
+    errs: list[BaseException] = []
+    threads = []
+    for thunk in thunks:
+        def run(thunk=thunk):
+            try:
+                thunk()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+
+        t = InheritableThread(target=run, daemon=True)
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+
+
+def _cached_schema_read(spark, path: str, box: dict) -> DataFrame:
+    """Per-sink-instance store read with the parquet schema inferred
+    ONCE and reused for every later micro-batch (the store schema is
+    fixed by the sink's own writes): skips the per-batch footer
+    sampling + schema merge, driver work that grows with the store's
+    partition count. The ``batch`` partition column stays inferred
+    from the directory layout either way."""
+    if path in box:
+        return spark.read.schema(box[path]).parquet(path)
+    df = spark.read.parquet(path)
+    box[path] = df.schema
+    return df
+
+
 def _with_src_batch(df):
     """Ensure the row-level provenance column on a store read, with
     the one-time legacy migration the sink docstrings promise.
@@ -892,10 +938,16 @@ def _dedup_ingest_batch(
 
     from ..operators.dedup import N_HASHES, _band_rows, minhash_signatures
 
+    _schemas: dict = {}
+
     def _read_if_exists(spark, path):
         # None only when the store genuinely does not exist yet; an
         # existing-but-unreadable store must raise, not bypass dedup
-        return spark.read.parquet(path) if _os.path.exists(path) else None
+        return (
+            _cached_schema_read(spark, path, _schemas)
+            if _os.path.exists(path)
+            else None
+        )
 
     def _est(left_prefix: str, right_prefix: str):
         return sum(
@@ -989,7 +1041,7 @@ def _dedup_ingest_batch(
             survivors = sig_kept.select("doc_id")
         else:
             store_bands = _with_src_batch(
-                spark.read.parquet(bands_path)
+                _cached_schema_read(spark, bands_path, _schemas)
             ).filter(
                 (F.col("batch") < batch_id)
                 & (
@@ -1047,21 +1099,28 @@ def _dedup_ingest_batch(
         keep = F.broadcast(survivors.localCheckpoint(eager=True))
 
         # (d) batch-scoped overwrite writes: replay-idempotent at any
-        # crash point between them
+        # crash point in any order, and independent given `keep`
+        # (eager) plus the batch/sig/bands lazy checkpoints, all
+        # already materialized inside the survivors job — run the
+        # three concurrently. Store rows carry their origin batch id
+        # (src_batch) so the probe's row-level provenance filter
+        # survives generation folds (docstring); the corpus needs no
+        # stamp — it is never probed and its batch layout is already
+        # the directory name
         sub = f"batch={batch_id}"
-        batch.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
-            f"{corpus_path}/{sub}"
+        _parallel_writes(
+            lambda: batch.join(keep, "doc_id", "left_semi")
+            .write.mode("overwrite")
+            .parquet(f"{corpus_path}/{sub}"),
+            lambda: sig.join(keep, "doc_id", "left_semi")
+            .withColumn("src_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/{sub}"),
+            lambda: bands.join(keep, "doc_id", "left_semi")
+            .withColumn("src_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{bands_path}/{sub}"),
         )
-        # store rows carry their origin batch id (src_batch) so the
-        # probe's row-level provenance filter survives generation
-        # folds (docstring); the corpus needs no stamp — it is never
-        # probed and its batch layout is already the directory name
-        sig.join(keep, "doc_id", "left_semi").withColumn(
-            "src_batch", F.lit(batch_id)
-        ).write.mode("overwrite").parquet(f"{store_path}/{sub}")
-        bands.join(keep, "doc_id", "left_semi").withColumn(
-            "src_batch", F.lit(batch_id)
-        ).write.mode("overwrite").parquet(f"{bands_path}/{sub}")
 
     return ingest_batch
 
@@ -1464,6 +1523,7 @@ def _semantic_ingest_batch(
         )
     cent = centroids.localCheckpoint(eager=True)
     k_cache: dict = {}
+    _schemas: dict = {}
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1544,7 +1604,7 @@ def _semantic_ingest_batch(
             # unknown): admitted under the pre-provenance self-key
             # guard in the join below (_with_src_batch docstring)
             store = _with_src_batch(
-                spark.read.parquet(store_path)
+                _cached_schema_read(spark, store_path, _schemas)
             ).filter(
                 (F.col("batch") < batch_id)
                 & (
@@ -1574,25 +1634,34 @@ def _semantic_ingest_batch(
         dropped = F.broadcast(dropped.localCheckpoint(eager=True))
 
         # batch-scoped overwrite writes: replay-idempotent at any
-        # crash point between them. Corpus gets survivors only; the
-        # store gets EVERY assignment row with the verdict flag.
+        # crash point between them, and independent given the eager
+        # batch/assign/dropped checkpoints — run concurrently.
+        # Corpus gets survivors only; the store gets EVERY
+        # assignment row with the verdict flag.
         sub = f"batch={batch_id}"
-        batch.join(dropped, "vec_id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(f"{corpus_path}/{sub}")
-        assign.join(
-            dropped.withColumn("is_dup", F.lit(True)), "vec_id", "left"
-        ).select(
-            "vec_id",
-            "label",
-            "v",
-            "nrm",
-            F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
-            # origin batch id: the probe's row-level provenance
-            # filter reads this through generation folds (block
-            # comment above)
-            F.lit(batch_id).alias("src_batch"),
-        ).write.mode("overwrite").parquet(f"{store_path}/{sub}")
+        _parallel_writes(
+            lambda: batch.join(dropped, "vec_id", "left_anti")
+            .write.mode("overwrite")
+            .parquet(f"{corpus_path}/{sub}"),
+            lambda: assign.join(
+                dropped.withColumn("is_dup", F.lit(True)),
+                "vec_id",
+                "left",
+            )
+            .select(
+                "vec_id",
+                "label",
+                "v",
+                "nrm",
+                F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+                # origin batch id: the probe's row-level provenance
+                # filter reads this through generation folds (block
+                # comment above)
+                F.lit(batch_id).alias("src_batch"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/{sub}"),
+        )
 
     return ingest_batch
 
@@ -1686,6 +1755,8 @@ def _url_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
         extract_site,
     )
 
+    _schemas: dict = {}
+
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -1718,7 +1789,7 @@ def _url_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
         # by the broadcast build, so it needs no checkpoint.
         if _os.path.exists(store_path):
             store = _with_src_batch(
-                spark.read.parquet(store_path)
+                _cached_schema_read(spark, store_path, _schemas)
             ).filter(
                 (F.col("batch") < batch_id)
                 & (F.col("src_batch") < batch_id)
@@ -1734,15 +1805,22 @@ def _url_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
             )
             kept = kept.join(F.broadcast(seen), "url_canon", "left_anti")
             kept = kept.localCheckpoint(eager=False)
-        # (e) batch-scoped overwrite writes: replay-idempotent
+        # (e) batch-scoped overwrite writes: replay-idempotent, and
+        # independent given the shared checkpoint — run concurrently
         sub = f"batch={batch_id}"
-        kept.write.mode("overwrite").parquet(f"{corpus_path}/{sub}")
-        kept.select(
-            "url_canon",
-            "site",
-            "doc_id",
-            F.lit(batch_id).alias("src_batch"),
-        ).write.mode("overwrite").parquet(f"{store_path}/{sub}")
+        _parallel_writes(
+            lambda: kept.write.mode("overwrite").parquet(
+                f"{corpus_path}/{sub}"
+            ),
+            lambda: kept.select(
+                "url_canon",
+                "site",
+                "doc_id",
+                F.lit(batch_id).alias("src_batch"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/{sub}"),
+        )
 
     return ingest_batch
 
@@ -1825,6 +1903,8 @@ def _span_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
     from ..functions.text import norm_text
     from ..operators.dedup import SPAN_K, span_cut_apply
 
+    _schemas: dict = {}
+
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -1874,7 +1954,7 @@ def _span_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
         # broadcast the matches back; the store is never shuffled.
         if _os.path.exists(store_path):
             store = _with_src_batch(
-                spark.read.parquet(store_path)
+                _cached_schema_read(spark, store_path, _schemas)
             ).filter(
                 (F.col("batch") < batch_id)
                 & (F.col("src_batch") < batch_id)
@@ -1929,15 +2009,22 @@ def _span_ingest_batch(store_path: str, corpus_path: str, compact_every: int):
             F.col("f.pos").alias("pos"),
             F.lit(batch_id).alias("src_batch"),
         )
-        # batch-scoped overwrite writes: replay-idempotent. The
-        # cleaned frame is consumed only by its write — it streams
-        # straight into the parquet sink with no pre-write
+        # batch-scoped overwrite writes: replay-idempotent, and
+        # independent given the shared lazy checkpoints (grams /
+        # firsts — the block manager computes each checkpointed
+        # partition once and the other write's job reads the block).
+        # The cleaned frame is consumed only by its write — it
+        # streams straight into the parquet sink with no pre-write
         # checkpoint (the write IS its materialization).
         sub = f"batch={batch_id}"
-        span_cut_apply(toks, removable).write.mode("overwrite").parquet(
-            f"{corpus_path}/{sub}"
+        _parallel_writes(
+            lambda: span_cut_apply(toks, removable)
+            .write.mode("overwrite")
+            .parquet(f"{corpus_path}/{sub}"),
+            lambda: new_firsts.write.mode("overwrite").parquet(
+                f"{store_path}/{sub}"
+            ),
         )
-        new_firsts.write.mode("overwrite").parquet(f"{store_path}/{sub}")
 
     return ingest_batch
 
